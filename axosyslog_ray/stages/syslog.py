@@ -1,0 +1,243 @@
+"""Syslog header parsing: RFC3164 + RFC5424 with autodetect.
+
+Semantics mirror the reference's initial message parse
+(reference modules/syslogformat/syslog-format.c:1045-1239 — autodetect;
+pri at :123; RFC5424 SDATA at :562-829; hostname :483; program :348;
+RFC3164 year guessing :251-302), re-expressed as vectorized pandas/regex
+over an Arrow string column. Parse failure does NOT drop the row here —
+it yields `syslog_parsed == False` with the whole line as `message` and
+`pri == DEFAULT_PRI`, the reference's no-parse fallback; routing layers
+decide what to do with unparsed rows (the reference's parser-failure
+drop, lib/parser/parser-expr.c:46-99, is applied by the pipeline).
+
+Vectorization strategy: one compiled master regex per format applied via
+`Series.str.extract` (C-driven loop), datetimes via `pd.to_datetime`;
+only SDATA map construction touches Python per matching row (map columns
+are row-wise by nature).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..schema import DEFAULT_PRI
+
+MONTHS = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
+MON_NUM = {m: i + 1 for i, m in enumerate(MONTHS.split("|"))}
+
+RE_5424 = re.compile(
+    r"^<(?P<pri>\d{1,3})>(?P<ver>\d) (?P<ts>\S+) (?P<host>\S+) (?P<app>\S+) "
+    r"(?P<pid>\S+) (?P<msgid>\S+) (?P<rest>.*)$",
+    re.S,
+)
+# SD block: one or more [sdid param="value"...] elements; values may contain
+# escaped chars (\" \\ \]) per RFC5424 / reference syslog-format.c:562-829.
+RE_SD_BLOCK = re.compile(r'^(?P<sd>-|(?:\[[^ \]"=]+(?: [^ \]"=]+="(?:[^"\\]|\\.)*")*\])+)(?: (?P<msg>.*))?$', re.S)
+RE_SD_ELEM = re.compile(r'\[([^ \]"=]+)((?: [^ \]"=]+="(?:[^"\\]|\\.)*")*)\]')
+RE_SD_PARAM = re.compile(r'([^ \]"=]+)="((?:[^"\\]|\\.)*)"')
+
+RE_3164 = re.compile(
+    r"^(?:<(?P<pri>\d{1,3})>)?(?P<mon>" + MONTHS + r") (?P<day>[ \d]\d) "
+    r"(?P<time>\d{2}:\d{2}:\d{2}) (?P<host>\S+) (?P<rest>.*)$",
+    re.S,
+)
+RE_TAG = re.compile(r"^(?P<prog>[^:\[\s]+)(?:\[(?P<pid>[^\]]*)\])?: ?(?P<msg>.*)$", re.S)
+
+_SD_UNESCAPE = re.compile(r'\\([\\"\]])')
+
+
+def _unescape_sd(v: str) -> str:
+    return _SD_UNESCAPE.sub(r"\1", v)
+
+
+def parse_sdata(sd: str) -> list[tuple[str, str]] | None:
+    """Parse an RFC5424 STRUCTURED-DATA block into [('sdid.param', value)].
+
+    Key layout matches the reference's `.SDATA.<sdid>.<param>` naming minus
+    the fixed prefix (reference syslog-format.c:562-829)."""
+    if sd == "-" or not sd:
+        return None
+    out: list[tuple[str, str]] = []
+    for m in RE_SD_ELEM.finditer(sd):
+        sdid, params = m.group(1), m.group(2)
+        for pm in RE_SD_PARAM.finditer(params):
+            out.append((f"{sdid}.{pm.group(1)}", _unescape_sd(pm.group(2))))
+    return out
+
+
+def guess_year(mon_num: np.ndarray, recv: pd.Series) -> np.ndarray:
+    """RFC3164 timestamps carry no year; guess the one nearest the receive
+    time (reference syslog-format.c:251-302): receive-year, minus one when
+    the stamp says December but we received in January, plus one for the
+    mirror case."""
+    year = recv.dt.year.to_numpy().copy()
+    rmon = recv.dt.month.to_numpy()
+    year[(mon_num == 12) & (rmon == 1)] -= 1
+    year[(mon_num == 1) & (rmon == 12)] += 1
+    return year
+
+
+def _obj(series: pd.Series) -> np.ndarray:
+    """pandas Series -> numpy object array with None (not pd.NA) for nulls."""
+    arr = series.to_numpy(dtype=object, copy=True)
+    na = series.isna().to_numpy()
+    arr[na] = None
+    return arr
+
+
+def parse_syslog_table(
+    table: pa.Table, col: str = "text", recv_ts_col: str = "warc_ts"
+) -> pa.Table:
+    """Append parsed header columns to an Arrow batch (the first map_batches
+    stage of the flagship pipeline)."""
+    n = table.num_rows
+    s = table.column(col).to_pandas().astype("string").fillna("")
+    recv = table.column(recv_ts_col).to_pandas() if recv_ts_col in table.column_names else pd.Series(
+        np.full(n, np.datetime64("2026-01-01", "us"))
+    )
+
+    pri = np.full(n, DEFAULT_PRI, dtype=np.int64)
+    ts = np.full(n, np.datetime64("NaT"), dtype="datetime64[us]")
+    host = np.full(n, None, dtype=object)
+    program = np.full(n, None, dtype=object)
+    pid = np.full(n, None, dtype=object)
+    msgid = np.full(n, None, dtype=object)
+    message = s.to_numpy(dtype=object).copy()
+    sdata = np.full(n, None, dtype=object)
+    parsed = np.zeros(n, dtype=bool)
+    fmt = np.full(n, None, dtype=object)
+
+    # ---------- RFC5424 ----------
+    is5424 = s.str.match(r"^<\d{1,3}>\d ", na=False).to_numpy()
+    if is5424.any():
+        ex = s[is5424].str.extract(RE_5424)
+        ok = ex["pri"].notna().to_numpy()
+        rows = np.flatnonzero(is5424)[ok]
+        exo = ex[ok]
+        pri[rows] = exo["pri"].astype(int).to_numpy()
+        tss = exo["ts"].where(exo["ts"] != "-", None)
+        with np.errstate(all="ignore"):
+            tparsed = pd.to_datetime(tss, errors="coerce", utc=True, format="ISO8601")
+        ts[rows] = tparsed.dt.tz_localize(None).to_numpy(dtype="datetime64[us]", na_value=np.datetime64("NaT"))
+        # nil ('-') fields stay null, matching the reference's unset values
+        for colname, arr in (("host", host), ("app", program), ("pid", pid), ("msgid", msgid)):
+            arr[rows] = _obj(exo[colname].where(exo[colname] != "-"))
+        rest = exo["rest"].astype("string")
+        sd_ex = rest.str.extract(RE_SD_BLOCK)
+        sd_ok = sd_ex["sd"].notna().to_numpy()
+        msg_vals = np.where(sd_ok, _obj(sd_ex["msg"].fillna("")), _obj(rest))
+        message[rows] = msg_vals
+        sd_strs = sd_ex["sd"].to_numpy(dtype=object)
+        sdata[rows] = [parse_sdata(x) if isinstance(x, str) else None for x in sd_strs]
+        parsed[rows] = True
+        fmt[rows] = "rfc5424"
+
+    # ---------- RFC3164 ----------
+    cand = ~is5424
+    if cand.any():
+        ex = s[cand].str.extract(RE_3164)
+        ok = ex["mon"].notna().to_numpy()
+        rows = np.flatnonzero(cand)[ok]
+        if len(rows):
+            exo = ex[ok]
+            pv = exo["pri"]
+            has_pri = pv.notna().to_numpy()
+            pri[rows[has_pri]] = pv[pv.notna()].astype(int).to_numpy()
+            mon_num = exo["mon"].map(MON_NUM).to_numpy(dtype=np.int64)
+            day = exo["day"].str.strip().astype(int).to_numpy()
+            year = guess_year(mon_num, recv.iloc[rows].reset_index(drop=True))
+            iso = (
+                pd.Series(year).astype(str)
+                + "-" + pd.Series(mon_num).astype(str).str.zfill(2)
+                + "-" + pd.Series(day).astype(str).str.zfill(2)
+                + " " + exo["time"].reset_index(drop=True).astype(str)
+            )
+            with np.errstate(all="ignore"):
+                tparsed = pd.to_datetime(iso, errors="coerce")
+            ts[rows] = tparsed.to_numpy(dtype="datetime64[us]", na_value=np.datetime64("NaT"))
+            host[rows] = _obj(exo["host"])
+            rest = exo["rest"].astype("string")
+            tag = rest.str.extract(RE_TAG)
+            tag_ok = tag["prog"].notna().to_numpy()
+            program[rows[tag_ok]] = _obj(tag["prog"][tag["prog"].notna()])
+            pid_vals = _obj(tag["pid"])
+            pid[rows[tag_ok]] = pid_vals[tag_ok]
+            message[rows] = np.where(tag_ok, _obj(tag["msg"].fillna("")), _obj(rest))
+            parsed[rows] = True
+            fmt[rows] = "rfc3164"
+
+    # unparsed rows: stamp falls back to receive time (reference no-parse path)
+    unp = ~parsed
+    ts[unp] = recv.to_numpy(dtype="datetime64[us]")[unp]
+
+    out = table
+    for name, arr, typ in (
+        ("pri", pri, pa.uint16()),
+        ("ts_stamp", ts, pa.timestamp("us")),
+        ("host", host, pa.string()),
+        ("program", program, pa.string()),
+        ("pid", pid, pa.string()),
+        ("msgid", msgid, pa.string()),
+        ("message", message, pa.string()),
+        ("sdata", sdata, pa.map_(pa.string(), pa.string())),
+        ("syslog_parsed", parsed, pa.bool_()),
+        ("msgformat", fmt, pa.string()),
+    ):
+        out = out.append_column(name, pa.array(arr, type=typ))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python scalar reference implementation (the §5 oracle for the
+# vectorized path; SURVEY.md §7.3). Never used in pipelines.
+# ---------------------------------------------------------------------------
+
+def parse_syslog_line(line: str, recv_ts) -> dict:
+    recv = pd.Timestamp(recv_ts)
+    out = {
+        "pri": DEFAULT_PRI, "ts_stamp": None, "host": None, "program": None,
+        "pid": None, "msgid": None, "message": line, "sdata": None,
+        "syslog_parsed": False, "msgformat": None,
+    }
+    m = RE_5424.match(line)
+    if m and re.match(r"^<\d{1,3}>\d ", line):
+        out["pri"] = int(m.group("pri"))
+        if m.group("ts") != "-":
+            t = pd.to_datetime(m.group("ts"), utc=True, errors="coerce")
+            out["ts_stamp"] = None if pd.isna(t) else t.tz_localize(None)
+        for k, g in (("host", "host"), ("program", "app"), ("pid", "pid"), ("msgid", "msgid")):
+            v = m.group(g)
+            out[k] = None if v == "-" else v
+        sdm = RE_SD_BLOCK.match(m.group("rest"))
+        if sdm:
+            out["sdata"] = parse_sdata(sdm.group("sd"))
+            out["message"] = sdm.group("msg") or ""
+        else:
+            out["message"] = m.group("rest")
+        out["syslog_parsed"], out["msgformat"] = True, "rfc5424"
+        return out
+    m = RE_3164.match(line)
+    if m:
+        if m.group("pri") is not None:
+            out["pri"] = int(m.group("pri"))
+        mon = MON_NUM[m.group("mon")]
+        year = recv.year
+        if mon == 12 and recv.month == 1:
+            year -= 1
+        elif mon == 1 and recv.month == 12:
+            year += 1
+        out["ts_stamp"] = pd.Timestamp(f"{year}-{mon:02d}-{int(m.group('day')):02d} {m.group('time')}")
+        out["host"] = m.group("host")
+        tm = RE_TAG.match(m.group("rest"))
+        if tm:
+            out["program"], out["pid"], out["message"] = tm.group("prog"), tm.group("pid"), tm.group("msg")
+        else:
+            out["message"] = m.group("rest")
+        out["syslog_parsed"], out["msgformat"] = True, "rfc3164"
+        return out
+    out["ts_stamp"] = recv
+    return out

@@ -1,0 +1,129 @@
+"""Syslog header-parser golden tests.
+
+Golden expectations adapted from the reference's own parametrized corpus
+(reference modules/syslogformat/tests/test_syslog_format.c:63-172) — the
+cases, not the code.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from axosyslog_ray.stages.syslog import parse_syslog_line, parse_syslog_table
+from axosyslog_ray.synth import gen_pages_table
+
+RECV = pd.Timestamp("2026-08-17 12:00:00")
+
+
+def _parse_one(line: str):
+    t = pa.table(
+        {
+            "url": ["u"],
+            "warc_ts": pa.array(pd.Series([RECV], dtype="datetime64[us]")),
+            "text": [line],
+        }
+    )
+    return parse_syslog_table(t).to_pylist()[0]
+
+
+def test_rfc3164_basic():
+    r = _parse_one("<38>Aug 17 05:02:28 myhost sshd[1234]: Accepted publickey for joe")
+    assert r["pri"] == 38
+    assert r["host"] == "myhost"
+    assert r["program"] == "sshd"
+    assert r["pid"] == "1234"
+    assert r["message"] == "Accepted publickey for joe"
+    assert r["msgformat"] == "rfc3164"
+    assert pd.Timestamp(r["ts_stamp"]) == pd.Timestamp("2026-08-17 05:02:28")
+
+
+def test_rfc3164_no_pri_defaults_13():
+    r = _parse_one("Aug 17 05:02:28 myhost prog: hello")
+    assert r["pri"] == 13 and r["program"] == "prog" and r["message"] == "hello"
+
+
+def test_rfc3164_no_pid():
+    r = _parse_one("<13>Aug 17 05:02:28 h su: msg body")
+    assert r["program"] == "su" and r["pid"] is None and r["message"] == "msg body"
+
+
+def test_rfc3164_numeric_program():
+    r = _parse_one("<13>Aug 17 05:02:28 h 123: m")
+    assert r["program"] == "123"
+
+
+def test_rfc3164_space_padded_day():
+    r = _parse_one("<13>Aug  7 05:02:28 h p: m")
+    assert pd.Timestamp(r["ts_stamp"]).day == 7
+
+
+def test_rfc3164_year_guess_december_wraps_back():
+    t = pa.table(
+        {
+            "url": ["u"],
+            "warc_ts": pa.array(pd.Series([pd.Timestamp("2026-01-02")], dtype="datetime64[us]")),
+            "text": ["<13>Dec 31 23:59:59 h p: m"],
+        }
+    )
+    r = parse_syslog_table(t).to_pylist()[0]
+    assert pd.Timestamp(r["ts_stamp"]).year == 2025
+
+
+def test_rfc5424_full():
+    r = _parse_one(
+        '<34>1 2026-08-17T05:02:28.217+02:00 mach app 1234 ID47 [ex@0 k="v" q="a\\"b"] BOMhello'
+    )
+    assert r["pri"] == 34
+    assert r["host"] == "mach" and r["program"] == "app" and r["pid"] == "1234"
+    assert r["msgid"] == "ID47"
+    assert pd.Timestamp(r["ts_stamp"]) == pd.Timestamp("2026-08-17 03:02:28.217000")  # UTC
+    assert dict(r["sdata"]) == {"ex@0.k": "v", "ex@0.q": 'a"b'}
+    assert r["message"] == "BOMhello"
+
+
+def test_rfc5424_nil_fields():
+    r = _parse_one("<34>1 - - - - - - raw")
+    assert r["host"] is None and r["program"] is None and r["msgid"] is None
+    assert r["sdata"] is None
+    assert r["message"] == "raw"
+    assert r["ts_stamp"] is None or pd.isna(r["ts_stamp"])
+
+
+def test_unparsed_falls_back_whole_message():
+    r = _parse_one("just some random text")
+    assert r["syslog_parsed"] is False
+    assert r["message"] == "just some random text"
+    assert r["pri"] == 13
+    assert pd.Timestamp(r["ts_stamp"]) == RECV
+
+
+def test_unterminated_pri_not_parsed_as_syslog():
+    r = _parse_one("<189 Aug 17 05:02:28 h p: m")
+    assert r["syslog_parsed"] is False
+    assert r["message"] == "<189 Aug 17 05:02:28 h p: m"
+
+
+def test_vectorized_matches_scalar_oracle_on_corpus():
+    t = gen_pages_table(600)
+    df = parse_syslog_table(t).to_pandas()
+    recvs = t.column("warc_ts").to_pylist()
+    for i, row in df.iterrows():
+        o = parse_syslog_line(row["text"], recvs[i])
+        for k in ("pri", "host", "program", "pid", "msgid", "message", "syslog_parsed", "msgformat"):
+            a, b = row[k], o[k]
+            a_null = a is None or (not isinstance(a, (str, bool, np.bool_, list)) and pd.isna(a))
+            if b is None:
+                assert a_null, (i, k, a)
+            else:
+                assert not a_null and a == b, (i, k, a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_e2e_parse_through_ray():
+    from axosyslog_ray.synth import pages_dataset
+
+    ds = pages_dataset(2000, blocks=4).map_batches(parse_syslog_table, batch_format="pyarrow")
+    assert ds.count() == 2000
+    names = set(ds.schema().names)
+    assert {"pri", "ts_stamp", "host", "program", "message", "syslog_parsed"} <= names
