@@ -1,44 +1,48 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship parse -> enrich -> route -> aggregate pipeline over a
+deterministic Common-Crawl-style pages table (BASELINE.json input_hint)
+sized from /root/testdata/sf0.001.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries()/oracle_sql(): one entry per implemented operator from
+SURVEY.md §2 (registry in axosyslog_ray.pipelines.queries); the driver
+runs Ray vs DuckDB side-by-side at sf=0.01. Queries without an oracle
+entry are non-SQL-expressible and get the rows-only check.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesize pages (rows = 12x sf0.001 documents),
+    parse/classify/patterndb/enrich/route in one fused actor-pool stage,
+    aggregate per-sink counts. Returns the (route, host) count table."""
+    import pyarrow.parquet as pq
+
+    from axosyslog_ray.aggregate import pre_aggregated_count
+    from axosyslog_ray.pipelines.flagship import flagship_routed
+    from axosyslog_ray.synth import pages_dataset
+
+    n_docs = pq.read_metadata("/root/testdata/sf0.001/documents.parquet").num_rows
+    ds = pages_dataset(n_docs * 12)
+    routed = flagship_routed(ds)
+    return pre_aggregated_count(routed.select_columns(["route", "host"]), ["route", "host"], alias="n")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from axosyslog_ray.pipelines.queries import RAY_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(RAY_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from axosyslog_ray.pipelines.queries import ORACLE_SQLS
+
+    return dict(ORACLE_SQLS)

@@ -1,0 +1,86 @@
+"""Grouped aggregation with explicit scale handling.
+
+The reference's grouped computations — metrics-probe() counters
+(reference modules/metrics-probe/metrics-probe.c:93-110,190) and stats
+aggregators (lib/stats/aggregator/) — over Ray Data, with the two wide-op
+disciplines SURVEY.md §7 commits to:
+
+1. **Pre-aggregate (combiner) before the shuffle**: `pre_aggregated_count`
+   computes per-batch partial counts inside map_batches (one tiny row per
+   distinct key per batch) and then runs the small groupby+Sum over the
+   partials. Skewed keys (zipf hosts, en-heavy lang) stop mattering
+   because the shuffle moves O(distinct keys × batches) rows, not O(rows).
+2. **Salting for map_groups-shaped work**: `salted` appends a
+   deterministic `_salt = hash(row key) % S` column so a hot key splits
+   into S sub-groups; only valid when the per-group computation is
+   decomposable (counts/sums — NOT session windows, which must see the
+   whole key; SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .hashutil import hash_str_array
+
+
+def partial_counts(keys: list[str], count_col: str = "partial_count"):
+    """map_batches fn: batch -> one row per distinct key combo with counts."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys).to_pandas()
+        g = df.groupby(keys, dropna=False, observed=True).size().reset_index(name=count_col)
+        # keep the source Arrow types so every partial block unifies
+        arrays = [
+            pa.array(g[k].astype(object).where(g[k].notna(), None).to_numpy(dtype=object), type=batch.schema.field(k).type)
+            for k in keys
+        ]
+        arrays.append(pa.array(g[count_col].to_numpy(), type=pa.int64()))
+        return pa.Table.from_arrays(arrays, names=keys + [count_col])
+
+    return fn
+
+
+def pre_aggregated_count(ds, keys: list[str], alias: str = "n"):
+    """Two-phase distributed count-by-keys: partial per batch, Sum final."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(partial_counts(keys), batch_format="pyarrow")
+    return partial.groupby(keys).aggregate(Sum("partial_count", alias_name=alias))
+
+
+def metrics_probe(ds, key_templates: dict[str, str], alias: str = "n"):
+    """metrics-probe(): counter keyed by template-evaluated labels
+    (reference metrics-probe.c:93-110). Labels are computed per batch,
+    then two-phase counted."""
+    from .functions.templates import Template
+
+    compiled = {name: Template(spec) for name, spec in key_templates.items()}
+
+    def label(batch: pa.Table) -> pa.Table:
+        cols = {name: pa.array(t.eval(batch).to_numpy(dtype=object), type=pa.string()) for name, t in compiled.items()}
+        return pa.table(cols)
+
+    labeled = ds.map_batches(label, batch_format="pyarrow")
+    return pre_aggregated_count(labeled, list(key_templates.keys()), alias=alias)
+
+
+def salted(batch: pa.Table, key_col: str, num_salts: int = 16, salt_col: str = "_salt") -> pa.Table:
+    """Append a deterministic salt derived from a second hash of the key —
+    splits a hot key into `num_salts` sub-groups for decomposable aggs."""
+    vals = batch.column(key_col).to_pandas().astype(str).to_numpy(dtype=object)
+    h = hash_str_array(vals) % np.uint64(num_salts)
+    return batch.append_column(salt_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+
+def salted_count(ds, key: str, num_salts: int = 16, alias: str = "n"):
+    """Explicit salted two-phase count: groupby (key, salt) then re-reduce
+    by key. Kept for parity/demonstration — pre_aggregated_count is the
+    preferred path for plain counts."""
+    from ray.data.aggregate import Sum
+
+    salted_ds = ds.map_batches(lambda b: salted(b, key, num_salts), batch_format="pyarrow")
+    phase1 = pre_aggregated_count(salted_ds, [key, "_salt"], alias="_c")
+    return phase1.groupby(key).aggregate(Sum("_c", alias_name=alias))

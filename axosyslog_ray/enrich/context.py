@@ -1,0 +1,87 @@
+"""add-contextual-data(): broadcast dict join keyed by a selector template.
+
+Mirrors the reference (reference
+modules/add-contextual-data/add-contextual-data.c:111-140 process;
+selectors add-contextual-data-template-selector.c; db
+context-info-db.c): a CSV database of `selector,name,value` records; per
+row the selector template is evaluated and looked up; on miss the
+`default-selector` record set applies; matched (name,value) pairs are
+written onto the row, values themselves template-evaluated against the
+row (so a db value like "$HOST-suffix" works).
+
+Scale shape: the db is SMALL-side — broadcast once (`ray.put` on the
+driver or a path loaded once per actor in __init__), looked up per batch
+with a vectorized pandas merge. No shuffle.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.templates import Template
+
+
+def parse_context_csv(text: str) -> dict[str, list[tuple[str, str]]]:
+    db: dict[str, list[tuple[str, str]]] = {}
+    for row in csv.reader(io.StringIO(text)):
+        if len(row) != 3:
+            continue
+        db.setdefault(row[0], []).append((row[1], row[2]))
+    return db
+
+
+class AddContextualData:
+    """Usable directly as `ds.map_batches(AddContextualData, fn_constructor_kwargs=...,
+    concurrency=N)` — db built once per actor."""
+
+    def __init__(
+        self,
+        db: dict[str, list[tuple[str, str]]] | None = None,
+        csv_text: str | None = None,
+        db_ref=None,  # ray.put ObjectRef for broadcast
+        selector: str = "$HOST",
+        default_selector: str | None = "default",
+        prefix: str = "",
+    ):
+        if db_ref is not None:
+            import ray
+
+            db = ray.get(db_ref)
+        if db is None:
+            db = parse_context_csv(csv_text or "")
+        self.db = db
+        self.selector = Template(selector)
+        self.default = db.get(default_selector, []) if default_selector else []
+        self.prefix = prefix
+        # all field names any selector can set -> stable output schema
+        names = {n for recs in db.values() for n, _ in recs}
+        self.fields = sorted(names)
+        # pre-compile value templates (values are templates per the reference)
+        self.compiled = {
+            sel: [(n, Template(v)) for n, v in recs] for sel, recs in db.items()
+        }
+        self.default_compiled = [(n, Template(v)) for n, v in self.default]
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        sel = self.selector.eval(table).to_numpy(dtype=object)
+        n = table.num_rows
+        cols = {f: np.full(n, None, dtype=object) for f in self.fields}
+        # group rows by selector value -> evaluate each record set once per group
+        order = pd.Series(sel).groupby(sel, sort=False).groups  # value -> row idx
+        for value, idx in order.items():
+            recs = self.compiled.get(value, self.default_compiled)
+            if not recs:
+                continue
+            sub = table.take(pa.array(np.asarray(idx, dtype=np.int64)))
+            for name, tmpl in recs:
+                vals = tmpl.eval(sub).to_numpy(dtype=object)
+                cols[name][np.asarray(idx, dtype=np.int64)] = vals
+        out = table
+        for f in self.fields:
+            out = out.append_column(self.prefix + f, pa.array(cols[f], type=pa.string()))
+        return out

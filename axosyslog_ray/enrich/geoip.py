@@ -1,0 +1,68 @@
+"""geoip2()-style range lookup: IP -> attributes via sorted CIDR ranges.
+
+Mirrors the reference geoip parser shape (reference
+modules/geoip2/geoip-parser.c:90-110,195-199 — mmdb opened once, an IP
+template resolved per message, results under `prefix()`): here the
+database is a list of (cidr, attrs...) ranges; lookup is a vectorized
+`np.searchsorted` over the sorted range starts — O(log n) per row, one
+numpy pass per batch. The db is built once per actor (__init__), the
+broadcast-small-side pattern.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.strings import tf_ipv4_to_int
+
+
+class GeoIP:
+    def __init__(
+        self,
+        ranges: list[tuple[str, dict[str, str]]] | None = None,
+        db_ref=None,
+        source_col: str = "src_ip",
+        prefix: str = "geoip_",
+    ):
+        if db_ref is not None:
+            import ray
+
+            ranges = ray.get(db_ref)
+        rows = []
+        for cidr, attrs in ranges or []:
+            net = ipaddress.ip_network(cidr, strict=False)
+            rows.append((int(net.network_address), int(net.broadcast_address), attrs))
+        rows.sort()
+        self.starts = np.array([r[0] for r in rows], dtype=np.int64)
+        self.ends = np.array([r[1] for r in rows], dtype=np.int64)
+        self.attr_names = sorted({k for _, _, a in rows for k in a})
+        self.attrs = {
+            name: np.array([a.get(name) for _, _, a in rows], dtype=object) for name in self.attr_names
+        }
+        self.source_col = source_col
+        self.prefix = prefix
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        out = table
+        if self.source_col not in table.column_names or len(self.starts) == 0:
+            for name in self.attr_names:
+                out = out.append_column(self.prefix + name, pa.nulls(n, pa.string()))
+            return out
+        ips = table.column(self.source_col).to_pandas()
+        ints = pd.to_numeric(tf_ipv4_to_int(table, ips), errors="coerce")
+        valid = ints.notna().to_numpy()
+        iv = ints.fillna(-1).astype(np.int64).to_numpy()
+        pos = np.searchsorted(self.starts, iv, side="right") - 1
+        in_range = valid & (pos >= 0)
+        pos_c = np.clip(pos, 0, len(self.starts) - 1)
+        in_range &= iv <= self.ends[pos_c]
+        for name in self.attr_names:
+            vals = np.full(n, None, dtype=object)
+            vals[in_range] = self.attrs[name][pos_c[in_range]]
+            out = out.append_column(self.prefix + name, pa.array(vals, type=pa.string()))
+        return out

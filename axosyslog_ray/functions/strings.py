@@ -1,0 +1,328 @@
+"""Template function registry: $(fn args...) implementations.
+
+Vectorized equivalents of the reference's built-in template functions
+(reference modules/basicfuncs/basic-funcs.c:73-151 — str-funcs, numeric-
+funcs, list-funcs, cond-funcs, fname-funcs; modules/cryptofuncs/ digests;
+urlencode.c encodings). Every function takes (table, *arg_series) and
+returns a pandas object Series of strings; numeric functions parse their
+string args per the reference's everything-is-a-string model
+(lib/logmsg/logmsg.h:199-205).
+
+The reference's list values are comma-separated string-repr lists
+(lib/str-repr/); the list functions here operate on that same encoding.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import urllib.parse
+import uuid
+
+import numpy as np
+import pandas as pd
+
+
+def _s(x) -> pd.Series:
+    return x.astype("string").fillna("").astype(object) if isinstance(x, pd.Series) else x
+
+
+def _num(x: pd.Series) -> pd.Series:
+    return pd.to_numeric(_s(x), errors="coerce")
+
+
+def _fmt_num(v: pd.Series) -> pd.Series:
+    out = v.map(lambda x: "" if pd.isna(x) else (str(int(x)) if float(x).is_integer() else repr(float(x))))
+    return out.astype(object)
+
+
+def _join(parts: list[pd.Series], sep: str = " ") -> pd.Series:
+    out = parts[0].astype(str)
+    for p in parts[1:]:
+        out = out + sep + p.astype(str)
+    return out.astype(object)
+
+
+# ---- string funcs (basicfuncs/str-funcs.c) ----
+
+def tf_echo(t, *args):
+    return _join(list(args)) if args else pd.Series([""] * t.num_rows, dtype=object)
+
+
+def tf_length(t, a):
+    return _s(a).map(len).astype(str).astype(object)
+
+
+def tf_lowercase(t, a):
+    return _s(a).str.lower().astype(object)
+
+
+def tf_uppercase(t, a):
+    return _s(a).str.upper().astype(object)
+
+
+def tf_strip(t, a):
+    return _s(a).str.strip().astype(object)
+
+
+def tf_substr(t, a, off, ln=None):
+    o = _num(off).fillna(0).astype(int)
+    s = _s(a)
+    if ln is None:
+        return pd.Series([x[i:] if i >= 0 else x[i:] for x, i in zip(s, o)], dtype=object)
+    l = _num(ln).fillna(0).astype(int)
+    return pd.Series(
+        [x[i : i + k] if i >= 0 else (x[i : i + k] if i + k < 0 else x[i:]) for x, i, k in zip(s, o, l)],
+        dtype=object,
+    )
+
+
+def tf_sanitize(t, a):
+    return _s(a).str.replace("/", "_", regex=False).str.replace(r"[\x00-\x1f]", "", regex=True).astype(object)
+
+
+def tf_replace_delimiter(t, old, new, a):
+    reps = _s(old)
+    news = _s(new)
+    return pd.Series(
+        [x.translate(str.maketrans({c: nw for c in od})) for x, od, nw in zip(_s(a), reps, news)], dtype=object
+    )
+
+
+def tf_padding(t, a, width, fill=None):
+    w = _num(width).fillna(0).astype(int)
+    f = _s(fill) if fill is not None else pd.Series([" "] * t.num_rows, dtype=object)
+    out = []
+    for x, wi, fi in zip(_s(a), w, f):
+        fi = fi or " "
+        pad_needed = max(0, wi - len(x))
+        pad = (fi * (pad_needed // len(fi) + 1))[:pad_needed]
+        out.append(pad + x)
+    return pd.Series(out, dtype=object)
+
+
+def tf_implode(t, sep, *args):
+    sepv = _s(sep)
+    if len(args) == 1:  # imploding a list value
+        return pd.Series([s.join(x.split(",")) for s, x in zip(sepv, _s(args[0]))], dtype=object)
+    cols = [a.astype(str) for a in args]
+    return pd.Series([s.join(vals) for s, *vals in zip(sepv, *cols)], dtype=object)
+
+
+def tf_explode(t, sep, a):
+    return pd.Series([",".join(x.split(s)) if s else x for s, x in zip(_s(sep), _s(a))], dtype=object)
+
+
+# ---- conditional (cond-funcs.c) ----
+
+def tf_if(t, cond, then, els):
+    c = _s(cond).isin(["1", "true", "TRUE", "True", "yes"])
+    return pd.Series(np.where(c, _s(then), _s(els)), dtype=object)
+
+
+def tf_default(t, a, fallback):
+    av = _s(a)
+    return pd.Series(np.where(av == "", _s(fallback), av), dtype=object)
+
+
+# ---- numeric funcs (numeric-funcs.c); sum/min/max/average fold a LIST arg ----
+
+def _binop(op):
+    def f(t, a, b):
+        return _fmt_num(op(_num(a), _num(b)))
+
+    return f
+
+
+def _listfold(agg):
+    def f(t, a):
+        return pd.Series(
+            [
+                "" if not x else _one(agg([float(v) for v in x.split(",") if v.strip() != ""]))
+                for x in _s(a)
+            ],
+            dtype=object,
+        )
+
+    def _one(v):
+        return str(int(v)) if float(v).is_integer() else repr(float(v))
+
+    return f
+
+
+def tf_round(t, a, digits=None):
+    d = _num(digits).fillna(0).astype(int) if digits is not None else pd.Series([0] * t.num_rows)
+    return pd.Series(
+        ["" if pd.isna(v) else (str(int(round(v, k))) if k <= 0 else str(round(v, k))) for v, k in zip(_num(a), d)],
+        dtype=object,
+    )
+
+
+# ---- filename funcs (fname-funcs.c) ----
+
+def tf_dirname(t, a):
+    import posixpath
+
+    return _s(a).map(posixpath.dirname).astype(object)
+
+
+def tf_basename(t, a):
+    import posixpath
+
+    return _s(a).map(posixpath.basename).astype(object)
+
+
+# ---- encodings (urlencode.c) ----
+
+def tf_url_encode(t, *args):
+    a = _join([_s(x) for x in args]) if len(args) > 1 else _s(args[0])
+    return a.map(lambda x: urllib.parse.quote(x, safe="")).astype(object)
+
+
+def tf_url_decode(t, *args):
+    a = _join([_s(x) for x in args]) if len(args) > 1 else _s(args[0])
+    return a.map(urllib.parse.unquote).astype(object)
+
+
+def tf_base64_encode(t, *args):
+    a = _join([_s(x) for x in args]) if len(args) > 1 else _s(args[0])
+    return a.map(lambda x: base64.b64encode(x.encode()).decode()).astype(object)
+
+
+# ---- digests (modules/cryptofuncs/) ----
+
+def _digest(name):
+    def f(t, a, length=None):
+        out = _s(a).map(lambda x: hashlib.new(name, x.encode()).hexdigest())
+        if length is not None:
+            ln = _num(length).fillna(0).astype(int)
+            out = pd.Series([h[:k] if k > 0 else h for h, k in zip(out, ln)], dtype=object)
+        return out.astype(object)
+
+    return f
+
+
+def tf_uuid(t, *args):
+    # deterministic per-row UUID5 over row index (the reference's $(uuid) is
+    # random; determinism is required for replayable batch lineage)
+    return pd.Series([str(uuid.uuid5(uuid.NAMESPACE_URL, str(i))) for i in range(t.num_rows)], dtype=object)
+
+
+# ---- list funcs (list-funcs.c) — comma-separated string-repr lists ----
+
+def _split_list(x: str) -> list[str]:
+    return x.split(",") if x else []
+
+
+def tf_list_concat(t, *args):
+    cols = [_s(a) for a in args]
+    return pd.Series([",".join(v for v in vals if v != "") for vals in zip(*cols)], dtype=object)
+
+
+def tf_list_head(t, a):
+    return _s(a).map(lambda x: _split_list(x)[0] if x else "").astype(object)
+
+
+def tf_list_tail(t, a):
+    return _s(a).map(lambda x: ",".join(_split_list(x)[1:])).astype(object)
+
+
+def tf_list_nth(t, idx, a):
+    i = _num(idx).fillna(0).astype(int)
+    return pd.Series(
+        [(lambda l, k: l[k] if -len(l) <= k < len(l) else "")(_split_list(x), k) for x, k in zip(_s(a), i)],
+        dtype=object,
+    )
+
+
+def tf_list_count(t, a):
+    return _s(a).map(lambda x: str(len(_split_list(x)))).astype(object)
+
+
+def tf_list_slice(t, spec, a):
+    sp = _s(spec)
+
+    def do(x, srange):
+        l = _split_list(x)
+        a_, _, b_ = srange.partition(":")
+        lo = int(a_) if a_ else 0
+        hi = int(b_) if b_ else len(l)
+        return ",".join(l[lo:hi])
+
+    return pd.Series([do(x, s) for x, s in zip(_s(a), sp)], dtype=object)
+
+
+def tf_list_append(t, a, *items):
+    cols = [_s(x) for x in items]
+    return pd.Series(
+        [",".join(_split_list(x) + [v for v in vals]) for x, *vals in zip(_s(a), *cols)], dtype=object
+    )
+
+
+def tf_list_search(t, needle, a):
+    nd = _s(needle)
+    return pd.Series(
+        [str(_split_list(x).index(n)) if n in _split_list(x) else "" for x, n in zip(_s(a), nd)], dtype=object
+    )
+
+
+# ---- ip (ip-funcs.c) ----
+
+def tf_ipv4_to_int(t, a):
+    def conv(x):
+        try:
+            p = x.split(".")
+            return str((int(p[0]) << 24) | (int(p[1]) << 16) | (int(p[2]) << 8) | int(p[3]))
+        except (ValueError, IndexError):
+            return ""
+
+    return _s(a).map(conv).astype(object)
+
+
+TEMPLATE_FUNCS = {
+    "echo": tf_echo,
+    "length": tf_length,
+    "lowercase": tf_lowercase,
+    "uppercase": tf_uppercase,
+    "strip": tf_strip,
+    "substr": tf_substr,
+    "sanitize": tf_sanitize,
+    "replace-delimiter": tf_replace_delimiter,
+    "padding": tf_padding,
+    "implode": tf_implode,
+    "explode": tf_explode,
+    "if": tf_if,
+    "default": tf_default,
+    "+": _binop(lambda a, b: a + b),
+    "-": _binop(lambda a, b: a - b),
+    "*": _binop(lambda a, b: a * b),
+    "/": _binop(lambda a, b: (a / b).where(b != 0)),
+    "%": _binop(lambda a, b: (a % b).where(b != 0)),
+    "sum": _listfold(sum),
+    "min": _listfold(min),
+    "max": _listfold(max),
+    "average": _listfold(lambda v: sum(v) / len(v)),
+    "round": tf_round,
+    "ceil": lambda t, a: _fmt_num(np.ceil(_num(a))),
+    "floor": lambda t, a: _fmt_num(np.floor(_num(a))),
+    "dirname": tf_dirname,
+    "basename": tf_basename,
+    "url-encode": tf_url_encode,
+    "url-decode": tf_url_decode,
+    "base64-encode": tf_base64_encode,
+    "sha1": _digest("sha1"),
+    "sha256": _digest("sha256"),
+    "sha512": _digest("sha512"),
+    "md5": _digest("md5"),
+    "hash": _digest("sha256"),
+    "uuid": tf_uuid,
+    "list-concat": tf_list_concat,
+    "list-head": tf_list_head,
+    "list-tail": tf_list_tail,
+    "list-nth": tf_list_nth,
+    "list-count": tf_list_count,
+    "list-slice": tf_list_slice,
+    "list-append": tf_list_append,
+    "list-search": tf_list_search,
+    "ipv4-to-int": tf_ipv4_to_int,
+}

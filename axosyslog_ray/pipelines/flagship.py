@@ -1,0 +1,170 @@
+"""The flagship parse -> enrich -> route -> aggregate pipeline.
+
+The Ray-Data-native equivalent of a full AxoSyslog config: source (pages
+Parquet) -> initial format parse (syslog autodetect) -> app-parser-style
+classification chain (json / apache-csv / kv, first-match-wins —
+reference modules/appmodel/app-parser-generator.c) -> db-parser
+(PatternDB) -> add-contextual-data + geoip enrichment -> rewrites ->
+filterx-style predicate routing into four sinks with final/fallback
+semantics -> per-sink aggregate counts.
+
+Physical shape: ONE fused actor-pool map_batches stage
+(`LogPipelineStage`) does everything row-parallel — all compiled state
+(patterndb rules, context db, geoip ranges, regexes) is built once per
+actor in __init__; per batch everything is vectorized. Routing needs no
+shuffle (a route label column + partitioned write); only the final
+aggregates shuffle, and those are two-phase pre-aggregated
+(axosyslog_ray.aggregate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import fixtures
+from ..enrich.context import AddContextualData, parse_context_csv
+from ..enrich.geoip import GeoIP
+from ..route import Cmp, Match, Router, Severity, TagFilter, TRUE
+from ..stages.csv_parser import apache_parser
+from ..stages.json_parser import JsonParser
+from ..stages.kv_parser import KvParser
+from ..stages.patterndb import PatternDB
+from ..stages.syslog import parse_syslog_table
+
+SINKS = ["errors", "auth", "web", "other"]
+
+
+def _coalesce_str(*cols) -> pa.Array:
+    arrs = [c if isinstance(c, (pa.Array, pa.ChunkedArray)) else pa.array(c, type=pa.string()) for c in cols]
+    return pc.coalesce(*arrs)
+
+
+def build_router() -> Router:
+    """The canonical 4-sink routing config (FIXTURES.md §4): severity-based,
+    tag-based, app-based, fallback — exercising final/fallback semantics
+    (reference lib/logmpx.c:97-130)."""
+    return (
+        Router()
+        .add("errors", Severity(0, 3))
+        .add("auth", TagFilter("auth"))
+        .add("web", Cmp("$app", "==", "apache", mode="string"))
+        .add("other", TRUE, fallback=True)
+    )
+
+
+class LogPipelineStage:
+    """Fused per-batch stage; use as
+    `ds.map_batches(LogPipelineStage, concurrency=N, batch_size=B,
+    batch_format="pyarrow")`."""
+
+    def __init__(self):
+        self.patterndb = PatternDB()
+        self.context = AddContextualData(
+            db=parse_context_csv(fixtures.context_db_csv()), selector="$HOST", prefix=""
+        )
+        self.geoip = GeoIP(ranges=fixtures.ip_ranges(), source_col="src_ip", prefix="geo_")
+        self.apache = apache_parser(source_col="text", prefix="web_", drop_invalid=False)
+        self.kv = KvParser(source_col="text", promote=["status", "src_ip"], prefix="")
+        self.json = JsonParser(source_col="text", promote=["event.type", "event.count"])
+        self.router = build_router()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = parse_syslog_table(batch)
+
+        # ---- app-parser classification chain (first-match-wins) ----
+        text = t.column("text").to_pandas().astype("string").fillna("")
+        syslog_ok = t.column("syslog_parsed").to_numpy(zero_copy_only=False)
+        looks_json = text.str.startswith("{").to_numpy() & ~syslog_ok
+        looks_apache = text.str.match(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3} ").to_numpy() & ~syslog_ok
+        looks_kv = text.str.contains("=", regex=False).to_numpy() & ~syslog_ok & ~looks_json & ~looks_apache
+
+        t = self.json(t)
+        json_ok = t.column("json_valid").to_numpy(zero_copy_only=False) & looks_json
+        t = self.apache(t)
+        apache_ok = t.column("csv_valid").to_numpy(zero_copy_only=False) & looks_apache
+        t = self.kv(t)
+
+        app = np.full(t.num_rows, "raw", dtype=object)
+        app[looks_kv] = "kv"
+        app[apache_ok] = "apache"
+        app[json_ok] = "json"
+        app[syslog_ok] = "syslog"
+        t = t.append_column("app", pa.array(app, type=pa.string()))
+
+        # ---- db-parser (patterndb) over syslog messages ----
+        t = self.patterndb(t)
+
+        # ---- derived src_ip: apache clientip | kv src_ip | pdb client_ip ----
+        pdb_vals = t.column("pdb_values").to_pandas()
+        pdb_ip = pdb_vals.map(lambda v: dict(v).get("client_ip") if v is not None else None)
+        web_ip_arr = t.column("web_clientip")
+        web_ip = pc.if_else(pa.array(apache_ok), web_ip_arr, pa.nulls(t.num_rows, pa.string()))
+        kv_ip = t.column("src_ip")
+        t = t.drop_columns(["src_ip"])
+        src_ip = _coalesce_str(web_ip, kv_ip, pa.array(pdb_ip.to_numpy(dtype=object), type=pa.string()))
+        t = t.append_column("src_ip", src_ip)
+
+        # ---- enrich: context db (host -> tier/dc), geoip (src_ip) ----
+        t = self.context(t)
+        t = self.geoip(t)
+
+        # ---- route ----
+        t = self.router.route_first(t, col="route", unmatched="other")
+        return t
+
+
+# stable projection for sinks (keeps html out of downstream shuffles)
+SINK_COLUMNS = [
+    "url", "warc_ts", "lang", "app", "route", "pri", "ts_stamp", "host",
+    "program", "pid", "message", "pdb_rule", "pdb_class", "tags",
+    "src_ip", "host_tier", "host_dc", "geo_country", "geo_city",
+]
+
+
+def flagship_routed(ds, concurrency=None, batch_size: int = 8192):
+    """pages Dataset -> routed message Dataset (lazy)."""
+    if concurrency is None:
+        # default actor-pool size: autoscale with the cluster, leave CPUs
+        # for the read/write stages
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = (1, max(2, ncpu - 2))
+    kwargs = {"concurrency": concurrency}
+    routed = ds.map_batches(
+        LogPipelineStage, batch_format="pyarrow", batch_size=batch_size, **kwargs
+    )
+    return routed.select_columns(SINK_COLUMNS)
+
+
+def flagship_aggregates(routed):
+    """Per-sink aggregate counts: (route, host) and (route, lang) — the
+    metrics the reference's per-sink stats counters expose
+    (lib/logwriter.c:74-95), two-phase pre-aggregated."""
+    from ..aggregate import pre_aggregated_count
+
+    by_host = pre_aggregated_count(routed.select_columns(["route", "host"]), ["route", "host"], alias="n")
+    by_lang = pre_aggregated_count(routed.select_columns(["route", "lang"]), ["route", "lang"], alias="n")
+    return by_host, by_lang
+
+
+def run_flagship(n_rows: int = 6000, out_dir: str | None = None, concurrency=None, seed: int = 42):
+    """End-to-end: synthesize -> parse/enrich/route -> write sinks -> aggregate.
+    Returns (per-sink counts DataFrame, by_lang DataFrame)."""
+    from ..synth import pages_dataset
+
+    ds = pages_dataset(n_rows, seed=seed)
+    routed = flagship_routed(ds, concurrency=concurrency)
+    if out_dir:
+        routed.write_parquet(out_dir, partition_cols=["route"])
+        import ray.data as rd
+
+        routed = rd.read_parquet(out_dir)
+    by_host, by_lang = flagship_aggregates(routed)
+    sink_counts = (
+        by_host.to_pandas().groupby("route", as_index=False)["n"].sum().sort_values("route").reset_index(drop=True)
+    )
+    return sink_counts, by_lang.to_pandas().sort_values(["route", "lang"]).reset_index(drop=True)

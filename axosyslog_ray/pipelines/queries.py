@@ -1,0 +1,418 @@
+"""Driver-contract query registry: one entry per implemented operator.
+
+Each query has a Ray Data implementation (callable taking `sf_dir`) and,
+where SQL-expressible, a DuckDB oracle producing the SAME column names
+and value types — the driver hash-compares them at sf=0.01
+(CORRECTNESS_r{N}.json). Floating-point aggregates are rounded on BOTH
+sides so distributed summation order can't flip the hash.
+
+Operator -> reference mapping is in each function's docstring; SURVEY.md
+§2 is the inventory these keys tick off.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def round_half_away(s: pd.Series, digits: int = 2) -> pd.Series:
+    """Round half away from zero — DuckDB ROUND() semantics (numpy/pandas
+    .round is banker's rounding, which flips .5 boundary hashes)."""
+    f = 10.0 ** digits
+    v = s.astype(float)
+    return np.sign(v) * np.floor(np.abs(v) * f + 0.5) / f
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregate machinery
+# ---------------------------------------------------------------------------
+
+def q1_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate — exercises the native two-phase
+    groupby path (reference analogue: stats aggregators, lib/stats/aggregator/)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def add_rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return b.append_column("disc_price", rev)
+
+    out = (
+        ds.map_batches(add_rev, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
+        out[c] = round_half_away(out[c], 2)
+    out["count_order"] = out["count_order"].astype("int64")
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 2) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def customer_nation_join(sf_dir: str):
+    """Broadcast small-side join (the reference's add-contextual-data shape,
+    modules/add-contextual-data/): customer -> nation -> region dicts held
+    in the map stage, zero shuffle; then two-phase count + avg."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    n2region = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+
+    def enrich(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy()
+        n_name = pa.array([n2name.get(k) for k in nk], type=pa.string())
+        r_name = pa.array([r2name.get(n2region.get(k)) for k in nk], type=pa.string())
+        return b.append_column("n_name", n_name).append_column("r_name", r_name)
+
+    from ray.data.aggregate import Count, Mean
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]).map_batches(enrich, batch_format="pyarrow")
+    out = (
+        ds.groupby(["r_name", "n_name"])
+        .aggregate(Count(alias_name="n_customers"), Mean("c_acctbal", alias_name="avg_acctbal"))
+        .to_pandas()
+    )
+    out["avg_acctbal"] = round_half_away(out["avg_acctbal"], 2)
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out
+
+
+CUSTOMER_NATION_SQL = """
+SELECT r.r_name, n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(AVG(c.c_acctbal), 2) AS avg_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+def docs_topk(sf_dir: str):
+    """Global sort + limit (ds.sort/limit; reference has no global sort —
+    SURVEY.md §2.7 — provided as engine capability)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10).to_pandas()
+    return out[["doc_id", "n_chars"]]
+
+
+DOCS_TOPK_SQL = "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10"
+
+
+# ---------------------------------------------------------------------------
+# routing / filters
+# ---------------------------------------------------------------------------
+
+def events_route_counts(sf_dir: str):
+    """Predicate routing with final/fallback semantics
+    (reference lib/logmpx.c:97-130) over the events stream; per-sink counts
+    (the Light-suite per-sink assertion style)."""
+    from ..aggregate import pre_aggregated_count
+    from ..route import Cmp, Router, TRUE, And
+
+    router = (
+        Router()
+        .add("errors", Cmp("$event_type", "==", "error", mode="string"))
+        .add("big_purchases", And(Cmp("$event_type", "==", "purchase", mode="string"), Cmp("$value", ">", "100", mode="numeric")))
+        .add("active_users", Cmp("$user_id", "<", "5", mode="numeric"))
+        .add("other", TRUE, fallback=True)
+    )
+    ds = _read(sf_dir, "events", ["event_type", "value", "user_id"]).map_batches(
+        lambda b: router.route_first(b).select(["route"]), batch_format="pyarrow"
+    )
+    out = pre_aggregated_count(ds, ["route"], alias="n").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+EVENTS_ROUTE_SQL = """
+SELECT CASE WHEN event_type = 'error' THEN 'errors'
+            WHEN event_type = 'purchase' AND value > 100 THEN 'big_purchases'
+            WHEN user_id < 5 THEN 'active_users'
+            ELSE 'other' END AS route,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
+def events_in_list(sf_dir: str):
+    """in-list() semi-join filter (reference lib/filter/filter-in-list.c:41-90)."""
+    from ..aggregate import pre_aggregated_count
+
+    allow = pa.array([1, 3, 5, 7], type=pa.int64())
+
+    def filt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("user_id"), value_set=allow))
+
+    ds = _read(sf_dir, "events", ["user_id"]).map_batches(filt, batch_format="pyarrow")
+    out = pre_aggregated_count(ds, ["user_id"], alias="n").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+EVENTS_IN_LIST_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+WHERE user_id IN (1, 3, 5, 7) GROUP BY user_id
+"""
+
+
+def events_severity_stats(sf_dir: str):
+    """facility()/severity() derivation from pri (reference
+    lib/filter/filter-pri.c; macros lib/template/macros.c): synthetic
+    pri = event_id % 192, counts by facility+severity name."""
+    from ..aggregate import pre_aggregated_count
+    from ..functions.macros import facility_name, severity_name
+
+    def derive(b: pa.Table) -> pa.Table:
+        pri = (b.column("event_id").to_numpy() % 192).astype(np.uint16)
+        t = b.append_column("pri", pa.array(pri, type=pa.uint16()))
+        fac = pa.array(facility_name(t).to_numpy(dtype=object), type=pa.string())
+        sev = pa.array(severity_name(t).to_numpy(dtype=object), type=pa.string())
+        return pa.table({"facility": fac, "severity": sev})
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(derive, batch_format="pyarrow")
+    out = pre_aggregated_count(ds, ["facility", "severity"], alias="n").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+_FACILITIES_SQL = (
+    "['kern','user','mail','daemon','auth','syslog','lpr','news','uucp','cron',"
+    "'authpriv','ftp','ntp','security','console','solaris-cron','local0','local1',"
+    "'local2','local3','local4','local5','local6','local7']"
+)
+_SEVERITIES_SQL = "['emerg','alert','crit','err','warning','notice','info','debug']"
+
+EVENTS_SEVERITY_SQL = f"""
+SELECT ({_FACILITIES_SQL})[CAST((event_id % 192) // 8 AS INT) + 1] AS facility,
+       ({_SEVERITIES_SQL})[CAST((event_id % 192) % 8 AS INT) + 1] AS severity,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# parsers / rewrites / templates
+# ---------------------------------------------------------------------------
+
+def events_json_extract(sf_dir: str):
+    """json-parser() flatten + typed extraction (reference
+    modules/json/json-parser.c:85-180,329) over events.props."""
+    from ..aggregate import partial_counts
+    from ..stages.json_parser import JsonParser
+    from ray.data.aggregate import Sum
+
+    jp = JsonParser(source_col="props", promote=["k"])
+
+    def parse(b: pa.Table) -> pa.Table:
+        t = jp(b)
+        k = pc.cast(t.column("k"), pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "k": k})
+
+    ds = _read(sf_dir, "events", ["event_type", "props"]).map_batches(parse, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("event_type", as_index=False).agg(sum_k=("k", "sum"), n=("k", "size"))
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "sum_k": pa.array(df["sum_k"].astype("int64")),
+                "n": pa.array(df["n"].astype("int64")),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["sum_k"] = out["sum_k"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def docs_regex_first_word(sf_dir: str):
+    """regexp-parser() named-group extraction (reference
+    modules/regexp-parser/regexp-parser.c) — first word of documents.text."""
+    from ..aggregate import pre_aggregated_count
+    from ..stages.regexp_parser import RegexpParser
+
+    rp = RegexpParser(r"^(?P<first_word>\w+)", source_col="text")
+
+    def parse(b: pa.Table) -> pa.Table:
+        return rp(b).select(["first_word"])
+
+    ds = _read(sf_dir, "documents", ["text"]).map_batches(parse, batch_format="pyarrow")
+    out = pre_aggregated_count(ds, ["first_word"], alias="n").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+DOCS_REGEX_SQL = """
+SELECT regexp_extract(text, '^(\\w+)', 1) AS first_word, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def docs_subst(sf_dir: str):
+    """subst() rewrite (reference lib/rewrite/rewrite-subst.c:49-78):
+    global regex substitution, byte-compared per doc."""
+    from ..stages.rewrite import subst
+
+    def rw(b: pa.Table) -> pa.Table:
+        t = subst(b, "spark", "SPARK", field="text")
+        return pa.table({"doc_id": b.column("doc_id"), "text_rw": t.column("text")})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(rw, batch_format="pyarrow").to_pandas()
+
+
+DOCS_SUBST_SQL = "SELECT doc_id, replace(text, 'spark', 'SPARK') AS text_rw FROM documents"
+
+
+def docs_template_format(sf_dir: str):
+    """Template projection + $() functions (reference lib/template/,
+    modules/basicfuncs/): '$(uppercase $lang):$source:$(length $text)'."""
+    from ..functions.templates import Template
+
+    tmpl = Template("$(uppercase $lang):$source:$(length $text)")
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"), "fmt": tmpl.eval_arrow(b)})
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "source", "text"]).map_batches(fmt, batch_format="pyarrow").to_pandas()
+
+
+DOCS_TEMPLATE_SQL = (
+    "SELECT doc_id, upper(lang) || ':' || source || ':' || CAST(length(text) AS VARCHAR) AS fmt FROM documents"
+)
+
+
+def lineitem_metrics_probe(sf_dir: str):
+    """metrics-probe(): counters keyed by template labels (reference
+    modules/metrics-probe/metrics-probe.c:93-110)."""
+    from ..aggregate import metrics_probe
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    out = metrics_probe(ds, {"flag": "$l_returnflag", "status": "$l_linestatus"}, alias="n").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+LINEITEM_METRICS_SQL = """
+SELECT l_returnflag AS flag, l_linestatus AS status, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessions (grouping-by)
+# ---------------------------------------------------------------------------
+
+def events_sessions(sf_dir: str):
+    """grouping-by() session windows (reference
+    modules/correlation/groupingby.c:94-132, grouping-parser.c:233-290):
+    key=user_id, timeout=1800s on ts, count + value sum per session."""
+    from ..state.sessions import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = sessionize(
+        ds, "user_id", timeout=1800, ts_col="ts",
+        aggregates={"n_events": "count", "sum_value": "sum:value"},
+    ).to_pandas()
+    out["session_id"] = out["session_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = round_half_away(out["sum_value"].astype(float), 2)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out[["user_id", "session_id", "session_start", "session_end", "n_events", "sum_value"]]
+
+
+EVENTS_SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM numbered GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+RAY_QUERIES = {
+    "q1_pricing": q1_pricing,
+    "customer_nation_join": customer_nation_join,
+    "docs_topk": docs_topk,
+    "events_route_counts": events_route_counts,
+    "events_in_list": events_in_list,
+    "events_severity_stats": events_severity_stats,
+    "events_json_extract": events_json_extract,
+    "docs_regex_first_word": docs_regex_first_word,
+    "docs_subst": docs_subst,
+    "docs_template_format": docs_template_format,
+    "lineitem_metrics_probe": lineitem_metrics_probe,
+    "events_sessions": events_sessions,
+}
+
+ORACLE_SQLS = {
+    "q1_pricing": Q1_SQL,
+    "customer_nation_join": CUSTOMER_NATION_SQL,
+    "docs_topk": DOCS_TOPK_SQL,
+    "events_route_counts": EVENTS_ROUTE_SQL,
+    "events_in_list": EVENTS_IN_LIST_SQL,
+    "events_severity_stats": EVENTS_SEVERITY_SQL,
+    "events_json_extract": EVENTS_JSON_SQL,
+    "docs_regex_first_word": DOCS_REGEX_SQL,
+    "docs_subst": DOCS_SUBST_SQL,
+    "docs_template_format": DOCS_TEMPLATE_SQL,
+    "lineitem_metrics_probe": LINEITEM_METRICS_SQL,
+    "events_sessions": EVENTS_SESSIONS_SQL,
+}

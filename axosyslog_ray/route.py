@@ -1,0 +1,300 @@
+"""Filters (predicate expressions) and routing (log-path fan-out).
+
+Filters mirror the reference's FilterExprNode vocabulary
+(reference lib/filter/filter-expr.h:33-48; filter-pri.c, filter-re.c:39-52,
+filter-cmp.c:42-210, filter-op.c, filter-tags.c, filter-netmask.c,
+filter-in-list.c:41-90) as vectorized boolean masks over Arrow batches.
+
+Routing mirrors the log-path flag semantics `final / fallback / catchall`
+(reference lib/cfg-tree.h:36-40; fallback replay loop lib/logmpx.c:97-130):
+
+- every route's raw mask is evaluated;
+- a `final` route claims its rows — later routes see only unclaimed rows
+  (ordered mask subtraction `mask_i & ~claimed`);
+- a `fallback` route fires only for rows no normal route matched;
+- a `catchall` route sees ALL rows regardless of earlier claims.
+
+`Router.route_table` appends a `route: list<string>` column (a row can
+reach several non-final sinks — the reference's multiplexer fan-out);
+`Router.route_first` appends a scalar `route: string` when routes are
+disjoint-by-construction, which is what a partitioned Parquet fan-out
+write wants (one shuffle-free pass, partition_cols=["route"]).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .functions.macros import FACILITY_NUM, SEVERITY_NUM
+from .functions.templates import Template
+
+
+class FilterExpr:
+    def mask(self, table: pa.Table) -> np.ndarray:  # -> bool ndarray
+        raise NotImplementedError
+
+    def __and__(self, other):
+        return And(self, other)
+
+    def __or__(self, other):
+        return Or(self, other)
+
+    def __invert__(self):
+        return Not(self)
+
+
+def _pri(table: pa.Table) -> np.ndarray:
+    return table.column("pri").to_numpy().astype(np.int64)
+
+
+class Facility(FilterExpr):
+    """facility() bitmask test on pri (reference lib/filter/filter-pri.c)."""
+
+    def __init__(self, *names: str | int):
+        self.nums = {FACILITY_NUM[n] if isinstance(n, str) else int(n) for n in names}
+
+    def mask(self, table):
+        return np.isin(_pri(table) // 8, list(self.nums))
+
+
+class Severity(FilterExpr):
+    """severity()/level(), single or range (reference filter-pri.c)."""
+
+    def __init__(self, lo: str | int, hi: str | int | None = None):
+        lo = SEVERITY_NUM[lo] if isinstance(lo, str) else int(lo)
+        hi = lo if hi is None else (SEVERITY_NUM[hi] if isinstance(hi, str) else int(hi))
+        self.lo, self.hi = min(lo, hi), max(lo, hi)
+
+    def mask(self, table):
+        sev = _pri(table) % 8
+        return (sev >= self.lo) & (sev <= self.hi)
+
+
+class Match(FilterExpr):
+    """match()/host()/program()/message() — regex | literal | glob matcher
+    on a field/template (reference lib/filter/filter-re.c:39-52,
+    lib/logmatcher.c matchers pcre/string/glob lib/logmatcher.h:115-117)."""
+
+    def __init__(self, pattern: str, value: str = "MESSAGE", kind: str = "pcre"):
+        self.tmpl = Template("$" + value if not value.startswith("$") else value)
+        self.kind = kind
+        self.pattern = pattern
+        self.re = re.compile(pattern) if kind == "pcre" else None
+
+    def mask(self, table):
+        vals = self.tmpl.eval(table)
+        if self.kind == "pcre":
+            return vals.astype("string").str.contains(self.re, regex=True, na=False).to_numpy()
+        if self.kind == "string":
+            return (vals == self.pattern).to_numpy()
+        if self.kind == "glob":
+            rx = re.compile(fnmatch.translate(self.pattern))
+            return vals.astype("string").str.match(rx, na=False).to_numpy()
+        raise ValueError(self.kind)
+
+
+def host(pattern, kind="pcre"):
+    return Match(pattern, "HOST", kind)
+
+
+def program(pattern, kind="pcre"):
+    return Match(pattern, "PROGRAM", kind)
+
+
+def message(pattern, kind="pcre"):
+    return Match(pattern, "MESSAGE", kind)
+
+
+class Cmp(FilterExpr):
+    """Template-vs-template comparison (reference lib/filter/filter-cmp.c:42-210).
+
+    mode 'numeric' parses both sides as numbers (NaN compares False),
+    'string' compares bytes, 'type-aware' tries numeric then falls back to
+    string (the 4.0 semantics)."""
+
+    OPS = {"==": "eq", "!=": "ne", "<": "lt", "<=": "le", ">": "gt", ">=": "ge"}
+
+    def __init__(self, left: str, op: str, right: str, mode: str = "type-aware"):
+        self.l, self.r = Template(left), Template(right)
+        self.op, self.mode = op, mode
+
+    def _cmp(self, a: pd.Series, b: pd.Series) -> np.ndarray:
+        import operator
+
+        opf = getattr(operator, self.OPS[self.op])
+        if self.mode in ("numeric", "type-aware"):
+            an, bn = pd.to_numeric(a, errors="coerce"), pd.to_numeric(b, errors="coerce")
+            num_ok = an.notna() & bn.notna()
+            num_res = pd.Series(np.zeros(len(a), dtype=bool))
+            with np.errstate(invalid="ignore"):
+                num_res[num_ok] = opf(an[num_ok], bn[num_ok])
+            if self.mode == "numeric":
+                return (num_res & num_ok).to_numpy()
+            str_res = opf(a.astype(str), b.astype(str))
+            return np.where(num_ok.to_numpy(), num_res.to_numpy(), str_res.to_numpy())
+        return opf(a.astype(str), b.astype(str)).to_numpy()
+
+    def mask(self, table):
+        return self._cmp(self.l.eval(table), self.r.eval(table))
+
+
+class And(FilterExpr):
+    def __init__(self, *exprs):
+        self.exprs = exprs
+
+    def mask(self, table):
+        m = self.exprs[0].mask(table)
+        for e in self.exprs[1:]:
+            m = m & e.mask(table)
+        return m
+
+
+class Or(FilterExpr):
+    def __init__(self, *exprs):
+        self.exprs = exprs
+
+    def mask(self, table):
+        m = self.exprs[0].mask(table)
+        for e in self.exprs[1:]:
+            m = m | e.mask(table)
+        return m
+
+
+class Not(FilterExpr):
+    def __init__(self, expr):
+        self.expr = expr
+
+    def mask(self, table):
+        return ~self.expr.mask(table)
+
+
+class TagFilter(FilterExpr):
+    """tags() membership on the tags list column (reference lib/filter/filter-tags.c)."""
+
+    def __init__(self, *tags: str):
+        self.tags = set(tags)
+
+    def mask(self, table):
+        if "tags" not in table.column_names:
+            return np.zeros(table.num_rows, dtype=bool)
+        col = table.column("tags").to_pandas()
+        return col.map(lambda v: bool(self.tags & set(v)) if v is not None else False).to_numpy(dtype=bool)
+
+
+class InList(FilterExpr):
+    """in-list() set membership — broadcast semi-join
+    (reference lib/filter/filter-in-list.c:41-90); the value set is held
+    once per process, pc.is_in does the per-batch work."""
+
+    def __init__(self, values, field: str = "HOST"):
+        self.values = pa.array(sorted(set(values)), type=pa.string())
+        self.tmpl = Template("$" + field if not field.startswith("$") else field)
+
+    def mask(self, table):
+        vals = pa.array(self.tmpl.eval(table).to_numpy(dtype=object), type=pa.string())
+        return pc.is_in(vals, value_set=self.values).to_numpy(zero_copy_only=False)
+
+
+class Netmask(FilterExpr):
+    """netmask() CIDR containment as an integer range test on a packed
+    IPv4 column (reference lib/filter/filter-netmask.c)."""
+
+    def __init__(self, cidr: str, field: str = "src_ip"):
+        import ipaddress
+
+        net = ipaddress.ip_network(cidr, strict=False)
+        self.lo, self.hi = int(net.network_address), int(net.broadcast_address)
+        self.field = field
+
+    def mask(self, table):
+        from .functions.strings import tf_ipv4_to_int
+
+        vals = table.column(self.field).to_pandas() if self.field in table.column_names else None
+        if vals is None:
+            return np.zeros(table.num_rows, dtype=bool)
+        ints = pd.to_numeric(tf_ipv4_to_int(table, vals), errors="coerce")
+        return ((ints >= self.lo) & (ints <= self.hi)).fillna(False).to_numpy()
+
+
+class ColFilter(FilterExpr):
+    """Adapter: any vectorized fn(table)->bool ndarray as a filter."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def mask(self, table):
+        return np.asarray(self.fn(table), dtype=bool)
+
+
+TRUE = ColFilter(lambda t: np.ones(t.num_rows, dtype=bool))
+
+
+@dataclass
+class Route:
+    name: str
+    expr: FilterExpr
+    final: bool = True
+    fallback: bool = False
+    catchall: bool = False
+
+
+@dataclass
+class Router:
+    routes: list[Route] = field(default_factory=list)
+
+    def add(self, name, expr, final=True, fallback=False, catchall=False):
+        self.routes.append(Route(name, expr, final, fallback, catchall))
+        return self
+
+    def masks(self, table: pa.Table) -> dict[str, np.ndarray]:
+        """Per-sink masks with final/fallback/catchall semantics
+        (reference lib/logmpx.c:97-130, lib/cfg-tree.h:36-40)."""
+        n = table.num_rows
+        claimed = np.zeros(n, dtype=bool)
+        matched_any = np.zeros(n, dtype=bool)
+        out: dict[str, np.ndarray] = {}
+        for r in self.routes:
+            if r.fallback or r.catchall:
+                continue
+            m = r.expr.mask(table) & ~claimed
+            out[r.name] = m
+            matched_any |= m
+            if r.final:
+                claimed |= m
+        for r in self.routes:
+            if r.fallback:
+                out[r.name] = r.expr.mask(table) & ~matched_any
+            elif r.catchall:
+                out[r.name] = r.expr.mask(table)
+        return out
+
+    def route_first(self, table: pa.Table, col: str = "route", unmatched: str = "_unmatched") -> pa.Table:
+        """Append a scalar route-label column (first-match-wins; requires
+        all routes final) — the shuffle-free partitioned-write fan-out."""
+        masks = self.masks(table)
+        n = table.num_rows
+        label = np.full(n, unmatched, dtype=object)
+        assigned = np.zeros(n, dtype=bool)
+        for r in self.routes:
+            m = masks[r.name] & ~assigned
+            label[m] = r.name
+            assigned |= m
+        return table.append_column(col, pa.array(label, type=pa.string()))
+
+    def route_table(self, table: pa.Table, col: str = "route") -> pa.Table:
+        """Append a list<string> of every sink each row reaches (full
+        multiplexer fan-out, non-final routes included)."""
+        masks = self.masks(table)
+        n = table.num_rows
+        lists: list[list[str]] = [[] for _ in range(n)]
+        for r in self.routes:
+            for i in np.flatnonzero(masks[r.name]):
+                lists[i].append(r.name)
+        return table.append_column(col, pa.array(lists, type=pa.list_(pa.string())))

@@ -1,0 +1,88 @@
+"""kv-parser(): scan key=value pairs into a map column (+ promoted fields).
+
+Semantics mirror the reference kv parser
+(reference modules/kvformat/kv-parser.c:104-136; scanner
+lib/scanner/kv-scanner/kv-scanner.c): configurable value-separator,
+quoted values (single or double, backslash escapes), `prefix()` on the
+emitted keys, and stray-word collection (text between pairs lands in a
+`stray_words` value instead of being lost).
+
+Vectorization: one compiled pair-regex via `Series.str.findall`; stray
+words via the same pass with `re.finditer` span subtraction only when
+`collect_stray` is on.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_KEY = r"[A-Za-z0-9][A-Za-z0-9._-]*"
+
+
+class KvParser:
+    def __init__(
+        self,
+        value_separator: str = "=",
+        prefix: str = "",
+        collect_stray: bool = False,
+        promote: list[str] | None = None,
+        source_col: str = "message",
+        out_col: str = "kv",
+    ):
+        vs = re.escape(value_separator)
+        self.pair_re = re.compile(
+            rf"({_KEY}){vs}(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'|[^,\s]*)"
+        )
+        self.prefix = prefix
+        self.collect_stray = collect_stray
+        self.promote = promote or []
+        self.source_col = source_col
+        self.out_col = out_col
+
+    @staticmethod
+    def _unquote(v: str) -> str:
+        if len(v) >= 2 and v[0] in "\"'" and v[-1] == v[0]:
+            return re.sub(r"\\(.)", r"\1", v[1:-1])
+        return v
+
+    def parse_line(self, line: str) -> tuple[list[tuple[str, str]], str]:
+        """Scalar path: returns ([(key, value)...], stray_words)."""
+        pairs, spans = [], []
+        for m in self.pair_re.finditer(line):
+            pairs.append((self.prefix + m.group(1), self._unquote(m.group(2))))
+            spans.append(m.span())
+        stray = ""
+        if self.collect_stray:
+            pos, chunks = 0, []
+            for a, b in spans:
+                chunks.append(line[pos:a])
+                pos = b
+            chunks.append(line[pos:])
+            words = " ".join(c.strip(" ,") for c in chunks).split()
+            stray = " ".join(words)
+        return pairs, stray
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        s = table.column(self.source_col).to_pandas().astype("string").fillna("")
+        n = len(s)
+        maps = np.full(n, None, dtype=object)
+        strays = np.full(n, "", dtype=object)
+        promoted = {k: np.full(n, None, dtype=object) for k in self.promote}
+        for i, line in enumerate(s.to_numpy()):
+            pairs, stray = self.parse_line(line)
+            maps[i] = pairs
+            strays[i] = stray
+            if self.promote and pairs:
+                d = dict(pairs)
+                for k in self.promote:
+                    promoted[k][i] = d.get(self.prefix + k)
+        out = table.append_column(self.out_col, pa.array(maps, type=pa.map_(pa.string(), pa.string())))
+        if self.collect_stray:
+            out = out.append_column("stray_words", pa.array(strays, type=pa.string()))
+        for k in self.promote:
+            out = out.append_column(self.prefix + k, pa.array(promoted[k], type=pa.string()))
+        return out

@@ -1,0 +1,192 @@
+"""PatternDB: typed-wildcard pattern matching with rule metadata.
+
+Mirrors the reference's db-parser()/PatternDB match+extract semantics
+(reference modules/correlation/patterndb.c:591-623 process, :513-570
+matching-rule path; parser types modules/correlation/radix.h:33-52;
+ruleset load modules/correlation/pdb-load.c) — NOT its radix-trie
+implementation. Rules are declared with the reference's wildcard syntax
+(@ESTRING:name:term@, @NUMBER:name@, @IPv4:name@, @QSTRING:name:q@,
+@STRING:name@, @FLOAT:name@, @ANYSTRING:name@, @SET:name:chars@,
+@EMAIL:name@, @HOSTNAME:name@, @MACADDR:name@), compiled once per actor
+into anchored regexes with named groups.
+
+Divergences (documented): rule selection is ordered first-match-wins per
+program instead of radix longest-prefix; patterns are anchored at both
+ends (the reference requires the full message consumed too).
+
+A matched rule writes: `pdb_rule` (rule id), `pdb_class` (rule class,
+default 'system'), extracted values into promoted string columns
+`pdb_values` map, and appends the rule's tags. Unmatched rows keep
+nulls (`pdb_rule is null` ≙ the reference's 'unknown' classification).
+
+Scale shape: stateful actor-pool stage — compile rules once per actor
+(__init__), per batch each rule's regex runs vectorized on the subset of
+rows whose `program` matches the rule's program glob.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WILDCARD = re.compile(r"@([A-Za-z0-9]+)(?::([^:@]*)(?::([^@]*))?)?@")
+
+_TYPE_PATTERNS = {
+    "STRING": r"\S+",
+    "NUMBER": r"\d+",
+    "FLOAT": r"\d+(?:\.\d+)?",
+    "IPv4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IPv6": r"[0-9A-Fa-f:]+",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}|[0-9A-Fa-f:]+",
+    "ANYSTRING": r".*",
+    "EMAIL": r"[^\s@]+@[^\s@]+",
+    "HOSTNAME": r"[A-Za-z0-9._-]+",
+    "MACADDR": r"(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}",
+    "NLSTRING": r"[^\n]*",
+}
+
+
+def compile_pattern(pattern: str) -> re.Pattern:
+    """Compile a PatternDB pattern string into an anchored regex."""
+    out, pos = [], 0
+    for m in _WILDCARD.finditer(pattern):
+        out.append(re.escape(pattern[pos : m.start()]))
+        ptype, name, param = m.group(1), m.group(2) or "", m.group(3)
+        grp = f"(?P<{name}>" if name else "(?:"
+        if ptype == "ESTRING":
+            # match up to the terminator string; empty terminator -> to end
+            if param:
+                out.append(grp + r".*?" + ")" + re.escape(param))
+            else:
+                out.append(grp + r".*" + ")")
+        elif ptype == "QSTRING":
+            q = param or "'"
+            qo, qc = (q[0], q[1]) if len(q) >= 2 else (q[0], q[0])
+            out.append(re.escape(qo) + grp + f"[^{re.escape(qc)}]*" + ")" + re.escape(qc))
+        elif ptype == "SET":
+            chars = re.escape(param or " ")
+            out.append(grp + f"[{chars}]+" + ")")
+        elif ptype in ("OPTIONALSET",):
+            chars = re.escape(param or " ")
+            out.append(grp + f"[{chars}]*" + ")")
+        elif ptype == "PCRE":
+            out.append(grp + (param or r".*") + ")")
+        elif ptype in _TYPE_PATTERNS:
+            out.append(grp + _TYPE_PATTERNS[ptype] + ")")
+        else:
+            raise ValueError(f"unknown pattern parser @{ptype}@")
+        pos = m.end()
+    out.append(re.escape(pattern[pos:]))
+    return re.compile("^" + "".join(out) + "$", re.S)
+
+
+@dataclass
+class PdbRule:
+    rule_id: str
+    pattern: str
+    program: str | None = None  # exact program this rule applies to (None = any)
+    rule_class: str = "system"
+    tags: list[str] = field(default_factory=list)
+    values: dict[str, str] = field(default_factory=dict)  # static extra values
+
+
+# a small bundled ruleset matching the synthetic corpus (FIXTURES.md §3);
+# shapes follow the reference's own example rules (pdb-example.c corpus)
+DEFAULT_RULES = [
+    PdbRule(
+        "su-failed", "'su root' failed for @ESTRING:user: @on @ANYSTRING:tty@",
+        program="su", rule_class="violation", tags=["auth", "su"],
+    ),
+    PdbRule(
+        "sshd-accepted",
+        "Accepted @ESTRING:auth_method: @for @ESTRING:user: @from @IPv4:client_ip@ port @NUMBER:port@ ssh2",
+        program="sshd", rule_class="system", tags=["auth", "ssh"],
+    ),
+    PdbRule(
+        "kernel-link-up", "@ESTRING:interface::@ link up",
+        program="kernel", rule_class="system", tags=["network"],
+    ),
+]
+
+
+class PatternDB:
+    """Actor-pool stage: `ds.map_batches(PatternDB, concurrency=N)`."""
+
+    def __init__(self, rules: list[PdbRule] | None = None, rules_ref=None,
+                 source_col: str = "message", program_col: str = "program"):
+        if rules_ref is not None:
+            import ray
+
+            rules = ray.get(rules_ref)
+        self.rules = rules if rules is not None else DEFAULT_RULES
+        self.compiled = [(r, compile_pattern(r.pattern)) for r in self.rules]
+        self.source_col = source_col
+        self.program_col = program_col
+        self.value_names = sorted(
+            {n for _, rx in self.compiled for n in rx.groupindex} | {n for r in self.rules for n in r.values}
+        )
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        msg = table.column(self.source_col).to_pandas().astype("string")
+        prog = (
+            table.column(self.program_col).to_pandas().astype("string")
+            if self.program_col in table.column_names
+            else pd.Series([None] * n, dtype="string")
+        )
+        rule_col = np.full(n, None, dtype=object)
+        class_col = np.full(n, None, dtype=object)
+        vmaps = np.full(n, None, dtype=object)
+        tag_lists = (
+            table.column("tags").to_pandas().map(lambda v: list(v) if v is not None else []).tolist()
+            if "tags" in table.column_names
+            else [[] for _ in range(n)]
+        )
+        unmatched = np.ones(n, dtype=bool)
+        for rule, rx in self.compiled:
+            cand = unmatched.copy()
+            if rule.program is not None:
+                cand &= (prog == rule.program).fillna(False).to_numpy()
+            if not cand.any():
+                continue
+            sub = msg[cand]
+            ex = sub.str.extract(rx)  # vectorized; all-NaN row = no match
+            if ex.shape[1] == 0:  # no capture groups: use str.match
+                hit = sub.str.match(rx, na=False).to_numpy()
+            else:
+                hit = ex.notna().any(axis=1).to_numpy()
+            rows = np.flatnonzero(cand)[hit]
+            if not len(rows):
+                continue
+            unmatched[rows] = False
+            rule_col[rows] = rule.rule_id
+            class_col[rows] = rule.rule_class
+            names = list(rx.groupindex.keys())
+            exm = ex[hit] if ex.shape[1] else None
+            static_items = list(rule.values.items())
+            for k, i in enumerate(rows):
+                pairs = list(static_items)
+                if exm is not None:
+                    for nm in names:
+                        v = exm.iloc[k][nm]
+                        if not pd.isna(v):
+                            pairs.append((nm, v))
+                vmaps[i] = pairs
+                if rule.tags:
+                    tag_lists[i] = sorted(set(tag_lists[i]) | set(rule.tags))
+        out = table
+        for name, arr, typ in (
+            ("pdb_rule", rule_col, pa.string()),
+            ("pdb_class", class_col, pa.string()),
+            ("pdb_values", vmaps, pa.map_(pa.string(), pa.string())),
+        ):
+            out = out.append_column(name, pa.array(arr, type=typ))
+        if "tags" in out.column_names:
+            out = out.set_column(out.column_names.index("tags"), "tags", pa.array(tag_lists, type=pa.list_(pa.string())))
+        else:
+            out = out.append_column("tags", pa.array(tag_lists, type=pa.list_(pa.string())))
+        return out

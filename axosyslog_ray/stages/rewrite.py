@@ -1,0 +1,161 @@
+"""Rewrites: per-record mutation stages.
+
+Mirrors the reference rewrite vocabulary (reference lib/rewrite/):
+set (rewrite-set.c:48-61), unset/groupunset (rewrite-unset.c,
+rewrite-groupset.c), subst (rewrite-subst.c:49-78), rename
+(rewrite-rename.c), groupset (rewrite-groupset.c), set-tag/clear-tag
+(rewrite-set-tag.c), set-pri/set-severity/set-facility
+(rewrite-set-pri.c & friends), set-matches (rewrite-set-matches.c).
+Every rewrite accepts an optional `condition` filter — rows failing it
+keep their old value (the reference's condition() option).
+
+Arrow blocks are immutable, so "mutation" = rebuild the column; masked
+writes merge old and new with np.where, still one vectorized pass.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.macros import FACILITY_NUM, SEVERITY_NUM
+from ..functions.templates import Template
+
+
+def _cond_mask(table: pa.Table, condition) -> np.ndarray:
+    if condition is None:
+        return np.ones(table.num_rows, dtype=bool)
+    return condition.mask(table)
+
+
+def _replace_col(table: pa.Table, name: str, arr: pa.Array) -> pa.Table:
+    if name in table.column_names:
+        i = table.column_names.index(name)
+        return table.set_column(i, name, arr)
+    return table.append_column(name, arr)
+
+
+def set_value(table: pa.Table, field: str, template: str, condition=None) -> pa.Table:
+    """set("tmpl", value(X)) — evaluate template, store into field
+    (reference rewrite-set.c:48-61)."""
+    new = Template(template).eval(table).to_numpy(dtype=object)
+    m = _cond_mask(table, condition)
+    if field in table.column_names and not m.all():
+        old = table.column(field).to_pandas().astype(object).to_numpy()
+        new = np.where(m, new, old)
+    return _replace_col(table, field, pa.array(new, type=pa.string()))
+
+
+def unset(table: pa.Table, *fields: str) -> pa.Table:
+    """unset(value(X)) — drop fields entirely (reference rewrite-unset.c)."""
+    present = [f for f in fields if f in table.column_names]
+    return table.drop_columns(present) if present else table
+
+
+def groupunset(table: pa.Table, glob: str) -> pa.Table:
+    """groupunset(values(glob)) (reference rewrite-groupset.c)."""
+    rx = re.compile(fnmatch.translate(glob))
+    return unset(table, *[c for c in table.column_names if rx.match(c)])
+
+
+def rename(table: pa.Table, src: str, dst: str) -> pa.Table:
+    """rename(X,Y) (reference rewrite-rename.c)."""
+    if src not in table.column_names:
+        return table
+    names = [dst if c == src else c for c in table.column_names]
+    return table.rename_columns(names)
+
+
+def subst(table: pa.Table, pattern: str, replacement: str, field: str = "message",
+          global_: bool = True, condition=None) -> pa.Table:
+    """subst("re","rep", value(X) [global]) (reference rewrite-subst.c:49-78).
+
+    Replacement supports $1..$9 backrefs like the reference's matcher."""
+    s = table.column(field).to_pandas().astype("string")
+    rep = re.sub(r"\$(\d)", r"\\\1", replacement)
+    new = s.str.replace(pattern, rep, regex=True, n=-1 if global_ else 1)
+    m = _cond_mask(table, condition)
+    out = np.where(m, new.astype(object).to_numpy(), s.astype(object).to_numpy())
+    out = np.where(pd.isna(out), None, out)
+    return _replace_col(table, field, pa.array(out, type=pa.string()))
+
+
+def groupset(table: pa.Table, template: str, glob: str, condition=None) -> pa.Table:
+    """groupset("v", values("g1","g2")) — set every matching field
+    (reference lib/rewrite/rewrite-groupset.c)."""
+    rx = re.compile(fnmatch.translate(glob))
+    out = table
+    for c in [c for c in table.column_names if rx.match(c)]:
+        out = set_value(out, c, template, condition)
+    return out
+
+
+def _tags_col(table: pa.Table) -> pd.Series:
+    if "tags" in table.column_names:
+        return table.column("tags").to_pandas().map(lambda v: list(v) if v is not None else [])
+    return pd.Series([[] for _ in range(table.num_rows)], dtype=object)
+
+
+def set_tag(table: pa.Table, tag: str, condition=None) -> pa.Table:
+    """set-tag() (reference rewrite-set-tag.c; tags bitset lib/logmsg/tags.c)."""
+    tags = _tags_col(table)
+    m = _cond_mask(table, condition)
+    new = [sorted(set(v) | {tag}) if mi else v for v, mi in zip(tags, m)]
+    return _replace_col(table, "tags", pa.array(new, type=pa.list_(pa.string())))
+
+
+def clear_tag(table: pa.Table, tag: str, condition=None) -> pa.Table:
+    tags = _tags_col(table)
+    m = _cond_mask(table, condition)
+    new = [[x for x in v if x != tag] if mi else v for v, mi in zip(tags, m)]
+    return _replace_col(table, "tags", pa.array(new, type=pa.list_(pa.string())))
+
+
+def _set_pri_part(table: pa.Table, template: str, part: str, condition=None) -> pa.Table:
+    vals = Template(template).eval(table)
+    pri = table.column("pri").to_numpy().astype(np.int64)
+    if part == "pri":
+        num = pd.to_numeric(vals, errors="coerce")
+        new = np.where(num.notna(), num.fillna(0).astype(int), pri)
+    elif part == "severity":
+        num = vals.map(lambda v: SEVERITY_NUM.get(v, int(v) if str(v).isdigit() else None))
+        new = np.where(num.notna(), (pri // 8) * 8 + num.fillna(0).astype(int), pri)
+    else:  # facility
+        num = vals.map(lambda v: FACILITY_NUM.get(v, int(v) if str(v).isdigit() else None))
+        new = np.where(num.notna(), num.fillna(0).astype(int) * 8 + pri % 8, pri)
+    m = _cond_mask(table, condition)
+    new = np.where(m, new, pri)
+    return _replace_col(table, "pri", pa.array(new.astype(np.uint16), type=pa.uint16()))
+
+
+def set_pri(table, template, condition=None):
+    """set-pri() (reference rewrite-set-pri.c)."""
+    return _set_pri_part(table, template, "pri", condition)
+
+
+def set_severity(table, template, condition=None):
+    """set-severity() (reference rewrite-set-severity.c)."""
+    return _set_pri_part(table, template, "severity", condition)
+
+
+def set_facility(table, template, condition=None):
+    """set-facility() (reference rewrite-set-facility.c)."""
+    return _set_pri_part(table, template, "facility", condition)
+
+
+def set_matches(table: pa.Table, list_template: str, condition=None) -> pa.Table:
+    """set-matches() — fill $1.. from a comma-separated list value
+    (reference rewrite-set-matches.c)."""
+    vals = Template(list_template).eval(table)
+    m = _cond_mask(table, condition)
+    old = (
+        table.column("matches").to_pandas()
+        if "matches" in table.column_names
+        else pd.Series([None] * table.num_rows, dtype=object)
+    )
+    new = [v.split(",") if (mi and v) else (list(o) if o is not None else None) for v, o, mi in zip(vals, old, m)]
+    return _replace_col(table, "matches", pa.array(new, type=pa.list_(pa.string())))

@@ -1,0 +1,187 @@
+"""csv/kv/json/regexp/date extractor golden tests.
+
+Case shapes adapted from the reference's own parametrizations:
+csv dialects (reference modules/csvparser/tests/test_csvparser.c:40-50,
+tests/light/functional_tests/parsers/csv-parser/), kv edge cases
+(modules/kvformat/kv-parser.c:104-136), json flatten
+(modules/json/json-parser.c:85-180).
+"""
+
+import pyarrow as pa
+import pytest
+
+from axosyslog_ray.stages.csv_parser import CsvParser, apache_parser
+from axosyslog_ray.stages.date_parser import DateParser
+from axosyslog_ray.stages.json_parser import JsonParser
+from axosyslog_ray.stages.kv_parser import KvParser
+from axosyslog_ray.stages.regexp_parser import RegexpParser
+
+
+def _t(*lines):
+    return pa.table({"message": list(lines)})
+
+
+# ---------------- csv ----------------
+
+def test_csv_basic_split():
+    p = CsvParser(columns=["a", "b", "c"], delimiters=",")
+    r = p(_t("1,2,3")).to_pylist()[0]
+    assert (r["a"], r["b"], r["c"]) == ("1", "2", "3") and r["csv_valid"]
+
+
+def test_csv_too_few_columns_invalid():
+    p = CsvParser(columns=["a", "b", "c"], delimiters=",")
+    assert p(_t("1,2")).column("csv_valid").to_pylist() == [False]
+
+
+def test_csv_extra_columns_invalid_unless_greedy():
+    p = CsvParser(columns=["a", "b"], delimiters=",")
+    assert p(_t("1,2,3")).column("csv_valid").to_pylist() == [False]
+    g = CsvParser(columns=["a", "b"], delimiters=",", greedy=True)
+    r = g(_t("1,2,3")).to_pylist()[0]
+    assert r["b"] == "2,3"
+
+
+def test_csv_quote_pairs_bracket():
+    p = CsvParser(columns=["a", "b"], delimiters=" ", quotes='""[]')
+    r = p(_t('[hello world] "quoted val"')).to_pylist()[0]
+    assert r["a"] == "hello world" and r["b"] == "quoted val"
+
+
+def test_csv_dialect_backslash_escape():
+    p = CsvParser(columns=["a", "b"], delimiters=",", dialect="escape-backslash")
+    r = p(_t('"esc\\"aped",x')).to_pylist()[0]
+    assert r["a"] == 'esc"aped'
+
+
+def test_csv_dialect_double_char():
+    p = CsvParser(columns=["a", "b"], delimiters=",", dialect="escape-double-char")
+    r = p(_t('"dou""ble",x')).to_pylist()[0]
+    assert r["a"] == 'dou"ble'
+
+
+def test_csv_null_value_and_strip():
+    p = CsvParser(columns=["a", "b"], delimiters=",", null_value="-", strip_whitespace=True)
+    r = p(_t(" - , v ")).to_pylist()[0]
+    assert r["a"] is None and r["b"] == "v"
+
+
+def test_csv_drop_invalid_filters_rows():
+    p = CsvParser(columns=["a", "b"], delimiters=",", drop_invalid=True)
+    out = p(_t("1,2", "only-one", "3,4"))
+    assert out.num_rows == 2 and out.column("a").to_pylist() == ["1", "3"]
+
+
+def test_csv_apache_access_log():
+    line = '1.2.3.4 - frank [10/Oct/2026:13:55:36 -0700] "GET /x HTTP/1.0" 200 2326 "-" "UA 1.0" 5 vh'
+    r = apache_parser()(_t(line)).to_pylist()[0]
+    assert r["clientip"] == "1.2.3.4"
+    assert r["auth"] == "frank"
+    assert r["timestamp"] == "10/Oct/2026:13:55:36 -0700"
+    assert r["request"] == "GET /x HTTP/1.0"
+    assert r["status"] == "200" and r["bytes"] == "2326"
+    assert r["agent"] == "UA 1.0" and r["vhost"] == "vh"
+
+
+# ---------------- kv ----------------
+
+def test_kv_pairs_and_quotes():
+    p = KvParser()
+    r = p(_t('k1=v1, k2="a b", k3=')).to_pylist()[0]
+    assert dict(r["kv"]) == {"k1": "v1", "k2": "a b", "k3": ""}
+
+
+def test_kv_stray_words():
+    p = KvParser(collect_stray=True)
+    r = p(_t("before k1=v1 middle words k2=v2 after")).to_pylist()[0]
+    assert dict(r["kv"]) == {"k1": "v1", "k2": "v2"}
+    assert r["stray_words"] == "before middle words after"
+
+
+def test_kv_prefix_and_promote():
+    p = KvParser(prefix=".kv.", promote=["status"])
+    r = p(_t("status=500")).to_pylist()[0]
+    assert dict(r["kv"]) == {".kv.status": "500"} and r[".kv.status"] == "500"
+
+
+def test_kv_custom_value_separator():
+    p = KvParser(value_separator=":")
+    r = p(_t("a:1 b:2")).to_pylist()[0]
+    assert dict(r["kv"]) == {"a": "1", "b": "2"}
+
+
+# ---------------- json ----------------
+
+def test_json_flatten_types():
+    p = JsonParser(with_types=True)
+    r = p(_t('{"a":{"b":1,"c":2.5},"d":true,"e":null,"f":[1,2],"g":"s"}')).to_pylist()[0]
+    assert dict(r["jv"]) == {"a.b": "1", "a.c": "2.5", "d": "true", "e": "", "f": "[1,2]", "g": "s"}
+    assert dict(r["jv_types"]) == {
+        "a.b": "integer", "a.c": "double", "d": "boolean", "e": "null", "f": "list", "g": "string",
+    }
+
+
+def test_json_non_object_root_rejected():
+    p = JsonParser()
+    assert p(_t("[1,2]", "42", "null", "not json")).column("json_valid").to_pylist() == [False] * 4
+
+
+def test_json_extract_prefix_subtree():
+    p = JsonParser(extract_prefix="event")
+    r = p(_t('{"event":{"type":"x"},"other":1}')).to_pylist()[0]
+    assert dict(r["jv"]) == {"type": "x"}
+
+
+def test_json_prefix_and_key_delimiter():
+    p = JsonParser(prefix="j", key_delimiter="~")
+    r = p(_t('{"a":{"b":1}}')).to_pylist()[0]
+    assert dict(r["jv"]) == {"j~a~b": "1"}
+
+
+# ---------------- regexp ----------------
+
+def test_regexp_named_groups_and_prefix():
+    p = RegexpParser(r"user (?P<name>\w+) from (?P<ip>[\d.]+)", prefix=".re.")
+    r = p(_t("user bob from 1.2.3.4", "nothing")).to_pylist()
+    assert r[0][".re.name"] == "bob" and r[0][".re.ip"] == "1.2.3.4" and r[0]["re_matched"]
+    assert r[1][".re.name"] is None and not r[1]["re_matched"]
+
+
+def test_regexp_numbered_matches_column():
+    p = RegexpParser(r"(\w+)=(\d+)", emit_matches=True)
+    r = p(_t("x=1")).to_pylist()[0]
+    assert r["matches"] == ["x", "1"]
+
+
+# ---------------- date ----------------
+
+def test_date_format_list_first_wins():
+    p = DateParser(["%Y-%m-%d %H:%M:%S", "%d/%b/%Y:%H:%M:%S"])
+    out = p(_t("2026-08-17 01:02:03", "17/Aug/2026:01:02:03")).to_pylist()
+    assert str(out[0]["ts_stamp"]) == "2026-08-17 01:02:03"
+    assert str(out[1]["ts_stamp"]) == "2026-08-17 01:02:03"
+
+
+def test_date_tz_offset_normalized_to_utc():
+    p = DateParser(["%Y-%m-%dT%H:%M:%S%z"])
+    out = p(_t("2026-08-17T05:00:00+02:00")).to_pylist()[0]
+    assert str(out["ts_stamp"]) == "2026-08-17 03:00:00"
+
+
+def test_date_explicit_timezone_param():
+    p = DateParser(["%Y-%m-%d %H:%M:%S"], time_zone="Europe/Berlin")
+    out = p(_t("2026-01-15 12:00:00")).to_pylist()[0]
+    assert str(out["ts_stamp"]) == "2026-01-15 11:00:00"  # CET = UTC+1 in winter
+
+
+def test_date_failure_keeps_existing_stamp():
+    import pandas as pd
+
+    t = pa.table(
+        {
+            "message": ["junk"],
+            "ts_stamp": pa.array(pd.Series([pd.Timestamp("2026-01-01")], dtype="datetime64[us]")),
+        }
+    )
+    out = DateParser(["%Y-%m-%d"])(t).to_pylist()[0]
+    assert str(out["ts_stamp"]) == "2026-01-01 00:00:00" and out["date_parsed"] is False

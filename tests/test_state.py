@@ -1,0 +1,126 @@
+"""Sessions (grouping-by), suppress, rate-limit, checkpoint/resume tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from axosyslog_ray.state.checkpoint import CheckpointManifest, resumable_run
+from axosyslog_ray.state.sessions import GroupingBy
+from axosyslog_ray.state.suppress import RateLimit, Suppress
+
+
+def _df(ts_list, **cols):
+    return pd.DataFrame({"ts_stamp": pd.to_datetime(ts_list), **cols})
+
+
+def test_sessions_split_on_timeout_gap():
+    g = _df(
+        ["2026-01-01 00:00:00", "2026-01-01 00:01:00", "2026-01-01 00:20:00", "2026-01-01 00:21:00"],
+        host=["h"] * 4, v=[1, 2, 3, 4],
+    )
+    gb = GroupingBy("host", timeout=300, aggregates={"n": "count", "total": "sum:v"})
+    out = gb(g)
+    assert len(out) == 2
+    assert out["n"].tolist() == [2, 2]
+    assert out["total"].tolist() == [3, 7]
+    assert out["session_id"].tolist() == [0, 1]
+
+
+def test_sessions_having_gate():
+    g = _df(["2026-01-01 00:00:00", "2026-01-01 01:00:00", "2026-01-01 01:00:30"], host=["h"] * 3)
+    gb = GroupingBy("host", timeout=300, having=lambda s: len(s) >= 2)
+    out = gb(g)
+    assert len(out) == 1 and out["count"].iloc[0] == 2
+
+
+def test_sessions_trigger_closes_early():
+    g = _df(
+        ["2026-01-01 00:00:00", "2026-01-01 00:00:10", "2026-01-01 00:00:20"],
+        host=["h"] * 3, kind=["a", "end", "a"],
+    )
+    gb = GroupingBy("host", timeout=300, trigger=lambda df: df["kind"] == "end")
+    out = gb(g)
+    assert out["count"].tolist() == [2, 1]  # trigger row ends session 0
+
+
+def test_sessions_where_prefilter():
+    g = _df(["2026-01-01 00:00:00", "2026-01-01 00:00:10"], host=["h"] * 2, keep=[True, False])
+    gb = GroupingBy("host", timeout=300, where=lambda df: df["keep"])
+    assert gb(g)["count"].tolist() == [1]
+
+
+def test_sessions_unsorted_input_sorted_by_event_time():
+    g = _df(["2026-01-01 00:20:00", "2026-01-01 00:00:00"], host=["h"] * 2)
+    gb = GroupingBy("host", timeout=300)
+    out = gb(g)
+    assert len(out) == 2
+    assert str(out["session_start"].iloc[0]) == "2026-01-01 00:00:00"
+
+
+def test_suppress_collapses_duplicates_within_window():
+    g = _df(
+        ["2026-01-01 00:00:00", "2026-01-01 00:00:10", "2026-01-01 00:00:20", "2026-01-01 00:10:00"],
+        url=["a", "b", "c", "d"],
+    )
+    out = Suppress(60)(g)
+    # rows 2,3 suppressed into row 1; row 4 outside window kept
+    assert out["url"].tolist() == ["a", "d"]
+    assert out["repeat_count"].tolist() == [2, 0]
+
+
+def test_rate_limit_token_bucket():
+    ts = [f"2026-01-01 00:00:{i:02d}.{j}00000" for i in range(2) for j in range(5)]
+    g = _df(ts, url=[str(i) for i in range(10)])
+    out = RateLimit(rate=2, per_seconds=1.0)(g)
+    # 2 admitted per 1s window
+    assert len(out) == 4
+    assert out["url"].tolist() == ["0", "1", "5", "6"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpoint_resume_skips_done_partitions(tmp_path):
+    import ray.data as rd
+
+    calls = []
+
+    def build(pid):
+        calls.append(pid)
+        return rd.range(100).map_batches(
+            lambda b: pa.table({"part": pa.array([pid] * b.num_rows), "id": b.column("id")}),
+            batch_format="pyarrow",
+        )
+
+    out = str(tmp_path / "out")
+    r1 = resumable_run(["p0", "p1"], build, out)
+    assert sorted(calls) == ["p0", "p1"]
+    assert r1["p0"]["rows"] == 100
+    # simulate restart: p0/p1 done, p2 new
+    calls.clear()
+    r2 = resumable_run(["p0", "p1", "p2"], build, out)
+    assert calls == ["p2"]  # no reprocessing of completed partitions
+    assert r2["p0"]["rows"] == 100 and r2["p2"]["rows"] == 100
+    ck = CheckpointManifest(out)
+    assert ck.done_parts() == {"p0", "p1", "p2"}
+    # outputs complete and readable
+    import glob
+
+    files = [f for p in ["p0", "p1", "p2"] for f in glob.glob(ck.part_dir(p) + "/*.parquet")]
+    total = rd.read_parquet(files).count()
+    assert total == 300
+
+
+def test_checkpoint_atomic_no_partial_dirs(tmp_path):
+    import os
+
+    ck = CheckpointManifest(str(tmp_path / "o"))
+
+    class Boom:
+        def write_parquet(self, path):
+            os.makedirs(path)
+            raise RuntimeError("killed mid-write")
+
+    with pytest.raises(RuntimeError):
+        ck.write_partition("px", Boom())
+    assert not ck.is_done("px")
+    assert not os.path.exists(ck.part_dir("px"))  # only tmp dir leaked, final absent

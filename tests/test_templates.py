@@ -1,0 +1,102 @@
+"""Template engine + macro + template-function tests.
+
+Shapes adapted from the reference's template tests
+(reference lib/template/tests/test_template.c and
+lib/template/tests/test_template_speed.c:42-56 template list).
+"""
+
+import pandas as pd
+import pyarrow as pa
+
+from axosyslog_ray.functions.templates import Template, template_hash
+from axosyslog_ray.stages.syslog import parse_syslog_table
+
+
+def _msg_table():
+    t = pa.table(
+        {
+            "url": ["u1", "u2"],
+            "warc_ts": pa.array(pd.Series([pd.Timestamp("2026-08-17 12:00:00")] * 2, dtype="datetime64[us]")),
+            "text": [
+                "<38>Aug 17 05:02:28 myhost sshd[1234]: Accepted publickey for joe",
+                "<13>Aug 17 06:00:00 other nginx: GET /index",
+            ],
+        }
+    )
+    return parse_syslog_table(t)
+
+
+def test_value_refs_and_literals():
+    t = _msg_table()
+    assert Template("$HOST ${PROGRAM}").eval(t).tolist() == ["myhost sshd", "other nginx"]
+    assert Template("pfx $MESSAGE sfx").eval(t).tolist()[1] == "pfx GET /index sfx"
+
+
+def test_pri_macros():
+    t = _msg_table()
+    assert Template("$FACILITY.$SEVERITY").eval(t).tolist() == ["auth.info", "user.notice"]
+    assert Template("$PRI/$FACILITY_NUM/$SEVERITY_NUM").eval(t).tolist() == ["38/4/6", "13/1/5"]
+
+
+def test_date_macros():
+    t = _msg_table()
+    assert Template("$YEAR-$MONTH-$DAY").eval(t).tolist() == ["2026-08-17", "2026-08-17"]
+    assert Template("$DATE").eval(t).tolist()[0] == "Aug 17 05:02:28"
+    assert Template("$ISODATE").eval(t).tolist()[0] == "2026-08-17T05:02:28+00:00"
+    assert Template("$R_HOUR").eval(t).tolist() == ["12", "12"]
+
+
+def test_unknown_value_is_empty():
+    t = _msg_table()
+    assert Template("[$NOPE]").eval(t).tolist() == ["[]", "[]"]
+
+
+def test_dollar_escape():
+    t = _msg_table()
+    assert Template("$$HOST").eval(t).tolist() == ["$HOST", "$HOST"]
+
+
+def test_function_calls_nested():
+    t = _msg_table()
+    assert Template("$(uppercase $PROGRAM)").eval(t).tolist() == ["SSHD", "NGINX"]
+    assert Template("$(substr $(uppercase $HOST) 0 2)").eval(t).tolist() == ["MY", "OT"]
+    assert Template("$(if $(echo 1) a b)").eval(t).tolist() == ["a", "a"]
+    assert Template("$(+ $PRI 2)").eval(t).tolist() == ["40", "15"]
+    assert Template("$(length $HOST)").eval(t).tolist() == ["6", "5"]
+
+
+def test_list_functions():
+    t = _msg_table()
+    assert Template("$(list-concat a b c)").eval(t).tolist()[0] == "a,b,c"
+    assert Template("$(list-head a,b,c)").eval(t).tolist()[0] == "a"
+    assert Template("$(list-tail a,b,c)").eval(t).tolist()[0] == "b,c"
+    assert Template("$(list-count a,b,c)").eval(t).tolist()[0] == "3"
+    assert Template("$(list-slice 1:2 a,b,c)").eval(t).tolist()[0] == "b"
+
+
+def test_numeric_fold_over_list_arg():
+    t = _msg_table()
+    assert Template("$(sum 1,2,3)").eval(t).tolist()[0] == "6"
+    assert Template("$(average 2,4)").eval(t).tolist()[0] == "3"
+    assert Template("$(max 5,1,9)").eval(t).tolist()[0] == "9"
+
+
+def test_digests_and_encodings():
+    import hashlib
+
+    t = _msg_table()
+    assert Template("$(sha256 $HOST)").eval(t).tolist()[0] == hashlib.sha256(b"myhost").hexdigest()
+    assert Template("$(sha1 x 8)").eval(t).tolist()[0] == hashlib.sha1(b"x").hexdigest()[:8]
+    assert Template("$(url-encode a b/c)").eval(t).tolist()[0] == "a%20b%2Fc"
+
+
+def test_ipv4_to_int():
+    t = _msg_table()
+    assert Template("$(ipv4-to-int 1.2.3.4)").eval(t).tolist()[0] == str((1 << 24) + (2 << 16) + (3 << 8) + 4)
+
+
+def test_template_hash_deterministic_partitions():
+    t = _msg_table()
+    h1 = template_hash("$HOST", t, 16)
+    h2 = template_hash("$HOST", t, 16)
+    assert (h1 == h2).all() and (h1 < 16).all()
