@@ -26,19 +26,42 @@ import pyarrow as pa
 from .hashutil import hash_str_array
 
 
+# Ray's sort-based groupby cannot order None against strings; null string
+# keys are carried through the shuffle as this sentinel and restored after.
+NULL_SENTINEL = "\x00__NULL__\x00"
+
+
 def partial_counts(keys: list[str], count_col: str = "partial_count"):
     """map_batches fn: batch -> one row per distinct key combo with counts."""
 
     def fn(batch: pa.Table) -> pa.Table:
         df = batch.select(keys).to_pandas()
         g = df.groupby(keys, dropna=False, observed=True).size().reset_index(name=count_col)
-        # keep the source Arrow types so every partial block unifies
-        arrays = [
-            pa.array(g[k].astype(object).where(g[k].notna(), None).to_numpy(dtype=object), type=batch.schema.field(k).type)
-            for k in keys
-        ]
+        arrays = []
+        for k in keys:
+            typ = batch.schema.field(k).type
+            vals = g[k].astype(object).where(g[k].notna(), None).to_numpy(dtype=object)
+            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                vals = np.array([NULL_SENTINEL if v is None else v for v in vals], dtype=object)
+            arrays.append(pa.array(vals, type=typ))
         arrays.append(pa.array(g[count_col].to_numpy(), type=pa.int64()))
         return pa.Table.from_arrays(arrays, names=keys + [count_col])
+
+    return fn
+
+
+def _restore_nulls(keys: list[str]):
+    def fn(batch: pa.Table) -> pa.Table:
+        out = batch
+        for k in keys:
+            typ = out.schema.field(k).type
+            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                import pyarrow.compute as pc
+
+                col = out.column(k)
+                fixed = pc.if_else(pc.equal(col, NULL_SENTINEL), pa.nulls(len(col), typ), col)
+                out = out.set_column(out.column_names.index(k), k, fixed)
+        return out
 
     return fn
 
@@ -48,7 +71,8 @@ def pre_aggregated_count(ds, keys: list[str], alias: str = "n"):
     from ray.data.aggregate import Sum
 
     partial = ds.map_batches(partial_counts(keys), batch_format="pyarrow")
-    return partial.groupby(keys).aggregate(Sum("partial_count", alias_name=alias))
+    agg = partial.groupby(keys).aggregate(Sum("partial_count", alias_name=alias))
+    return agg.map_batches(_restore_nulls(keys), batch_format="pyarrow")
 
 
 def metrics_probe(ds, key_templates: dict[str, str], alias: str = "n"):

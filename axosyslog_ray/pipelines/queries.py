@@ -387,6 +387,217 @@ FROM numbered GROUP BY user_id, sid
 # registry
 # ---------------------------------------------------------------------------
 
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup, fingerprint, text analysis, ANN
+# ---------------------------------------------------------------------------
+
+def docs_exact_dedup(sf_dir: str):
+    """Exact dedup: hash-partition + per-group first (SURVEY.md training-data
+    ops; reference analogue suppress(), lib/logwriter.c:575-660)."""
+    from ..dedup.exact import dedup_stats
+
+    out = dedup_stats(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    out = out[["rep_id", "n_copies"]].astype("int64")
+    return out
+
+
+DOCS_EXACT_DEDUP_SQL = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def docs_fingerprint(sf_dir: str):
+    """Document fingerprinting: md5 of normalized text (crypto template
+    functions analogue, reference modules/cryptofuncs/)."""
+    from ..textstats import fingerprint_md5
+
+    def fp(b: pa.Table) -> pa.Table:
+        t = fingerprint_md5(b)
+        return t.select(["doc_id", "fingerprint"])
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow").to_pandas()
+
+
+DOCS_FINGERPRINT_SQL = "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents"
+
+
+def docs_token_stats(sf_dir: str):
+    """Token counting: whitespace + BPE-ish regex tokens per doc."""
+    from ..textstats import token_counts
+
+    def tc(b: pa.Table) -> pa.Table:
+        return token_counts(b).select(["doc_id", "n_ws_tokens", "n_bpe_tokens", "n_chars_calc"])
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(tc, batch_format="pyarrow").to_pandas()
+
+
+DOCS_TOKEN_SQL = r"""
+SELECT doc_id,
+       CAST(array_length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(array_length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc
+FROM documents
+"""
+
+
+def docs_quality(sf_dir: str):
+    """Quality scoring: mean word length, stopword/punct/upper ratios
+    (C4/Gopher-style web-corpus heuristics)."""
+    from ..textstats import quality_features
+
+    def q(b: pa.Table) -> pa.Table:
+        return quality_features(b).select(["doc_id", "mean_word_len", "stop_ratio", "punct_ratio", "upper_ratio"])
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(q, batch_format="pyarrow").to_pandas()
+    for c in ("mean_word_len", "stop_ratio", "punct_ratio", "upper_ratio"):
+        out[c] = round_half_away(out[c], 6)
+    return out
+
+
+_STOP_EN_SQL = "('the','a','an','and','of','to','in','is','it','that','for','on','with','as')"
+
+DOCS_QUALITY_SQL = rf"""
+SELECT doc_id,
+       ROUND(list_avg(list_transform(str_split(text, ' '), x -> length(x))), 6) AS mean_word_len,
+       ROUND(len(list_filter(str_split(text, ' '), x -> lower(x) IN {_STOP_EN_SQL}))
+             / GREATEST(1, len(str_split(text, ' '))), 6) AS stop_ratio,
+       ROUND(length(regexp_replace(text, '[\w\s]', '', 'g')) / GREATEST(1, length(text)), 6) AS punct_ratio,
+       ROUND(length(regexp_replace(text, '[^A-Z]', '', 'g')) / GREATEST(1, length(text)), 6) AS upper_ratio
+FROM documents
+"""
+
+
+def emb_ann_topk(sf_dir: str):
+    """Exact brute-force cosine top-10 vs the vec_id=0 embedding
+    (similarity-search baseline; numpy matmul per batch, broadcast query)."""
+    from ..ann import ann_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = emb.filter(lambda r: r["vec_id"] == 0).to_pandas()["embedding"].iloc[0]
+    out = ann_topk(emb, np.asarray([q]), k=10)
+    out = out.drop(columns=["query_id"])
+    # 4 decimals: DuckDB computes cosine in float32, we compute in float64;
+    # differences are ~1e-7, so 6-decimal rounding could flip the last digit
+    out["sim"] = round_half_away(out["sim"], 4)
+    out["rank"] = out["rank"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+EMB_ANN_SQL = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS BIGINT) AS rank,
+       e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS sim
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY sim DESC, e.vec_id LIMIT 10
+"""
+
+
+def emb_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (a < b over threshold). Threshold 0.3
+    so the random-embedding fixture actually produces pairs."""
+    from ..ann import near_dup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = near_dup_pairs(emb, threshold=0.3).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")})
+    else:
+        out = out[["id_a", "id_b"]].astype("int64").sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out
+
+
+EMB_NEAR_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible ops (driver records rows-only checks)
+# ---------------------------------------------------------------------------
+
+def docs_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup clusters (shingle->minhash->band->bucket
+    groupby). Non-SQL: returns (doc_id, cluster_id)."""
+    from ..dedup.minhash import minhash_clusters
+
+    out = minhash_clusters(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    out = out.astype("int64").sort_values("doc_id").reset_index(drop=True)
+    return out
+
+
+def docs_simhash_clusters(sf_dir: str):
+    """SimHash banded near-dup clusters. Non-SQL."""
+    from ..dedup.simhash import simhash_candidates
+
+    out = simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    return out.astype("int64").sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_langid(sf_dir: str):
+    """Language-ID heuristic (stopword profiles, actor-pool stage). Non-SQL."""
+    from ..textstats import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2
+    )
+    return ds.select_columns(["doc_id", "lang_pred"]).to_pandas()
+
+
+def emb_lsh_ann(sf_dir: str):
+    """LSH-bucketed approximate ANN (random hyperplanes, bucket-scan).
+    Non-SQL (approximate by construction)."""
+    from ..ann import lsh_ann_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = emb.filter(lambda r: r["vec_id"] == 0).to_pandas()["embedding"].iloc[0]
+    out = lsh_ann_topk(emb, np.asarray([q]), k=10)
+    out = out.drop(columns=["query_id"])
+    out["sim"] = round_half_away(out["sim"], 4)
+    return out
+
+
+def media_decode_stats(sf_dir: str):
+    """Multimodal plumbing: synthetic media corpus -> actor-pool decode
+    (stubbed kernel) -> per-type size stats. Non-SQL."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..multimodal import decode_images, gen_media_table
+
+    ds = rd.from_arrow(gen_media_table(600))
+    decoded = decode_images(ds, concurrency=2)
+    out = (
+        decoded.groupby("media_type")
+        .aggregate(Count(alias_name="n"), Sum("n_pixels", alias_name="total_pixels"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total_pixels"] = out["total_pixels"].astype("int64")
+    return out
+
+
+def flagship_routes(sf_dir: str):
+    """Flagship parse->enrich->route->aggregate over synthesized pages
+    (BASELINE input_hint shape). Non-SQL (full pipeline)."""
+    import pyarrow.parquet as pq
+
+    from ..aggregate import pre_aggregated_count
+    from ..pipelines.flagship import flagship_routed
+    from ..synth import pages_dataset
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    routed = flagship_routed(pages_dataset(n_docs * 12))
+    out = pre_aggregated_count(routed.select_columns(["route", "lang"]), ["route", "lang"], alias="n").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["route", "lang"]).reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q1_pricing": q1_pricing,
     "customer_nation_join": customer_nation_join,
@@ -400,6 +611,18 @@ RAY_QUERIES = {
     "docs_template_format": docs_template_format,
     "lineitem_metrics_probe": lineitem_metrics_probe,
     "events_sessions": events_sessions,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_fingerprint": docs_fingerprint,
+    "docs_token_stats": docs_token_stats,
+    "docs_quality": docs_quality,
+    "emb_ann_topk": emb_ann_topk,
+    "emb_near_dup": emb_near_dup,
+    "docs_minhash_dedup": docs_minhash_dedup,
+    "docs_simhash_clusters": docs_simhash_clusters,
+    "docs_langid": docs_langid,
+    "emb_lsh_ann": emb_lsh_ann,
+    "media_decode_stats": media_decode_stats,
+    "flagship_routes": flagship_routes,
 }
 
 ORACLE_SQLS = {
@@ -415,4 +638,10 @@ ORACLE_SQLS = {
     "docs_template_format": DOCS_TEMPLATE_SQL,
     "lineitem_metrics_probe": LINEITEM_METRICS_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
+    "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
+    "docs_fingerprint": DOCS_FINGERPRINT_SQL,
+    "docs_token_stats": DOCS_TOKEN_SQL,
+    "docs_quality": DOCS_QUALITY_SQL,
+    "emb_ann_topk": EMB_ANN_SQL,
+    "emb_near_dup": EMB_NEAR_DUP_SQL,
 }

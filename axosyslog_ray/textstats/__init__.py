@@ -1,0 +1,10 @@
+"""Text analysis stages for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting."""
+
+from .analysis import (  # noqa: F401
+    LangId,
+    fingerprint_md5,
+    quality_features,
+    rolling_fingerprints,
+    token_counts,
+)

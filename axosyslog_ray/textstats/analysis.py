@@ -1,0 +1,119 @@
+"""Text analysis: vectorized per-batch feature extraction.
+
+All stages are pure `pa.Table -> pa.Table`; the language-ID model is a
+stateful actor (profiles built once per worker).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..hashutil import hash_str_array
+
+# BPE-ish token regex: words, numbers, or single punctuation marks
+TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+
+STOPWORDS = {
+    "en": {"the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von", "mit", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "des", "du", "en", "que"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "de", "que", "en", "por"},
+    "pt": {"o", "a", "os", "as", "e", "um", "uma", "de", "que", "em", "para", "com"},
+    "ru": {"и", "в", "не", "на", "что", "с", "по", "это", "как", "его"},
+}
+
+
+def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace tokens + BPE-ish regex tokens + chars, one pass."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    ws = s.str.split().map(len).astype("int64")
+    bpe = s.str.count(TOKEN_RE)
+    return (
+        batch.append_column("n_ws_tokens", pa.array(ws.to_numpy()))
+        .append_column("n_bpe_tokens", pa.array(bpe.astype("int64").to_numpy()))
+        .append_column("n_chars_calc", pa.array(s.str.len().astype("int64").to_numpy()))
+    )
+
+
+def quality_features(batch: pa.Table, text_col: str = "text", stop_lang: str = "en") -> pa.Table:
+    """Quality scoring: length, mean word length, punctuation ratio,
+    stopword ratio, uppercase ratio — the standard web-corpus heuristics
+    (C4/Gopher-style rules, public)."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    n_chars = s.str.len().astype("float64")
+    toks = s.str.split()
+    n_tok = toks.map(len).clip(lower=1)
+    mean_word_len = toks.map(lambda t: float(np.mean([len(w) for w in t])) if t else 0.0)
+    stop = STOPWORDS[stop_lang]
+    stop_ratio = toks.map(lambda t: sum(w.lower() in stop for w in t) / max(1, len(t)))
+    punct_ratio = s.str.count(r"[^\w\s]").astype("float64") / n_chars.clip(lower=1)
+    upper_ratio = s.str.count(r"[A-Z]").astype("float64") / n_chars.clip(lower=1)
+    out = batch
+    for name, vals in (
+        ("mean_word_len", mean_word_len),
+        ("stop_ratio", stop_ratio),
+        ("punct_ratio", punct_ratio),
+        ("upper_ratio", upper_ratio),
+    ):
+        out = out.append_column(name, pa.array(vals.astype("float64").to_numpy()))
+    return out
+
+
+def fingerprint_md5(batch: pa.Table, text_col: str = "text", out_col: str = "fingerprint") -> pa.Table:
+    """Canonical document fingerprint: md5 of lowercased trimmed text
+    (exact-dup key robust to case/edge whitespace)."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    fps = s.str.strip().str.lower().map(lambda x: hashlib.md5(x.encode()).hexdigest())
+    return batch.append_column(out_col, pa.array(fps.to_numpy(dtype=object), type=pa.string()))
+
+
+def rolling_fingerprints(batch: pa.Table, text_col: str = "text", window: int = 5,
+                         keep: int = 8, out_col: str = "shingle_prints") -> pa.Table:
+    """Winnowing-style rolling fingerprints: hash every `window`-word
+    shingle, keep the `keep` smallest hashes per doc (a locality-robust
+    signature; Schleimer et al. 2003 winnowing, public)."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    out = []
+    for text in s:
+        toks = text.split()
+        if len(toks) < window:
+            grams = [" ".join(toks)] if toks else []
+        else:
+            grams = [" ".join(toks[i : i + window]) for i in range(len(toks) - window + 1)]
+        if not grams:
+            out.append([])
+            continue
+        h = hash_str_array(np.array(grams, dtype=object)).view(np.int64)
+        out.append(sorted(h.tolist())[:keep])
+    return batch.append_column(out_col, pa.array(out, type=pa.list_(pa.int64())))
+
+
+class LangId:
+    """Stopword-profile language ID (n-gram-free heuristic; actor-pool
+    stage so the profiles are built once per worker)."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.profiles = {lang: sw for lang, sw in STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch.column(self.text_col).to_pandas().fillna("")
+        preds = []
+        for text in s:
+            toks = [w.lower() for w in text.split()[:200]]
+            if not toks:
+                preds.append("und")
+                continue
+            best, best_score = "und", 0.0
+            for lang, sw in self.profiles.items():
+                score = sum(t in sw for t in toks) / len(toks)
+                if score > best_score:
+                    best, best_score = lang, score
+            preds.append(best if best_score > 0.02 else "und")
+        return batch.append_column(self.out_col, pa.array(preds, type=pa.string()))

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: one JSON line
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "headline": {rows, gigabytes, rows_per_sec, gb_per_sec, sink_counts}}
+
+Headline pipeline = the flagship parse -> enrich -> route -> aggregate job
+over a deterministic Common-Crawl-style pages corpus (BASELINE.json
+input_hint) sized from $GRAFT_SF_DIR's documents table (x120), cached as
+Parquet shards under /tmp. Generation is NOT part of the timed window;
+one untimed read warms the page cache first.
+
+--scaling: runs this script twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs plus
+efficiency = thr_32 / (4 * thr_8)  (the N vs 4N cluster-size proxy —
+BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_MULT = int(os.environ.get("BENCH_PAGES_MULT", "120"))
+HTML_PAD = 256
+
+
+def pages_cache_dir(n_rows: int) -> str:
+    return f"/tmp/axoray_bench/pages_n{n_rows}_p{HTML_PAD}"
+
+
+def ensure_pages(n_rows: int) -> tuple[str, float]:
+    """Generate (once) the cached pages corpus; returns (dir, payload GB)."""
+    from axosyslog_ray.synth import write_pages
+
+    out = pages_cache_dir(n_rows)
+    meta_path = os.path.join(out, "_meta.json")
+    if not os.path.exists(meta_path):
+        write_pages(out, n_rows, html_pad=HTML_PAD, shards=32)
+        import glob
+
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in glob.glob(os.path.join(out, "*.parquet")):
+            t = pq.read_table(f, columns=["html", "text"])
+            total += t.column("html").nbytes + t.column("text").nbytes
+        with open(meta_path, "w") as fh:
+            json.dump({"n_rows": n_rows, "payload_bytes": total}, fh)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    return out, meta["payload_bytes"] / 1e9
+
+
+def run_headline(pages_dir: str, out_dir: str) -> dict:
+    import glob
+
+    import ray.data as rd
+
+    from axosyslog_ray.aggregate import pre_aggregated_count
+    from axosyslog_ray.pipelines.flagship import flagship_routed
+
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    ds = rd.read_parquet(files)
+    routed = flagship_routed(ds)
+    routed.write_parquet(out_dir, partition_cols=["route"])
+    agg = pre_aggregated_count(
+        rd.read_parquet(out_dir).select_columns(["route", "host"]), ["route", "host"], alias="n"
+    ).to_pandas()
+    sink_counts = agg.groupby("route")["n"].sum().to_dict()
+    return {"sink_counts": {k: int(v) for k, v in sink_counts.items()}}
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows
+    n_rows = n_docs * PAGES_MULT
+    pages_dir, payload_gb = ensure_pages(n_rows)
+
+    # warm page cache (untimed)
+    import glob
+
+    for f in glob.glob(os.path.join(pages_dir, "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    import shutil
+
+    out_dir = f"/tmp/axoray_bench/sinks_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    extra = run_headline(pages_dir, out_dir)
+    headline_sec = time.time() - t0
+
+    queries: dict[str, float] = {}
+    if os.environ.get("BENCH_SKIP_QUERIES", "0") != "1":
+        from axosyslog_ray.pipelines.queries import RAY_QUERIES
+
+        for name, fn in RAY_QUERIES.items():
+            tq = time.time()
+            try:
+                r = fn(SF_DIR)
+                if hasattr(r, "to_pandas"):
+                    r.to_pandas()
+                queries[name] = round(time.time() - tq, 3)
+            except Exception as e:  # a failing query must not kill the bench
+                queries[name] = -1.0
+                print(f"# query {name} failed: {e}", file=sys.stderr)
+
+    result = {
+        "metric": "flagship parse->enrich->route->aggregate wall time",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "headline": {
+            "rows": n_rows,
+            "gigabytes": round(payload_gb, 3),
+            "rows_per_sec": round(n_rows / headline_sec, 1),
+            "gb_per_sec": round(payload_gb / headline_sec, 4),
+            **extra,
+        },
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    """Fresh-process runs at 8 and 32 CPUs (N vs 4N proxy)."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    thr8 = results[8]["headline"]["rows_per_sec"]
+    thr32 = results[32]["headline"]["rows_per_sec"]
+    eff = thr32 / (4 * thr8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (num_cpus 8 -> 32, N vs 4N proxy)",
+                "sec_8": t8,
+                "sec_32": t32,
+                "rows_per_sec_8": thr8,
+                "rows_per_sec_32": thr32,
+                "scaling_efficiency": round(eff, 3),
+                "pass": eff >= 0.8,
+                "sink_counts_match": results[8]["headline"]["sink_counts"] == results[32]["headline"]["sink_counts"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,155 @@
+"""Dedup family, ANN, text analysis, multimodal plumbing tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from axosyslog_ray.dedup.exact import add_content_hash
+from axosyslog_ray.dedup.minhash import MinHasher, jaccard
+from axosyslog_ray.dedup.simhash import hamming, simhash_text
+from axosyslog_ray.textstats import LangId, fingerprint_md5, quality_features, token_counts
+from axosyslog_ray.multimodal import DecodeImage, FrameSampler, gen_media_table
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again in the field"
+NEAR = "the quick brown fox jumps over the lazy cat again and again in the field"
+FAR = "completely different content about databases and query engines at scale"
+
+
+def test_content_hash_stable_and_distinct():
+    t = pa.table({"text": [BASE, BASE, FAR]})
+    h = add_content_hash(t).column("content_hash").to_pylist()
+    assert h[0] == h[1] != h[2]
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    mh = MinHasher(num_perm=128)
+    sa, sb, sc = mh.signature(BASE), mh.signature(NEAR), mh.signature(FAR)
+    sim_near = (sa == sb).mean()
+    sim_far = (sa == sc).mean()
+    assert sim_near > 0.5 > sim_far
+    assert jaccard(BASE, NEAR) > 0.5 > jaccard(BASE, FAR)
+
+
+def test_simhash_hamming_small_for_near_dups():
+    a, b, c = simhash_text(BASE), simhash_text(NEAR), simhash_text(FAR)
+    assert hamming(a, b) < 12 < hamming(a, c)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_clusters_find_planted_dups():
+    import ray.data as rd
+
+    from axosyslog_ray.dedup.minhash import minhash_clusters
+
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"unique document number {i} with its own words {i * 7}"})
+    # plant near-dups of doc 3
+    rows.append({"doc_id": 100, "text": rows[3]["text"] + " extra"})
+    rows.append({"doc_id": 101, "text": rows[3]["text"]})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = minhash_clusters(ds, num_perm=64, bands=16).to_pandas()
+    c = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert c[100] == 3 and c[101] == 3
+    assert c[5] == 5  # unique docs stay their own cluster
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_candidates_cluster_near_dups():
+    import ray.data as rd
+
+    from axosyslog_ray.dedup.simhash import simhash_candidates
+
+    rows = [{"doc_id": i, "text": f"some unrelated text block {i} talking about topic {i*13}"} for i in range(20)]
+    rows.append({"doc_id": 50, "text": rows[7]["text"]})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = simhash_candidates(ds, bands=4, max_hamming=3).to_pandas()
+    c = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert c[50] == 7
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_rows_keeps_min_id():
+    import ray.data as rd
+
+    from axosyslog_ray.dedup.exact import dedup_rows
+
+    df = pd.DataFrame({"doc_id": [5, 2, 9, 1], "text": ["x", "x", "y", "y"]})
+    out = dedup_rows(rd.from_pandas(df)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_brute_and_lsh_agree_on_top1():
+    import ray.data as rd
+
+    from axosyslog_ray.ann import ann_topk, lsh_ann_topk
+
+    rng = np.random.RandomState(0)
+    m = rng.normal(size=(300, 16))
+    t = pa.table(
+        {"vec_id": pa.array(np.arange(300)), "embedding": pa.array([list(r) for r in m.astype(np.float32)])}
+    )
+    ds = rd.from_arrow(t)
+    q = m[17] + rng.normal(scale=0.01, size=16)
+    brute = ann_topk(ds, np.asarray([q]), k=5)
+    assert brute["vec_id"].iloc[0] == 17  # exact top-1 is the near vector
+    approx = lsh_ann_topk(ds, np.asarray([q]), k=5, n_bits=6, n_tables=8)
+    assert approx["vec_id"].iloc[0] == 17  # LSH recalls the true top-1
+
+
+def test_token_counts_and_quality():
+    t = pa.table({"text": ["The quick, brown fox!", ""]})
+    out = token_counts(t).to_pylist()
+    assert out[0]["n_ws_tokens"] == 4
+    assert out[0]["n_bpe_tokens"] == 6  # 4 words + ',' + '!'
+    assert out[1]["n_ws_tokens"] == 0
+    q = quality_features(t).to_pylist()
+    assert q[0]["stop_ratio"] == 0.25  # 'The' of 4 tokens
+    assert 0 < q[0]["punct_ratio"] < 0.2
+
+
+def test_fingerprint_normalizes_case_and_space():
+    t = pa.table({"text": ["  Hello World ", "hello world"]})
+    fps = fingerprint_md5(t).column("fingerprint").to_pylist()
+    assert fps[0] == fps[1]
+
+
+def test_langid_heuristic():
+    t = pa.table(
+        {
+            "text": [
+                "the cat is on the mat and it is happy",
+                "der Hund ist ein Tier und die Katze auch",
+                "el gato es un animal y la casa es grande",
+                "xyzzy plugh qwerty",
+            ]
+        }
+    )
+    out = LangId()(t).column("lang_pred").to_pylist()
+    assert out[0] == "en" and out[1] == "de" and out[2] == "es" and out[3] == "und"
+
+
+def test_media_decode_stub_drops_payload():
+    t = gen_media_table(50)
+    out = DecodeImage(decoder="fake")(t)
+    assert "payload" not in out.column_names
+    assert all(v > 0 for v in out.column("n_pixels").to_pylist())
+    # deterministic
+    again = DecodeImage(decoder="fake")(gen_media_table(50))
+    assert out.equals(again)
+
+
+def test_media_decode_real_raises_clearly():
+    t = gen_media_table(2)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        DecodeImage(decoder="real")(t)
+
+
+def test_frame_sampler_explodes_rows():
+    t = gen_media_table(10)
+    out = FrameSampler(every_n_seconds=1.0)(t)
+    assert out.num_rows >= 10  # >= one frame per media row
+    assert set(out.column_names) == {"media_id", "frame_offset_sec", "frame_hash"}
