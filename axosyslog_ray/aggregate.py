@@ -66,11 +66,34 @@ def _restore_nulls(keys: list[str]):
     return fn
 
 
-def pre_aggregated_count(ds, keys: list[str], alias: str = "n"):
-    """Two-phase distributed count-by-keys: partial per batch, Sum final."""
+def pre_aggregated_count(ds, keys: list[str], alias: str = "n", final: str = "shuffle"):
+    """Two-phase distributed count-by-keys: partial per batch, then final.
+
+    final="shuffle": Ray-native groupby+Sum over the partials — unbounded
+    key cardinality, pays the all-to-all barrier (~seconds fixed cost).
+    final="driver": stream the partial tables to the driver and merge with
+    one pandas groupby — right when distinct keys are BOUNDED (hosts,
+    langs, routes: partials total O(batches x distinct)); this is the
+    last level of the combine tree, not a full materialization of rows.
+    """
+    partial = ds.map_batches(partial_counts(keys), batch_format="pyarrow")
+    if final == "driver":
+        import pandas as pd
+
+        frames = [
+            b.to_pandas()
+            for b in partial.iter_batches(batch_size=None, batch_format="pyarrow")
+        ]
+        if not frames:
+            out = pd.DataFrame({k: [] for k in keys} | {alias: []})
+        else:
+            allp = pd.concat(frames, ignore_index=True)
+            out = allp.groupby(keys, dropna=False, sort=False, observed=True)["partial_count"].sum().reset_index(name=alias)
+        for k in keys:
+            out[k] = out[k].replace(NULL_SENTINEL, np.nan)
+        return out
     from ray.data.aggregate import Sum
 
-    partial = ds.map_batches(partial_counts(keys), batch_format="pyarrow")
     agg = partial.groupby(keys).aggregate(Sum("partial_count", alias_name=alias))
     return agg.map_batches(_restore_nulls(keys), batch_format="pyarrow")
 

@@ -58,10 +58,37 @@ class MinHasher:
             m = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
         return m.min(axis=1)
 
+    def signatures_batch(self, texts: np.ndarray) -> np.ndarray:
+        """Whole-batch signatures: one flat shingle array for ALL docs, one
+        hash pass, then per-perm `np.minimum.reduceat` over doc segments —
+        no per-doc Python beyond tokenization."""
+        if len(texts) == 0:
+            return np.empty((0, self.num_perm), np.uint64)
+        all_shingles: list[str] = []
+        seg_starts = np.empty(len(texts), dtype=np.int64)
+        pos = 0
+        k = self.shingle
+        for d, text in enumerate(texts):
+            toks = text.split()
+            seg_starts[d] = pos
+            if len(toks) < k:
+                all_shingles.append(" ".join(toks))
+                pos += 1
+            else:
+                all_shingles.extend(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+                pos += len(toks) - k + 1
+        h = hash_str_array(np.array(all_shingles, dtype=object))
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for p in range(self.num_perm):
+                vals = (self.a[p] * h + self.b[p]) % _MERSENNE
+                sigs[:, p] = np.minimum.reduceat(vals, seg_starts)
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pandas().fillna("").to_numpy(dtype=object)
         ids = batch.column(self.id_col).to_numpy()
-        sigs = np.stack([self.signature(t) for t in texts]) if len(texts) else np.empty((0, self.num_perm), np.uint64)
+        sigs = self.signatures_batch(texts)
         return pa.table(
             {
                 self.id_col: pa.array(ids),
@@ -110,18 +137,22 @@ def minhash_clusters(ds, num_perm: int = 64, bands: int = 16, shingle: int = 3,
     doc_id are near-duplicates of an earlier doc."""
     from ray.data.aggregate import Min
 
-    kwargs = {"concurrency": concurrency} if concurrency else {"concurrency": 4}
-    sigs = ds.map_batches(
-        MinHasher(num_perm=num_perm, shingle=shingle, text_col=text_col, id_col=id_col),
-        batch_format="pyarrow", **kwargs,
-    )
+    mh = MinHasher(num_perm=num_perm, shingle=shingle, text_col=text_col, id_col=id_col)
+    kwargs = {"concurrency": concurrency} if concurrency else {}
+    sigs = ds.map_batches(mh, batch_format="pyarrow", **kwargs)
     pairs = sigs.map_batches(BandEmitter(bands=bands, id_col=id_col), batch_format="pyarrow")
-    # one shuffle over small (band, hash, id) rows: attach the bucket min,
-    # then reduce per doc (broadcast-free min-label propagation, one round)
-    joined = (
-        pairs.groupby(["band_id", "band_hash"])
-        .map_groups(lambda g: g.assign(bucket_min=g[id_col].min()), batch_format="pandas")
-    )
+    # one shuffle over small (band, hash, id) rows keyed by band_id ONLY
+    # (few big groups — per-bucket map_groups would mean thousands of tiny
+    # pandas groups, measured 50x slower); the per-bucket min is a
+    # vectorized transform inside the group
+    import pandas as pd
+
+    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["bucket_min"] = g.groupby("band_hash")[id_col].transform("min")
+        return g[[id_col, "bucket_min"]]
+
+    joined = pairs.groupby("band_id").map_groups(bucket_min, batch_format="pandas")
     return joined.groupby(id_col).aggregate(Min("bucket_min", alias_name="cluster_id"))
 
 

@@ -37,8 +37,43 @@ class SimHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pandas().fillna("").to_numpy(dtype=object)
-        fps = np.array([simhash_text(t) for t in texts], dtype=np.int64)
+        fps = self.fingerprints_batch(texts)
         return pa.table({self.id_col: batch.column(self.id_col), "simhash": pa.array(fps)})
+
+    @staticmethod
+    def fingerprints_batch(texts: np.ndarray) -> np.ndarray:
+        """Whole-batch fingerprints: one flat token-hash array, per-doc bit
+        votes via `np.add.reduceat` — no per-doc hashing calls."""
+        n = len(texts)
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        all_toks: list[str] = []
+        seg_starts = np.empty(n, dtype=np.int64)
+        counts = np.empty(n, dtype=np.int64)
+        pos = 0
+        for d, text in enumerate(texts):
+            toks = text.split()
+            seg_starts[d] = pos
+            counts[d] = len(toks)
+            all_toks.extend(toks)
+            pos += len(toks)
+        fps = np.zeros(n, dtype=np.uint64)
+        nonempty = counts > 0
+        if pos:
+            h = hash_str_array(np.array(all_toks, dtype=object))
+            # per-bit popcount segments without materializing (tokens, 64):
+            # 64 shift-mask passes + reduceat, ~64x less memory traffic
+            idx = np.minimum(seg_starts, pos - 1)
+            votes = np.empty((n, 64), dtype=np.int64)
+            for b in range(64):
+                votes[:, b] = np.add.reduceat(((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64), idx)
+            votes = votes * 2 - counts[:, None]
+            fps_ne = np.zeros(n, dtype=np.uint64)
+            pos_mask = votes > 0
+            for b in range(64):
+                fps_ne |= np.where(pos_mask[:, b], _BITS[b], np.uint64(0))
+            fps = np.where(nonempty, fps_ne, np.uint64(0))
+        return fps.view(np.int64)
 
 
 def hamming(a: int, b: int) -> int:
@@ -71,25 +106,37 @@ def simhash_candidates(ds, bands: int = 4, max_hamming: int = 3,
     sharing a band AND within max_hamming (verified exactly per bucket)."""
     from ray.data.aggregate import Min
 
-    fps = ds.map_batches(SimHasher(text_col, id_col), batch_format="pyarrow", concurrency=concurrency)
+    fps = ds.map_batches(SimHasher(text_col, id_col), batch_format="pyarrow")
+
+    # vectorized 64-bit popcount (numpy<2 has no bitwise_count)
+    _LUT = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+    def popcount64(x: np.ndarray) -> np.ndarray:
+        x = x.view(np.uint64)
+        c = _LUT[(x & np.uint64(0xFFFF)).astype(np.int64)].astype(np.int64)
+        for s in (16, 32, 48):
+            c += _LUT[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+        return c
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
-        # exact hamming verification against the bucket's min doc
-        g = g.sort_values(id_col)
-        rep_fp = int(g["simhash"].iloc[0])
-        rep_id = int(g[id_col].iloc[0])
-        ok = g["simhash"].map(lambda f: hamming(int(f), rep_fp) <= max_hamming)
+        # one band per group (few big groups); per band_val the candidate
+        # rep is the min doc; exact hamming verified vectorized
+        g = g.sort_values(["band_val", id_col], kind="mergesort").reset_index(drop=True)
+        grp = g.groupby("band_val", sort=False)
+        rep_id = grp[id_col].transform("min").to_numpy()
+        rep_fp = grp["simhash"].transform("first").to_numpy()
+        dist = popcount64(g["simhash"].to_numpy(np.int64) ^ rep_fp.astype(np.int64))
+        ok = dist <= max_hamming
         out = g[[id_col]].copy()
-        out["bucket_min"] = np.where(ok, rep_id, g[id_col])
+        out["bucket_min"] = np.where(ok, rep_id, g[id_col].to_numpy())
         return out
 
     def emit(b: pa.Table) -> pa.Table:
         t = simhash_bands(b, bands, id_col)
-        # attach fingerprints (small in-batch merge)
-        fp_map = dict(zip(b.column(id_col).to_pylist(), b.column("simhash").to_pylist()))
-        sims = pa.array([fp_map[i] for i in t.column(id_col).to_pylist()], type=pa.int64())
+        # fingerprints repeat per band in the same order as the ids
+        sims = pa.concat_arrays([b.column("simhash").combine_chunks()] * bands)
         return t.append_column("simhash", sims)
 
     buckets = fps.map_batches(emit, batch_format="pyarrow")
-    labeled = buckets.groupby(["band_id", "band_val"]).map_groups(bucket_verify, batch_format="pandas")
+    labeled = buckets.groupby("band_id").map_groups(bucket_verify, batch_format="pandas")
     return labeled.groupby(id_col).aggregate(Min("bucket_min", alias_name="cluster_id"))

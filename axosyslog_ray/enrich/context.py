@@ -66,13 +66,39 @@ class AddContextualData:
             sel: [(n, Template(v)) for n, v in recs] for sel, recs in db.items()
         }
         self.default_compiled = [(n, Template(v)) for n, v in self.default]
+        # fast path: when every value in the db is a pure literal (no $refs),
+        # the whole lookup is one vectorized pandas map per field instead of
+        # a per-selector-group template eval (1000s of tiny takes otherwise)
+        self.all_literal = all(
+            len(t.elems) == 0 or (len(t.elems) == 1 and type(t.elems[0]).__name__ == "Literal")
+            for recs in self.compiled.values() for _, t in recs
+        ) and all(
+            len(t.elems) == 0 or (len(t.elems) == 1 and type(t.elems[0]).__name__ == "Literal")
+            for _, t in self.default_compiled
+        )
+        if self.all_literal:
+            self.literal_maps = {f: {} for f in self.fields}
+            for sel, recs in db.items():
+                for name, value in recs:
+                    self.literal_maps[name][sel] = value
+            self.literal_defaults = dict(self.default)
 
     def __call__(self, table: pa.Table) -> pa.Table:
-        sel = self.selector.eval(table).to_numpy(dtype=object)
+        sel = self.selector.eval(table)
         n = table.num_rows
+        out = table
+        if self.all_literal:
+            is_known = sel.isin(set(self.compiled.keys())).to_numpy()
+            for f in self.fields:
+                mapped = sel.map(self.literal_maps[f])
+                dflt = self.literal_defaults.get(f)
+                vals = mapped.where(is_known, dflt)
+                arr = vals.astype(object).where(vals.notna(), None).to_numpy(dtype=object)
+                out = out.append_column(self.prefix + f, pa.array(arr, type=pa.string()))
+            return out
         cols = {f: np.full(n, None, dtype=object) for f in self.fields}
-        # group rows by selector value -> evaluate each record set once per group
-        order = pd.Series(sel).groupby(sel, sort=False).groups  # value -> row idx
+        sel_np = sel.to_numpy(dtype=object)
+        order = pd.Series(sel_np).groupby(sel_np, sort=False).groups  # value -> row idx
         for value, idx in order.items():
             recs = self.compiled.get(value, self.default_compiled)
             if not recs:
@@ -81,7 +107,6 @@ class AddContextualData:
             for name, tmpl in recs:
                 vals = tmpl.eval(sub).to_numpy(dtype=object)
                 cols[name][np.asarray(idx, dtype=np.int64)] = vals
-        out = table
         for f in self.fields:
             out = out.append_column(self.prefix + f, pa.array(cols[f], type=pa.string()))
         return out

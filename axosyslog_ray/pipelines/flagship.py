@@ -124,18 +124,27 @@ SINK_COLUMNS = [
 ]
 
 
-def flagship_routed(ds, concurrency=None, batch_size: int = 8192):
-    """pages Dataset -> routed message Dataset (lazy)."""
-    if concurrency is None:
-        # default actor-pool size: autoscale with the cluster, leave CPUs
-        # for the read/write stages
-        import ray
+# Worker-process-level stage cache: LogPipelineStage costs ~3ms to build,
+# so stateless map TASKS with a per-worker singleton beat an actor pool —
+# Ray reuses worker processes across tasks (state amortizes like an actor)
+# but skips the actor-spawn + per-actor re-import cost (~5s fixed at 32
+# CPUs, measured). Actor pools stay the right call for HEAVY state (mmdb,
+# models) — see enrich/geoip.py docstring.
+_STAGE_CACHE: dict[str, LogPipelineStage] = {}
 
-        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = (1, max(2, ncpu - 2))
-    kwargs = {"concurrency": concurrency}
+
+def _apply_stage(batch: pa.Table) -> pa.Table:
+    stage = _STAGE_CACHE.get("stage")
+    if stage is None:
+        stage = _STAGE_CACHE["stage"] = LogPipelineStage()
+    return stage(batch)
+
+
+def flagship_routed(ds, concurrency=None, batch_size: int = 16384):
+    """pages Dataset -> routed message Dataset (lazy)."""
+    kwargs = {"concurrency": concurrency} if concurrency is not None else {}
     routed = ds.map_batches(
-        LogPipelineStage, batch_format="pyarrow", batch_size=batch_size, **kwargs
+        _apply_stage, batch_format="pyarrow", batch_size=batch_size, **kwargs
     )
     return routed.select_columns(SINK_COLUMNS)
 

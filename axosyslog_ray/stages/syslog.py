@@ -157,7 +157,7 @@ def parse_syslog_table(
                 + " " + exo["time"].reset_index(drop=True).astype(str)
             )
             with np.errstate(all="ignore"):
-                tparsed = pd.to_datetime(iso, errors="coerce")
+                tparsed = pd.to_datetime(iso, format="%Y-%m-%d %H:%M:%S", errors="coerce")
             ts[rows] = tparsed.to_numpy(dtype="datetime64[us]", na_value=np.datetime64("NaT"))
             host[rows] = _obj(exo["host"])
             rest = exo["rest"].astype("string")
