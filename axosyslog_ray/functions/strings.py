@@ -202,6 +202,51 @@ def _digest(name):
     return f
 
 
+def tf_hex_encode(t, *args):
+    a = _join([_s(x) for x in args]) if len(args) > 1 else _s(args[0])
+    return a.map(lambda x: x.encode().hex()).astype(object)
+
+
+def tf_hex_decode(t, a):
+    def dec(x):
+        try:
+            return bytes.fromhex(x).decode("utf-8", "replace")
+        except ValueError:
+            return ""
+
+    return _s(a).map(dec).astype(object)
+
+
+def tf_base64_decode(t, a):
+    def dec(x):
+        try:
+            return base64.b64decode(x).decode("utf-8", "replace")
+        except Exception:
+            return ""
+
+    return _s(a).map(dec).astype(object)
+
+
+def tf_startswith(t, a, prefix):
+    return pd.Series(["true" if x.startswith(p) else "false" for x, p in zip(_s(a), _s(prefix))], dtype=object)
+
+
+def tf_endswith(t, a, suffix):
+    return pd.Series(["true" if x.endswith(p) else "false" for x, p in zip(_s(a), _s(suffix))], dtype=object)
+
+
+def tf_includes(t, a, needle):
+    return pd.Series(["true" if p in x else "false" for x, p in zip(_s(a), _s(needle))], dtype=object)
+
+
+def tf_str_replace(t, a, old, new):
+    return pd.Series([x.replace(o, nw) for x, o, nw in zip(_s(a), _s(old), _s(new))], dtype=object)
+
+
+def tf_utf8_sanitize(t, a):
+    return _s(a).map(lambda x: x.encode("utf-8", "replace").decode("utf-8", "replace")).astype(object)
+
+
 def tf_uuid(t, *args):
     # deterministic per-row UUID5 over row index (the reference's $(uuid) is
     # random; determinism is required for replayable batch lineage)
@@ -325,4 +370,13 @@ TEMPLATE_FUNCS = {
     "list-append": tf_list_append,
     "list-search": tf_list_search,
     "ipv4-to-int": tf_ipv4_to_int,
+    # filterx-named string functions (lib/filterx/filterx-globals.c:97-200)
+    "hex-encode": tf_hex_encode,
+    "hex-decode": tf_hex_decode,
+    "base64-decode": tf_base64_decode,
+    "startswith": tf_startswith,
+    "endswith": tf_endswith,
+    "includes": tf_includes,
+    "str-replace": tf_str_replace,
+    "utf8-sanitize": tf_utf8_sanitize,
 }

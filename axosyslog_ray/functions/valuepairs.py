@@ -1,0 +1,228 @@
+"""value-pairs() projection + format-json / format-flat-json / format-welf /
+format-cef / format-leef serializers.
+
+Mirrors the reference's declarative column-set selection
+(reference lib/value-pairs/value-pairs.c:71-129 scopes; transforms.c
+rekey add-prefix/replace-prefix/shift) feeding the structured formatters
+(modules/json/format-json.c, modules/kvformat/format-welf.c,
+modules/cef/). Scopes here select over the promoted Arrow columns plus
+an optional map column of dynamic NVs.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SCOPES = {
+    # builtin promoted columns per scope (subset of the reference's table)
+    "core": ["host", "program", "pid", "msgid", "message", "pri", "ts_stamp"],
+    "rfc3164": ["host", "program", "pid", "message", "pri", "ts_stamp"],
+    "rfc5424": ["host", "program", "pid", "msgid", "message", "pri", "ts_stamp", "sdata"],
+    "nv-pairs": None,  # -> every non-builtin column
+    "everything": None,
+}
+
+
+class ValuePairs:
+    """Column-set selection: scope + glob include/exclude + rekey."""
+
+    def __init__(
+        self,
+        scope: str = "core",
+        include: list[str] | None = None,
+        exclude: list[str] | None = None,
+        add_prefix: str = "",
+        replace_prefix: tuple[str, str] | None = None,
+        shift: int = 0,
+    ):
+        self.scope = scope
+        self.include = include or []
+        self.exclude = [re.compile(fnmatch.translate(g)) for g in (exclude or [])]
+        self.add_prefix = add_prefix
+        self.replace_prefix = replace_prefix
+        self.shift = shift
+
+    def select(self, table: pa.Table) -> list[str]:
+        if SCOPES.get(self.scope) is not None:
+            cols = [c for c in SCOPES[self.scope] if c in table.column_names]
+        else:
+            cols = list(table.column_names)
+        for g in self.include:
+            rx = re.compile(fnmatch.translate(g))
+            cols += [c for c in table.column_names if rx.match(c) and c not in cols]
+        cols = [c for c in cols if not any(rx.match(c) for rx in self.exclude)]
+        return cols
+
+    def rekey(self, name: str) -> str:
+        out = name
+        if self.replace_prefix and out.startswith(self.replace_prefix[0]):
+            out = self.replace_prefix[1] + out[len(self.replace_prefix[0]) :]
+        if self.shift:
+            out = out[self.shift :]
+        return self.add_prefix + out
+
+
+def _cell_to_str(v) -> str | None:
+    if v is None or (isinstance(v, float) and v != v):
+        return None
+    if isinstance(v, (list, np.ndarray)):
+        return ",".join(str(x) for x in v)
+    return str(v)
+
+
+def _rows(table: pa.Table, vp: ValuePairs) -> tuple[list[str], list[dict]]:
+    cols = vp.select(table)
+    data = {c: table.column(c).to_pylist() for c in cols}
+    keys = {c: vp.rekey(c) for c in cols}
+    rows = []
+    for i in range(table.num_rows):
+        row = {}
+        for c in cols:
+            v = data[c][i]
+            if isinstance(v, list) and v and isinstance(v[0], tuple):  # map column
+                for mk, mv in v:
+                    row[f"{keys[c]}.{mk}"] = mv
+            else:
+                sv = _cell_to_str(v)
+                if sv is not None:
+                    row[keys[c]] = sv
+        rows.append(row)
+    return cols, rows
+
+
+def format_json(table: pa.Table, vp: ValuePairs | None = None, out_col: str = "json_out") -> pa.Table:
+    """$(format-json): nested dotted keys -> JSON objects
+    (reference modules/json/format-json.c)."""
+    vp = vp or ValuePairs("everything")
+    _, rows = _rows(table, vp)
+    out = []
+    for row in rows:
+        nested: dict = {}
+        for k, v in sorted(row.items()):
+            parts = k.split(".")
+            d = nested
+            ok = True
+            for p in parts[:-1]:
+                nxt = d.setdefault(p, {})
+                if not isinstance(nxt, dict):  # leaf/branch conflict: keep leaf
+                    ok = False
+                    break
+                d = nxt
+            if ok:
+                d[parts[-1]] = v
+        out.append(json.dumps(nested, separators=(",", ":"), sort_keys=True))
+    return table.append_column(out_col, pa.array(out, type=pa.string()))
+
+
+def format_flat_json(table: pa.Table, vp: ValuePairs | None = None, out_col: str = "json_out") -> pa.Table:
+    """$(format-flat-json): dotted keys stay flat."""
+    vp = vp or ValuePairs("everything")
+    _, rows = _rows(table, vp)
+    out = [json.dumps(dict(sorted(r.items())), separators=(",", ":"), sort_keys=True) for r in rows]
+    return table.append_column(out_col, pa.array(out, type=pa.string()))
+
+
+def format_welf(table: pa.Table, vp: ValuePairs | None = None, out_col: str = "welf_out") -> pa.Table:
+    """$(format-welf): key=value space-joined, values with spaces quoted
+    (reference modules/kvformat/format-welf.c)."""
+    vp = vp or ValuePairs("everything")
+    _, rows = _rows(table, vp)
+
+    def quote(v: str) -> str:
+        return '"' + v.replace('"', '\\"') + '"' if (" " in v or '"' in v) else v
+
+    out = [" ".join(f"{k}={quote(v)}" for k, v in sorted(r.items())) for r in rows]
+    return table.append_column(out_col, pa.array(out, type=pa.string()))
+
+
+_CEF_ESC = {"\\": "\\\\", "|": "\\|"}
+_CEF_EXT_ESC = {"\\": "\\\\", "=": "\\=", "\n": "\\n"}
+
+
+def _esc(v: str, table_: dict) -> str:
+    for a, b in table_.items():
+        v = v.replace(a, b)
+    return v
+
+
+def format_cef(
+    table: pa.Table,
+    device_vendor: str = "axosyslog-ray",
+    device_product: str = "engine",
+    device_version: str = "1.0",
+    event_class: str = "$pdb_rule",
+    name: str = "$message",
+    severity_col: str = "pri",
+    extensions: dict[str, str] | None = None,
+    out_col: str = "cef_out",
+) -> pa.Table:
+    """$(format-cef-extension)-style serializer (reference modules/cef/):
+    CEF:0|vendor|product|version|class|name|severity|k=v k=v."""
+    from .templates import Template
+
+    cls = Template(event_class).eval(table)
+    nm = Template(name).eval(table)
+    sev = (table.column(severity_col).to_numpy().astype(np.int64) % 8) if severity_col in table.column_names else np.zeros(table.num_rows, dtype=np.int64)
+    ext_t = {k: Template(v).eval(table) for k, v in (extensions or {}).items()}
+    out = []
+    for i in range(table.num_rows):
+        ext = " ".join(f"{k}={_esc(str(v[i]), _CEF_EXT_ESC)}" for k, v in sorted(ext_t.items()))
+        head = "|".join(
+            _esc(x, _CEF_ESC)
+            for x in ("CEF:0", device_vendor, device_product, device_version, str(cls[i] or "unknown"), str(nm[i]), str(10 - sev[i]))
+        )
+        out.append(head + "|" + ext)
+    return table.append_column(out_col, pa.array(out, type=pa.string()))
+
+
+def format_leef(
+    table: pa.Table,
+    vendor: str = "axosyslog-ray",
+    product: str = "engine",
+    version: str = "1.0",
+    event_id: str = "$pdb_rule",
+    attrs: dict[str, str] | None = None,
+    out_col: str = "leef_out",
+) -> pa.Table:
+    """LEEF:1.0|vendor|product|version|eventid|k=v<tab>k=v (modules/cef/)."""
+    from .templates import Template
+
+    eid = Template(event_id).eval(table)
+    attr_t = {k: Template(v).eval(table) for k, v in (attrs or {}).items()}
+    out = []
+    for i in range(table.num_rows):
+        body = "\t".join(f"{k}={v[i]}" for k, v in sorted(attr_t.items()))
+        out.append(f"LEEF:1.0|{vendor}|{product}|{version}|{eid[i] or 'unknown'}|" + body)
+    return table.append_column(out_col, pa.array(out, type=pa.string()))
+
+
+def parse_cef(table: pa.Table, source_col: str = "message", out_col: str = "cef") -> pa.Table:
+    """parse_cef() (reference modules/cef/filterx-func-parse-cef.c shape):
+    header fields + extension k=v pairs into a map column."""
+    s = table.column(source_col).to_pandas().astype("string").fillna("")
+    n = len(s)
+    maps = np.full(n, None, dtype=object)
+    valid = np.zeros(n, dtype=bool)
+    head_names = ["version", "device_vendor", "device_product", "device_version",
+                  "device_event_class_id", "name", "agent_severity"]
+    ext_re = re.compile(r"([\w.]+)=((?:[^=\\]|\\.)*?)(?=\s+[\w.]+=|$)")
+    for i, line in enumerate(s.to_numpy()):
+        if not line.startswith("CEF:"):
+            continue
+        parts = re.split(r"(?<!\\)\|", line)
+        if len(parts) < 8:
+            continue
+        pairs = [(head_names[0], parts[0][4:])]
+        pairs += list(zip(head_names[1:], (p.replace("\\|", "|").replace("\\\\", "\\") for p in parts[1:7])))
+        ext = "|".join(parts[7:])
+        for m in ext_re.finditer(ext):
+            pairs.append((m.group(1), m.group(2).replace("\\=", "=").replace("\\\\", "\\")))
+        maps[i], valid[i] = pairs, True
+    out = table.append_column(out_col, pa.array(maps, type=pa.map_(pa.string(), pa.string())))
+    return out.append_column("cef_valid", pa.array(valid))

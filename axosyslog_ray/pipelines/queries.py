@@ -598,6 +598,127 @@ def flagship_routes(sf_dir: str):
     return out.sort_values(["route", "lang"]).reset_index(drop=True)
 
 
+
+
+# ---------------------------------------------------------------------------
+# extended ops: xml, formatters, group-lines, suppress/rate-limit
+# ---------------------------------------------------------------------------
+
+def events_xml_roundtrip(sf_dir: str):
+    """xml-parser() (reference modules/xml/xml.c): build an XML doc from
+    each event, parse it back, return the extracted fields."""
+    from ..stages.xml_parser import XmlParser
+
+    xp = XmlParser(source_col="xml_doc")
+
+    def rt(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["xml_doc"] = (
+            '<event type="' + df["event_type"] + '"><user>' + df["user_id"].astype(str)
+            + "</user><value>" + df["value"].astype(str) + "</value></event>"
+        )
+        t = xp(pa.Table.from_pandas(df[["event_id", "xml_doc"]], preserve_index=False))
+        m = t.column("xv").to_pylist()
+        out = pd.DataFrame({
+            "event_id": t.column("event_id").to_pylist(),
+            "xml_type": [dict(x)["event._type"] for x in m],
+            "xml_user": [dict(x)["event.user"] for x in m],
+            "xml_value": [dict(x)["event.value"] for x in m],
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "user_id", "value"]).map_batches(
+        rt, batch_format="pyarrow"
+    ).to_pandas()
+
+
+EVENTS_XML_SQL = """
+SELECT event_id, event_type AS xml_type,
+       CAST(user_id AS VARCHAR) AS xml_user,
+       CAST(value AS VARCHAR) AS xml_value
+FROM events
+"""
+
+
+def events_format_json(sf_dir: str):
+    """$(format-json) serializer (reference modules/json/format-json.c) over
+    selected event columns."""
+    from ..functions.valuepairs import ValuePairs, format_flat_json
+
+    vp = ValuePairs(scope="everything", exclude=["event_id"])
+
+    def fmt(b: pa.Table) -> pa.Table:
+        t = format_flat_json(b, vp)
+        return t.select(["event_id", "json_out"])
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "user_id"]).map_batches(
+        fmt, batch_format="pyarrow"
+    ).to_pandas()
+
+
+EVENTS_FORMAT_JSON_SQL = """
+SELECT event_id,
+       '{"event_type":"' || event_type || '","user_id":"' || CAST(user_id AS VARCHAR) || '"}' AS json_out
+FROM events
+"""
+
+
+def events_group_lines(sf_dir: str):
+    """group-lines() multi-line reassembly (reference
+    modules/correlation/group-lines.c): per user session (timeout 1800s),
+    event_types joined in event-time order."""
+    from ..state.correlate import group_lines
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = group_lines(ds, "user_id", timeout=1800, ts_col="ts", message_col="event_type", separator=" ").to_pandas()
+    out = out.rename(columns={"message": "joined", "n_lines": "n_events"})
+    out = out[["user_id", "context_id", "joined", "n_events"]]
+    out["user_id"] = out["user_id"].astype("int64")
+    out["context_id"] = out["context_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+EVENTS_GROUP_LINES_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, CAST(sid AS BIGINT) AS context_id,
+       string_agg(event_type, ' ' ORDER BY ts) AS joined,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, sid
+"""
+
+
+def events_suppress(sf_dir: str):
+    """suppress(): drop duplicate messages per (user, type) within 3600s,
+    count suppressed (reference lib/logwriter.c:575-660). Non-SQL (greedy
+    last-kept-timestamp chain)."""
+    from ..state.suppress import suppress
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    out = suppress(ds, 3600, keys=("user_id", "event_type"), ts_col="ts", tie_break="event_id").to_pandas()
+    out = out[["event_id", "repeat_count"]].astype("int64").sort_values("event_id").reset_index(drop=True)
+    return out
+
+
+def events_rate_limit(sf_dir: str):
+    """rate-limit(): per-user token bucket, 2 events per hour window
+    (reference modules/rate-limit-filter/rate-limit.c). Non-SQL."""
+    from ..state.suppress import rate_limit
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out = rate_limit(ds, "user_id", rate=2, per_seconds=3600, ts_col="ts", tie_break="event_id").to_pandas()
+    out = out[["event_id"]].astype("int64").sort_values("event_id").reset_index(drop=True)
+    return out
+
+
 RAY_QUERIES = {
     "q1_pricing": q1_pricing,
     "customer_nation_join": customer_nation_join,
@@ -623,6 +744,11 @@ RAY_QUERIES = {
     "emb_lsh_ann": emb_lsh_ann,
     "media_decode_stats": media_decode_stats,
     "flagship_routes": flagship_routes,
+    "events_xml_roundtrip": events_xml_roundtrip,
+    "events_format_json": events_format_json,
+    "events_group_lines": events_group_lines,
+    "events_suppress": events_suppress,
+    "events_rate_limit": events_rate_limit,
 }
 
 ORACLE_SQLS = {
@@ -644,4 +770,7 @@ ORACLE_SQLS = {
     "docs_quality": DOCS_QUALITY_SQL,
     "emb_ann_topk": EMB_ANN_SQL,
     "emb_near_dup": EMB_NEAR_DUP_SQL,
+    "events_xml_roundtrip": EVENTS_XML_SQL,
+    "events_format_json": EVENTS_FORMAT_JSON_SQL,
+    "events_group_lines": EVENTS_GROUP_LINES_SQL,
 }

@@ -52,8 +52,13 @@ class Suppress:
         return out
 
 
-def suppress(ds, seconds: float, keys=("host", "program", "message"), ts_col="ts_stamp"):
-    return ds.groupby(list(keys)).map_groups(Suppress(seconds, ts_col=ts_col), batch_format="pandas")
+def suppress(ds, seconds: float, keys=("host", "program", "message"), ts_col="ts_stamp", tie_break="url"):
+    s = Suppress(seconds, ts_col=ts_col, tie_break=tie_break)
+
+    def apply_suppress(df):
+        return s(df)
+
+    return ds.groupby(list(keys)).map_groups(apply_suppress, batch_format="pandas")
 
 
 class RateLimit:
@@ -81,6 +86,11 @@ class RateLimit:
         return g[keep]
 
 
-def rate_limit(ds, key, rate: int, per_seconds: float = 1.0, ts_col="ts_stamp"):
+def rate_limit(ds, key, rate: int, per_seconds: float = 1.0, ts_col="ts_stamp", tie_break="url"):
     keys = key if isinstance(key, str) else list(key)
-    return ds.groupby(keys).map_groups(RateLimit(rate, per_seconds, ts_col=ts_col), batch_format="pandas")
+    rl = RateLimit(rate, per_seconds, ts_col=ts_col, tie_break=tie_break)
+
+    def apply_rate_limit(df):
+        return rl(df)
+
+    return ds.groupby(keys).map_groups(apply_rate_limit, batch_format="pandas")

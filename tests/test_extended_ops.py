@@ -1,0 +1,177 @@
+"""xml parser, value-pairs/format-*, audit hex decode, correlation actions,
+group-lines, app parsers."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from axosyslog_ray.functions.valuepairs import (
+    ValuePairs, format_cef, format_flat_json, format_json, format_leef, format_welf, parse_cef,
+)
+from axosyslog_ray.stages.app_parsers import AppParserChain, PanosParser, cisco_parser
+from axosyslog_ray.stages.audit_parser import LinuxAuditParser
+from axosyslog_ray.stages.xml_parser import XmlParser
+from axosyslog_ray.state.correlate import CorrelationConfig, PdbAction, PdbCorrelator, group_lines
+
+
+def _t(**cols):
+    return pa.table(cols)
+
+
+# ---------------- xml ----------------
+
+def test_xml_flatten_attrs_and_text():
+    p = XmlParser()
+    r = p(_t(message=['<a x="1"><b>hello</b><b>world</b><c/></a>', "not xml"])).to_pylist()
+    assert dict(r[0]["xv"]) == {"a._x": "1", "a.b": "hello,world"}
+    assert r[0]["xml_valid"] and not r[1]["xml_valid"]
+
+
+def test_xml_exclude_and_strip():
+    p = XmlParser(exclude_tags=["skip*"], strip_whitespaces=True)
+    r = p(_t(message=["<r><skipme>x</skipme><keep>  pad  </keep></r>"])).to_pylist()[0]
+    assert dict(r["xv"]) == {"r.keep": "pad"}
+
+
+def test_xml_windows_eventlog_data_names():
+    p = XmlParser(windows_eventlog=True)
+    r = p(_t(message=['<Event><EventData><Data Name="User">bob</Data></EventData></Event>'])).to_pylist()[0]
+    assert dict(r["xv"])["Event.EventData.User"] == "bob"
+
+
+# ---------------- value-pairs / formatters ----------------
+
+MSG = _t(host=["h1"], program=["app"], message=["hello world"], pri=pa.array([38], type=pa.uint16()),
+         extra=["e1"], dot_field=["d"])
+
+
+def test_value_pairs_scope_and_rekey():
+    vp = ValuePairs(scope="core", exclude=["pri"], add_prefix="log.")
+    cols = vp.select(MSG)
+    assert "pri" not in cols and "host" in cols
+    assert vp.rekey("host") == "log.host"
+
+
+def test_format_json_nested():
+    import json
+
+    vp = ValuePairs(scope="core", exclude=["pri", "ts_stamp"], add_prefix="log.")
+    out = format_json(MSG, vp).column("json_out").to_pylist()[0]
+    assert json.loads(out) == {"log": {"host": "h1", "program": "app", "message": "hello world"}}
+
+
+def test_format_flat_and_welf():
+    vp = ValuePairs(scope="core", exclude=["pri", "ts_stamp", "msgid", "pid"])
+    flat = format_flat_json(MSG, vp).column("json_out").to_pylist()[0]
+    assert '"host":"h1"' in flat
+    welf = format_welf(MSG, vp).column("welf_out").to_pylist()[0]
+    assert 'message="hello world"' in welf and "host=h1" in welf
+
+
+def test_format_cef_and_parse_cef_roundtrip():
+    t = _t(message=["something bad"], pri=pa.array([11], type=pa.uint16()), pdb_rule=["rule-x"], host=["h1"])
+    out = format_cef(t, extensions={"src": "$host"}).column("cef_out").to_pylist()[0]
+    assert out.startswith("CEF:0|axosyslog-ray|engine|1.0|rule-x|something bad|7|src=h1")
+    back = parse_cef(_t(message=[out])).to_pylist()[0]
+    d = dict(back["cef"])
+    assert d["device_event_class_id"] == "rule-x" and d["src"] == "h1"
+
+
+def test_format_leef():
+    t = _t(pdb_rule=["r1"], host=["h"])
+    out = format_leef(t, attrs={"srcHost": "$host"}).column("leef_out").to_pylist()[0]
+    assert out == "LEEF:1.0|axosyslog-ray|engine|1.0|r1|srcHost=h"
+
+
+# ---------------- audit hex decode ----------------
+
+def test_audit_hex_decoding():
+    p = LinuxAuditParser(source_col="message")
+    r = p(_t(message=['type=EXECVE argc=2 a0="ls" a1=2F746D70 pid=123'])).to_pylist()[0]
+    d = dict(r["kv"])
+    assert d["a1"] == "/tmp"  # hex-decoded
+    assert d["a0"] == "ls"  # quoted stays literal
+    assert d["pid"] == "123"  # short number untouched
+
+
+# ---------------- correlation actions / group-lines ----------------
+
+def _ctx_df():
+    ts = pd.to_datetime([
+        "2026-01-01 00:00:00", "2026-01-01 00:00:10", "2026-01-01 00:00:20",
+        "2026-01-01 01:00:00",
+    ])
+    return pd.DataFrame({"ts_stamp": ts, "ctx": ["c1"] * 4, "message": ["l1", "l2", "l3", "l4"],
+                         "kind": ["a", "b", "a", "a"]})
+
+
+def test_correlation_timeout_action_per_context():
+    cfg = CorrelationConfig(key=["ctx"], timeout=300, actions=[
+        PdbAction(on="timeout", fields={"n": "context-length", "joined": "join:message: "}),
+    ])
+    out = PdbCorrelator(cfg).apply(_ctx_df())
+    assert len(out) == 2
+    assert out["n"].tolist() == [3, 1]
+    assert out["joined"].tolist() == ["l1 l2 l3", "l4"]
+
+
+def test_correlation_match_action_with_condition_and_ratelimit():
+    cfg = CorrelationConfig(key=["ctx"], timeout=300, actions=[
+        PdbAction(on="match", condition=lambda s: (s["kind"] == "a").to_numpy(),
+                  rate_limit=1, fields={"last_msg": "last:message"}),
+    ])
+    out = PdbCorrelator(cfg).apply(_ctx_df())
+    # context 1 has two 'a' rows but rate_limit=1 -> one emission; context 2 one
+    assert len(out) == 2
+    assert out["last_msg"].tolist() == ["l1", "l4"]
+
+
+def test_correlation_having_condition_gates_timeout():
+    cfg = CorrelationConfig(key=["ctx"], timeout=300, actions=[
+        PdbAction(on="timeout", condition=lambda s: len(s) >= 2, fields={"n": "context-length"}),
+    ])
+    out = PdbCorrelator(cfg).apply(_ctx_df())
+    assert out["n"].tolist() == [3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_lines_through_ray():
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "host": ["h"] * 4,
+        "ts_stamp": pd.to_datetime(["2026-01-01 00:00:00", "2026-01-01 00:00:01",
+                                    "2026-01-01 00:10:00", "2026-01-01 00:10:01"]),
+        "message": ["Traceback:", "  line 1", "Traceback:", "  line 2"],
+    })
+    out = group_lines(rd.from_pandas(df), "host", timeout=60).to_pandas()
+    assert sorted(out["message"]) == ["Traceback:\n  line 1", "Traceback:\n  line 2"]
+    assert out["n_lines"].tolist() == [2, 2]
+
+
+# ---------------- app parsers ----------------
+
+def test_cisco_parser():
+    p = cisco_parser()
+    r = p(_t(message=["%SYS-5-CONFIG_I: Configured from console", "plain"])).to_pylist()
+    assert r[0]["cisco_facility"] == "SYS" and r[0]["cisco_severity"] == "5"
+    assert r[0]["cisco_mnemonic"] == "CONFIG_I"
+    assert r[0]["cisco_message"] == "Configured from console"
+    assert not r[1]["re_matched"]
+
+
+def test_panos_parser_common_fields():
+    p = PanosParser()
+    r = p(_t(message=["1,2026/01/01 00:00:00,0123,TRAFFIC,end,rest,of,fields"])).to_pylist()[0]
+    assert r["panos_type"] == "TRAFFIC"
+    assert r["panos_rest"].startswith("end,rest")
+
+
+def test_app_parser_chain_first_match_wins():
+    chain = AppParserChain([
+        ("cisco", cisco_parser(), "re_matched"),
+        ("panos", PanosParser(), "panos_valid"),
+    ])
+    r = chain(_t(message=["%SYS-5-X: m", "1,t,s,TRAFFIC,end,x", "neither at all"])).to_pylist()
+    assert [x["app_name"] for x in r] == ["cisco", "panos", None]
