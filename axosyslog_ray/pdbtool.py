@@ -1,0 +1,133 @@
+"""pdbtool analogue: PatternDB rule conformance runner + one-shot matcher.
+
+Mirrors the reference's offline PatternDB tooling (reference
+modules/correlation/pdbtool/pdbtool.c): `match` parses one message
+against the ruleset and prints extracted values; `test` runs every
+rule's embedded example corpus asserting the extracted values — the
+conformance pattern of pdb-example.c / `pdbtool test`.
+
+Rulesets load from JSON (the engine's stand-in for .pdb XML,
+FIXTURES.md §3):
+
+    {"rules": [{"rule_id": ..., "pattern": ..., "program": ...,
+                "class": ..., "tags": [...], "values": {...},
+                "examples": [{"message": ..., "program": ...,
+                               "expected": {name: value, ...}}]}]}
+
+CLI:  python -m axosyslog_ray.pdbtool test [ruleset.json]
+      python -m axosyslog_ray.pdbtool match -p PROGRAM MESSAGE
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from .stages.patterndb import DEFAULT_RULES, PatternDB, PdbRule
+
+
+@dataclass
+class PdbExample:
+    message: str
+    program: str | None = None
+    expected_rule: str | None = None
+    expected: dict[str, str] = field(default_factory=dict)
+
+
+# examples for the bundled ruleset (the pdb-example.c conformance pattern)
+DEFAULT_EXAMPLES = [
+    PdbExample(
+        "'su root' failed for alice on /dev/pts/8", program="su",
+        expected_rule="su-failed", expected={"user": "alice", "tty": "/dev/pts/8"},
+    ),
+    PdbExample(
+        "Accepted password for bob from 10.1.2.3 port 2222 ssh2", program="sshd",
+        expected_rule="sshd-accepted",
+        expected={"auth_method": "password", "user": "bob", "client_ip": "10.1.2.3", "port": "2222"},
+    ),
+    PdbExample("eth0: link up", program="kernel",
+               expected_rule="kernel-link-up", expected={"interface": "eth0"}),
+    PdbExample("something unmatched", program="su", expected_rule=None),
+]
+
+
+def load_ruleset(path: str) -> tuple[list[PdbRule], list[PdbExample]]:
+    with open(path) as f:
+        doc = json.load(f)
+    rules, examples = [], []
+    for r in doc.get("rules", []):
+        rules.append(
+            PdbRule(
+                rule_id=r["rule_id"], pattern=r["pattern"], program=r.get("program"),
+                rule_class=r.get("class", "system"), tags=r.get("tags", []),
+                values=r.get("values", {}),
+            )
+        )
+        for ex in r.get("examples", []):
+            examples.append(
+                PdbExample(
+                    message=ex["message"], program=ex.get("program", r.get("program")),
+                    expected_rule=r["rule_id"], expected=ex.get("expected", {}),
+                )
+            )
+    return rules, examples
+
+
+def match_one(pdb: PatternDB, message: str, program: str | None = None) -> dict:
+    t = pa.table({"message": [message], "program": pa.array([program], type=pa.string())})
+    row = pdb(t).to_pylist()[0]
+    return {
+        "rule": row["pdb_rule"],
+        "class": row["pdb_class"],
+        "values": dict(row["pdb_values"]) if row["pdb_values"] else {},
+        "tags": list(row["tags"]) if row["tags"] else [],
+    }
+
+
+def run_conformance(rules: list[PdbRule] | None = None, examples: list[PdbExample] | None = None) -> list[str]:
+    """Run every example, return a list of failure descriptions (empty = pass)."""
+    pdb = PatternDB(rules)
+    failures = []
+    for ex in examples if examples is not None else DEFAULT_EXAMPLES:
+        got = match_one(pdb, ex.message, ex.program)
+        if got["rule"] != ex.expected_rule:
+            failures.append(f"{ex.message!r}: rule {got['rule']!r} != expected {ex.expected_rule!r}")
+            continue
+        for name, want in ex.expected.items():
+            have = got["values"].get(name)
+            if have != want:
+                failures.append(f"{ex.message!r}: value {name}={have!r} != expected {want!r}")
+    return failures
+
+
+def main(argv: list[str]) -> int:
+    if not argv or argv[0] not in ("test", "match"):
+        print(__doc__)
+        return 2
+    if argv[0] == "test":
+        if len(argv) > 1:
+            rules, examples = load_ruleset(argv[1])
+        else:
+            rules, examples = None, None
+        failures = run_conformance(rules, examples)
+        for f in failures:
+            print("FAIL", f)
+        n = len(examples if examples is not None else DEFAULT_EXAMPLES)
+        print(f"{n - len(failures)}/{n} examples passed")
+        return 1 if failures else 0
+    # match
+    program = None
+    args = argv[1:]
+    if args and args[0] == "-p":
+        program = args[1]
+        args = args[2:]
+    result = match_one(PatternDB(), " ".join(args), program)
+    print(json.dumps(result, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -59,7 +59,8 @@ class CheckpointManifest:
             os.fsync(f.fileno())
         os.replace(tmp, self._marker(part_id))
 
-    def write_partition(self, part_id: str, ds, extra_meta: dict | None = None) -> dict:
+    def write_partition(self, part_id: str, ds, extra_meta: dict | None = None,
+                        write_kwargs: dict | None = None) -> dict:
         """Execute `ds` into this partition's directory atomically and mark
         done. Returns the recorded metadata. Idempotent: an existing done
         partition is returned untouched."""
@@ -67,15 +68,21 @@ class CheckpointManifest:
         if existing is not None:
             return existing
         final = self.part_dir(part_id)
+        # clear orphaned tmp dirs from a previous killed attempt
+        import glob as _glob
+
+        for stale in _glob.glob(final + ".tmp-*"):
+            shutil.rmtree(stale, ignore_errors=True)
         tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
         t0 = time.time()
-        ds.write_parquet(tmp)
+        ds.write_parquet(tmp, **(write_kwargs or {}))
         import pyarrow.parquet as pq
 
         rows = 0
-        for fname in os.listdir(tmp):
-            if fname.endswith(".parquet"):
-                rows += pq.read_metadata(os.path.join(tmp, fname)).num_rows
+        for root, _dirs, fnames in os.walk(tmp):
+            for fname in fnames:
+                if fname.endswith(".parquet"):
+                    rows += pq.read_metadata(os.path.join(root, fname)).num_rows
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
@@ -90,7 +97,8 @@ class CheckpointManifest:
         return meta
 
 
-def resumable_run(partition_ids: list[str], build_fn, out_dir: str, metrics_fn=None) -> dict:
+def resumable_run(partition_ids: list[str], build_fn, out_dir: str, metrics_fn=None,
+                  write_kwargs: dict | None = None) -> dict:
     """Run `build_fn(part_id) -> Dataset` for every partition not already
     completed; returns {part_id: meta}. Each partition internally executes
     with full-cluster parallelism, so sequential partition order costs
@@ -103,5 +111,5 @@ def resumable_run(partition_ids: list[str], build_fn, out_dir: str, metrics_fn=N
             continue
         ds = build_fn(pid)
         extra = metrics_fn(pid) if metrics_fn else None
-        results[pid] = ckpt.write_partition(pid, ds, extra)
+        results[pid] = ckpt.write_partition(pid, ds, extra, write_kwargs=write_kwargs)
     return results
