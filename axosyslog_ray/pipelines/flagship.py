@@ -71,6 +71,39 @@ class LogPipelineStage:
         self.json = JsonParser(source_col="text", promote=["event.type", "event.count"])
         self.router = build_router()
 
+    @staticmethod
+    def _apply_subset(t: pa.Table, mask: np.ndarray, parser, keep=None) -> pa.Table:
+        """Run a parser only on candidate rows and scatter its new columns
+        back full-length (parsers cost per row — running the csv/kv/json
+        parsers over all rows instead of their ~1/6 candidates was half
+        the stage's wall time, profiled)."""
+        src = parser.source_col
+        # slice ONLY the parser's input column — filtering the whole table
+        # would copy the fat html payload per parser
+        sub = pa.table({src: t.column(src).filter(pa.array(mask))})
+        out_sub = parser(sub)
+        idx = np.flatnonzero(mask)
+        n = t.num_rows
+        for name in out_sub.column_names[1:]:
+            if keep is not None and name not in keep:
+                continue
+            col = out_sub.column(name)
+            typ = col.type
+            if pa.types.is_boolean(typ):
+                full_b = np.zeros(n, dtype=bool)
+                if len(idx):
+                    full_b[idx] = col.to_numpy(zero_copy_only=False)
+                t = t.append_column(name, pa.array(full_b))
+                continue
+            full = np.full(n, None, dtype=object)
+            if len(idx):
+                vals = col.to_pylist()
+                varr = np.empty(len(vals), dtype=object)
+                varr[:] = vals  # nested lists/maps must stay ragged objects
+                full[idx] = varr
+            t = t.append_column(name, pa.array(full, type=typ))
+        return t
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = parse_syslog_table(batch)
 
@@ -81,11 +114,14 @@ class LogPipelineStage:
         looks_apache = text.str.match(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3} ").to_numpy() & ~syslog_ok
         looks_kv = text.str.contains("=", regex=False).to_numpy() & ~syslog_ok & ~looks_json & ~looks_apache
 
-        t = self.json(t)
+        # only the columns the sink projection / routing consume get
+        # scattered back — the rest of each parser's output is dropped by
+        # SINK_COLUMNS anyway
+        t = self._apply_subset(t, looks_json, self.json, keep={"json_valid"})
         json_ok = t.column("json_valid").to_numpy(zero_copy_only=False) & looks_json
-        t = self.apache(t)
+        t = self._apply_subset(t, looks_apache, self.apache, keep={"csv_valid", "web_clientip", "web_status"})
         apache_ok = t.column("csv_valid").to_numpy(zero_copy_only=False) & looks_apache
-        t = self.kv(t)
+        t = self._apply_subset(t, looks_kv, self.kv, keep={"src_ip", "status"})
 
         app = np.full(t.num_rows, "raw", dtype=object)
         app[looks_kv] = "kv"

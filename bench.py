@@ -175,7 +175,7 @@ def scaling() -> None:
     fixed per-session costs — the efficiency criterion measures the JOB's
     scalability, which needs the job long enough to amortize startup."""
     results = {}
-    mult = os.environ.get("BENCH_PAGES_MULT", "480")
+    mult = os.environ.get("BENCH_PAGES_MULT", "960")
     lo = int(os.environ.get("BENCH_SCALE_LO", "4"))
     for ncpu in (lo, lo * 4):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
