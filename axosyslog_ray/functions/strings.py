@@ -247,6 +247,19 @@ def tf_utf8_sanitize(t, a):
     return _s(a).map(lambda x: x.encode("utf-8", "replace").decode("utf-8", "replace")).astype(object)
 
 
+def tf_format_date(t, fmt, ts=None):
+    """$(format-date fmt [ts]) (reference modules/timestamp/tf-format-date.c):
+    strftime over a unix-seconds arg, or over $UNIXTIME-style input."""
+    fmts = _s(fmt)
+    if ts is None:
+        return pd.Series([""] * t.num_rows, dtype=object)
+    secs = _num(ts)
+    stamps = pd.to_datetime(secs, unit="s", errors="coerce")
+    return pd.Series(
+        ["" if pd.isna(d) else d.strftime(f) for d, f in zip(stamps, fmts)], dtype=object
+    )
+
+
 def tf_uuid(t, *args):
     # deterministic per-row UUID5 over row index (the reference's $(uuid) is
     # random; determinism is required for replayable batch lineage)
@@ -379,4 +392,5 @@ TEMPLATE_FUNCS = {
     "includes": tf_includes,
     "str-replace": tf_str_replace,
     "utf8-sanitize": tf_utf8_sanitize,
+    "format-date": tf_format_date,
 }

@@ -719,6 +719,55 @@ def events_rate_limit(sf_dir: str):
     return out
 
 
+
+
+def orders_customer_hash_join(sf_dir: str):
+    """Big-big partitioned hash join (axosyslog_ray.join — beyond the
+    reference's broadcast-only joins, SURVEY.md §2.7): orders x customer,
+    revenue stats per market segment."""
+    from ..join import hash_join
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.rename_columns(["o_custkey", "c_mktsegment"]), batch_format="pyarrow"
+    )
+    joined = hash_join(orders, cust, "o_custkey", how="inner")
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+    )
+    out["total"] = round_half_away(out["total"], 2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+ORDERS_CUSTOMER_JOIN_SQL = """
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def lineitem_salted_count(sf_dir: str):
+    """Salted two-phase count for skewed keys (aggregate.salted_count —
+    the reference's missing skew handling, SURVEY.md §4): counts per
+    l_returnflag via (key, salt) partials then re-reduce."""
+    from ..aggregate import salted_count
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag"])
+    out = salted_count(ds, "l_returnflag", num_salts=8, alias="n").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+LINEITEM_SALTED_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag
+"""
+
+
 RAY_QUERIES = {
     "q1_pricing": q1_pricing,
     "customer_nation_join": customer_nation_join,
@@ -749,6 +798,8 @@ RAY_QUERIES = {
     "events_group_lines": events_group_lines,
     "events_suppress": events_suppress,
     "events_rate_limit": events_rate_limit,
+    "orders_customer_hash_join": orders_customer_hash_join,
+    "lineitem_salted_count": lineitem_salted_count,
 }
 
 ORACLE_SQLS = {
@@ -773,4 +824,6 @@ ORACLE_SQLS = {
     "events_xml_roundtrip": EVENTS_XML_SQL,
     "events_format_json": EVENTS_FORMAT_JSON_SQL,
     "events_group_lines": EVENTS_GROUP_LINES_SQL,
+    "orders_customer_hash_join": ORDERS_CUSTOMER_JOIN_SQL,
+    "lineitem_salted_count": LINEITEM_SALTED_SQL,
 }

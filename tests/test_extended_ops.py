@@ -175,3 +175,48 @@ def test_app_parser_chain_first_match_wins():
     ])
     r = chain(_t(message=["%SYS-5-X: m", "1,t,s,TRAFFIC,end,x", "neither at all"])).to_pylist()
     assert [x["app_name"] for x in r] == ["cisco", "panos", None]
+
+
+# ---------------- big-big hash join ----------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_inner_and_left():
+    import ray.data as rd
+
+    from axosyslog_ray.join import hash_join
+
+    l = rd.from_pandas(pd.DataFrame({"k": [1, 2, 2, 3], "a": ["x", "y", "z", "w"]}))
+    r = rd.from_pandas(pd.DataFrame({"k": [2, 3, 3, 4], "b": [10, 20, 30, 40]}))
+    inner = hash_join(l, r, "k").to_pandas().sort_values(["k", "a", "b"]).reset_index(drop=True)
+    exp = (
+        pd.DataFrame({"k": [1, 2, 2, 3], "a": ["x", "y", "z", "w"]})
+        .merge(pd.DataFrame({"k": [2, 3, 3, 4], "b": [10, 20, 30, 40]}), on="k")
+        .sort_values(["k", "a", "b"]).reset_index(drop=True)
+    )
+    assert inner[["k", "a", "b"]].equals(exp)
+    assert str(inner["b"].dtype) == "int64"  # types restored through the NaN-padded union
+    left = hash_join(l, r, "k", how="left").to_pandas()
+    assert len(left) == 5  # k=1 kept with null b
+    assert left[left["k"] == 1]["b"].isna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_overlapping_columns_suffixed():
+    import ray.data as rd
+
+    from axosyslog_ray.join import hash_join
+
+    l = rd.from_pandas(pd.DataFrame({"k": [1, 2], "v": ["L1", "L2"]}))
+    r = rd.from_pandas(pd.DataFrame({"k": [2], "v": ["R2"]}))
+    out = hash_join(l, r, "k").to_pandas()
+    assert list(out.columns) == ["k", "v_l", "v_r"]
+    assert out.iloc[0].tolist() == [2, "L2", "R2"]
+
+
+def test_format_date_function():
+    import pyarrow as pa
+
+    from axosyslog_ray.functions.templates import Template
+
+    t = pa.table({"secs": ["1767225600"]})  # 2026-01-01 00:00:00 UTC
+    assert Template("$(format-date %Y-%m-%d $secs)").eval(t).tolist() == ["2026-01-01"]
