@@ -135,7 +135,10 @@ def format_welf(table: pa.Table, vp: ValuePairs | None = None, out_col: str = "w
     _, rows = _rows(table, vp)
 
     def quote(v: str) -> str:
-        return '"' + v.replace('"', '\\"') + '"' if (" " in v or '"' in v) else v
+        # quote anything the kv grammar would mis-tokenize: separators,
+        # quotes, and ANY unicode whitespace (\s in the kv scanner)
+        needs = any(c.isspace() or c in '"=,' for c in v) or v == ""
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"' if needs else v
 
     out = [" ".join(f"{k}={quote(v)}" for k, v in sorted(r.items())) for r in rows]
     return table.append_column(out_col, pa.array(out, type=pa.string()))

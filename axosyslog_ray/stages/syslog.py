@@ -122,7 +122,7 @@ def parse_syslog_table(
     is5424 = pc.match_substring_regex(arrow_text, r"^<\d{1,3}>\d ").to_numpy(zero_copy_only=False)
     is5424 = np.asarray(is5424, dtype=bool)
     if is5424.any():
-        struct_5424 = pc.extract_regex(pc.cast(arrow_text, pa.string()), pattern=RE_5424.pattern)
+        struct_5424 = pc.extract_regex(pc.cast(arrow_text, pa.string()), pattern="(?s)" + RE_5424.pattern)  # (?s): RE2 ignores Python re.S
         sub_struct = struct_5424.filter(pa.array(is5424))
         ex = pd.DataFrame(
             {name: pc.struct_field(sub_struct, name).to_pandas().astype("string") for name in RE_5424.groupindex}
@@ -151,7 +151,7 @@ def parse_syslog_table(
     # ---------- RFC3164 ----------
     cand = ~is5424
     if cand.any():
-        struct_3164 = pc.extract_regex(pc.cast(arrow_text, pa.string()), pattern=RE_3164.pattern)
+        struct_3164 = pc.extract_regex(pc.cast(arrow_text, pa.string()), pattern="(?s)" + RE_3164.pattern)
         sub3 = struct_3164.filter(pa.array(cand))
         ex = pd.DataFrame(
             {name: pc.struct_field(sub3, name).to_pandas().astype("string") for name in RE_3164.groupindex}
@@ -206,7 +206,11 @@ def parse_syslog_table(
         ("syslog_parsed", parsed, pa.bool_()),
         ("msgformat", fmt, pa.string()),
     ):
-        out = out.append_column(name, pa.array(arr, type=typ))
+        col = pa.array(arr, type=typ)
+        if name in out.column_names:  # re-parse overwrites (syslog-parser() on a field)
+            out = out.set_column(out.column_names.index(name), name, col)
+        else:
+            out = out.append_column(name, col)
     return out
 
 
