@@ -768,6 +768,56 @@ SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_retu
 """
 
 
+
+
+def events_date_roundtrip(sf_dir: str):
+    """date-parser() (reference modules/timestamp/date-parser.c): format
+    each ts as an apache-style string, parse it back through the format
+    list, return the reparsed stamp (second precision)."""
+    from ..stages.date_parser import DateParser
+
+    dp = DateParser(["%Y-%m-%dT%H:%M:%S%z", "%d/%b/%Y:%H:%M:%S"], source_col="ts_str", target_col="reparsed")
+
+    def rt(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["ts_str"] = df["ts"].dt.strftime("%d/%b/%Y:%H:%M:%S")
+        t = dp(pa.Table.from_pandas(df[["event_id", "ts_str"]], preserve_index=False))
+        return t.select(["event_id", "reparsed"])
+
+    out = _read(sf_dir, "events", ["event_id", "ts"]).map_batches(rt, batch_format="pyarrow").to_pandas()
+    return out
+
+
+EVENTS_DATE_SQL = """
+SELECT event_id, strptime(strftime(ts, '%d/%b/%Y:%H:%M:%S'), '%d/%b/%Y:%H:%M:%S') AS reparsed
+FROM events
+"""
+
+
+def events_netmask(sf_dir: str):
+    """netmask() CIDR containment (reference lib/filter/filter-netmask.c):
+    synthetic ip per event, keep rows inside 10.0.0.0/18."""
+    from ..route import Netmask
+
+    nm = Netmask("10.0.0.0/18", field="ip")
+
+    def filt(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["ip"] = "10." + (df["event_id"] % 256).astype(str) + "." + (df["event_id"] % 100).astype(str) + ".1"
+        t = pa.Table.from_pandas(df[["event_id", "ip"]], preserve_index=False)
+        mask = nm.mask(t)
+        return t.filter(pa.array(mask)).select(["event_id"])
+
+    out = _read(sf_dir, "events", ["event_id"]).map_batches(filt, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_NETMASK_SQL = """
+-- 10.a.b.1 in 10.0.0.0/18 <=> a*2^16 + b*2^8 + 1 < 2^14 <=> a = 0 AND b < 64
+SELECT event_id FROM events WHERE (event_id % 256) = 0 AND (event_id % 100) < 64 ORDER BY event_id
+"""
+
+
 RAY_QUERIES = {
     "q1_pricing": q1_pricing,
     "customer_nation_join": customer_nation_join,
@@ -800,6 +850,8 @@ RAY_QUERIES = {
     "events_rate_limit": events_rate_limit,
     "orders_customer_hash_join": orders_customer_hash_join,
     "lineitem_salted_count": lineitem_salted_count,
+    "events_date_roundtrip": events_date_roundtrip,
+    "events_netmask": events_netmask,
 }
 
 ORACLE_SQLS = {
@@ -826,4 +878,6 @@ ORACLE_SQLS = {
     "events_group_lines": EVENTS_GROUP_LINES_SQL,
     "orders_customer_hash_join": ORDERS_CUSTOMER_JOIN_SQL,
     "lineitem_salted_count": LINEITEM_SALTED_SQL,
+    "events_date_roundtrip": EVENTS_DATE_SQL,
+    "events_netmask": EVENTS_NETMASK_SQL,
 }
