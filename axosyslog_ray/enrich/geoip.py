@@ -46,6 +46,25 @@ class GeoIP:
         self.source_col = source_col
         self.prefix = prefix
 
+    @staticmethod
+    def pack_ipv4(ips: pd.Series) -> pd.Series:
+        """Vectorized dotted-quad -> int (NaN for non-IPv4), via Arrow RE2."""
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        arr = _pa.array(ips.astype(object).where(ips.notna(), None), type=_pa.string())
+        st = _pc.extract_regex(arr, pattern=r"^(?P<a>\d{1,3})\.(?P<b>\d{1,3})\.(?P<c>\d{1,3})\.(?P<d>\d{1,3})$")
+        octs = [
+            _pc.cast(_pc.struct_field(st, f), _pa.int64()).to_pandas() for f in ("a", "b", "c", "d")
+        ]
+        ok = octs[0].notna()
+        for o in octs[1:]:
+            ok &= o.notna()
+        for o in octs:
+            ok &= o <= 255
+        val = octs[0] * 16777216 + octs[1] * 65536 + octs[2] * 256 + octs[3]
+        return val.where(ok.fillna(False))
+
     def __call__(self, table: pa.Table) -> pa.Table:
         n = table.num_rows
         out = table
@@ -54,7 +73,7 @@ class GeoIP:
                 out = out.append_column(self.prefix + name, pa.nulls(n, pa.string()))
             return out
         ips = table.column(self.source_col).to_pandas()
-        ints = pd.to_numeric(tf_ipv4_to_int(table, ips), errors="coerce")
+        ints = self.pack_ipv4(ips)
         valid = ints.notna().to_numpy()
         iv = ints.fillna(-1).astype(np.int64).to_numpy()
         pos = np.searchsorted(self.starts, iv, side="right") - 1

@@ -19,6 +19,8 @@ aggregates shuffle, and those are two-phase pre-aggregated
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -35,6 +37,62 @@ from ..stages.patterndb import PatternDB
 from ..stages.syslog import parse_syslog_table
 
 SINKS = ["errors", "auth", "web", "other"]
+
+
+# ---------------------------------------------------------------------------
+# Hot-path specializations (semantics identical to the generic operators —
+# cross-checked in tests/test_flagship.py): the generic CsvParser/KvParser/
+# JsonParser tokenize per row in Python; the flagship's fixed shapes let the
+# whole batch run through Arrow RE2 instead.
+# ---------------------------------------------------------------------------
+
+APACHE_RE2 = (
+    r'^(?P<clientip>\S+) (?P<ident>\S+) (?P<auth>\S+) \[(?P<ats>[^\]]*)\] '
+    r'"(?P<request>(?:[^"\\]|\\.)*)" (?P<status>\S+) (?P<bytes>\S+) '
+    r'"(?P<referrer>(?:[^"\\]|\\.)*)" "(?P<agent>(?:[^"\\]|\\.)*)" '
+    r'(?P<rt>\S+) (?P<vhost>\S+)$'
+)
+
+
+def fast_apache(text: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (valid, clientip, status) via one RE2 pass."""
+    st = pc.extract_regex(pc.cast(text, pa.string()), pattern=APACHE_RE2)
+    clientip = pc.struct_field(st, "clientip")
+    status = pc.struct_field(st, "status")
+    valid = pc.is_valid(clientip).to_numpy(zero_copy_only=False)
+    return (
+        np.asarray(valid, dtype=bool),
+        clientip.to_pandas().astype(object).where(pd.notna(clientip.to_pandas()), None).to_numpy(dtype=object),
+        status.to_pandas().astype(object).where(pd.notna(status.to_pandas()), None).to_numpy(dtype=object),
+    )
+
+
+_KV_FAST_RE = r'(?:^|[,\s])%s=(?P<v>"(?:[^"\\]|\\.)*"|[^,\s]*)'
+
+
+def fast_kv_promote(text: pa.ChunkedArray, key: str) -> np.ndarray:
+    """First value of `key=` per row via RE2 (quoted values unescaped)."""
+    st = pc.extract_regex(pc.cast(text, pa.string()), pattern=_KV_FAST_RE % re.escape(key))
+    vals = pc.struct_field(st, "v").to_pandas()
+    out = vals.astype(object).where(vals.notna(), None).to_numpy(dtype=object)
+    for i, v in enumerate(out):
+        if v and len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+            out[i] = re.sub(r"\\(.)", r"\1", v[1:-1])
+    return out
+
+
+def fast_json_valid(text_np: np.ndarray, cand: np.ndarray) -> np.ndarray:
+    """json_valid for candidate rows: parse without flattening."""
+    import json as _json
+
+    out = np.zeros(len(text_np), dtype=bool)
+    for i in np.flatnonzero(cand):
+        try:
+            out[i] = isinstance(_json.loads(text_np[i]), dict)
+        except Exception:
+            pass
+    return out
+
 
 
 def _coalesce_str(*cols) -> pa.Array:
@@ -114,14 +172,23 @@ class LogPipelineStage:
         looks_apache = text.str.match(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3} ").to_numpy() & ~syslog_ok
         looks_kv = text.str.contains("=", regex=False).to_numpy() & ~syslog_ok & ~looks_json & ~looks_apache
 
-        # only the columns the sink projection / routing consume get
-        # scattered back — the rest of each parser's output is dropped by
-        # SINK_COLUMNS anyway
-        t = self._apply_subset(t, looks_json, self.json, keep={"json_valid"})
-        json_ok = t.column("json_valid").to_numpy(zero_copy_only=False) & looks_json
-        t = self._apply_subset(t, looks_apache, self.apache, keep={"csv_valid", "web_clientip", "web_status"})
-        apache_ok = t.column("csv_valid").to_numpy(zero_copy_only=False) & looks_apache
-        t = self._apply_subset(t, looks_kv, self.kv, keep={"src_ip", "status"})
+        arrow_text = t.column("text")
+        text_np = text.to_numpy(dtype=object)
+        json_ok = fast_json_valid(text_np, looks_json)
+        av, aip, ast = fast_apache(arrow_text)
+        apache_ok = av & looks_apache
+        aip[~apache_ok] = None
+        ast[~apache_ok] = None
+        kv_ip = fast_kv_promote(arrow_text, "src_ip")
+        kv_status = fast_kv_promote(arrow_text, "status")
+        kv_ip[~looks_kv] = None
+        kv_status[~looks_kv] = None
+        t = t.append_column("json_valid", pa.array(json_ok))
+        t = t.append_column("csv_valid", pa.array(apache_ok))
+        t = t.append_column("web_clientip", pa.array(aip, type=pa.string()))
+        t = t.append_column("web_status", pa.array(ast, type=pa.string()))
+        t = t.append_column("src_ip", pa.array(kv_ip, type=pa.string()))
+        t = t.append_column("status", pa.array(kv_status, type=pa.string()))
 
         app = np.full(t.num_rows, "raw", dtype=object)
         app[looks_kv] = "kv"

@@ -169,14 +169,20 @@ def parse_syslog_table(
             mon_num = exo["mon"].map(MON_NUM).to_numpy(dtype=np.int64)
             day = exo["day"].str.strip().astype(int).to_numpy()
             year = guess_year(mon_num, recv.iloc[rows].reset_index(drop=True))
-            iso = (
-                pd.Series(year).astype(str)
-                + "-" + pd.Series(mon_num).astype(str).str.zfill(2)
-                + "-" + pd.Series(day).astype(str).str.zfill(2)
-                + " " + exo["time"].reset_index(drop=True).astype(str)
-            )
+            hms = exo["time"].reset_index(drop=True).astype(str)
             with np.errstate(all="ignore"):
-                tparsed = pd.to_datetime(iso, format="%Y-%m-%d %H:%M:%S", errors="coerce")
+                # dict-form to_datetime: numeric assembly, no string concat
+                tparsed = pd.to_datetime(
+                    {
+                        "year": year,
+                        "month": mon_num,
+                        "day": day,
+                        "hour": hms.str.slice(0, 2).astype(int),
+                        "minute": hms.str.slice(3, 5).astype(int),
+                        "second": hms.str.slice(6, 8).astype(int),
+                    },
+                    errors="coerce",
+                )
             ts[rows] = tparsed.to_numpy(dtype="datetime64[us]", na_value=np.datetime64("NaT"))
             host[rows] = _obj(exo["host"])
             rest = exo["rest"].astype("string")
