@@ -818,6 +818,60 @@ SELECT event_id FROM events WHERE (event_id % 256) = 0 AND (event_id % 100) < 64
 """
 
 
+
+
+def events_cps_windows(sf_dir: str):
+    """stats change-per-second analogue (reference
+    lib/stats/aggregator/stats-change-per-second.c): event counts per
+    1-hour tumbling event-time window."""
+    from ..aggregate import pre_aggregated_count
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_pandas()
+        hour = ts.dt.floor("h")
+        return pa.table({"window_start": pa.array(hour.to_numpy().astype("datetime64[us]"), type=pa.timestamp("us"))})
+
+    ds = _read(sf_dir, "events", ["ts"]).map_batches(bucket, batch_format="pyarrow")
+    out = pre_aggregated_count(ds, ["window_start"], alias="n").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+EVENTS_CPS_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
+def events_value_histogram(sf_dir: str):
+    """stats histogram aggregator (reference
+    lib/stats/aggregator/stats-histogram.c): fixed buckets over value."""
+    from ..aggregate import pre_aggregated_count
+
+    edges = np.array([0.0, 50.0, 100.0, 150.0, 200.0])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        idx = np.searchsorted(edges, v, side="right") - 1
+        idx = np.clip(idx, 0, len(edges) - 1)
+        labels = np.array(["0-50", "50-100", "100-150", "150-200", "200+"], dtype=object)
+        return pa.table({"bucket": pa.array(labels[idx], type=pa.string())})
+
+    ds = _read(sf_dir, "events", ["value"]).map_batches(bucket, batch_format="pyarrow")
+    out = pre_aggregated_count(ds, ["bucket"], alias="n").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+EVENTS_HISTOGRAM_SQL = """
+SELECT CASE WHEN value < 50 THEN '0-50' WHEN value < 100 THEN '50-100'
+            WHEN value < 150 THEN '100-150' WHEN value < 200 THEN '150-200'
+            ELSE '200+' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
 RAY_QUERIES = {
     "q1_pricing": q1_pricing,
     "customer_nation_join": customer_nation_join,
@@ -852,6 +906,8 @@ RAY_QUERIES = {
     "lineitem_salted_count": lineitem_salted_count,
     "events_date_roundtrip": events_date_roundtrip,
     "events_netmask": events_netmask,
+    "events_cps_windows": events_cps_windows,
+    "events_value_histogram": events_value_histogram,
 }
 
 ORACLE_SQLS = {
@@ -880,4 +936,6 @@ ORACLE_SQLS = {
     "lineitem_salted_count": LINEITEM_SALTED_SQL,
     "events_date_roundtrip": EVENTS_DATE_SQL,
     "events_netmask": EVENTS_NETMASK_SQL,
+    "events_cps_windows": EVENTS_CPS_SQL,
+    "events_value_histogram": EVENTS_HISTOGRAM_SQL,
 }
