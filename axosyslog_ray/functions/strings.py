@@ -337,6 +337,62 @@ def tf_ipv4_to_int(t, a):
     return _s(a).map(conv).astype(object)
 
 
+# ---- higher-order over lists (tf-iterate.c, tf-map.c, tf-filter.c) ----
+# the inner expression sees the current element as `$_` (the reference uses
+# a template evaluated per element)
+
+def _eval_elem_template(spec: str, elems: list[str]) -> list[str]:
+    import pyarrow as _pa
+
+    from .templates import Template
+
+    t = _pa.table({"_": _pa.array(elems, type=_pa.string())})
+    return list(Template(spec).eval(t))
+
+
+def tf_list_map(t, expr, a):
+    out = []
+    for x in _s(a):
+        elems = _split_list(x)
+        out.append(",".join(_eval_elem_template(expr, elems)) if elems else "")
+    return pd.Series(out, dtype=object)
+
+
+def tf_list_filter(t, expr, a):
+    out = []
+    for x in _s(a):
+        elems = _split_list(x)
+        if not elems:
+            out.append("")
+            continue
+        keep = _eval_elem_template(expr, elems)
+        out.append(",".join(e for e, k in zip(elems, keep) if k in ("1", "true", "True", "yes")))
+    return pd.Series(out, dtype=object)
+
+
+# ---- filterx-style casts (lib/filterx/filterx-globals.c constructors) ----
+
+def tf_cast_int(t, a):
+    return _num(a).map(lambda v: "" if pd.isna(v) else str(int(v))).astype(object)
+
+
+def tf_cast_double(t, a):
+    return _num(a).map(lambda v: "" if pd.isna(v) else repr(float(v))).astype(object)
+
+
+def tf_cast_bool(t, a):
+    truthy = {"1", "true", "True", "TRUE", "yes", "on"}
+    return _s(a).map(lambda v: "true" if v in truthy else "false").astype(object)
+
+
+def tf_cast_string(t, a):
+    return _s(a)
+
+
+tf_list_map._lazy_first = True  # type: ignore[attr-defined]
+tf_list_filter._lazy_first = True  # type: ignore[attr-defined]
+
+
 TEMPLATE_FUNCS = {
     "echo": tf_echo,
     "length": tf_length,
@@ -393,4 +449,11 @@ TEMPLATE_FUNCS = {
     "str-replace": tf_str_replace,
     "utf8-sanitize": tf_utf8_sanitize,
     "format-date": tf_format_date,
+    "map": tf_list_map,
+    "filter": tf_list_filter,
+    "iterate": tf_list_map,
+    "int": tf_cast_int,
+    "double": tf_cast_double,
+    "bool": tf_cast_bool,
+    "string": tf_cast_string,
 }

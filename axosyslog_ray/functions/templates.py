@@ -67,6 +67,10 @@ class FuncCall:
         fn = TEMPLATE_FUNCS.get(self.name)
         if fn is None:
             raise KeyError(f"unknown template function $({self.name} ...)")
+        if getattr(fn, "_lazy_first", False):
+            # higher-order functions ($(map expr list)): the first arg is a
+            # per-element template SPEC, not a value to evaluate here
+            return fn(table, self.args[0].spec, *[a.eval(table) for a in self.args[1:]])
         return fn(table, *[a.eval(table) for a in self.args])
 
 

@@ -100,3 +100,15 @@ def test_template_hash_deterministic_partitions():
     h1 = template_hash("$HOST", t, 16)
     h2 = template_hash("$HOST", t, 16)
     assert (h1 == h2).all() and (h1 < 16).all()
+
+
+def test_higher_order_list_functions():
+    t = _msg_table()
+    assert Template("$(map $(uppercase $_) a,b,c)").eval(t).tolist()[0] == "A,B,C"
+    assert Template("$(filter $(startswith $_ h) host1,web2,host3)").eval(t).tolist()[0] == "host1,host3"
+
+
+def test_filterx_casts():
+    t = _msg_table()
+    assert Template("$(int 3.7)").eval(t).tolist()[0] == "3"
+    assert Template("$(bool yes)/$(bool nah)").eval(t).tolist()[0] == "true/false"
