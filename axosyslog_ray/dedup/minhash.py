@@ -130,13 +130,15 @@ class BandEmitter:
 
 
 def minhash_clusters(ds, num_perm: int = 64, bands: int = 16, shingle: int = 3,
-                     text_col: str = "text", id_col: str = "doc_id", concurrency=None):
+                     text_col: str = "text", id_col: str = "doc_id", concurrency=None,
+                     final: str = "shuffle"):
     """doc_id -> cluster_id (min doc_id sharing any LSH bucket).
 
-    Returns a Dataset[(doc_id, cluster_id)]; rows with cluster_id <
-    doc_id are near-duplicates of an earlier doc."""
-    from ray.data.aggregate import Min
-
+    Returns Dataset[(doc_id, cluster_id)] (final="shuffle") or a pandas
+    DataFrame (final="driver" — the per-doc min reduce runs on the driver
+    over the small (doc, bucket_min) label table; right when n_docs is
+    bounded, skipping a second all-to-all barrier). Rows with
+    cluster_id < doc_id are near-duplicates of an earlier doc."""
     mh = MinHasher(num_perm=num_perm, shingle=shingle, text_col=text_col, id_col=id_col)
     kwargs = {"concurrency": concurrency} if concurrency else {}
     sigs = ds.map_batches(mh, batch_format="pyarrow", **kwargs)
@@ -150,9 +152,16 @@ def minhash_clusters(ds, num_perm: int = 64, bands: int = 16, shingle: int = 3,
     def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
         g["bucket_min"] = g.groupby("band_hash")[id_col].transform("min")
-        return g[[id_col, "bucket_min"]]
+        # partial per-doc min within the band -> one row per (band, doc)
+        return g.groupby(id_col, as_index=False)["bucket_min"].min()
 
     joined = pairs.groupby("band_id").map_groups(bucket_min, batch_format="pandas")
+    if final == "driver":
+        frames = [b.to_pandas() for b in joined.iter_batches(batch_size=None, batch_format="pyarrow")]
+        allp = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame({id_col: [], "bucket_min": []})
+        return allp.groupby(id_col, as_index=False)["bucket_min"].min().rename(columns={"bucket_min": "cluster_id"})
+    from ray.data.aggregate import Min
+
     return joined.groupby(id_col).aggregate(Min("bucket_min", alias_name="cluster_id"))
 
 

@@ -101,11 +101,11 @@ def simhash_bands(batch: pa.Table, bands: int = 4, id_col: str = "doc_id") -> pa
 
 
 def simhash_candidates(ds, bands: int = 4, max_hamming: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id", concurrency=4):
-    """Dataset[(doc_id, cluster_id)] where cluster_id = min doc over docs
-    sharing a band AND within max_hamming (verified exactly per bucket)."""
-    from ray.data.aggregate import Min
-
+                       text_col: str = "text", id_col: str = "doc_id", concurrency=4,
+                       final: str = "shuffle"):
+    """(doc_id, cluster_id): min doc sharing a band AND within max_hamming
+    (verified exactly per bucket). final="driver" reduces the small label
+    table on the driver, skipping the second all-to-all."""
     fps = ds.map_batches(SimHasher(text_col, id_col), batch_format="pyarrow")
 
     # vectorized 64-bit popcount (numpy<2 has no bitwise_count)
@@ -139,4 +139,10 @@ def simhash_candidates(ds, bands: int = 4, max_hamming: int = 3,
 
     buckets = fps.map_batches(emit, batch_format="pyarrow")
     labeled = buckets.groupby("band_id").map_groups(bucket_verify, batch_format="pandas")
+    if final == "driver":
+        frames = [b.to_pandas() for b in labeled.iter_batches(batch_size=None, batch_format="pyarrow")]
+        allp = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame({id_col: [], "bucket_min": []})
+        return allp.groupby(id_col, as_index=False)["bucket_min"].min().rename(columns={"bucket_min": "cluster_id"})
+    from ray.data.aggregate import Min
+
     return labeled.groupby(id_col).aggregate(Min("bucket_min", alias_name="cluster_id"))

@@ -526,7 +526,7 @@ def docs_minhash_dedup(sf_dir: str):
     groupby). Non-SQL: returns (doc_id, cluster_id)."""
     from ..dedup.minhash import minhash_clusters
 
-    out = minhash_clusters(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    out = minhash_clusters(_read(sf_dir, "documents", ["doc_id", "text"]), final="driver")
     out = out.astype("int64").sort_values("doc_id").reset_index(drop=True)
     return out
 
@@ -535,7 +535,7 @@ def docs_simhash_clusters(sf_dir: str):
     """SimHash banded near-dup clusters. Non-SQL."""
     from ..dedup.simhash import simhash_candidates
 
-    out = simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    out = simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]), final="driver")
     return out.astype("int64").sort_values("doc_id").reset_index(drop=True)
 
 
