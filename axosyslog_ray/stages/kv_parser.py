@@ -32,11 +32,21 @@ class KvParser:
         promote: list[str] | None = None,
         source_col: str = "message",
         out_col: str = "kv",
+        greedy_values: bool = False,
     ):
         vs = re.escape(value_separator)
-        self.pair_re = re.compile(
-            rf"({_KEY}){vs}(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'|[^,\s]*)"
-        )
+        if greedy_values:
+            # reference kv-scanner mode: an unquoted value runs until the
+            # next `word=` boundary (values may contain spaces) —
+            # lib/scanner/kv-scanner/kv-scanner.c value termination
+            self.pair_re = re.compile(
+                rf"({_KEY}){vs}(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'"
+                rf"|.*?(?=[,\s]\s*{_KEY}{vs}|\s*$|,\s))"
+            )
+        else:
+            self.pair_re = re.compile(
+                rf"({_KEY}){vs}(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'|[^,\s]*)"
+            )
         self.prefix = prefix
         self.collect_stray = collect_stray
         self.promote = promote or []

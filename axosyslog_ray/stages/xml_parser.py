@@ -31,6 +31,7 @@ class XmlParser:
         windows_eventlog: bool = False,
         source_col: str = "message",
         out_col: str = "xv",
+        max_input_len: int = 1_000_000,
     ):
         self.prefix = prefix
         self.exclude = [re.compile(fnmatch.translate(g)) for g in (exclude_tags or [])]
@@ -38,6 +39,9 @@ class XmlParser:
         self.windows = windows_eventlog
         self.source_col = source_col
         self.out_col = out_col
+        # entity-expansion / hostile-doc guard: stdlib ElementTree expands
+        # internal DTD entities, so cap the raw input size per row
+        self.max_input_len = max_input_len
 
     MAX_DEPTH = 256  # hostile deeply-nested docs must not blow the stack
 
@@ -78,6 +82,8 @@ class XmlParser:
             out[key] = value
 
     def parse_line(self, line: str) -> list[tuple[str, str]] | None:
+        if len(line) > self.max_input_len:
+            return None
         try:
             root = ET.fromstring(line)
         except ET.ParseError:

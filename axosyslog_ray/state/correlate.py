@@ -49,12 +49,16 @@ class CorrelationConfig:
 
 def _eval_field(spec: str, sess: pd.DataFrame):
     """Field spec: 'context-length' | 'first:COL' | 'last:COL' |
-    'sum:COL' | 'values:COL' | 'join:COL:SEP' | literal '=text'."""
+    'sum:COL' | 'values:COL' | 'join:COL:SEP' | 'count-if:COL=VAL'
+    (the $(grep)-style conditional count) | literal '=text'."""
     if spec == "context-length":
         return len(sess)
     if spec.startswith("="):
         return spec[1:]
     op, _, rest = spec.partition(":")
+    if op == "count-if":
+        col, _, val = rest.partition("=")
+        return int((sess[col].astype(str) == val).sum())
     if op == "join":
         col, _, sep = rest.partition(":")
         return (sep or "\n").join(sess[col].astype(str))

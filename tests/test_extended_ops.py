@@ -220,3 +220,25 @@ def test_format_date_function():
 
     t = pa.table({"secs": ["1767225600"]})  # 2026-01-01 00:00:00 UTC
     assert Template("$(format-date %Y-%m-%d $secs)").eval(t).tolist() == ["2026-01-01"]
+
+
+def test_kv_greedy_values_mode():
+    from axosyslog_ray.stages.kv_parser import KvParser
+
+    p = KvParser(greedy_values=True)
+    r = p(_t(message=["key1=a b c key2=d e, key3=x"]))
+    assert dict(r.to_pylist()[0]["kv"]) == {"key1": "a b c", "key2": "d e", "key3": "x"}
+
+
+def test_xml_input_length_guard():
+    p = XmlParser(max_input_len=50)
+    r = p(_t(message=["<a>" + "x" * 100 + "</a>", "<a>ok</a>"])).to_pylist()
+    assert not r[0]["xml_valid"] and r[1]["xml_valid"]
+
+
+def test_correlate_count_if():
+    cfg = CorrelationConfig(key=["ctx"], timeout=300, actions=[
+        PdbAction(on="timeout", fields={"n_a": "count-if:kind=a"}),
+    ])
+    out = PdbCorrelator(cfg).apply(_ctx_df())
+    assert out["n_a"].tolist() == [2, 1]
