@@ -872,6 +872,63 @@ FROM events GROUP BY 1
 """
 
 
+
+
+def docs_curation_pipeline(sf_dir: str):
+    """End-to-end training-data curation (the composite the engine exists
+    for): quality scoring -> heuristic quality filter -> exact dedup
+    (min doc wins) -> language ID -> per (lang_pred, source) counts.
+    Non-SQL (langid heuristic)."""
+    from ..aggregate import pre_aggregated_count
+    from ..dedup.exact import add_content_hash
+    from ..textstats import LangId, quality_features
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def score_and_filter(b: pa.Table) -> pa.Table:
+        from ..textstats import token_counts
+
+        t = token_counts(quality_features(b))
+        # Gopher-style length + stopword gates, tuned to actually prune
+        # this corpus: >= 30 whitespace tokens and a nonzero stopword ratio
+        ok = pc.and_(
+            pc.greater_equal(t.column("n_ws_tokens"), pa.scalar(30)),
+            pc.greater(t.column("stop_ratio"), pa.scalar(0.02)),
+        )
+        return add_content_hash(t.filter(ok), "text")
+
+    scored = ds.map_batches(score_and_filter, batch_format="pyarrow")
+    deduped = scored.groupby("content_hash").map_groups(
+        lambda g: g.sort_values("doc_id").head(1), batch_format="pandas"
+    )
+    labeled = deduped.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    out = pre_aggregated_count(labeled, ["lang_pred", "source"], alias="n", final="driver")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang_pred", "source"]).reset_index(drop=True)
+
+
+def emb_knn_label(sf_dir: str):
+    """k-NN majority-label classification over the embedding corpus:
+    for each of the first 20 vectors, the majority label of its 5 nearest
+    (cosine) neighbors among the rest. Non-SQL (rows-only)."""
+    from ..ann import ann_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    side = emb.to_pandas()
+    queries_df = side[side["vec_id"] < 20]
+    qm = np.asarray(list(queries_df["embedding"]), dtype=np.float64)
+    top = ann_topk(emb, qm, k=6)  # 6: self + 5 neighbors
+    id2label = dict(zip(side["vec_id"], side["label"]))
+    rows = []
+    for qi, g in top.groupby("query_id"):
+        qvec = int(queries_df["vec_id"].iloc[int(qi)])
+        neigh = [v for v in g["vec_id"] if v != qvec][:5]
+        labels = pd.Series([id2label[v] for v in neigh])
+        rows.append({"vec_id": qvec, "pred_label": int(labels.mode().iloc[0]),
+                     "true_label": int(id2label[qvec])})
+    return pd.DataFrame(rows).sort_values("vec_id").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "q1_pricing": q1_pricing,
     "customer_nation_join": customer_nation_join,
@@ -908,6 +965,8 @@ RAY_QUERIES = {
     "events_netmask": events_netmask,
     "events_cps_windows": events_cps_windows,
     "events_value_histogram": events_value_histogram,
+    "docs_curation_pipeline": docs_curation_pipeline,
+    "emb_knn_label": emb_knn_label,
 }
 
 ORACLE_SQLS = {
