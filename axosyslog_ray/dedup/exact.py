@@ -33,15 +33,22 @@ def dedup_stats(ds, col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def dedup_rows(ds, col: str = "text", id_col: str = "doc_id"):
+def dedup_rows(ds, col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
     """Return the dataset with only the canonical row per distinct content
-    (min id wins). Full-row shuffle by content hash — use when the
-    deduplicated corpus itself is the output."""
+    (min id wins). Full-row shuffle by a coarse hash bucket — grouping by
+    the raw content hash would make one tiny map_groups group per
+    distinct document (the measured 50x overhead pattern); inside each
+    bucket the dedup is one vectorized drop_duplicates."""
     import pandas as pd
 
-    hashed = ds.map_batches(lambda b: add_content_hash(b, col), batch_format="pyarrow")
+    def hash_and_bucket(b: pa.Table) -> pa.Table:
+        t = add_content_hash(b, col)
+        bucket = (t.column("content_hash").to_numpy() % num_buckets).astype(np.int64)
+        return t.append_column("_bucket", pa.array(bucket))
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    hashed = ds.map_batches(hash_and_bucket, batch_format="pyarrow")
 
-    return hashed.groupby("content_hash").map_groups(first, batch_format="pandas")
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="mergesort").drop_duplicates("content_hash", keep="first").drop(columns=["_bucket"])
+
+    return hashed.groupby("_bucket").map_groups(dedup_bucket, batch_format="pandas")

@@ -898,9 +898,15 @@ def docs_curation_pipeline(sf_dir: str):
         return add_content_hash(t.filter(ok), "text")
 
     scored = ds.map_batches(score_and_filter, batch_format="pyarrow")
-    deduped = scored.groupby("content_hash").map_groups(
-        lambda g: g.sort_values("doc_id").head(1), batch_format="pandas"
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id", kind="mergesort").drop_duplicates("content_hash", keep="first")
+
+    bucketed = scored.map_batches(
+        lambda b: b.append_column("_bucket", pa.array((b.column("content_hash").to_numpy() % 64).astype("int64"))),
+        batch_format="pyarrow",
     )
+    deduped = bucketed.groupby("_bucket").map_groups(dedup_bucket, batch_format="pandas")
     labeled = deduped.map_batches(LangId, batch_format="pyarrow", concurrency=2)
     out = pre_aggregated_count(labeled, ["lang_pred", "source"], alias="n", final="driver")
     out["n"] = out["n"].astype("int64")

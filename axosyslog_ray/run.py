@@ -77,6 +77,7 @@ def main() -> None:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    ray.data.DataContext.get_current().enable_tensor_extension_casting = False
 
     from .state.checkpoint import resumable_run
 

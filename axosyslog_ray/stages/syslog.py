@@ -42,7 +42,7 @@ RE_SD_ELEM = re.compile(r'\[([^ \]"=]+)((?: [^ \]"=]+="(?:[^"\\]|\\.)*")*)\]')
 RE_SD_PARAM = re.compile(r'([^ \]"=]+)="((?:[^"\\]|\\.)*)"')
 
 RE_3164 = re.compile(
-    r"^(?:<(?P<pri>\d{1,3})>)?(?P<mon>" + MONTHS + r") (?P<day>[ \d]\d) "
+    r"^(?:<(?P<pri>\d{1,3})> ?)?(?P<mon>" + MONTHS + r") (?P<day>[ \d]\d) "
     r"(?P<time>\d{2}:\d{2}:\d{2}) (?P<host>\S+) (?P<rest>.*)$",
     re.S,
 )
@@ -195,6 +195,29 @@ def parse_syslog_table(
             parsed[rows] = True
             fmt[rows] = "rfc3164"
 
+    # ---------- RFC3164 with PRI but missing timestamp ----------
+    # `<189> program[pid]: message` parses TAG-only: no host, stamp=recv,
+    # tags syslog.missing_timestamp + rfc3164_missing_header (reference
+    # tests/test_syslog_format.c rfc3164_error_missing_timestamp)
+    tags_col = np.full(n, None, dtype=object)
+    nots = ~parsed & s.str.match(r"^<\d{1,3}>", na=False).to_numpy()
+    if nots.any():
+        rest = s[nots].str.replace(r"^<\d{1,3}>\s*", "", regex=True).astype("string")
+        pv = s[nots].str.extract(r"^<(\d{1,3})>")[0]
+        tag = rest.str.extract(RE_TAG)
+        tag_ok = tag["prog"].notna().to_numpy()
+        rows = np.flatnonzero(nots)[tag_ok]
+        if len(rows):
+            pri[rows] = pv[tag_ok].astype(int).to_numpy()
+            program[rows] = _obj(tag["prog"][tag["prog"].notna()])
+            pid[rows] = _obj(tag["pid"])[tag_ok]
+            message[rows] = _obj(tag["msg"].fillna(""))[tag_ok]
+            ts[rows] = recv.to_numpy(dtype="datetime64[us]")[rows]  # stamp = receive time
+            parsed[rows] = True
+            fmt[rows] = "rfc3164"
+            for i in rows:
+                tags_col[i] = ["syslog.missing_timestamp", "syslog.rfc3164_missing_header"]
+
     # unparsed rows: stamp falls back to receive time (reference no-parse path)
     unp = ~parsed
     ts[unp] = recv.to_numpy(dtype="datetime64[us]")[unp]
@@ -211,6 +234,7 @@ def parse_syslog_table(
         ("sdata", sdata, pa.map_(pa.string(), pa.string())),
         ("syslog_parsed", parsed, pa.bool_()),
         ("msgformat", fmt, pa.string()),
+        ("tags", tags_col, pa.list_(pa.string())),
     ):
         col = pa.array(arr, type=typ)
         if name in out.column_names:  # re-parse overwrites (syslog-parser() on a field)
@@ -230,7 +254,7 @@ def parse_syslog_line(line: str, recv_ts) -> dict:
     out = {
         "pri": DEFAULT_PRI, "ts_stamp": None, "host": None, "program": None,
         "pid": None, "msgid": None, "message": line, "sdata": None,
-        "syslog_parsed": False, "msgformat": None,
+        "syslog_parsed": False, "msgformat": None, "tags": None,
     }
     m = RE_5424.match(line)
     if m and re.match(r"^<\d{1,3}>\d ", line):
@@ -268,5 +292,15 @@ def parse_syslog_line(line: str, recv_ts) -> dict:
             out["message"] = m.group("rest")
         out["syslog_parsed"], out["msgformat"] = True, "rfc3164"
         return out
+    mp = re.match(r"^<(\d{1,3})>\s*(.*)$", line, re.S)
+    if mp:
+        tm = RE_TAG.match(mp.group(2))
+        if tm:
+            out["pri"] = int(mp.group(1))
+            out["program"], out["pid"], out["message"] = tm.group("prog"), tm.group("pid"), tm.group("msg")
+            out["syslog_parsed"], out["msgformat"] = True, "rfc3164"
+            out["tags"] = ["syslog.missing_timestamp", "syslog.rfc3164_missing_header"]
+            out["ts_stamp"] = recv
+            return out
     out["ts_stamp"] = recv
     return out

@@ -111,6 +111,7 @@ def main() -> None:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    ray.data.DataContext.get_current().enable_tensor_extension_casting = False
 
     import pyarrow.parquet as pq
 

@@ -16,5 +16,6 @@ def ray_session():
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    ray.data.DataContext.get_current().enable_tensor_extension_casting = False
     yield
     ray.shutdown()

@@ -127,3 +127,21 @@ def test_e2e_parse_through_ray():
     assert ds.count() == 2000
     names = set(ds.schema().names)
     assert {"pri", "ts_stamp", "host", "program", "message", "syslog_parsed"} <= names
+
+
+def test_rfc3164_missing_timestamp_tag_only():
+    # reference tests/test_syslog_format.c rfc3164_error_missing_timestamp:
+    # '<189> program[pid]: message' -> no host, TAG parsed, tagged
+    r = _parse_one("<189> program[pid]: message")
+    assert r["pri"] == 189
+    assert r["host"] is None
+    assert r["program"] == "program" and r["pid"] == "pid" and r["message"] == "message"
+    assert r["msgformat"] == "rfc3164"
+    assert list(r["tags"]) == ["syslog.missing_timestamp", "syslog.rfc3164_missing_header"]
+    assert pd.Timestamp(r["ts_stamp"]) == RECV  # stamp falls back to receive time
+
+
+def test_rfc3164_space_after_pri():
+    r = _parse_one("<189> Feb  3 12:34:56 host program[pid]: message")
+    assert r["host"] == "host" and r["program"] == "program"
+    assert r["tags"] is None
