@@ -171,22 +171,34 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Fresh-process runs at 8 and 32 CPUs (N vs 4N proxy). Uses a larger
-    corpus than the default headline (x960 docs) so compute dominates the
-    fixed per-session costs — the efficiency criterion measures the JOB's
-    scalability, which needs the job long enough to amortize startup."""
-    results = {}
+    """Fresh-process runs at N and 4N CPUs (cluster-size proxy; default
+    4 -> 16, see BASELINE.md for the DRAM-saturation rationale). Uses a
+    large corpus (x960 docs ~ 4.8M pages at sf0.1) so compute dominates
+    per-session fixed costs, and runs PAIRED repetitions reporting the
+    median ratio — short runs are noise-sensitive and independent minima
+    bias the ratio."""
     mult = os.environ.get("BENCH_PAGES_MULT", "960")
+    reps = int(os.environ.get("BENCH_SCALE_REPS", "3"))
     lo = int(os.environ.get("BENCH_SCALE_LO", "4"))
-    for ncpu in (lo, lo * 4):
+    hi = lo * 4
+
+    def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
                    BENCH_PAGES_MULT=mult)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    hi = lo * 4
+        return json.loads(out.strip().splitlines()[-1])
+
+    pairs = []
+    for _ in range(reps):
+        r_lo, r_hi = one(lo), one(hi)
+        pairs.append((r_lo["value"] / (4 * r_hi["value"]), r_lo, r_hi))
+    pairs.sort(key=lambda p: p[0])
+    _, med_lo, med_hi = pairs[len(pairs) // 2]
+    results = {lo: med_lo, hi: med_hi}
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
     thr_lo = results[lo]["headline"]["rows_per_sec"]
     thr_hi = results[hi]["headline"]["rows_per_sec"]
