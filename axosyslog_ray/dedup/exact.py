@@ -33,13 +33,19 @@ def dedup_stats(ds, col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def dedup_rows(ds, col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
+def dedup_rows(ds, col: str = "text", id_col: str = "doc_id", num_buckets: int | None = None):
     """Return the dataset with only the canonical row per distinct content
     (min id wins). Full-row shuffle by a coarse hash bucket — grouping by
     the raw content hash would make one tiny map_groups group per
     distinct document (the measured 50x overhead pattern); inside each
-    bucket the dedup is one vectorized drop_duplicates."""
+    bucket the dedup is one vectorized drop_duplicates. num_buckets
+    defaults to 8x cluster CPUs (bounded group size at any scale)."""
     import pandas as pd
+
+    from .minhash import default_num_shards
+
+    if num_buckets is None:
+        num_buckets = default_num_shards()
 
     def hash_and_bucket(b: pa.Table) -> pa.Table:
         t = add_content_hash(b, col)

@@ -102,10 +102,18 @@ def simhash_bands(batch: pa.Table, bands: int = 4, id_col: str = "doc_id") -> pa
 
 def simhash_candidates(ds, bands: int = 4, max_hamming: int = 3,
                        text_col: str = "text", id_col: str = "doc_id", concurrency=4,
-                       final: str = "shuffle"):
+                       final: str = "shuffle", num_shards: int | None = None):
     """(doc_id, cluster_id): min doc sharing a band AND within max_hamming
     (verified exactly per bucket). final="driver" reduces the small label
-    table on the driver, skipping the second all-to-all."""
+    table on the driver, skipping the second all-to-all.
+
+    Shuffle is keyed by a coarse shard hash(band_id, band_val) % num_shards
+    (bounded group size at scale — see dedup.minhash.shard_of), not band_id
+    (each band group would hold n_docs rows)."""
+    from .minhash import default_num_shards, shard_of
+
+    if num_shards is None:
+        num_shards = default_num_shards()
     fps = ds.map_batches(SimHasher(text_col, id_col), batch_format="pyarrow")
 
     # vectorized 64-bit popcount (numpy<2 has no bitwise_count)
@@ -119,10 +127,10 @@ def simhash_candidates(ds, bands: int = 4, max_hamming: int = 3,
         return c
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
-        # one band per group (few big groups); per band_val the candidate
-        # rep is the min doc; exact hamming verified vectorized
-        g = g.sort_values(["band_val", id_col], kind="mergesort").reset_index(drop=True)
-        grp = g.groupby("band_val", sort=False)
+        # one coarse shard per group; per (band_id, band_val) bucket the
+        # candidate rep is the min doc; exact hamming verified vectorized
+        g = g.sort_values(["band_id", "band_val", id_col], kind="mergesort").reset_index(drop=True)
+        grp = g.groupby(["band_id", "band_val"], sort=False)
         rep_id = grp[id_col].transform("min").to_numpy()
         rep_fp = grp["simhash"].transform("first").to_numpy()
         dist = popcount64(g["simhash"].to_numpy(np.int64) ^ rep_fp.astype(np.int64))
@@ -135,10 +143,12 @@ def simhash_candidates(ds, bands: int = 4, max_hamming: int = 3,
         t = simhash_bands(b, bands, id_col)
         # fingerprints repeat per band in the same order as the ids
         sims = pa.concat_arrays([b.column("simhash").combine_chunks()] * bands)
-        return t.append_column("simhash", sims)
+        t = t.append_column("simhash", sims)
+        sh = shard_of(t.column("band_id").to_numpy(), t.column("band_val").to_numpy(), num_shards)
+        return t.append_column("_shard", pa.array(sh))
 
     buckets = fps.map_batches(emit, batch_format="pyarrow")
-    labeled = buckets.groupby("band_id").map_groups(bucket_verify, batch_format="pandas")
+    labeled = buckets.groupby("_shard").map_groups(bucket_verify, batch_format="pandas")
     if final == "driver":
         frames = [b.to_pandas() for b in labeled.iter_batches(batch_size=None, batch_format="pyarrow")]
         allp = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame({id_col: [], "bucket_min": []})

@@ -118,5 +118,14 @@ def gen_media_table(n: int, seed: int = 42) -> pa.Table:
 
 def decode_images(ds, concurrency=4, batch_size: int = 256):
     """Plumbing: small batches (binary payloads), actor pool, bytes dropped
-    before anything downstream."""
+    before anything downstream. The pool is capped below the CPU count so
+    the upstream read task always has a slot (an actor pool sized == CPUs
+    deadlocks the streaming executor — observed at num_cpus=4)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    except Exception:
+        cpus = 4
+    concurrency = min(concurrency, max(1, cpus - 1))
     return ds.map_batches(DecodeImage, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)

@@ -902,8 +902,12 @@ def docs_curation_pipeline(sf_dir: str):
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values("doc_id", kind="mergesort").drop_duplicates("content_hash", keep="first")
 
+    from ..dedup.minhash import default_num_shards
+
+    num_buckets = default_num_shards()  # scales with cluster CPUs
     bucketed = scored.map_batches(
-        lambda b: b.append_column("_bucket", pa.array((b.column("content_hash").to_numpy() % 64).astype("int64"))),
+        lambda b: b.append_column(
+            "_bucket", pa.array((b.column("content_hash").to_numpy() % num_buckets).astype("int64"))),
         batch_format="pyarrow",
     )
     deduped = bucketed.groupby("_bucket").map_groups(dedup_bucket, batch_format="pandas")
@@ -919,12 +923,15 @@ def emb_knn_label(sf_dir: str):
     (cosine) neighbors among the rest. Non-SQL (rows-only)."""
     from ..ann import ann_topk
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    side = emb.to_pandas()
-    queries_df = side[side["vec_id"] < 20]
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # query side: tiny filtered slice (20 vectors) — never the whole corpus
+    queries_df = emb.filter(lambda r: r["vec_id"] < 20).to_pandas().sort_values("vec_id")
     qm = np.asarray(list(queries_df["embedding"]), dtype=np.float64)
     top = ann_topk(emb, qm, k=6)  # 6: self + 5 neighbors
-    id2label = dict(zip(side["vec_id"], side["label"]))
+    # label side: broadcast-sized (vec_id, label) map from a PRUNED read —
+    # the embedding column never reaches the driver (VERDICT r1 #3)
+    labels_df = _read(sf_dir, "embeddings", ["vec_id", "label"]).to_pandas()
+    id2label = dict(zip(labels_df["vec_id"], labels_df["label"]))
     rows = []
     for qi, g in top.groupby("query_id"):
         qvec = int(queries_df["vec_id"].iloc[int(qi)])

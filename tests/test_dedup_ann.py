@@ -153,3 +153,71 @@ def test_frame_sampler_explodes_rows():
     out = FrameSampler(every_n_seconds=1.0)(t)
     assert out.num_rows >= 10  # >= one frame per media row
     assert set(out.column_names) == {"media_id", "frame_offset_sec", "frame_hash"}
+
+
+def test_shard_of_bounds_group_sizes():
+    """The coarse dedup shard key must spread LSH buckets far beyond the
+    band count so no map_groups group holds ~n_docs rows (VERDICT r1 #1)."""
+    from axosyslog_ray.dedup.minhash import shard_of
+
+    rng = np.random.RandomState(3)
+    n, bands, num_shards = 20000, 16, 256
+    band_id = np.repeat(np.arange(bands, dtype=np.int64), n // bands)
+    band_hash = rng.randint(-(2**62), 2**62, size=n).astype(np.int64)
+    shards = shard_of(band_id, band_hash, num_shards)
+    counts = np.bincount(shards, minlength=num_shards)
+    assert (shards >= 0).all() and (shards < num_shards).all()
+    assert len(np.unique(shards)) > bands  # finer than per-band grouping
+    assert counts.max() < 3 * n / num_shards  # bounded, ~uniform
+    # all rows of one (band_id, band_hash) bucket share a shard (determinism)
+    again = shard_of(band_id, band_hash, num_shards)
+    assert (shards == again).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_clusters_invariant_to_num_shards():
+    import ray.data as rd
+    from axosyslog_ray.dedup.minhash import minhash_clusters
+
+    texts = [BASE, NEAR, FAR] * 10 + [f"unique doc number {i} with words {i*7}" for i in range(30)]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    a = minhash_clusters(rd.from_pandas(df), final="driver", num_shards=1).sort_values("doc_id").reset_index(drop=True)
+    b = minhash_clusters(rd.from_pandas(df), final="driver", num_shards=97).sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # duplicates of BASE cluster to the min doc id (0)
+    assert (a[a["doc_id"].isin([3, 6, 9])]["cluster_id"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_invariant_to_num_shards():
+    import ray.data as rd
+    from axosyslog_ray.dedup.simhash import simhash_candidates
+
+    texts = [BASE, NEAR, FAR] * 5 + [f"some filler document {i} about topic {i%3}" for i in range(20)]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    a = simhash_candidates(rd.from_pandas(df), final="driver", num_shards=1).sort_values("doc_id").reset_index(drop=True)
+    b = simhash_candidates(rd.from_pandas(df), final="driver", num_shards=53).sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_block_pair_matches_broadcast():
+    """The distributed block-pair exact path must produce exactly the
+    broadcast baseline's pair set."""
+    import ray.data as rd
+    from axosyslog_ray.ann.brute import near_dup_pairs
+
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=(40, 16))
+    # make some near-dups: rows 40-49 are noisy copies of rows 0-9
+    dups = base[:10] + rng.normal(scale=0.01, size=(10, 16))
+    m = np.vstack([base, dups])
+    df = pd.DataFrame({"vec_id": range(50), "embedding": list(m)})
+    ds = rd.from_pandas(df).repartition(5)
+    got = near_dup_pairs(ds, threshold=0.95).to_pandas()
+    ref = near_dup_pairs(rd.from_pandas(df), threshold=0.95, small_corpus=True).to_pandas()
+    key = ["id_a", "id_b"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    ref_s = ref[key].sort_values(key).reset_index(drop=True)
+    assert got_s.equals(ref_s)
+    assert len(got_s) >= 10  # the planted dups are found
