@@ -32,11 +32,31 @@ class GeoIP:
             import ray
 
             ranges = ray.get(db_ref)
-        rows = []
+        raw = []
         for cidr, attrs in ranges or []:
             net = ipaddress.ip_network(cidr, strict=False)
-            rows.append((int(net.network_address), int(net.broadcast_address), attrs))
-        rows.sort()
+            raw.append((int(net.network_address), int(net.broadcast_address), net.prefixlen, attrs))
+        # Flatten nested/overlapping CIDRs into DISJOINT intervals with
+        # longest-prefix-wins attrs (mmdb semantics — ADVICE r1: a /16
+        # inside a /8 must not shadow the outer range past its end).
+        # Load-time-only sweep over elementary intervals; n ranges is the
+        # broadcast-small side, so O(n * boundaries) is fine here.
+        rows = []
+        if raw:
+            bounds = sorted({r[0] for r in raw} | {r[1] + 1 for r in raw})
+            prev_key = None
+            for lo, hi_excl in zip(bounds[:-1], bounds[1:]):
+                active = [r for r in raw if r[0] <= lo and hi_excl - 1 <= r[1]]
+                if not active:
+                    prev_key = None
+                    continue
+                win = max(active, key=lambda r: r[2])  # longest prefix wins
+                if rows and prev_key == id(win) and rows[-1][1] == lo - 1:
+                    rows[-1] = (rows[-1][0], hi_excl - 1, win[3])  # merge adjacent
+                else:
+                    rows.append((lo, hi_excl - 1, win[3]))
+                prev_key = id(win)
+        rows.sort(key=lambda r: r[0])
         self.starts = np.array([r[0] for r in rows], dtype=np.int64)
         self.ends = np.array([r[1] for r in rows], dtype=np.int64)
         self.attr_names = sorted({k for _, _, a in rows for k in a})

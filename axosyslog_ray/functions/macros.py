@@ -81,7 +81,9 @@ def _date_macros(col: str, prefix: str = "") -> dict:
         prefix + "MIN": mk(lambda s: _str(s.dt.strftime("%M"))),
         prefix + "SEC": mk(lambda s: _str(s.dt.strftime("%S"))),
         prefix + "WEEKDAY": mk(lambda s: _str(s.dt.strftime("%a"))),
-        prefix + "WEEK_DAY": mk(lambda s: _str((s.dt.dayofweek + 1).astype("Int64").astype(str))),
+        # reference lib/template/macros.c:372: tm_wday + 1, Sunday=1..Saturday=7
+        # (pandas dayofweek is Monday=0..Sunday=6)
+        prefix + "WEEK_DAY": mk(lambda s: _str((((s.dt.dayofweek + 1) % 7) + 1).astype("Int64").astype(str))),
         prefix + "UNIXTIME": mk(
             lambda s: _str(
                 pd.Series(s.to_numpy(dtype="datetime64[s]").astype("int64").astype(str), index=s.index).where(

@@ -151,9 +151,17 @@ def _listfold(agg):
 
 
 def tf_round(t, a, digits=None):
+    # reference $(round) uses C round(): half away from zero — Python's
+    # round() is banker's and would render $(round 2.5) as '2' (ADVICE r1)
+    def _haz(v: float, k: int) -> float:
+        f = 10.0 ** k
+        import math
+
+        return math.copysign(math.floor(abs(v) * f + 0.5), v) / f
+
     d = _num(digits).fillna(0).astype(int) if digits is not None else pd.Series([0] * t.num_rows)
     return pd.Series(
-        ["" if pd.isna(v) else (str(int(round(v, k))) if k <= 0 else str(round(v, k))) for v, k in zip(_num(a), d)],
+        ["" if pd.isna(v) else (str(int(_haz(v, k))) if k <= 0 else str(_haz(v, k))) for v, k in zip(_num(a), d)],
         dtype=object,
     )
 

@@ -137,7 +137,9 @@ def format_welf(table: pa.Table, vp: ValuePairs | None = None, out_col: str = "w
     def quote(v: str) -> str:
         # quote anything the kv grammar would mis-tokenize: separators,
         # quotes, and ANY unicode whitespace (\s in the kv scanner)
-        needs = any(c.isspace() or c in '"=,' for c in v) or v == ""
+        # single quote included: the kv scanner treats a LEADING ' as a
+        # quote-open, so a bare ' value would swallow following pairs
+        needs = any(c.isspace() or c in "\"'=," for c in v) or v == ""
         return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"' if needs else v
 
     out = [" ".join(f"{k}={quote(v)}" for k, v in sorted(r.items())) for r in rows]

@@ -3,13 +3,27 @@
 The reference only ever joins against broadcast-small sides
 (add-contextual-data, geoip, in-list — SURVEY.md §2.7); this module adds
 the big-big case a relational user expects, built portably on Ray Data
-primitives: align schemas, tag each side, union, hash-shuffle by the key
-ONCE (groupby), and merge each key group with a pandas join.
+primitives: align schemas, tag each side, union, and hash-shuffle ONCE
+by a COARSE bucket `hash(key) % num_buckets` — never by the raw key
+(one map_groups group per distinct key was the repo's measured ~50x
+tiny-group overhead and the slowest r1 query). Within each bucket the
+merge is Arrow's own C++ hash join (`pa.Table.join`), so there is no
+pandas conversion and no per-column Python rebuild on the hot path.
 
 Scale shape: one all-to-all shuffle of both sides' projected columns —
-project to needed columns BEFORE joining. A join must co-locate full
-keys, so keys cannot be salted here; pre-aggregate or broadcast instead
-when one side is small (pipelines/queries.customer_nation_join).
+project to needed columns BEFORE joining. Bucket count scales with
+cluster CPUs (bounded group size at any data size; raise num_buckets
+for very large inputs so two buckets fit a worker's heap). A join must
+co-locate full keys, so keys cannot be salted here; pre-aggregate or
+broadcast instead when one side is small
+(pipelines/queries.customer_nation_join).
+
+Null keys follow SQL semantics (null never matches null) — Arrow join
+semantics, matching the DuckDB oracle; pandas merge would match NaNs.
+
+Ray 2.49 also ships an experimental native `Dataset.join`; this
+implementation keeps the engine self-contained and its shuffle shape
+explicit.
 """
 
 from __future__ import annotations
@@ -17,8 +31,17 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _SIDE_COL = "__join_side"
+_BUCKET_COL = "__join_bucket"
+
+_ARROW_HOW = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "outer": "full outer",
+}
 
 
 def _arrow_schema(ds) -> pa.Schema:
@@ -44,10 +67,27 @@ def _arrow_schema(ds) -> pa.Schema:
     return pa.schema(fields)
 
 
+def _key_buckets(b: pa.Table, keys: list[str], num_buckets: int) -> np.ndarray:
+    """Deterministic coarse bucket of the key tuple (identical on both
+    sides): pandas' fixed-key siphash over each key column, combined."""
+    h = None
+    for k in keys:
+        col = b.column(k).to_pandas()
+        hk = pd.util.hash_array(col.to_numpy() if col.dtype != object else col.to_numpy(dtype=object))
+        h = hk if h is None else (h * np.uint64(0x9E3779B97F4A7C15) + hk)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
 def hash_join(left, right, key: str | list[str], how: str = "inner",
-              suffixes: tuple[str, str] = ("_l", "_r")):
-    """Join two Datasets on `key` (pandas merge semantics per key group)."""
+              suffixes: tuple[str, str] = ("_l", "_r"), num_buckets: int | None = None):
+    """Join two Datasets on `key` (SQL join semantics per bucket group)."""
+    if how not in _ARROW_HOW:
+        raise ValueError(f"how must be one of {sorted(_ARROW_HOW)}, got {how!r}")
     keys = [key] if isinstance(key, str) else list(key)
+    if num_buckets is None:
+        from .dedup.minhash import default_num_shards
+
+        num_buckets = default_num_shards()
     lschema, rschema = _arrow_schema(left), _arrow_schema(right)
     lcols = [c for c in lschema.names if c not in keys]
     rcols = [c for c in rschema.names if c not in keys]
@@ -56,6 +96,8 @@ def hash_join(left, right, key: str | list[str], how: str = "inner",
     l_out = [(c + suffixes[0] if c in overlap else c, c, lschema.field(c).type) for c in lcols]
     r_out = [(c + suffixes[1] if c in overlap else c, c, rschema.field(c).type) for c in rcols]
     out_order = keys + [n for n, _, _ in l_out] + [n for n, _, _ in r_out]
+    l_names = [n for n, _, _ in l_out]
+    r_names = [n for n, _, _ in r_out]
 
     def prep(side: str):
         mine = l_out if side == "l" else r_out
@@ -69,38 +111,22 @@ def hash_join(left, right, key: str | list[str], how: str = "inner",
                 cols[out_name] = pa.nulls(b.num_rows, typ)
             arrays = [cols[n] for n in out_order]
             t = pa.Table.from_arrays(arrays, names=out_order)
-            return t.append_column(_SIDE_COL, pa.array([side] * b.num_rows, type=pa.string()))
+            t = t.append_column(_SIDE_COL, pa.array([side] * b.num_rows, type=pa.string()))
+            return t.append_column(_BUCKET_COL, pa.array(_key_buckets(b, keys, num_buckets)))
 
         return fn
 
     tagged = left.map_batches(prep("l"), batch_format="pyarrow").union(
         right.map_batches(prep("r"), batch_format="pyarrow")
     )
-    l_names = [n for n, _, _ in l_out]
-    r_names = [n for n, _, _ in r_out]
+    arrow_how = _ARROW_HOW[how]
 
-    out_types = {k: lschema.field(k).type for k in keys}
-    out_types.update({n: t for n, _, t in l_out})
-    out_types.update({n: t for n, _, t in r_out})
+    def merge(g: pa.Table) -> pa.Table:
+        is_l = pc.equal(g.column(_SIDE_COL), pa.scalar("l"))
+        lt = g.filter(is_l).select(keys + l_names)
+        rt = g.filter(pc.invert(is_l)).select(keys + r_names)
+        out = lt.join(rt, keys=keys, join_type=arrow_how)
+        return out.select(out_order) if out.num_rows else pa.table(
+            {n: pa.array([], type=out.schema.field(n).type) for n in out_order})
 
-    def _to_arrow(df: pd.DataFrame) -> pa.Table:
-        # the union NaN-pads the absent side, demoting ints to float —
-        # rebuild each column at its declared Arrow type (NaN -> null)
-        arrays = []
-        for n in out_order:
-            col = df[n]
-            vals = col.astype(object).where(col.notna(), None).to_numpy(dtype=object)
-            typ = out_types[n]
-            if pa.types.is_integer(typ):
-                vals = np.array([None if v is None else int(v) for v in vals], dtype=object)
-            arrays.append(pa.array(vals, type=typ))
-        return pa.Table.from_arrays(arrays, names=out_order)
-
-    def merge(g: pd.DataFrame):
-        lg = g[g[_SIDE_COL] == "l"][keys + l_names]
-        rg = g[g[_SIDE_COL] == "r"][keys + r_names]
-        if (how in ("inner", "left") and lg.empty) or (how in ("inner", "right") and rg.empty):
-            return _to_arrow(pd.DataFrame({n: [] for n in out_order}))
-        return _to_arrow(lg.merge(rg, on=keys, how=how))
-
-    return tagged.groupby(keys if len(keys) > 1 else keys[0]).map_groups(merge, batch_format="pandas")
+    return tagged.groupby(_BUCKET_COL).map_groups(merge, batch_format="pyarrow")

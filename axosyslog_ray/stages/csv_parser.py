@@ -6,15 +6,19 @@ scanner lib/scanner/csv-scanner/csv-scanner.c): named target columns,
 configurable delimiters, **quote pairs** (open->close, e.g. '""' and
 '[]' so an apache `[10/Oct/2026:...]` field is one token), dialects
 escape-none / escape-backslash / escape-double-char, null-value
-replacement, strip-whitespace, greedy tail, drop-invalid.
+replacement, strip-whitespace, greedy tail, drop-invalid. Fields are
+POSITIONAL: consecutive delimiters yield empty fields ('a,,c' ->
+['a','','c']), exactly like the reference scanner (ADVICE r1 fix — the
+old findall tokenizer collapsed empty fields).
 
-Vectorization: the tokenizer is one compiled regex alternation
-(quoted-token | bare-token) applied with `Series.str.findall` — a single
-C-driven pass per batch; column assembly is a numpy object-matrix
-reshape. Rows with fewer tokens than columns (or extra tokens when not
-greedy) get `csv_valid=False`; the caller drops them when the reference's
-drop-invalid is on (parser failure drops the row on that path,
-reference lib/parser/parser-expr.c:46-99).
+Vectorization (two-tier):
+- rows containing NO quote-open character (the overwhelming majority of
+  machine logs) take the Arrow fast path: `pc.split_pattern[_regex]`
+  positional split, numpy offset indexing + `pc.take` for column
+  assembly, `pc.list_slice` + `pc.binary_join` for the greedy tail —
+  zero per-row Python;
+- rows with quotes fall back to the scalar scanner (`scan_tokens`, the
+  reference-shaped state machine that is also the test oracle).
 """
 
 from __future__ import annotations
@@ -24,6 +28,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 DIALECTS = ("escape-none", "escape-backslash", "escape-double-char")
 
@@ -55,36 +60,65 @@ class CsvParser:
         self.prefix = prefix
         self.drop_invalid = drop_invalid
         self.source_col = source_col
-        self.token_re = self._build_token_re()
+        # fast-path split pattern and quote-detection regex
+        self._delim_set = set(delimiters)
+        self._split_regex = "[" + re.escape(delimiters) + "]" if len(delimiters) > 1 else None
+        self._quote_regex = "[" + re.escape("".join(self.quote_pairs)) + "]" if self.quote_pairs else None
 
-    def _build_token_re(self) -> re.Pattern:
-        d = re.escape(self.delimiters)
-        alts = []
-        for qo, qc in self.quote_pairs.items():
-            o, c = re.escape(qo), re.escape(qc)
-            if self.dialect == "escape-backslash":
-                alts.append(f"{o}(?:\\\\.|[^{c}\\\\])*{c}")
-            elif self.dialect == "escape-double-char":
-                alts.append(f"{o}(?:{c}{c}|[^{c}])*{c}")
-            else:  # escape-none
-                alts.append(f"{o}[^{c}]*{c}")
-        alts.append(f"[^{d}]+")
-        return re.compile("|".join(alts))
+    # ---- scalar scanner (reference-shaped oracle + quoted-row fallback) ----
 
-    def _unquote(self, tok: str) -> str:
-        if len(tok) >= 2 and tok[0] in self.quote_pairs and tok[-1] == self.quote_pairs[tok[0]]:
-            body, qc = tok[1:-1], tok[-1]
-            if self.dialect == "escape-backslash":
-                body = re.sub(r"\\(.)", r"\1", body)
-            elif self.dialect == "escape-double-char":
-                body = body.replace(qc + qc, qc)
-            return body
-        return tok
+    def scan_tokens(self, line: str) -> list[str]:
+        """Positional field scan: one field per delimiter gap (empty fields
+        preserved); a quote char opens a quoted section only at field
+        start (reference csv-scanner behavior)."""
+        toks: list[str] = []
+        i, n = 0, len(line)
+        while True:
+            if i < n and line[i] in self.quote_pairs:
+                qc = self.quote_pairs[line[i]]
+                j = i + 1
+                body: list[str] = []
+                closed = False
+                while j < n:
+                    ch = line[j]
+                    if self.dialect == "escape-backslash" and ch == "\\" and j + 1 < n:
+                        body.append(line[j + 1])
+                        j += 2
+                        continue
+                    if ch == qc:
+                        if self.dialect == "escape-double-char" and j + 1 < n and line[j + 1] == qc:
+                            body.append(qc)
+                            j += 2
+                            continue
+                        j += 1
+                        closed = True
+                        break
+                    body.append(ch)
+                    j += 1
+                tok = "".join(body)
+                if not closed:  # unterminated quote: rest of line is the field
+                    pass
+                # trailing junk after the close quote up to the delimiter
+                while j < n and line[j] not in self._delim_set:
+                    tok += line[j]
+                    j += 1
+                i = j
+            else:
+                j = i
+                while j < n and line[j] not in self._delim_set:
+                    j += 1
+                tok = line[i:j]
+                i = j
+            toks.append(tok)
+            if i < n and line[i] in self._delim_set:
+                i += 1
+                continue
+            break
+        return toks
 
     def parse_tokens(self, line: str) -> list[str] | None:
         """Scalar reference path (oracle for tests)."""
-        toks = [self._unquote(t) for t in self.token_re.findall(line)]
-        return self._assemble(toks)
+        return self._assemble(self.scan_tokens(line))
 
     def _assemble(self, toks: list[str]) -> list[str] | None:
         ncol = len(self.columns)
@@ -103,26 +137,83 @@ class CsvParser:
             toks = [None if t == self.null_value else t for t in toks]
         return toks
 
+    # ---- vectorized batch path ----
+
     def __call__(self, table: pa.Table) -> pa.Table:
-        s = table.column(self.source_col).to_pandas().astype("string").fillna("")
-        tok_lists = s.str.findall(self.token_re)
-        n = len(s)
+        src = pc.fill_null(pc.cast(table.column(self.source_col), pa.string()), "")
+        src = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+        n = len(src)
         ncol = len(self.columns)
-        out_cols = [np.full(n, None, dtype=object) for _ in range(ncol)]
-        valid = np.zeros(n, dtype=bool)
-        for i, toks in enumerate(tok_lists.to_numpy()):
-            row = self._assemble([self._unquote(t) for t in toks])
-            if row is not None:
-                valid[i] = True
-                for j in range(ncol):
-                    out_cols[j][i] = row[j]
+
+        # positional split (Arrow C kernel) — empty fields preserved
+        if self._split_regex:
+            lists = pc.split_pattern_regex(src, self._split_regex)
+        else:
+            lists = pc.split_pattern(src, self.delimiters)
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offsets)
+        flat = lists.values
+
+        valid = lens >= ncol if self.greedy else lens == ncol
+        # rows containing a quote char need the scalar scanner
+        if self._quote_regex is not None:
+            quoted = pc.match_substring_regex(src, self._quote_regex).to_numpy(zero_copy_only=False)
+            quoted = np.asarray(quoted, dtype=bool)
+        else:
+            quoted = np.zeros(n, dtype=bool)
+
+        out_cols: list[np.ndarray] = []
+        starts = offsets[:-1]
+        safe = valid & ~quoted
+        for j in range(ncol - 1 if self.greedy else ncol):
+            idx = np.where(safe, starts + j, 0)
+            col = pc.take(flat, pa.array(idx, type=pa.int64()))
+            out_cols.append(col.to_numpy(zero_copy_only=False).astype(object))
+        if self.greedy:
+            tail = pc.binary_join(pc.list_slice(lists, ncol - 1), self.delimiters[0])
+            out_cols.append(tail.to_numpy(zero_copy_only=False).astype(object))
+
+        valid = valid.copy()
+        if quoted.any():
+            for i in np.nonzero(quoted)[0]:
+                row = self._assemble_raw(self.scan_tokens(src[int(i)].as_py()))
+                if row is None:
+                    valid[i] = False
+                else:
+                    valid[i] = True
+                    for j in range(ncol):
+                        out_cols[j][i] = row[j]
+
+        invalid = ~valid
+        if invalid.any():
+            for j in range(ncol):
+                out_cols[j][invalid] = None
+
         out = table
         for j, name in enumerate(self.columns):
-            out = out.append_column(self.prefix + name, pa.array(out_cols[j], type=pa.string()))
+            arr = pa.array(out_cols[j], type=pa.string())
+            if self.strip_whitespace:
+                arr = pc.utf8_trim_whitespace(arr)
+            if self.null_value is not None:
+                arr = pc.if_else(pc.equal(arr, self.null_value), pa.scalar(None, pa.string()), arr)
+            out = out.append_column(self.prefix + name, arr)
         out = out.append_column("csv_valid", pa.array(valid))
         if self.drop_invalid:
             out = out.filter(pa.array(valid))
         return out
+
+    def _assemble_raw(self, toks: list[str]) -> list[str] | None:
+        """Like _assemble but WITHOUT strip/null handling (applied
+        vectorized afterwards for all rows uniformly)."""
+        ncol = len(self.columns)
+        if len(toks) < ncol:
+            return None
+        if len(toks) > ncol:
+            if not self.greedy:
+                return None
+            toks = toks[: ncol - 1] + [self.delimiters[0].join(toks[ncol - 1 :])]
+        return toks
 
 
 # canonical apache-access-log parser (reference perf fixture shape,

@@ -242,3 +242,19 @@ def test_correlate_count_if():
     ])
     out = PdbCorrelator(cfg).apply(_ctx_df())
     assert out["n_a"].tolist() == [2, 1]
+
+
+def test_geoip_nested_cidr_longest_prefix():
+    """A /16 nested in a /8: IPs inside the /16 get its attrs; IPs in the
+    /8 but past the /16's end still get the OUTER attrs (mmdb
+    longest-prefix semantics — ADVICE r1)."""
+    import pyarrow as pa
+    from axosyslog_ray.enrich.geoip import GeoIP
+
+    g = GeoIP(ranges=[
+        ("10.0.0.0/8", {"country": "US"}),
+        ("10.5.0.0/16", {"country": "CA"}),
+    ], source_col="ip", prefix="geo_")
+    t = pa.table({"ip": ["10.5.1.2", "10.6.0.1", "10.0.0.1", "11.0.0.1"]})
+    out = g(t).column("geo_country").to_pylist()
+    assert out == ["CA", "US", "US", None]

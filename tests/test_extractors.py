@@ -185,3 +185,30 @@ def test_date_failure_keeps_existing_stamp():
     )
     out = DateParser(["%Y-%m-%d"])(t).to_pylist()[0]
     assert str(out["ts_stamp"]) == "2026-01-01 00:00:00" and out["date_parsed"] is False
+
+
+def test_csv_empty_fields_preserved():
+    # reference csv-scanner emits an empty column for 'a,,c' (ADVICE r1)
+    p = CsvParser(columns=["a", "b", "c"], delimiters=",")
+    r = p(_t("a,,c", ",b,", ",,")).to_pylist()
+    assert (r[0]["a"], r[0]["b"], r[0]["c"]) == ("a", "", "c")
+    assert (r[1]["a"], r[1]["b"], r[1]["c"]) == ("", "b", "")
+    assert (r[2]["a"], r[2]["b"], r[2]["c"]) == ("", "", "") and r[2]["csv_valid"]
+
+
+def test_csv_vectorized_matches_scalar_oracle():
+    """The Arrow fast path must agree with the scalar scanner on a mixed
+    corpus (quoted + unquoted + empty + invalid rows)."""
+    lines = [
+        "1,2,3", "a,,c", ",,", "x,y", "1,2,3,4",
+        '"q,uoted",b,c', '"do""uble",x,y', "sp ace,b,c", '",",,',
+    ]
+    for dialect in ("escape-none", "escape-double-char", "escape-backslash"):
+        p = CsvParser(columns=["a", "b", "c"], delimiters=",", dialect=dialect)
+        out = p(_t(*lines)).to_pylist()
+        for line, row in zip(lines, out):
+            want = p.parse_tokens(line)
+            if want is None:
+                assert not row["csv_valid"], (dialect, line)
+            else:
+                assert row["csv_valid"] and [row["a"], row["b"], row["c"]] == want, (dialect, line)

@@ -112,3 +112,26 @@ def test_filterx_casts():
     t = _msg_table()
     assert Template("$(int 3.7)").eval(t).tolist()[0] == "3"
     assert Template("$(bool yes)/$(bool nah)").eval(t).tolist()[0] == "true/false"
+
+
+def test_week_day_sunday_is_one():
+    # reference lib/template/macros.c:372: tm_wday+1 (Sunday=1..Saturday=7).
+    # 2026-08-16 is a Sunday, 2026-08-17 a Monday.
+    t = pa.table(
+        {
+            "text": [
+                "<13>Aug 16 06:00:00 h p: sun",
+                "<13>Aug 17 06:00:00 h p: mon",
+                "<13>Aug 22 06:00:00 h p: sat",
+            ]
+        }
+    )
+    t = parse_syslog_table(t)
+    assert Template("$WEEK_DAY").eval(t).tolist() == ["1", "2", "7"]
+
+
+def test_round_half_away_from_zero():
+    t = _msg_table()
+    assert Template("$(round 2.5)").eval(t).tolist()[0] == "3"
+    assert Template("$(round -2.5)").eval(t).tolist()[0] == "-3"
+    assert Template("$(round 2.345 2)").eval(t).tolist()[0] == "2.35"
