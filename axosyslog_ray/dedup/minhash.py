@@ -33,17 +33,12 @@ _MIX = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as signed int64
 
 def default_num_shards() -> int:
     """Coarse-shard count for bucket-grouped dedup shuffles: scales with the
-    cluster (8 shards per CPU, floor 64) so each map_groups group holds
-    ~1/(8*cluster_cpus) of the band rows — bounded at 100x data on a 256-node
-    cluster, yet few enough groups to dodge the measured ~50x tiny-group
-    map_groups overhead."""
-    try:
-        import ray
+    cluster so each map_groups group holds ~1/(8*cluster_cpus) of the band
+    rows — bounded at 100x data on a 256-node cluster, yet few enough
+    groups to dodge the measured ~50x tiny-group map_groups overhead."""
+    from ..shuffle import default_num_buckets
 
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    except Exception:
-        cpus = 8
-    return max(64, cpus * 8)
+    return default_num_buckets()
 
 
 def shard_of(band_id: np.ndarray, band_hash: np.ndarray, num_shards: int) -> np.ndarray:

@@ -67,15 +67,7 @@ def _arrow_schema(ds) -> pa.Schema:
     return pa.schema(fields)
 
 
-def _key_buckets(b: pa.Table, keys: list[str], num_buckets: int) -> np.ndarray:
-    """Deterministic coarse bucket of the key tuple (identical on both
-    sides): pandas' fixed-key siphash over each key column, combined."""
-    h = None
-    for k in keys:
-        col = b.column(k).to_pandas()
-        hk = pd.util.hash_array(col.to_numpy() if col.dtype != object else col.to_numpy(dtype=object))
-        h = hk if h is None else (h * np.uint64(0x9E3779B97F4A7C15) + hk)
-    return (h % np.uint64(num_buckets)).astype(np.int64)
+from .shuffle import key_bucket_array as _key_buckets  # shared coarse-bucket hash
 
 
 def hash_join(left, right, key: str | list[str], how: str = "inner",
@@ -85,9 +77,9 @@ def hash_join(left, right, key: str | list[str], how: str = "inner",
         raise ValueError(f"how must be one of {sorted(_ARROW_HOW)}, got {how!r}")
     keys = [key] if isinstance(key, str) else list(key)
     if num_buckets is None:
-        from .dedup.minhash import default_num_shards
+        from .shuffle import default_num_buckets
 
-        num_buckets = default_num_shards()
+        num_buckets = default_num_buckets()
     lschema, rschema = _arrow_schema(left), _arrow_schema(right)
     lcols = [c for c in lschema.names if c not in keys]
     rcols = [c for c in rschema.names if c not in keys]

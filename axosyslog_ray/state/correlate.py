@@ -125,15 +125,39 @@ def correlate(ds, cfg: CorrelationConfig):
 
 
 def group_lines(ds, key, timeout: float, ts_col: str = "ts_stamp",
-                message_col: str = "message", separator: str = "\n"):
+                message_col: str = "message", separator: str = "\n",
+                num_buckets: int | None = None):
     """group-lines(): reassemble multi-line payloads split across records
     (reference modules/correlation/group-lines.c) — one synthetic row per
-    context with the joined message."""
+    context with the joined message.
+
+    Direct bucketed fast path (not the generic per-key correlate()):
+    coarse hash(key)%B shuffle, then ONE sort + numpy gap breaks + ONE
+    pandas groupby per bucket — no per-key map_groups groups."""
+    import numpy as np
+
+    from ..shuffle import bucketed_map_groups, key_segments
+
     keys = [key] if isinstance(key, str) else list(key)
-    cfg = CorrelationConfig(
-        key=keys, timeout=timeout, ts_col=ts_col,
-        actions=[PdbAction(on="timeout", fields={
-            "message": f"join:{message_col}:{separator}", "n_lines": "context-length",
-        })],
-    )
-    return correlate(ds, cfg)
+    gap = pd.Timedelta(seconds=timeout)
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            cols = keys + ["context_id", "message", "n_lines"]
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        g = g.sort_values(keys + [ts_col], kind="mergesort").reset_index(drop=True)
+        key_change = key_segments(g, keys)
+        brk = key_change | (g[ts_col].diff() > gap).to_numpy()
+        ctx_glob = np.cumsum(brk) - 1
+        key_seg = np.cumsum(key_change) - 1
+        ctx_at_key_start = ctx_glob[key_change]
+        cid = ctx_glob - ctx_at_key_start[key_seg]
+        g = g.assign(_gctx=ctx_glob, _cid=cid)
+        grp = g.groupby("_gctx", sort=True)
+        out = grp[keys].first()
+        out["context_id"] = grp["_cid"].first()
+        out["message"] = grp[message_col].apply(lambda s: separator.join(s.astype(str)))
+        out["n_lines"] = grp.size()
+        return out.reset_index(drop=True)
+
+    return bucketed_map_groups(ds, keys, bucket_fn, num_buckets=num_buckets)

@@ -75,6 +75,10 @@ class GroupingBy:
         self.sort_key = sort_key
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        """Process a COARSE BUCKET holding many keys' full row sets at
+        once: one sort, numpy segment breaks, ONE pandas groupby over all
+        sessions in the bucket — no per-key or per-session Python except
+        when `having` (an arbitrary per-session callable) is set."""
         g = group
         if self.where is not None:
             mask = self.where(g) if callable(self.where) else self.where.mask(
@@ -83,41 +87,75 @@ class GroupingBy:
             g = g[np.asarray(mask, dtype=bool)]
         if g.empty:
             return self._empty()
-        g = g.sort_values(self.sort_key or self.ts_col, kind="mergesort")
+        from ..shuffle import key_segments
+
+        g = g.sort_values(self.key + [self.sort_key or self.ts_col], kind="mergesort").reset_index(drop=True)
         ts = g[self.ts_col]
-        gap_break = ts.diff() > self.timeout
+        key_change = key_segments(g, self.key)
+        gap_break = (ts.diff() > self.timeout).to_numpy()
+        brk = key_change | gap_break
         if self.trigger is not None:
             trig = np.asarray(self.trigger(g), dtype=bool)
             # a trigger row completes its context: next row starts a new one
-            after_trigger = np.concatenate([[False], trig[:-1]])
-            gap_break = gap_break.to_numpy() | after_trigger
-        session_id = np.cumsum(np.asarray(gap_break, dtype=np.int64))
-        out_rows = []
-        for sid, sess in g.groupby(session_id, sort=True):
-            if self.having is not None and not self.having(sess):
-                continue
-            row = {k: sess[k].iloc[0] for k in self.key}
-            row["session_id"] = int(sid)
-            row["session_start"] = sess[self.ts_col].iloc[0]
-            row["session_end"] = sess[self.ts_col].iloc[-1]
-            for name, spec in self.aggregates.items():
-                row[name] = _agg_value(sess, spec)
-            out_rows.append(row)
-        if not out_rows:
+            brk |= np.concatenate([[False], trig[:-1]])
+        sess_glob = np.cumsum(brk) - 1  # unique across keys within bucket
+        # per-key 0-based session_id: subtract the key's first session no.
+        key_seg = np.cumsum(key_change) - 1
+        sess_at_key_start = sess_glob[key_change]
+        sid = sess_glob - sess_at_key_start[key_seg]
+        g = g.assign(_gsess=sess_glob, _sid=sid)
+        grp = g.groupby("_gsess", sort=True)
+        out = grp[self.key].first()
+        out["session_id"] = grp["_sid"].first()
+        out["session_start"] = grp[self.ts_col].first()
+        out["session_end"] = grp[self.ts_col].last()
+        for name, spec in self.aggregates.items():
+            out[name] = self._agg_series(grp, spec)
+        if self.having is not None:
+            keep = np.fromiter((bool(self.having(s)) for _, s in grp), dtype=bool, count=len(out))
+            out = out[keep]
+        out = out.reset_index(drop=True)
+        if out.empty:
             return self._empty()
-        return pd.DataFrame(out_rows)
+        return out
+
+    @staticmethod
+    def _agg_series(grp, spec: str):
+        if spec == "count":
+            return grp.size()
+        op, _, col = spec.partition(":")
+        s = grp[col]
+        if op == "sum":
+            return s.sum()
+        if op == "avg":
+            return s.mean()
+        if op == "min":
+            return s.min()
+        if op == "max":
+            return s.max()
+        if op == "first":
+            return s.first()
+        if op == "last":
+            return s.last()
+        if op == "values":
+            return s.apply(lambda v: ",".join(v.astype(str)))
+        raise ValueError(f"unknown aggregate spec {spec!r}")
 
     def _empty(self) -> pd.DataFrame:
         cols = self.key + ["session_id", "session_start", "session_end"] + list(self.aggregates)
         return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
 
 
-def sessionize(ds, key, timeout, ts_col="ts_stamp", aggregates=None, **kw):
-    """groupby(key).map_groups(GroupingBy(...)) with the full-key shuffle."""
+def sessionize(ds, key, timeout, ts_col="ts_stamp", aggregates=None,
+               num_buckets: int | None = None, **kw):
+    """Coarse-bucket shuffle (hash(key)%B — a key's rows stay co-located,
+    group sizes bounded, no per-key tiny groups) + vectorized per-bucket
+    sessionization."""
+    from ..shuffle import bucketed_map_groups
+
     gb = GroupingBy(key, timeout, ts_col=ts_col, aggregates=aggregates, **kw)
-    keys = gb.key if len(gb.key) > 1 else gb.key[0]
 
     def apply_sessions(df):
         return gb(df)
 
-    return ds.groupby(keys).map_groups(apply_sessions, batch_format="pandas")
+    return bucketed_map_groups(ds, gb.key, apply_sessions, num_buckets=num_buckets)
