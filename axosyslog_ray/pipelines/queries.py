@@ -540,13 +540,124 @@ def docs_simhash_clusters(sf_dir: str):
 
 
 def docs_langid(sf_dir: str):
-    """Language-ID heuristic (stopword profiles, actor-pool stage). Non-SQL."""
+    """Language-ID heuristic (stopword profiles, actor-pool stage).
+    Oracled by an equivalent SQL formulation (list_filter membership
+    scores + GREATEST argmax) generated from the same STOPWORDS table."""
     from ..textstats import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         LangId, batch_format="pyarrow", concurrency=2
     )
     return ds.select_columns(["doc_id", "lang_pred"]).to_pandas()
+
+
+def _sql_stopword_scores(toks_expr: str = "toks", n_expr: str = "n_tok") -> str:
+    """Per-language stopword-hit-ratio SQL columns, generated from the
+    SAME STOPWORDS the Python heuristic uses (single source of truth)."""
+    from ..textstats.analysis import STOPWORDS
+
+    def arr(ws):
+        return "[" + ",".join("'" + w + "'" for w in ws) + "]"
+
+    return ",\n  ".join(
+        f"CASE WHEN {n_expr} = 0 THEN 0.0 ELSE CAST(length(list_filter({toks_expr}, "
+        f"x -> list_contains({arr(sw)}, x))) AS DOUBLE) / {n_expr} END AS s_{lang}"
+        for lang, sw in STOPWORDS.items()
+    )
+
+
+def _sql_langid_case() -> str:
+    from ..textstats.analysis import STOPWORDS
+
+    langs = list(STOPWORDS)
+    greatest = "GREATEST(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    chain = "\n    ".join(f"WHEN s_{lg} = {greatest} THEN '{lg}'" for lg in langs)
+    return (f"CASE WHEN n_tok = 0 OR {greatest} <= 0.02 THEN 'und'\n    {chain}\n    END")
+
+
+def _langid_scored_cte(source_cols: str = "") -> str:
+    """CTE fragment: documents -> (doc_id{source_cols}, n_tok, s_<lang>...)
+    over the first 200 lowercased whitespace tokens (the LangId cap)."""
+    return f"""
+tokked AS (
+  SELECT doc_id{source_cols},
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')[1:200] AS toks
+  FROM deduped
+), counted AS (
+  SELECT doc_id{source_cols}, toks, length(toks) AS n_tok FROM tokked
+), scored AS (
+  SELECT doc_id{source_cols}, n_tok,
+  {_sql_stopword_scores()}
+  FROM counted
+)"""
+
+
+def _docs_langid_sql() -> str:
+    return f"""
+WITH deduped AS (SELECT doc_id, text FROM documents),
+{_langid_scored_cte()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {_sql_langid_case()} AS lang_pred
+FROM scored ORDER BY doc_id
+"""
+
+
+DOCS_LANGID_SQL = _docs_langid_sql()
+
+
+def _docs_curation_sql() -> str:
+    """SQL mirror of docs_curation_pipeline: quality gates over ALL
+    whitespace tokens, exact dedup = min doc_id per identical text
+    (equivalent to the content-hash dedup absent collisions), langid over
+    the first 200 tokens, counts per (lang_pred, source)."""
+    from ..textstats.analysis import STOPWORDS
+
+    en = "[" + ",".join("'" + w + "'" for w in STOPWORDS["en"]) + "]"
+    return f"""
+WITH full_toks AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ftoks
+  FROM documents
+), gated AS (
+  SELECT doc_id, source, text
+  FROM full_toks
+  WHERE length(ftoks) >= 30
+    AND (CASE WHEN length(ftoks) = 0 THEN 0.0
+         ELSE CAST(length(list_filter(ftoks, x -> list_contains({en}, x))) AS DOUBLE) / length(ftoks) END) > 0.02
+), deduped AS (
+  SELECT doc_id, source, text FROM gated
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+{_langid_scored_cte(source_cols=", source")}
+SELECT {_sql_langid_case()} AS lang_pred, source, CAST(COUNT(*) AS BIGINT) AS n
+FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+DOCS_CURATION_SQL = _docs_curation_sql()
+
+
+EMB_KNN_LABEL_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+sims AS (
+  SELECT q.qid, e.vec_id, e.label,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+), top5 AS (
+  SELECT qid, label FROM (
+    SELECT qid, label, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+    FROM sims) WHERE rk <= 5
+), counts AS (
+  SELECT qid, label, COUNT(*) AS c FROM top5 GROUP BY qid, label
+), pred AS (
+  SELECT qid, label AS pred_label FROM (
+    SELECT qid, label, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, label) AS r
+    FROM counts) WHERE r = 1
+)
+SELECT CAST(p.qid AS BIGINT) AS vec_id, CAST(p.pred_label AS BIGINT) AS pred_label,
+       CAST(t.label AS BIGINT) AS true_label
+FROM pred p JOIN embeddings t ON t.vec_id = p.qid ORDER BY vec_id
+"""
 
 
 def emb_lsh_ann(sf_dir: str):
@@ -564,7 +675,10 @@ def emb_lsh_ann(sf_dir: str):
 
 def media_decode_stats(sf_dir: str):
     """Multimodal plumbing: synthetic media corpus -> actor-pool decode
-    (stubbed kernel) -> per-type size stats. Non-SQL."""
+    (stubbed kernel) -> per-type size stats. The corpus and the fake
+    decode kernel are fully deterministic and sf-independent, so the
+    oracle is a committed golden parquet (tests/golden/) — weaker than an
+    independent SQL computation, disclosed as such."""
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
@@ -698,8 +812,8 @@ FROM numbered GROUP BY user_id, sid
 
 def events_suppress(sf_dir: str):
     """suppress(): drop duplicate messages per (user, type) within 3600s,
-    count suppressed (reference lib/logwriter.c:575-660). Non-SQL (greedy
-    last-kept-timestamp chain)."""
+    count suppressed (reference lib/logwriter.c:575-660). Oracled by a
+    recursive-CTE greedy chain in DuckDB."""
     from ..state.suppress import suppress
 
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
@@ -710,13 +824,59 @@ def events_suppress(sf_dir: str):
 
 def events_rate_limit(sf_dir: str):
     """rate-limit(): per-user token bucket, 2 events per hour window
-    (reference modules/rate-limit-filter/rate-limit.c). Non-SQL."""
+    (reference modules/rate-limit-filter/rate-limit.c). Oracled by a
+    recursive-CTE ring-state simulation in DuckDB."""
     from ..state.suppress import rate_limit
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
     out = rate_limit(ds, "user_id", rate=2, per_seconds=3600, ts_col="ts", tie_break="event_id").to_pandas()
     out = out[["event_id"]].astype("int64").sort_values("event_id").reset_index(drop=True)
     return out
+
+
+EVENTS_SUPPRESS_SQL = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS cnt
+  FROM events
+), kept AS (
+  SELECT user_id, event_type, ts, event_id, rn, cnt FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT nxt.user_id, nxt.event_type, nxt.ts, nxt.event_id, nxt.rn, nxt.cnt
+  FROM kept k, LATERAL (
+    SELECT o.user_id, o.event_type, o.ts, o.event_id, o.rn, o.cnt
+    FROM ordered o
+    WHERE o.user_id = k.user_id AND o.event_type = k.event_type
+      AND o.rn > k.rn AND o.ts > k.ts + INTERVAL 3600 SECOND
+    ORDER BY o.rn LIMIT 1
+  ) nxt
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(COALESCE(LEAD(rn) OVER (PARTITION BY user_id, event_type ORDER BY rn), cnt + 1)
+            - rn - 1 AS BIGINT) AS repeat_count
+FROM kept ORDER BY event_id
+"""
+
+
+EVENTS_RATE_LIMIT_SQL = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), sim AS (
+  SELECT o.user_id, o.rn, o.ts, o.event_id, TRUE AS admitted,
+         CAST(NULL AS TIMESTAMP) AS p1, o.ts AS p2
+  FROM ordered o WHERE o.rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.ts, o.event_id,
+         (s.p1 IS NULL OR o.ts >= s.p1 + INTERVAL 3600 SECOND) AS admitted,
+         CASE WHEN (s.p1 IS NULL OR o.ts >= s.p1 + INTERVAL 3600 SECOND) THEN s.p2 ELSE s.p1 END AS p1,
+         CASE WHEN (s.p1 IS NULL OR o.ts >= s.p1 + INTERVAL 3600 SECOND) THEN o.ts ELSE s.p2 END AS p2
+  FROM sim s JOIN ordered o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+)
+SELECT CAST(event_id AS BIGINT) AS event_id FROM sim WHERE admitted ORDER BY event_id
+"""
 
 
 
@@ -1010,4 +1170,16 @@ ORACLE_SQLS = {
     "events_netmask": EVENTS_NETMASK_SQL,
     "events_cps_windows": EVENTS_CPS_SQL,
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
+    "events_suppress": EVENTS_SUPPRESS_SQL,
+    "events_rate_limit": EVENTS_RATE_LIMIT_SQL,
+    "docs_langid": DOCS_LANGID_SQL,
+    "docs_curation_pipeline": DOCS_CURATION_SQL,
+    "emb_knn_label": EMB_KNN_LABEL_SQL,
+    # golden-parquet oracle (deterministic sf-independent synthetic corpus;
+    # regenerate with scripts in tests/golden if the fake decode changes)
+    "media_decode_stats": (
+        "SELECT media_type, n, total_pixels FROM "
+        "read_parquet('/root/repo/tests/golden/media_decode_stats.parquet') "
+        "ORDER BY media_type"
+    ),
 }
