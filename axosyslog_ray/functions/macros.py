@@ -62,7 +62,12 @@ def _ts(table: pa.Table, col: str) -> pd.Series:
 
 def _date_macros(col: str, prefix: str = "") -> dict:
     def mk(fn):
-        return lambda t: fn(_ts(t, col))
+        def eval_(t: pa.Table) -> pd.Series:
+            if col not in t.column_names:  # e.g. proc_ts not stamped
+                return pd.Series([""] * t.num_rows, dtype=object)
+            return fn(_ts(t, col))
+
+        return eval_
 
     return {
         prefix + "ISODATE": mk(lambda s: _str(s.dt.strftime("%Y-%m-%dT%H:%M:%S+00:00"))),
@@ -94,7 +99,43 @@ def _date_macros(col: str, prefix: str = "") -> dict:
         prefix + "MSEC": mk(lambda s: _str((s.dt.microsecond // 1000).astype("Int64").astype(str).str.zfill(3))),
         prefix + "USEC": mk(lambda s: _str(s.dt.microsecond.astype("Int64").astype(str).str.zfill(6))),
         prefix + "STAMP": mk(lambda s: _str(s.dt.strftime("%Y-%m-%dT%H:%M:%S+00:00"))),
+        # --- the full reference date family (lib/template/macros.c:375-440) ---
+        prefix + "YEAR_DAY": mk(lambda s: _str(s.dt.dayofyear.astype("Int64").astype(str).str.zfill(3))),
+        prefix + "MONTH_ABBREV": mk(lambda s: _str(s.dt.strftime("%b"))),
+        prefix + "MONTH_NAME": mk(lambda s: _str(s.dt.strftime("%B"))),
+        prefix + "MONTH_WEEK": mk(_month_week),
+        prefix + "HOUR12": mk(
+            lambda s: _str((((s.dt.hour + 11) % 12) + 1).astype("Int64").astype(str).str.zfill(2))
+        ),
+        prefix + "AMPM": mk(lambda s: _str(s.dt.strftime("%p"))),
+        prefix + "WEEK_DAY_ABBREV": mk(lambda s: _str(s.dt.strftime("%a"))),
+        prefix + "WEEK_DAY_NAME": mk(lambda s: _str(s.dt.strftime("%A"))),
+        prefix + "WEEK": mk(_week_sunday_start),
+        prefix + "ISOWEEK": mk(lambda s: _str(s.dt.isocalendar().week.astype("Int64").astype(str).str.zfill(2))),
+        # engine timestamps are UTC-normalized; per-row zone lives in the
+        # companion gmtoff column (stages/timezones.py) — the macro renders
+        # the normalized form, like ISODATE
+        prefix + "TZOFFSET": mk(lambda s: _str(pd.Series(["+00:00"] * len(s), index=s.index).where(s.notna(), ""))),
+        prefix + "TZ": mk(lambda s: _str(pd.Series(["+00:00"] * len(s), index=s.index).where(s.notna(), ""))),
     }
+
+
+def _month_week(s: pd.Series) -> pd.Series:
+    """reference macros.c:390-393: mday/7 + (wday>0 && mday%7 >= wday),
+    with tm_wday Sunday=0."""
+    mday = s.dt.day.fillna(1).astype(int).to_numpy()
+    wday = ((s.dt.dayofweek.fillna(0).astype(int).to_numpy() + 1) % 7)  # Sunday=0
+    mw = mday // 7 + ((wday > 0) & (mday % 7 >= wday)).astype(int)
+    return _str(pd.Series(mw.astype(str), index=s.index).where(s.notna(), ""))
+
+
+def _week_sunday_start(s: pd.Series) -> pd.Series:
+    """reference macros.c:376: (yday - (wday-1+7)%7 + 7) / 7 with 0-based
+    yday and tm_wday Sunday=0, zero-padded to 2."""
+    yday = s.dt.dayofyear.fillna(1).astype(int).to_numpy() - 1
+    wday = (s.dt.dayofweek.fillna(0).astype(int).to_numpy() + 1) % 7
+    wk = (yday - (wday - 1 + 7) % 7 + 7) // 7
+    return _str(pd.Series(np.char.zfill(wk.astype(str), 2), index=s.index).where(s.notna(), ""))
 
 
 def _passthrough(col: str):
@@ -121,9 +162,61 @@ MACROS: dict = {
         if "tags" in t.column_names
         else pd.Series([""] * t.num_rows, dtype=object)
     ),
+    # BSDTAG: severity digit + 'A'+facility letter (macros.c:531-535)
+    "BSDTAG": lambda t: _bsdtag(t),
+    "LOGHOST": lambda t: pd.Series([_loghost()] * t.num_rows, dtype=object),
+    # per-message bookkeeping ids: column passthroughs in a batch engine
+    # (the reference counters are process-local state; deterministic
+    # pipelines carry them as columns stamped at ingest)
+    "SEQNUM": _passthrough("seqnum"),
+    "RCPTID": _passthrough("rcptid"),
+    "RUNID": _passthrough("runid"),
+    "HOSTID": _passthrough("hostid"),
+    "UNIQID": _passthrough("uniqid"),
+    "SYSUPTIME": _passthrough("sysuptime"),
+    "CONTEXT_ID": _passthrough("context_id"),
+    "SDATA": _passthrough("sdata"),
+    "SOURCEIP": _passthrough("sourceip"),
 }
+
+
+def _loghost() -> str:
+    import socket
+
+    return socket.gethostname()
+
+
+def _bsdtag(t: pa.Table) -> pd.Series:
+    pri = _col(t, "pri")
+    sev = (pri % 8).astype("Int64").astype(str)
+    fac = (pri // 8).map(lambda f: chr(ord("A") + int(f)) if pd.notna(f) else "")
+    return _str((sev + fac).where(pri.notna(), ""))
+
+
+def _msghdr(t: pa.Table) -> pd.Series:
+    prog = _str(_col(t, "program")) if "program" in t.column_names else pd.Series([""] * t.num_rows, dtype=object)
+    if "pid" in t.column_names:
+        pid = _str(_col(t, "pid"))
+        hdr = np.where(pid.to_numpy(dtype=object) != "",
+                       prog.to_numpy(dtype=object) + "[" + pid.to_numpy(dtype=object) + "]: ",
+                       np.where(prog.to_numpy(dtype=object) != "", prog.to_numpy(dtype=object) + ": ", ""))
+    else:
+        p = prog.to_numpy(dtype=object)
+        hdr = np.where(p != "", p + ": ", "")
+    return pd.Series(hdr, dtype=object)
+
+
+MACROS["MSGHDR"] = _msghdr
 MACROS.update(_date_macros("ts_stamp"))
 MACROS.update(_date_macros("warc_ts", "R_"))
+# S_*: explicit sent-stamp prefix (same source as the unprefixed family)
+MACROS.update(_date_macros("ts_stamp", "S_"))
+# C_*/P_*: current/processed wall clock. A deterministic batch engine has
+# no ambient "now" — pipelines stamp a `proc_ts` column at ingest
+# (documented divergence; reference macros.c:324-348 falls back to the
+# realtime clock when LM_TS_PROCESSED is unset).
+MACROS.update(_date_macros("proc_ts", "C_"))
+MACROS.update(_date_macros("proc_ts", "P_"))
 
 
 def eval_macro(name: str, table: pa.Table) -> pd.Series | None:

@@ -54,7 +54,61 @@ DEFAULT_EXAMPLES = [
 ]
 
 
+def load_ruleset_xml(source: str) -> tuple[list[PdbRule], list[PdbExample]]:
+    """Load a reference-format .pdb XML ruleset (the real thing, not the
+    JSON stand-in): <patterndb><ruleset><patterns><pattern>PROG</pattern>
+    ... <rules><rule id= class=><patterns><pattern>MSG_PATTERN</pattern>
+    <tags><tag>, <values><value name=>, <examples><example>
+    <test_message program=>, <test_values><test_value name=>.
+
+    Schema per reference modules/correlation/pdb-load.c (element grammar)
+    and the embedded corpora in modules/correlation/tests/test_patterndb.h.
+    `source` is a filesystem path or a literal XML string.
+
+    Divergences (documented): a rule is expanded to one PdbRule per
+    (program pattern x message pattern); program patterns containing
+    @WILDCARD@ syntax fall back to match-any (program=None) — the
+    reference matches programs through the radix too."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(source) if source.lstrip().startswith("<") else ET.parse(source).getroot()
+    if root.tag != "patterndb":
+        raise ValueError(f"expected <patterndb> root, got <{root.tag}>")
+    rules: list[PdbRule] = []
+    examples: list[PdbExample] = []
+    for ruleset in root.findall("ruleset"):
+        programs = [p.text or "" for p in ruleset.findall("./patterns/pattern")]
+        programs += [p.text or "" for p in ruleset.findall("./pattern")]  # bare form
+        programs = [None if "@" in p else p for p in programs] or [None]
+        for rule in ruleset.findall("./rules/rule"):
+            rule_id = rule.get("id") or rule.get("name") or f"rule{len(rules)}"
+            rule_class = rule.get("class", "system")
+            tags = [t.text or "" for t in rule.findall("./tags/tag")]
+            values = {v.get("name"): (v.text or "") for v in rule.findall("./values/value")}
+            patterns = [p.text or "" for p in rule.findall("./patterns/pattern")]
+            patterns += [p.text or "" for p in rule.findall("./pattern")]
+            for prog in dict.fromkeys(programs):
+                for pat in patterns:
+                    rules.append(PdbRule(rule_id=rule_id, pattern=pat, program=prog,
+                                         rule_class=rule_class, tags=tags, values=values))
+            for ex in rule.findall("./examples/example"):
+                tm = ex.find("test_message")
+                if tm is None:
+                    continue
+                expected = {
+                    tv.get("name"): (tv.text or "")
+                    for tv in ex.findall("./test_values/test_value")
+                }
+                examples.append(PdbExample(
+                    message=tm.text or "", program=tm.get("program") or (programs[0] if programs else None),
+                    expected_rule=rule_id, expected=expected,
+                ))
+    return rules, examples
+
+
 def load_ruleset(path: str) -> tuple[list[PdbRule], list[PdbExample]]:
+    if path.endswith((".pdb", ".xml")) or path.lstrip().startswith("<"):
+        return load_ruleset_xml(path)
     with open(path) as f:
         doc = json.load(f)
     rules, examples = [], []
@@ -109,7 +163,14 @@ def main(argv: list[str]) -> int:
         return 2
     if argv[0] == "test":
         if len(argv) > 1:
-            rules, examples = load_ruleset(argv[1])
+            try:
+                rules, examples = load_ruleset(argv[1])
+            except FileNotFoundError:
+                print(f"pdbtool: ruleset file not found: {argv[1]}", file=sys.stderr)
+                return 2
+            except (ValueError, json.JSONDecodeError) as e:
+                print(f"pdbtool: cannot parse ruleset {argv[1]}: {e}", file=sys.stderr)
+                return 2
         else:
             rules, examples = None, None
         failures = run_conformance(rules, examples)

@@ -258,3 +258,25 @@ def test_geoip_nested_cidr_longest_prefix():
     t = pa.table({"ip": ["10.5.1.2", "10.6.0.1", "10.0.0.1", "11.0.0.1"]})
     out = g(t).column("geo_country").to_pylist()
     assert out == ["CA", "US", "US", None]
+
+
+def test_tags_parser_parses_and_unions():
+    import pyarrow as pa
+    from axosyslog_ray.stages.tags_parser import TagsParser
+
+    t = pa.table({
+        "message": ['a,b,"c,with comma",', "x", ""],
+        "tags": pa.array([["pre"], None, ["keep"]], type=pa.list_(pa.string())),
+    })
+    out = TagsParser()(t).column("tags").to_pylist()
+    assert out[0] == ["a", "b", "c,with comma", "pre"]
+    assert out[1] == ["x"]
+    assert out[2] == ["keep"]
+
+
+def test_tags_parser_creates_tags_column():
+    import pyarrow as pa
+    from axosyslog_ray.stages.tags_parser import TagsParser
+
+    t = pa.table({"message": ["t2,t1,t1"]})
+    assert TagsParser()(t).column("tags").to_pylist() == [["t1", "t2"]]

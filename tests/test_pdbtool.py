@@ -47,3 +47,90 @@ def test_cli_test_exit_codes(capsys):
     assert main(["test"]) == 0
     out = capsys.readouterr().out
     assert "4/4 examples passed" in out
+
+
+# ---- reference-format .pdb XML loading (modules/correlation/pdb-load.c) ----
+
+PDB_XML = """
+<patterndb version='6' pub_date='2026-08-17'>
+ <ruleset name='auth' id='rs-1'>
+  <patterns>
+   <pattern>sshd</pattern>
+  </patterns>
+  <rules>
+   <rule id='xml-sshd-accepted' provider='test' class='system'>
+    <patterns>
+     <pattern>Accepted @ESTRING:auth_method: @for @ESTRING:user: @from @IPv4:client_ip@ port @NUMBER:port@ ssh2</pattern>
+    </patterns>
+    <tags>
+     <tag>auth</tag>
+     <tag>ssh</tag>
+    </tags>
+    <values>
+     <value name='secevt_verdict'>ACCEPT</value>
+    </values>
+    <examples>
+     <example>
+      <test_message program='sshd'>Accepted password for bob from 10.1.2.3 port 2222 ssh2</test_message>
+      <test_values>
+       <test_value name='auth_method'>password</test_value>
+       <test_value name='user'>bob</test_value>
+       <test_value name='client_ip'>10.1.2.3</test_value>
+       <test_value name='port'>2222</test_value>
+      </test_values>
+     </example>
+    </examples>
+   </rule>
+   <rule id='xml-qstring' provider='test' class='system'>
+    <patterns>
+     <pattern>session opened for @QSTRING:quoted_user:''@</pattern>
+    </patterns>
+    <examples>
+     <example>
+      <test_message program='sshd'>session opened for 'alice'</test_message>
+      <test_values>
+       <test_value name='quoted_user'>alice</test_value>
+      </test_values>
+     </example>
+    </examples>
+   </rule>
+  </rules>
+ </ruleset>
+</patterndb>
+"""
+
+
+def test_load_pdb_xml_string_and_conformance():
+    from axosyslog_ray.pdbtool import load_ruleset_xml, run_conformance
+
+    rules, examples = load_ruleset_xml(PDB_XML)
+    assert [r.rule_id for r in rules] == ["xml-sshd-accepted", "xml-qstring"]
+    assert rules[0].program == "sshd" and rules[0].tags == ["auth", "ssh"]
+    assert rules[0].values == {"secevt_verdict": "ACCEPT"}
+    assert len(examples) == 2 and examples[0].expected["client_ip"] == "10.1.2.3"
+    assert run_conformance(rules, examples) == []
+
+
+def test_load_pdb_xml_file(tmp_path):
+    from axosyslog_ray.pdbtool import load_ruleset, run_conformance
+
+    p = tmp_path / "auth.pdb"
+    p.write_text(PDB_XML)
+    rules, examples = load_ruleset(str(p))
+    assert len(rules) == 2
+    assert run_conformance(rules, examples) == []
+
+
+def test_load_pdb_xml_rejects_wrong_root():
+    import pytest as _pytest
+
+    from axosyslog_ray.pdbtool import load_ruleset_xml
+
+    with _pytest.raises(ValueError, match="patterndb"):
+        load_ruleset_xml("<notpdb/>")
+
+
+def test_pdbtool_cli_missing_file_friendly():
+    from axosyslog_ray.pdbtool import main
+
+    assert main(["test", "/nonexistent/x.pdb"]) == 2

@@ -135,3 +135,39 @@ def test_round_half_away_from_zero():
     assert Template("$(round 2.5)").eval(t).tolist()[0] == "3"
     assert Template("$(round -2.5)").eval(t).tolist()[0] == "-3"
     assert Template("$(round 2.345 2)").eval(t).tolist()[0] == "2.35"
+
+
+def test_extended_date_macros():
+    t = _msg_table()
+    # 2026-08-17 is a Monday, day-of-year 229, ISO week 34
+    assert Template("$YEAR_DAY").eval(t).tolist()[0] == "229"
+    assert Template("$MONTH_ABBREV/$MONTH_NAME").eval(t).tolist()[0] == "Aug/August"
+    assert Template("$HOUR12 $AMPM").eval(t).tolist() == ["05 AM", "06 AM"]
+    assert Template("$WEEK_DAY_ABBREV $WEEK_DAY_NAME").eval(t).tolist()[0] == "Mon Monday"
+    assert Template("$ISOWEEK").eval(t).tolist()[0] == "34"
+    # WEEK: (yday0 - (wday-1+7)%7 + 7)/7, Sunday-start; Aug 17 2026 -> 33
+    assert Template("$WEEK").eval(t).tolist()[0] == "33"
+    # MONTH_WEEK: mday=17 wday=1 -> 17//7 + (1>0 and 17%7>=1) = 2+1
+    assert Template("$MONTH_WEEK").eval(t).tolist()[0] == "3"
+    # S_* mirrors the unprefixed sent stamp
+    assert Template("$S_HOUR").eval(t).tolist() == Template("$HOUR").eval(t).tolist()
+    # C_*/P_* read proc_ts; absent -> empty (documented divergence)
+    assert Template("[$C_HOUR]").eval(t).tolist() == ["[]", "[]"]
+
+
+def test_bsdtag_msghdr_loghost():
+    import socket
+
+    t = _msg_table()
+    # pri 38: facility auth(4) -> 'E', severity 6 -> "6E"
+    assert Template("$BSDTAG").eval(t).tolist() == ["6E", "5B"]
+    assert Template("$MSGHDR").eval(t).tolist()[0] == "sshd[1234]: "
+    assert Template("$MSGHDR").eval(t).tolist()[1] == "nginx: "
+    assert Template("$LOGHOST").eval(t).tolist()[0] == socket.gethostname()
+
+
+def test_c_macros_with_proc_ts():
+    t = _msg_table()
+    t = t.append_column("proc_ts", pa.array(pd.Series([pd.Timestamp("2026-08-17 14:30:00")] * 2, dtype="datetime64[us]")))
+    assert Template("$C_HOUR:$C_MIN").eval(t).tolist() == ["14:30", "14:30"]
+    assert Template("$P_ISODATE").eval(t).tolist()[0] == "2026-08-17T14:30:00+00:00"
