@@ -543,10 +543,13 @@ def docs_langid(sf_dir: str):
     """Language-ID heuristic (stopword profiles, actor-pool stage).
     Oracled by an equivalent SQL formulation (list_filter membership
     scores + GREATEST argmax) generated from the same STOPWORDS table."""
-    from ..textstats import LangId
+    # plain function, not an actor pool: LangId state is a static dict
+    # (<1ms build) — actor spawn costs ~5s at 32 CPUs (BASELINE.md note);
+    # the worker-process singleton gives the same build-once behavior
+    from ..textstats.analysis import langid_fn
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=2
+        langid_fn, batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "lang_pred"]).to_pandas()
 
@@ -1071,7 +1074,9 @@ def docs_curation_pipeline(sf_dir: str):
         batch_format="pyarrow",
     )
     deduped = bucketed.groupby("_bucket").map_groups(dedup_bucket, batch_format="pandas")
-    labeled = deduped.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    from ..textstats.analysis import langid_fn
+
+    labeled = deduped.map_batches(langid_fn, batch_format="pyarrow")
     out = pre_aggregated_count(labeled, ["lang_pred", "source"], alias="n", final="driver")
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["lang_pred", "source"]).reset_index(drop=True)

@@ -71,3 +71,187 @@ class AppParserChain:
             app[ok] = name
             claimed |= ok
         return out.append_column("app_name", pa.array(app, type=pa.string()))
+
+
+class MariadbAuditParser:
+    """mariadb-audit-parser(): the MariaDB audit plugin's syslog payload
+    (reference scl/mariadb/audit.conf — csv-parser with comma delimiter,
+    '' quote pair, escape-backslash, greedy, drop-invalid, preceded by a
+    "syslog_info serverhost" split of the first field).
+
+    Payload shape: "<info> <serverhost>,<username>,<host>,<connectionid>,
+    <queryid>,<operation>,<database>,<object>,<retcode>"."""
+
+    COLUMNS = ["serverhost", "username", "host", "connectionid", "queryid",
+               "operation", "database", "object", "retcode"]
+
+    def __init__(self, source_col: str = "message", prefix: str = "mariadb_"):
+        from .csv_parser import CsvParser
+
+        self.csv = CsvParser(
+            columns=self.COLUMNS, delimiters=",", quotes="''",
+            dialect="escape-backslash", greedy=True, prefix=prefix,
+            source_col=source_col,
+        )
+        self.prefix = prefix
+        # the scl splits the first csv column into syslog_info + serverhost
+        # (regexp-parser '^\s*(?<syslog_info>\S*?)(?: )?(?<serverhost>\S+)$')
+        import re
+
+        self.head_re = re.compile(r"^\s*(?P<syslog_info>\S*?)(?: )?(?P<serverhost>\S+)$")
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        out = self.csv(table)
+        col = self.prefix + "serverhost"
+        s = out.column(col).to_pandas()
+        ext = s.str.extract(self.head_re)
+        info = ext["syslog_info"].where(s.notna())
+        server = ext["serverhost"].where(s.notna(), s)
+        idx = out.column_names.index(col)
+        out = out.set_column(idx, col, pa.array(server.to_numpy(dtype=object), type=pa.string()))
+        out = out.append_column(self.prefix + "syslog_info",
+                                pa.array(info.to_numpy(dtype=object), type=pa.string()))
+        names = out.column_names
+        return out.rename_columns([("mariadb_valid" if c == "csv_valid" else c) for c in names])
+
+
+# PostgreSQL csvlog severity -> syslog severity (reference scl/pgsql/pgsql.conf
+# severity-shift rules: DEBUG* -> debug; panic +2; warning..fatal +1)
+_PGSQL_SEVERITY = {
+    "DEBUG": 7, "DEBUG1": 7, "DEBUG2": 7, "DEBUG3": 7, "DEBUG4": 7, "DEBUG5": 7,
+    "INFO": 6, "NOTICE": 5, "LOG": 6, "STATEMENT": 6, "DETAIL": 6,
+    "WARNING": 5, "ERROR": 4, "FATAL": 3, "PANIC": 1,
+}
+
+
+class PostgresqlCsvlogParser:
+    """postgresql-csvlog-parser() (reference scl/pgsql/pgsql.conf):
+    csv-parser with escape-double-char dialect + strip-whitespace over the
+    26 csvlog columns, timestamp extracted (first 23 chars,
+    %Y-%m-%d %H:%M:%S.%f), severity mapped with the scl's shift rules."""
+
+    COLUMNS = [
+        "timestamp", "username", "database", "pid", "connection_from",
+        "session_id", "session_line_num", "command_tag", "session_start_time",
+        "virtual_transaction_id", "transaction_id", "severity",
+        "sql_state_code", "message", "detail", "hint", "internal_query",
+        "internal_query_pos", "context", "query", "query_pos", "location",
+        "application_name", "backend_type", "leader_pid", "query_id",
+    ]
+    INT_COLS = {"pid", "session_line_num", "transaction_id",
+                "internal_query_pos", "query_pos", "leader_pid", "query_id"}
+
+    def __init__(self, source_col: str = "message", prefix: str = "pgsql_"):
+        from .csv_parser import CsvParser
+
+        self.csv = CsvParser(
+            columns=self.COLUMNS, delimiters=",", quotes='""',
+            dialect="escape-double-char", strip_whitespace=True,
+            prefix=prefix, source_col=source_col,
+        )
+        self.prefix = prefix
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = self.csv(table)
+        p = self.prefix
+        valid = out.column("csv_valid")
+        # parsed event timestamp: first 23 chars, fixed format
+        ts_str = pc.utf8_slice_codeunits(
+            pc.fill_null(out.column(p + "timestamp"), ""), 0, 23)
+        ts = pd.to_datetime(ts_str.to_pandas(), format="%Y-%m-%d %H:%M:%S.%f", errors="coerce")
+        out = out.append_column(p + "ts", pa.array(ts.astype("datetime64[ns]")))
+        # severity mapping (scl shift rules baked into the lookup table)
+        sev = out.column(p + "severity").to_pandas().map(
+            lambda v: _PGSQL_SEVERITY.get(v.upper() if isinstance(v, str) else v))
+        out = out.append_column(p + "severity_num", pa.array(sev, type=pa.int64()))
+        # int()-typed columns per the scl column list
+        for c in self.INT_COLS:
+            iv = pd.to_numeric(out.column(p + c).to_pandas(), errors="coerce")
+            idx = out.column_names.index(p + c)
+            out = out.set_column(idx, p + c, pa.array(iv, type=pa.float64()).cast(pa.int64(), safe=False))
+        names = out.column_names
+        return out.rename_columns([("pgsql_valid" if c == "csv_valid" else c) for c in names])
+
+
+class SnmptrapdParser:
+    """snmptrapd-parser() (reference modules/afsnmp/snmptrapd-header-parser.c
+    + varbindlist scanner): header line
+    "<date> <time> HOSTNAME [TRANSPORT]: [enterprise_oid]" with optional
+    v1 trap lines ("<type> Trap (<subtype>) Uptime: <uptime>"), then
+    tab/newline-separated "oid = TYPE: value" varbinds flattened into a
+    map column (the reference's .snmp.* name-values)."""
+
+    import re as _re
+
+    # transport is greedy to the LAST ']' before the colon — the nested
+    # "[UDP: [ip]:port->[ip]:port]" form; the reference scans backwards
+    # from the newline for the same reason (snmptrapd-header-parser.c
+    # _parse_transport_info)
+    HEADER_RE = _re.compile(
+        r"^\s*(?P<date>\d{4}-\d{2}-\d{2})\s+(?P<time>\d{2}:\d{2}:\d{2})\s+"
+        r"(?P<hostname>\S+)\s+\[(?P<transport_info>.*)\]\s*:[ \t]*"
+        r"(?P<enterprise_oid>\S+)?[ \t]*\n?"
+    )
+    V1_RE = _re.compile(
+        r"^\s*(?P<type>[A-Za-z][A-Za-z ]*?) \((?P<subtype>[^)]*)\) Uptime:\s*(?P<uptime>\S+)\s*\n?"
+    )
+    VARBIND_RE = _re.compile(
+        r"(?P<oid>\S+)\s*=\s*(?:(?P<vtype>[A-Za-z0-9-]+):\s*)?(?P<value>\"[^\"]*\"|[^\t\n]*?)(?=\s*[\t\n]|\s{4,}|$)"
+    )
+
+    def __init__(self, source_col: str = "message", prefix: str = "snmp_"):
+        self.source_col = source_col
+        self.prefix = prefix
+
+    def parse_one(self, text: str) -> dict | None:
+        m = self.HEADER_RE.match(text)
+        if not m:
+            return None
+        out = {"hostname": m.group("hostname"),
+               "transport_info": m.group("transport_info"),
+               "ts": f"{m.group('date')} {m.group('time')}"}
+        if m.group("enterprise_oid"):
+            out["enterprise_oid"] = m.group("enterprise_oid")
+        rest = text[m.end():]
+        v1 = self.V1_RE.match(rest)
+        if v1:
+            out["type"] = v1.group("type")
+            out["subtype"] = v1.group("subtype")
+            out["uptime"] = v1.group("uptime")
+            rest = rest[v1.end():]
+        varbinds = []
+        for vb in self.VARBIND_RE.finditer(rest):
+            val = vb.group("value").strip()
+            if len(val) >= 2 and val[0] == '"' and val[-1] == '"':
+                val = val[1:-1]
+            varbinds.append((vb.group("oid"), val))
+        out["varbinds"] = varbinds
+        return out
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        s = table.column(self.source_col).to_pandas().astype("string").fillna("")
+        n = len(s)
+        cols = {k: np.full(n, None, dtype=object)
+                for k in ("hostname", "transport_info", "enterprise_oid",
+                          "type", "subtype", "uptime", "ts")}
+        maps = np.full(n, None, dtype=object)
+        valid = np.zeros(n, dtype=bool)
+        for i, text in enumerate(s.to_numpy()):
+            r = self.parse_one(text)
+            if r is None:
+                maps[i] = []
+                continue
+            valid[i] = True
+            maps[i] = r.pop("varbinds")
+            for k, v in r.items():
+                cols[k][i] = v
+        out = table
+        p = self.prefix
+        for k in ("hostname", "transport_info", "enterprise_oid", "type", "subtype", "uptime"):
+            out = out.append_column(p + k, pa.array(cols[k], type=pa.string()))
+        ts = pd.to_datetime(pd.Series(cols["ts"]), format="%Y-%m-%d %H:%M:%S", errors="coerce")
+        out = out.append_column(p + "ts", pa.array(ts.astype("datetime64[ns]")))
+        out = out.append_column(p + "varbinds", pa.array(maps.tolist(), type=pa.map_(pa.string(), pa.string())))
+        return out.append_column("snmp_valid", pa.array(valid))

@@ -93,9 +93,23 @@ def rolling_fingerprints(batch: pa.Table, text_col: str = "text", window: int = 
     return batch.append_column(out_col, pa.array(out, type=pa.list_(pa.int64())))
 
 
+_LANGID_SINGLETON = None
+
+
+def langid_fn(batch: pa.Table) -> pa.Table:
+    """Stateless-task form of LangId: the profile state is a static dict,
+    so a worker-process singleton beats an actor pool (actor spawn costs
+    seconds at high CPU counts; workers are reused across tasks)."""
+    global _LANGID_SINGLETON
+    if _LANGID_SINGLETON is None:
+        _LANGID_SINGLETON = LangId()
+    return _LANGID_SINGLETON(batch)
+
+
 class LangId:
     """Stopword-profile language ID (n-gram-free heuristic; actor-pool
-    stage so the profiles are built once per worker)."""
+    stage so the profiles are built once per worker — use `langid_fn`
+    for the cheaper stateless-task form)."""
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         self.text_col = text_col

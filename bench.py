@@ -130,11 +130,17 @@ def main() -> None:
     import shutil
 
     out_dir = f"/tmp/axoray_bench/sinks_{NUM_CPUS}"
-    shutil.rmtree(out_dir, ignore_errors=True)
     warmup(pages_dir)
-    t0 = time.time()
-    extra = run_headline(pages_dir, out_dir)
-    headline_sec = time.time() - t0
+    # two timed runs; report the second (steady-state — the first still
+    # pays residual worker-pool ramp; both runs recorded for transparency)
+    runs = []
+    extra = {}
+    for _ in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        extra = run_headline(pages_dir, out_dir)
+        runs.append(round(time.time() - t0, 3))
+    headline_sec = runs[-1]
 
     queries: dict[str, float] = {}
     if os.environ.get("BENCH_SKIP_QUERIES", "0") != "1":
@@ -160,6 +166,7 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "headline": {
             "rows": n_rows,
+            "runs": runs,
             "gigabytes": round(payload_gb, 3),
             "rows_per_sec": round(n_rows / headline_sec, 1),
             "gb_per_sec": round(payload_gb / headline_sec, 4),

@@ -212,3 +212,77 @@ def test_csv_vectorized_matches_scalar_oracle():
                 assert not row["csv_valid"], (dialect, line)
             else:
                 assert row["csv_valid"] and [row["a"], row["b"], row["c"]] == want, (dialect, line)
+
+
+# ---------------- app parsers: mariadb / pgsql / snmptrapd ----------------
+
+def test_mariadb_audit_parser():
+    from axosyslog_ray.stages.app_parsers import MariadbAuditParser
+
+    # scl/mariadb/audit.conf example payload (after the syslog header)
+    msg = ("columnstore-1 eff8a68bcd7f,user1,172.18.0.1,32,394,QUERY,syslog_ng,"
+           "'SELECT * FROM test WHERE 0=1',1146")
+    r = MariadbAuditParser()(_t(msg)).to_pylist()[0]
+    assert r["mariadb_valid"]
+    assert r["mariadb_syslog_info"] == "columnstore-1"
+    assert r["mariadb_serverhost"] == "eff8a68bcd7f"
+    assert r["mariadb_username"] == "user1"
+    assert r["mariadb_operation"] == "QUERY"
+    assert r["mariadb_object"] == "SELECT * FROM test WHERE 0=1"
+    assert r["mariadb_retcode"] == "1146"
+
+
+def test_mariadb_audit_connect_empty_fields():
+    from axosyslog_ray.stages.app_parsers import MariadbAuditParser
+
+    msg = "docker eff8a68bcd7f,root,172.18.0.3,13,0,CONNECT,,,0"
+    r = MariadbAuditParser()(_t(msg)).to_pylist()[0]
+    assert r["mariadb_valid"] and r["mariadb_operation"] == "CONNECT"
+    assert r["mariadb_database"] == "" and r["mariadb_object"] == ""
+
+
+def test_postgresql_csvlog_parser():
+    from axosyslog_ray.stages.app_parsers import PostgresqlCsvlogParser
+
+    msg = ('2023-08-08 12:05:52.805 UTC,,,22113,,64d22fa0.5661,1,,'
+           '2023-08-08 12:05:52 UTC,23/74060,0,LOG,00000,'
+           '"automatic vacuum of table ""tablename"": index scans: 0",'
+           ',,,,,,,,,"",,')
+    r = PostgresqlCsvlogParser()(_t(msg)).to_pylist()[0]
+    assert r["pgsql_valid"]
+    assert r["pgsql_pid"] == 22113
+    assert r["pgsql_severity"] == "LOG" and r["pgsql_severity_num"] == 6
+    assert r["pgsql_message"] == 'automatic vacuum of table "tablename": index scans: 0'
+    assert str(r["pgsql_ts"]).startswith("2023-08-08 12:05:52.805")
+
+
+def test_snmptrapd_v2_message():
+    from axosyslog_ray.stages.app_parsers import SnmptrapdParser
+
+    msg = ("2017-05-10 12:46:14 web2-kukorica.syslog_ng.balabit "
+           "[UDP: [127.0.0.1]:34257->[127.0.0.1]:162]:\n"
+           "iso.3.6.1.2.1.1.3.0 = Timeticks: (875496867) 101 days, 7:56:08.67\t"
+           "iso.3.6.1.6.3.1.1.4.1.0 = OID: iso.3.6.1.4.1.8072.2.3.0.1")
+    r = SnmptrapdParser()(_t(msg)).to_pylist()[0]
+    assert r["snmp_valid"]
+    assert r["snmp_hostname"] == "web2-kukorica.syslog_ng.balabit"
+    assert r["snmp_transport_info"] == "UDP: [127.0.0.1]:34257->[127.0.0.1]:162"
+    vb = dict(r["snmp_varbinds"])
+    assert vb["iso.3.6.1.2.1.1.3.0"] == "(875496867) 101 days, 7:56:08.67"
+    assert vb["iso.3.6.1.6.3.1.1.4.1.0"] == "iso.3.6.1.4.1.8072.2.3.0.1"
+
+
+def test_snmptrapd_v1_message():
+    from axosyslog_ray.stages.app_parsers import SnmptrapdParser
+
+    msg = ("2017-11-10 13:23:16 localhost [UDP: [127.0.0.1]:53831->[127.0.0.1]:162]: "
+           "iso.3.6.1.4.1.8072.2.3.1\n"
+           "\t Enterprise Specific Trap (.17) Uptime: 18:41:07.83\n"
+           "iso.3.6.1.4.1.8072.2.1.1 = INTEGER: 123456")
+    r = SnmptrapdParser()(_t(msg)).to_pylist()[0]
+    assert r["snmp_valid"]
+    assert r["snmp_enterprise_oid"] == "iso.3.6.1.4.1.8072.2.3.1"
+    assert r["snmp_type"] == "Enterprise Specific Trap"
+    assert r["snmp_subtype"] == ".17"
+    assert r["snmp_uptime"] == "18:41:07.83"
+    assert dict(r["snmp_varbinds"])["iso.3.6.1.4.1.8072.2.1.1"] == "123456"
