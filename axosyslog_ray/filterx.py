@@ -1,0 +1,507 @@
+"""FilterX: a minimal, vectorized expression/statement evaluator.
+
+Mirrors the semantics of the reference's FilterX block language
+(reference lib/filterx/: expr-condition.c if/elif/else, expr-switch.c,
+expr-null-coalesce.c `??`, expr-comparison.c, expr-boolalg.c,
+expr-arithmetic-operators.c, expr-assign.c, expr-drop.c / expr-done.c
+verdicts, expr-isset.c isset()) — re-expressed Ray-Data-first: a
+program compiles ONCE (per actor / process) into a statement tree, and
+evaluation is columnar — every expression produces a pandas Series for
+the whole batch, and statements apply under a boolean row mask, so
+if/else/switch/drop/done cost one vectorized masked assignment each
+instead of a per-row interpreter loop.
+
+Surface (the subset a log pipeline actually uses):
+  $name           message field (table column)
+  name            local variable
+  literals        "str" 'str' 123 4.5 true false null
+  operators       == != < <= > >= + - * / %  and or not  ??  cond ? a : b
+  functions       upper(x) lower(x) len(x) string(x) int(x) double(x)
+                  isset(x) defined(x)
+  statements      lval = expr;   if (e) {..} elif (e) {..} else {..}
+                  switch (e) { case LIT: ..; default: ..; }
+                  drop;   done;
+Null semantics follow the reference: `??` takes the right side when the
+left is null/unset; comparisons with null are false; `and`/`or` treat
+null as false. `drop;` removes the row from the output; `done;` freezes
+the row (no further statements touch it) but keeps it.
+
+Usage (map_batches-ready):
+    fx = FilterX('if ($status >= 500) { $class = "err"; drop; } '
+                 'else { $class = "ok"; };')
+    ds.map_batches(fx, batch_format="pyarrow")
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<num>\d+\.\d+|\d+)
+    | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    | (?P<field>\$[A-Za-z_][A-Za-z0-9_.]*)
+    | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op>\?\?|==|!=|<=|>=|&&|\|\||[-+*/%<>=(){};:,?!])
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"if", "elif", "else", "switch", "case", "default", "drop", "done",
+             "and", "or", "not", "true", "false", "null"}
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    toks, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m or m.end() == pos:
+            if src[pos:].strip():
+                raise SyntaxError(f"filterx: cannot tokenize at {src[pos:pos+20]!r}")
+            break
+        pos = m.end()
+        for kind in ("num", "str", "field", "name", "op"):
+            v = m.group(kind)
+            if v is not None:
+                toks.append((kind, v))
+                break
+    toks.append(("eof", ""))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# AST + parser (recursive descent, precedence climbing)
+# ---------------------------------------------------------------------------
+
+class _Parser:
+    def __init__(self, src: str):
+        self.toks = _tokenize(src)
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val):
+        k, v = self.next()
+        if v != val:
+            raise SyntaxError(f"filterx: expected {val!r}, got {v!r}")
+
+    def accept(self, val) -> bool:
+        if self.peek()[1] == val:
+            self.i += 1
+            return True
+        return False
+
+    # -- statements --
+    def program(self):
+        stmts = []
+        while self.peek()[0] != "eof":
+            stmts.append(self.statement())
+            while self.accept(";"):
+                pass
+        return ("block", stmts)
+
+    def block(self):
+        self.expect("{")
+        stmts = []
+        while not self.accept("}"):
+            stmts.append(self.statement())
+            while self.accept(";"):
+                pass
+        return ("block", stmts)
+
+    def statement(self):
+        k, v = self.peek()
+        if v == "if":
+            return self.if_stmt()
+        if v == "switch":
+            return self.switch_stmt()
+        if v == "drop":
+            self.next()
+            return ("drop",)
+        if v == "done":
+            self.next()
+            return ("done",)
+        if k in ("field", "name") and v not in _KEYWORDS:
+            self.next()
+            self.expect("=")
+            return ("assign", (k, v), self.expr())
+        raise SyntaxError(f"filterx: unexpected {v!r}")
+
+    def if_stmt(self):
+        self.expect("if")
+        self.expect("(")
+        cond = self.expr()
+        self.expect(")")
+        then = self.block()
+        if self.accept("elif"):
+            # rewind: treat as 'if' for the nested parse
+            self.i -= 1
+            self.toks[self.i] = ("name", "if")
+            return ("if", cond, then, ("block", [self.if_stmt()]))
+        if self.accept("else"):
+            return ("if", cond, then, self.block())
+        return ("if", cond, then, None)
+
+    def switch_stmt(self):
+        self.expect("switch")
+        self.expect("(")
+        subject = self.expr()
+        self.expect(")")
+        self.expect("{")
+        cases, default = [], None
+        while not self.accept("}"):
+            if self.accept("case"):
+                lit = self.expr()
+                self.expect(":")
+                body = []
+                while self.peek()[1] not in ("case", "default", "}"):
+                    body.append(self.statement())
+                    while self.accept(";"):
+                        pass
+                cases.append((lit, ("block", body)))
+            elif self.accept("default"):
+                self.expect(":")
+                body = []
+                while self.peek()[1] not in ("case", "default", "}"):
+                    body.append(self.statement())
+                    while self.accept(";"):
+                        pass
+                default = ("block", body)
+            else:
+                raise SyntaxError("filterx: expected case/default in switch")
+        return ("switch", subject, cases, default)
+
+    # -- expressions --
+    def expr(self):
+        e = self.or_()
+        if self.accept("?"):
+            a = self.expr()
+            self.expect(":")
+            b = self.expr()
+            return ("ternary", e, a, b)
+        return e
+
+    def or_(self):
+        e = self.and_()
+        while self.peek()[1] in ("or", "||"):
+            self.next()
+            e = ("or", e, self.and_())
+        return e
+
+    def and_(self):
+        e = self.not_()
+        while self.peek()[1] in ("and", "&&"):
+            self.next()
+            e = ("and", e, self.not_())
+        return e
+
+    def not_(self):
+        if self.peek()[1] in ("not", "!"):
+            self.next()
+            return ("not", self.not_())
+        return self.comparison()
+
+    def comparison(self):
+        e = self.coalesce()
+        if self.peek()[1] in ("==", "!=", "<", "<=", ">", ">="):
+            op = self.next()[1]
+            return ("cmp", op, e, self.coalesce())
+        return e
+
+    def coalesce(self):
+        e = self.additive()
+        while self.accept("??"):
+            e = ("coalesce", e, self.additive())
+        return e
+
+    def additive(self):
+        e = self.mult()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            e = ("arith", op, e, self.mult())
+        return e
+
+    def mult(self):
+        e = self.unary()
+        while self.peek()[1] in ("*", "/", "%"):
+            op = self.next()[1]
+            e = ("arith", op, e, self.unary())
+        return e
+
+    def unary(self):
+        if self.accept("-"):
+            return ("neg", self.unary())
+        return self.primary()
+
+    def primary(self):
+        k, v = self.next()
+        if k == "num":
+            return ("lit", float(v) if "." in v else int(v))
+        if k == "str":
+            return ("lit", re.sub(r"\\(.)", r"\1", v[1:-1]))
+        if k == "field":
+            return ("field", v[1:])
+        if k == "name":
+            if v == "true":
+                return ("lit", True)
+            if v == "false":
+                return ("lit", False)
+            if v == "null":
+                return ("lit", None)
+            if self.accept("("):
+                args = []
+                if not self.accept(")"):
+                    args.append(self.expr())
+                    while self.accept(","):
+                        args.append(self.expr())
+                    self.expect(")")
+                return ("call", v, args)
+            return ("var", v)
+        if v == "(":
+            e = self.expr()
+            self.expect(")")
+            return e
+        raise SyntaxError(f"filterx: unexpected token {v!r}")
+
+
+# ---------------------------------------------------------------------------
+# vectorized evaluator
+# ---------------------------------------------------------------------------
+
+class _Ctx:
+    def __init__(self, table: pa.Table):
+        self.n = table.num_rows
+        self.cols: dict[str, pd.Series] = {}
+        self.table = table
+        self.vars: dict[str, pd.Series] = {}
+        self.active = np.ones(self.n, dtype=bool)  # rows still processed
+        self.kept = np.ones(self.n, dtype=bool)    # rows not dropped
+
+    def col(self, name: str) -> pd.Series:
+        if name in self.cols:
+            return self.cols[name]
+        if name in self.table.column_names:
+            s = self.table.column(name).to_pandas()
+        else:
+            s = pd.Series([None] * self.n, dtype=object)
+        self.cols[name] = s
+        return s
+
+
+def _isnull(s) -> np.ndarray:
+    return pd.isna(s).to_numpy() if isinstance(s, pd.Series) else np.asarray(pd.isna(s))
+
+
+def _truthy(s: pd.Series) -> np.ndarray:
+    """reference boolalg: null -> false; numbers: != 0; strings: != ''."""
+    vals = s.to_numpy(dtype=object) if isinstance(s, pd.Series) else s
+    out = np.zeros(len(vals), dtype=bool)
+    nn = ~_isnull(vals)
+    out[nn] = np.array([bool(v) for v in vals[nn]], dtype=bool)
+    return out
+
+
+_FUNCS = {
+    "upper": lambda a: a.astype("string").str.upper().astype(object),
+    "lower": lambda a: a.astype("string").str.lower().astype(object),
+    "len": lambda a: a.astype("string").str.len(),
+    "string": lambda a: a.where(pd.isna(a), a.astype(str)),
+    "int": lambda a: pd.to_numeric(a, errors="coerce").astype("Int64"),
+    "double": lambda a: pd.to_numeric(a, errors="coerce").astype(float),
+    "isset": lambda a: pd.Series(~pd.isna(a).to_numpy(), dtype=object),
+    "defined": lambda a: pd.Series(~pd.isna(a).to_numpy(), dtype=object),
+}
+
+
+class FilterX:
+    """Compiled FilterX program; callable as a map_batches stage."""
+
+    def __init__(self, src: str):
+        self.ast = _Parser(src).program()
+
+    # -- expression eval: returns pd.Series aligned with the batch --
+    def _eval(self, node, ctx: _Ctx) -> pd.Series:
+        tag = node[0]
+        if tag == "lit":
+            return pd.Series([node[1]] * ctx.n, dtype=object if not isinstance(node[1], (int, float)) or isinstance(node[1], bool) else None)
+        if tag == "field":
+            return ctx.col(node[1])
+        if tag == "var":
+            return ctx.vars.get(node[1], pd.Series([None] * ctx.n, dtype=object))
+        if tag == "call":
+            fn = _FUNCS.get(node[1])
+            if fn is None:
+                raise NameError(f"filterx: unknown function {node[1]}()")
+            return fn(*[self._eval(a, ctx) for a in node[2]])
+        if tag == "coalesce":
+            left = self._eval(node[1], ctx)
+            right = self._eval(node[2], ctx)
+            nullmask = _isnull(left)
+            if not nullmask.any():
+                return left
+            out = left.copy().astype(object)
+            out[nullmask] = right[nullmask] if isinstance(right, pd.Series) else right
+            return out
+        if tag == "ternary":
+            c = _truthy(self._eval(node[1], ctx))
+            a, b = self._eval(node[2], ctx), self._eval(node[3], ctx)
+            return pd.Series(np.where(c, a.to_numpy(dtype=object), b.to_numpy(dtype=object)), dtype=object)
+        if tag == "cmp":
+            op, a, b = node[1], self._eval(node[2], ctx), self._eval(node[3], ctx)
+            an, bn = _isnull(a), _isnull(b)
+            both = ~(an | bn)
+            av = pd.to_numeric(a, errors="ignore") if not isinstance(a, pd.Series) else a
+            res = np.zeros(ctx.n, dtype=bool)
+            if both.any():
+                aa = a[both] if isinstance(a, pd.Series) else a
+                bb = b[both] if isinstance(b, pd.Series) else b
+                aa, bb = _align_types(aa, bb)
+                if op == "==":
+                    r = aa == bb
+                elif op == "!=":
+                    r = aa != bb
+                elif op == "<":
+                    r = aa < bb
+                elif op == "<=":
+                    r = aa <= bb
+                elif op == ">":
+                    r = aa > bb
+                else:
+                    r = aa >= bb
+                res[both.nonzero()[0]] = np.asarray(r, dtype=bool)
+            return pd.Series(res)
+        if tag == "arith":
+            op, a, b = node[1], self._eval(node[2], ctx), self._eval(node[3], ctx)
+            if op == "+" and (a.dtype == object or b.dtype == object):
+                # string concat when either side is non-numeric (reference
+                # expr-plus: type-directed)
+                na = pd.to_numeric(a, errors="coerce")
+                nb = pd.to_numeric(b, errors="coerce")
+                if na.isna().to_numpy().all() or nb.isna().to_numpy().all():
+                    return (a.astype("string") + b.astype("string")).astype(object)
+                a, b = na, nb
+            a = pd.to_numeric(a, errors="coerce")
+            b = pd.to_numeric(b, errors="coerce")
+            if op == "+":
+                return a + b
+            if op == "-":
+                return a - b
+            if op == "*":
+                return a * b
+            if op == "/":
+                return a / b
+            return a % b
+        if tag == "neg":
+            return -pd.to_numeric(self._eval(node[1], ctx), errors="coerce")
+        if tag == "and":
+            return pd.Series(_truthy(self._eval(node[1], ctx)) & _truthy(self._eval(node[2], ctx)))
+        if tag == "or":
+            return pd.Series(_truthy(self._eval(node[1], ctx)) | _truthy(self._eval(node[2], ctx)))
+        if tag == "not":
+            return pd.Series(~_truthy(self._eval(node[1], ctx)))
+        raise ValueError(f"filterx: bad node {tag}")
+
+    # -- statement execution under a row mask --
+    def _exec(self, node, ctx: _Ctx, mask: np.ndarray) -> None:
+        tag = node[0]
+        if tag == "block":
+            for st in node[1]:
+                if not mask.any():
+                    return
+                self._exec(st, ctx, mask & ctx.active)
+            return
+        if tag == "assign":
+            (kind, name), valnode = node[1], node[2]
+            val = self._eval(valnode, ctx)
+            if not isinstance(val, pd.Series):
+                val = pd.Series([val] * ctx.n)
+            if kind == "field":
+                cur = ctx.col(name[1:]).astype(object)
+                cur[mask] = val[mask]
+                ctx.cols[name[1:]] = cur
+            else:
+                cur = ctx.vars.get(name, pd.Series([None] * ctx.n, dtype=object)).astype(object)
+                cur[mask] = val[mask]
+                ctx.vars[name] = cur
+            return
+        if tag == "if":
+            cond = _truthy(self._eval(node[1], ctx)) & mask
+            self._exec(node[2], ctx, cond)
+            if node[3] is not None:
+                self._exec(node[3], ctx, mask & ~cond)
+            return
+        if tag == "switch":
+            subject = self._eval(node[1], ctx)
+            remaining = mask.copy()
+            for lit, body in node[2]:
+                case_val = self._eval(lit, ctx)
+                aa, bb = _align_types(subject, case_val)
+                eq = aa == bb
+                if isinstance(eq, pd.Series):
+                    eq = eq.fillna(False).to_numpy(dtype=bool)
+                m = remaining & np.asarray(eq, dtype=bool) & ~_isnull(subject)
+                self._exec(body, ctx, m)
+                remaining &= ~m
+            if node[3] is not None:
+                self._exec(node[3], ctx, remaining)
+            return
+        if tag == "drop":
+            ctx.kept &= ~mask
+            ctx.active &= ~mask
+            return
+        if tag == "done":
+            ctx.active &= ~mask
+            return
+        raise ValueError(f"filterx: bad statement {tag}")
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        ctx = _Ctx(table)
+        self._exec(self.ast, ctx, np.ones(table.num_rows, dtype=bool))
+        out = table
+        for name, series in ctx.cols.items():
+            arr = _series_to_arrow(series)
+            if name in out.column_names:
+                out = out.set_column(out.column_names.index(name), name, arr)
+            else:
+                out = out.append_column(name, arr)
+        if not ctx.kept.all():
+            out = out.filter(pa.array(ctx.kept))
+        return out
+
+
+def _align_types(a, b):
+    """Numeric comparison when both sides look numeric, else string-wise."""
+    na = pd.to_numeric(a, errors="coerce") if isinstance(a, pd.Series) else a
+    nb = pd.to_numeric(b, errors="coerce") if isinstance(b, pd.Series) else b
+    a_num = isinstance(na, pd.Series) and not na.isna().to_numpy().all() or np.isscalar(na) and not pd.isna(na)
+    b_num = isinstance(nb, pd.Series) and not nb.isna().to_numpy().all() or np.isscalar(nb) and not pd.isna(nb)
+    if isinstance(a, pd.Series) and a.dtype != object and np.issubdtype(a.dtype, np.number):
+        a_num = True
+    if isinstance(b, pd.Series) and b.dtype != object and np.issubdtype(b.dtype, np.number):
+        b_num = True
+    if a_num and b_num:
+        return na, nb
+    sa = a.astype("string") if isinstance(a, pd.Series) else str(a)
+    sb = b.astype("string") if isinstance(b, pd.Series) else str(b)
+    return sa, sb
+
+
+def _series_to_arrow(s: pd.Series) -> pa.Array:
+    try:
+        return pa.array(s)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        return pa.array(s.astype("string"))

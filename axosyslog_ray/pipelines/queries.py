@@ -757,6 +757,36 @@ FROM events
 """
 
 
+def events_filterx(sf_dir: str):
+    """FilterX block (axosyslog_ray.filterx — reference lib/filterx/
+    semantics: if/elif/else, ??, drop, string concat) over events:
+    classify value bands, tag each row, drop 'error' events, count per
+    (class, event_type)."""
+    from ..aggregate import pre_aggregated_count
+    from ..filterx import FilterX
+
+    fx = FilterX("""
+        if ($value >= 200) { $class = "high"; }
+        elif ($value >= 100) { $class = "mid"; }
+        else { $class = "low"; };
+        if ($event_type == "error") { drop; };
+        $bucket = $class + "/" + $event_type;
+    """)
+    ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(fx, batch_format="pyarrow")
+    out = pre_aggregated_count(ds, ["bucket"], alias="n", final="driver")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+EVENTS_FILTERX_SQL = """
+SELECT (CASE WHEN value >= 200 THEN 'high' WHEN value >= 100 THEN 'mid' ELSE 'low' END)
+       || '/' || event_type AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE event_type <> 'error'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_format_json(sf_dir: str):
     """$(format-json) serializer (reference modules/json/format-json.c) over
     selected event columns."""
@@ -1145,6 +1175,7 @@ RAY_QUERIES = {
     "events_value_histogram": events_value_histogram,
     "docs_curation_pipeline": docs_curation_pipeline,
     "emb_knn_label": emb_knn_label,
+    "events_filterx": events_filterx,
 }
 
 ORACLE_SQLS = {
@@ -1187,4 +1218,5 @@ ORACLE_SQLS = {
         "read_parquet('/root/repo/tests/golden/media_decode_stats.parquet') "
         "ORDER BY media_type"
     ),
+    "events_filterx": EVENTS_FILTERX_SQL,
 }

@@ -1,0 +1,88 @@
+"""FilterX minimal evaluator tests (reference lib/filterx/ semantics)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from axosyslog_ray.filterx import FilterX
+
+
+def _t(**cols):
+    return pa.table(cols)
+
+
+def test_assign_and_arith():
+    out = FilterX("$y = $x * 2 + 1;")(_t(x=[1, 2, 3]))
+    assert out.column("y").to_pylist() == [3, 5, 7]
+
+
+def test_if_elif_else():
+    fx = FilterX("""
+        if ($status >= 500) { $class = "err"; }
+        elif ($status >= 400) { $class = "warn"; }
+        else { $class = "ok"; };
+    """)
+    out = fx(_t(status=[200, 404, 503]))
+    assert out.column("class").to_pylist() == ["ok", "warn", "err"]
+
+
+def test_null_coalesce():
+    out = FilterX('$name = $prog ?? "unknown";')(_t(prog=["a", None, "c"]))
+    assert out.column("name").to_pylist() == ["a", "unknown", "c"]
+
+
+def test_drop_and_done():
+    fx = FilterX("""
+        if ($v == 2) { drop; };
+        if ($v == 3) { done; };
+        $seen = "yes";
+    """)
+    out = fx(_t(v=[1, 2, 3, 4]))
+    assert out.column("v").to_pylist() == [1, 3, 4]  # 2 dropped
+    assert out.column("seen").to_pylist() == ["yes", None, "yes"]  # 3 was done
+
+
+def test_switch_first_match_and_default():
+    fx = FilterX("""
+        switch ($sev) {
+          case "err": $n = 3;
+          case "warn": $n = 4;
+          default: $n = 6;
+        }
+    """)
+    out = fx(_t(sev=["err", "warn", "info", None]))
+    assert out.column("n").to_pylist() == [3, 4, 6, 6]
+
+
+def test_bool_ops_and_ternary():
+    fx = FilterX('$r = ($a > 1 and $a < 4) ? "mid" : "edge";')
+    out = fx(_t(a=[0, 2, 5]))
+    assert out.column("r").to_pylist() == ["edge", "mid", "edge"]
+
+
+def test_string_concat_and_funcs():
+    fx = FilterX('$hdr = upper($prog) + ": " + string($pid);')
+    out = fx(_t(prog=["sshd"], pid=[42]))
+    assert out.column("hdr").to_pylist() == ["SSHD: 42"]
+
+
+def test_isset_and_vars():
+    fx = FilterX("""
+        tmp = $x ?? 0;
+        $has = isset($x) ? "y" : "n";
+        $plus = tmp + 1;
+    """)
+    out = fx(_t(x=[5, None]))
+    assert out.column("has").to_pylist() == ["y", "n"]
+    assert out.column("plus").to_pylist() == [6, 1]
+
+
+def test_null_comparison_is_false():
+    out = FilterX('if ($x > 1) { $hit = "y"; };')(_t(x=[None, 2]))
+    assert out.column("hit").to_pylist() == [None, "y"]
+
+
+def test_syntax_error_reported():
+    with pytest.raises(SyntaxError, match="filterx"):
+        FilterX("if ($x { }")
