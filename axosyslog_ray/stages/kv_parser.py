@@ -82,14 +82,30 @@ class KvParser:
         maps = np.full(n, None, dtype=object)
         strays = np.full(n, "", dtype=object)
         promoted = {k: np.full(n, None, dtype=object) for k in self.promote}
-        for i, line in enumerate(s.to_numpy()):
-            pairs, stray = self.parse_line(line)
-            maps[i] = pairs
-            strays[i] = stray
-            if self.promote and pairs:
-                d = dict(pairs)
-                for k in self.promote:
-                    promoted[k][i] = d.get(self.prefix + k)
+        if self.collect_stray:
+            # stray collection needs match spans — scalar path
+            for i, line in enumerate(s.to_numpy()):
+                pairs, stray = self.parse_line(line)
+                maps[i] = pairs
+                strays[i] = stray
+                if self.promote and pairs:
+                    d = dict(pairs)
+                    for k in self.promote:
+                        promoted[k][i] = d.get(self.prefix + k)
+        else:
+            # vectorized: ONE C findall pass for the whole batch; the rest
+            # is tuple assembly (no per-row regex engine invocations)
+            pair_lists = s.str.findall(self.pair_re).to_numpy()
+            prefix, unquote = self.prefix, self._unquote
+            qchars = ('"', "'")
+            for i, lst in enumerate(pair_lists):
+                maps[i] = [
+                    (prefix + k, unquote(v) if v[:1] in qchars else v) for k, v in lst
+                ]
+                if self.promote and lst:
+                    d = dict(maps[i])
+                    for k in self.promote:
+                        promoted[k][i] = d.get(prefix + k)
         out = table.append_column(self.out_col, pa.array(maps, type=pa.map_(pa.string(), pa.string())))
         if self.collect_stray:
             out = out.append_column("stray_words", pa.array(strays, type=pa.string()))
