@@ -5,6 +5,8 @@ audit records are key=value lines where certain values (proctitle, cmd,
 data...) arrive hex-encoded when they contain spaces/special bytes; an
 unquoted value consisting solely of an even number of hex digits (and
 longer than a plain number would be) is decoded to its byte string.
+Quoted values are never hex-decoded (the kernel only hex-encodes
+unquotable values).
 """
 
 from __future__ import annotations
@@ -29,11 +31,5 @@ class LinuxAuditParser(KvParser):
     def __init__(self, prefix: str = "", **kw):
         super().__init__(prefix=prefix, **kw)
 
-    def parse_line(self, line: str):
-        pairs, stray = super().parse_line(line)
-        decoded = []
-        for k, v in pairs:
-            # quoted values were unquoted by KvParser; only raw hex tokens
-            # that survived as-is get decoded
-            decoded.append((k, _maybe_hex_decode(v)))
-        return decoded, stray
+    def _postprocess_value(self, value: str, was_quoted: bool) -> str:
+        return value if was_quoted else _maybe_hex_decode(value)

@@ -59,11 +59,19 @@ class KvParser:
             return re.sub(r"\\(.)", r"\1", v[1:-1])
         return v
 
+    def _postprocess_value(self, value: str, was_quoted: bool) -> str:
+        """Hook for kv variants (linux-audit hex decode); applied on BOTH
+        the scalar and the vectorized batch path."""
+        return value
+
     def parse_line(self, line: str) -> tuple[list[tuple[str, str]], str]:
         """Scalar path: returns ([(key, value)...], stray_words)."""
         pairs, spans = [], []
         for m in self.pair_re.finditer(line):
-            pairs.append((self.prefix + m.group(1), self._unquote(m.group(2))))
+            raw = m.group(2)
+            quoted = raw[:1] in "\"'"
+            pairs.append((self.prefix + m.group(1),
+                          self._postprocess_value(self._unquote(raw), quoted)))
             spans.append(m.span())
         stray = ""
         if self.collect_stray:
@@ -96,11 +104,13 @@ class KvParser:
             # vectorized: ONE C findall pass for the whole batch; the rest
             # is tuple assembly (no per-row regex engine invocations)
             pair_lists = s.str.findall(self.pair_re).to_numpy()
-            prefix, unquote = self.prefix, self._unquote
+            prefix, unquote, post = self.prefix, self._unquote, self._postprocess_value
             qchars = ('"', "'")
             for i, lst in enumerate(pair_lists):
                 maps[i] = [
-                    (prefix + k, unquote(v) if v[:1] in qchars else v) for k, v in lst
+                    (prefix + k,
+                     post(unquote(v), True) if v[:1] in qchars else post(v, False))
+                    for k, v in lst
                 ]
                 if self.promote and lst:
                     d = dict(maps[i])

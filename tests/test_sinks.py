@@ -1,0 +1,114 @@
+"""Concrete destination driver tests (program/http/sql/kafka Datasinks)."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from axosyslog_ray.sinks import HttpDatasink, KafkaDatasink, ProgramDatasink, SqlDatasink
+
+
+@pytest.fixture
+def ds100(ray_session):
+    import ray.data as rd
+
+    return rd.from_items([{"host": f"h{i%5}", "value": i} for i in range(100)]).repartition(4)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_program_sink_spawns_child_per_task(ds100, tmp_path):
+    out = str(tmp_path / "prog_{shard}.txt")
+    ds100.write_datasink(ProgramDatasink(["/bin/sh", "-c", f"cat > {out}"],
+                                         template="$host $value"))
+    files = glob.glob(str(tmp_path / "prog_*.txt"))
+    assert len(files) >= 1
+    lines = [l for f in files for l in open(f).read().splitlines()]
+    assert len(lines) == 100 and lines[0].startswith("h")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_program_sink_nonzero_exit_raises(ds100):
+    with pytest.raises(Exception, match="exited|RayTaskError|false"):
+        ds100.write_datasink(ProgramDatasink(["/bin/false"]))
+
+
+def test_http_sink_batches_and_retries():
+    calls = []
+    fails = {"n": 2}
+
+    def transport(url, payload, headers):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise ConnectionError("flaky")
+        calls.append((url, payload))
+
+    sink = HttpDatasink("http://example.invalid/ingest", batch_lines=30,
+                        transport=transport, backoff_sec=0.0)
+    t = pa.table({"v": list(range(100))})
+
+    class Ctx:
+        task_idx = 0
+
+    res = sink.write([t], Ctx())
+    assert res == {"rows": 100, "posts": 4}  # 30+30+30+10
+    assert len(calls) == 4
+    body = calls[0][1].decode().splitlines()
+    assert json.loads(body[0]) == {"v": 0}
+
+
+def test_http_sink_gives_up_after_retries():
+    def transport(url, payload, headers):
+        raise ConnectionError("down")
+
+    sink = HttpDatasink("http://x", retries=2, transport=transport, backoff_sec=0.0)
+
+    class Ctx:
+        task_idx = 0
+
+    with pytest.raises(RuntimeError, match="after 2 tries"):
+        sink.write([pa.table({"v": [1]})], Ctx())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sql_sink_loads_one_transaction(ds100, tmp_path):
+    import duckdb
+
+    db = str(tmp_path / "out.duckdb")
+    ds100.write_datasink(SqlDatasink(db, "events_out"))
+    con = duckdb.connect(db)
+    n, s = con.sql("SELECT COUNT(*), SUM(value) FROM events_out").fetchone()
+    con.close()  # duckdb caches same-path connections per process
+    assert (n, s) == (100, sum(range(100)))
+    # append mode accumulates
+    ds100.write_datasink(SqlDatasink(db, "events_out"))
+    con2 = duckdb.connect(db)
+    assert con2.sql("SELECT COUNT(*) FROM events_out").fetchone()[0] == 200
+    con2.close()
+
+
+def test_kafka_sink_partitions_by_key_template():
+    produced = []
+
+    class FakeProducer:
+        def produce(self, topic, key, value):
+            produced.append((topic, key, value))
+
+        def flush(self):
+            pass
+
+    sink = KafkaDatasink("logs", key_template="$host", template="$value",
+                         producer_factory=FakeProducer)
+
+    class Ctx:
+        task_idx = 0
+
+    t = pa.table({"host": ["a", "b"], "value": [1, 2]})
+    sink.write([t], Ctx())
+    assert produced == [("logs", "a", "1"), ("logs", "b", "2")]
+
+
+def test_kafka_default_factory_is_honest():
+    with pytest.raises(NotImplementedError, match="kafka client"):
+        KafkaDatasink("t").write([pa.table({"v": [1]})], type("C", (), {"task_idx": 0})())
