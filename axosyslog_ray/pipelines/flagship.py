@@ -168,11 +168,16 @@ class LogPipelineStage:
         # ---- app-parser classification chain (first-match-wins) ----
         text = t.column("text").to_pandas().astype("string").fillna("")
         syslog_ok = t.column("syslog_parsed").to_numpy(zero_copy_only=False)
-        looks_json = text.str.startswith("{").to_numpy() & ~syslog_ok
-        looks_apache = text.str.match(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3} ").to_numpy() & ~syslog_ok
-        looks_kv = text.str.contains("=", regex=False).to_numpy() & ~syslog_ok & ~looks_json & ~looks_apache
-
         arrow_text = t.column("text")
+        _af = pc.fill_null(pc.cast(arrow_text, pa.string()), "")
+        looks_json = np.asarray(
+            pc.starts_with(_af, "{").to_numpy(zero_copy_only=False), dtype=bool) & ~syslog_ok
+        looks_apache = np.asarray(
+            pc.match_substring_regex(_af, r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3} ").to_numpy(zero_copy_only=False),
+            dtype=bool) & ~syslog_ok
+        looks_kv = np.asarray(
+            pc.match_substring(_af, "=").to_numpy(zero_copy_only=False), dtype=bool
+        ) & ~syslog_ok & ~looks_json & ~looks_apache
         text_np = text.to_numpy(dtype=object)
         json_ok = fast_json_valid(text_np, looks_json)
         av, aip, ast = fast_apache(arrow_text)

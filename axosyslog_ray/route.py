@@ -87,17 +87,32 @@ class Match(FilterExpr):
         self.kind = kind
         self.pattern = pattern
         self.re = re.compile(pattern) if kind == "pcre" else None
+        # Arrow RE2 fast path (C pass, no PyObject churn); patterns RE2
+        # can't express (lookaround, backrefs) fall back to pandas re
+        self._re2_pattern = None
+        if kind == "pcre":
+            self._re2_pattern = pattern
+        elif kind == "glob":
+            glob_re = fnmatch.translate(pattern).replace(r"\Z", "$")
+            self._re2_pattern = "^(?:" + glob_re + ")"
+        self._re2_ok: bool | None = None
 
     def mask(self, table):
         vals = self.tmpl.eval(table)
-        if self.kind == "pcre":
-            return vals.astype("string").str.contains(self.re, regex=True, na=False).to_numpy()
         if self.kind == "string":
             return (vals == self.pattern).to_numpy()
-        if self.kind == "glob":
-            rx = re.compile(fnmatch.translate(self.pattern))
-            return vals.astype("string").str.match(rx, na=False).to_numpy()
-        raise ValueError(self.kind)
+        if self._re2_ok is not False:
+            try:
+                arr = pa.array(vals.to_numpy(dtype=object), type=pa.string())
+                m = pc.fill_null(pc.match_substring_regex(arr, self._re2_pattern), False)
+                self._re2_ok = True
+                return np.asarray(m.to_numpy(zero_copy_only=False), dtype=bool)
+            except pa.ArrowInvalid:
+                self._re2_ok = False  # non-RE2 pattern: pandas fallback below
+        if self.kind == "pcre":
+            return vals.astype("string").str.contains(self.re, regex=True, na=False).to_numpy()
+        rx = re.compile(fnmatch.translate(self.pattern))
+        return vals.astype("string").str.match(rx, na=False).to_numpy()
 
 
 def host(pattern, kind="pcre"):
@@ -180,12 +195,30 @@ class TagFilter(FilterExpr):
 
     def __init__(self, *tags: str):
         self.tags = set(tags)
+        self._value_set = pa.array(sorted(self.tags), type=pa.string())
 
     def mask(self, table):
+        """Arrow-native: is_in over the FLAT tag values + segment-any via
+        maximum.reduceat over the list offsets — no per-row Python sets
+        (was the measured hot spot on the flagship route step)."""
         if "tags" not in table.column_names:
             return np.zeros(table.num_rows, dtype=bool)
-        col = table.column("tags").to_pandas()
-        return col.map(lambda v: bool(self.tags & set(v)) if v is not None else False).to_numpy(dtype=bool)
+        col = table.column("tags")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        out = np.zeros(n, dtype=bool)
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offsets)
+        if len(col.values) == 0:
+            return out
+        hit = pc.is_in(col.values, value_set=self._value_set).to_numpy(zero_copy_only=False)
+        hit = np.asarray(hit, dtype=np.int8)
+        nz = lens > 0
+        if nz.any():
+            out[nz] = np.maximum.reduceat(hit, offsets[:-1][nz]) > 0
+        valid = ~np.asarray(col.is_null().to_numpy(zero_copy_only=False), dtype=bool)
+        return out & valid
 
 
 class InList(FilterExpr):
