@@ -345,6 +345,80 @@ def tf_ipv4_to_int(t, a):
     return _s(a).map(conv).astype(object)
 
 
+# ---- getent / dns (modules/getent/tfgetent.c, basicfuncs/ip-funcs.c) ----
+# File-backed lookups only: /etc/passwd, /etc/group, /etc/services,
+# /etc/protocols and /etc/hosts — there is no network in this sandbox, so
+# $(dns-resolve-ip) resolves exclusively from the hosts file (the
+# reference's use-dns(no)+hosts-file path, lib/host-resolve.c); tables
+# load lazily ONCE per process.
+
+_GETENT_CACHE: dict = {}
+
+
+def _getent_db(db: str) -> dict[str, str]:
+    if db in _GETENT_CACHE:
+        return _GETENT_CACHE[db]
+    path = {"passwd": "/etc/passwd", "group": "/etc/group",
+            "services": "/etc/services", "protocols": "/etc/protocols"}.get(db)
+    table: dict[str, str] = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.split("#", 1)[0].strip()
+                if not line:
+                    continue
+                parts = line.split(":") if db in ("passwd", "group") else line.split()
+                if db in ("passwd", "group") and len(parts) >= 3:
+                    table[parts[0]] = parts[2]       # name -> id
+                    table[parts[2]] = parts[0]       # id -> name
+                elif db in ("services", "protocols") and len(parts) >= 2:
+                    num = parts[1].split("/")[0]
+                    table[parts[0]] = num            # name -> number
+                    table.setdefault(num, parts[0])  # number -> first name
+    except (OSError, TypeError):
+        pass
+    _GETENT_CACHE[db] = table
+    return table
+
+
+def tf_getent(t, db, key):
+    """$(getent passwd root) -> uid; numeric keys map back to names
+    (reference modules/getent/tfgetent.c databases list)."""
+    table = _getent_db(_one_str(db))
+    return _s(key).map(lambda k: table.get(k, "")).astype(object)
+
+
+def _hosts_table() -> dict[str, str]:
+    if "hosts" in _GETENT_CACHE:
+        return _GETENT_CACHE["hosts"]
+    table: dict[str, str] = {}
+    try:
+        with open("/etc/hosts") as f:
+            for line in f:
+                line = line.split("#", 1)[0].strip()
+                parts = line.split()
+                if len(parts) >= 2:
+                    table.setdefault(parts[0], parts[1])  # ip -> first hostname
+    except OSError:
+        pass
+    _GETENT_CACHE["hosts"] = table
+    return table
+
+
+def tf_dns_resolve_ip(t, a):
+    """$(dns-resolve-ip): hosts-file-only reverse lookup (no network in
+    the sandbox — documented divergence from the resolver path); unknown
+    IPs yield the IP itself, matching use-dns(no) behavior."""
+    table = _hosts_table()
+    return _s(a).map(lambda ip: table.get(ip, ip)).astype(object)
+
+
+def _one_str(v) -> str:
+    if isinstance(v, pd.Series):
+        return str(v.iloc[0]) if len(v) else ""
+    return str(v)
+
+
 # ---- higher-order over lists (tf-iterate.c, tf-map.c, tf-filter.c) ----
 # the inner expression sees the current element as `$_` (the reference uses
 # a template evaluated per element)
@@ -447,6 +521,8 @@ TEMPLATE_FUNCS = {
     "list-append": tf_list_append,
     "list-search": tf_list_search,
     "ipv4-to-int": tf_ipv4_to_int,
+    "getent": tf_getent,
+    "dns-resolve-ip": tf_dns_resolve_ip,
     # filterx-named string functions (lib/filterx/filterx-globals.c:97-200)
     "hex-encode": tf_hex_encode,
     "hex-decode": tf_hex_decode,

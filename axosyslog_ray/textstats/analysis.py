@@ -115,19 +115,51 @@ class LangId:
         self.text_col = text_col
         self.out_col = out_col
         self.profiles = {lang: sw for lang, sw in STOPWORDS.items()}
+        self.langs = list(STOPWORDS)
+        self._sorted_sets = {lang: np.array(sorted(sw), dtype=object) for lang, sw in STOPWORDS.items()}
+
+    def predict(self, text: str) -> str:
+        """Scalar oracle path (cross-diffed against the vectorized batch)."""
+        toks = [w.lower() for w in text.split()[:200]]
+        if not toks:
+            return "und"
+        best, best_score = "und", 0.0
+        for lang, sw in self.profiles.items():
+            score = sum(t in sw for t in toks) / len(toks)
+            if score > best_score:
+                best, best_score = lang, score
+        return best if best_score > 0.02 else "und"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized: flatten the first-200 lowercased tokens of the whole
+        batch, ONE np.isin per language over the flat array, per-doc sums
+        via add.reduceat; argmax keeps the first maximal language (same
+        tie-break as the scalar strict-> loop)."""
         s = batch.column(self.text_col).to_pandas().fillna("")
-        preds = []
-        for text in s:
-            toks = [w.lower() for w in text.split()[:200]]
-            if not toks:
-                preds.append("und")
-                continue
-            best, best_score = "und", 0.0
-            for lang, sw in self.profiles.items():
-                score = sum(t in sw for t in toks) / len(toks)
-                if score > best_score:
-                    best, best_score = lang, score
-            preds.append(best if best_score > 0.02 else "und")
+        n = len(s)
+        if n == 0:
+            return batch.append_column(self.out_col, pa.array([], type=pa.string()))
+        seg_starts = np.empty(n, dtype=np.int64)
+        counts = np.empty(n, dtype=np.int64)
+        flat: list[str] = []
+        pos = 0
+        for d, text in enumerate(s.to_numpy(dtype=object)):
+            toks = text.lower().split()[:200]
+            seg_starts[d] = pos
+            counts[d] = len(toks)
+            flat.extend(toks)
+            pos += len(toks)
+        scores = np.zeros((n, len(self.langs)), dtype=np.float64)
+        if pos:
+            flat_arr = np.array(flat, dtype=object)
+            idx = np.minimum(seg_starts, pos - 1)
+            denom = np.maximum(counts, 1).astype(np.float64)
+            for j, lang in enumerate(self.langs):
+                hit = np.isin(flat_arr, self._sorted_sets[lang]).astype(np.int64)
+                sums = np.add.reduceat(hit, idx)
+                scores[:, j] = np.where(counts > 0, sums / denom, 0.0)
+        best_j = np.argmax(scores, axis=1)  # first maximal = dict-order tie-break
+        best_score = scores[np.arange(n), best_j]
+        lang_arr = np.array(self.langs, dtype=object)[best_j]
+        preds = np.where((counts > 0) & (best_score > 0.02), lang_arr, "und")
         return batch.append_column(self.out_col, pa.array(preds, type=pa.string()))

@@ -221,3 +221,18 @@ def test_near_dup_block_pair_matches_broadcast():
     ref_s = ref[key].sort_values(key).reset_index(drop=True)
     assert got_s.equals(ref_s)
     assert len(got_s) >= 10  # the planted dups are found
+
+
+def test_langid_vectorized_matches_scalar_oracle():
+    texts = [
+        "the cat is on the mat and it is happy today with the dog",
+        "der Hund ist ein Tier und die Katze auch ist da",
+        "el gato es un animal y la casa es grande por que",
+        "xyzzy plugh qwerty",
+        "",
+        "de la le the und is es ist",  # multi-language tie stress
+        "word " * 300,  # 200-token cap
+    ]
+    li = LangId()
+    out = li(pa.table({"text": texts})).column("lang_pred").to_pylist()
+    assert out == [li.predict(t) for t in texts]

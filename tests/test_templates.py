@@ -171,3 +171,15 @@ def test_c_macros_with_proc_ts():
     t = t.append_column("proc_ts", pa.array(pd.Series([pd.Timestamp("2026-08-17 14:30:00")] * 2, dtype="datetime64[us]")))
     assert Template("$C_HOUR:$C_MIN").eval(t).tolist() == ["14:30", "14:30"]
     assert Template("$P_ISODATE").eval(t).tolist()[0] == "2026-08-17T14:30:00+00:00"
+
+
+def test_getent_and_dns_resolve():
+    t = _msg_table()
+    # root is uid 0 in any sane /etc/passwd
+    assert Template("$(getent passwd root)").eval(t).tolist()[0] == "0"
+    assert Template("$(getent passwd 0)").eval(t).tolist()[0] == "root"
+    # unknown ip resolves to itself (use-dns(no) semantics)
+    assert Template("$(dns-resolve-ip 203.0.113.9)").eval(t).tolist()[0] == "203.0.113.9"
+    # localhost should be in /etc/hosts
+    out = Template("$(dns-resolve-ip 127.0.0.1)").eval(t).tolist()[0]
+    assert out != "" and out != "127.0.0.1"
