@@ -113,17 +113,37 @@ DEFAULT_RULES = [
 ]
 
 
+def _literal_prefix_len(pattern: str) -> int:
+    """Length of the literal text before the first @WILDCARD@ — the radix
+    trie's primary discriminator (reference modules/correlation/radix.c:
+    literal chars are consumed greedily before parser nodes are tried)."""
+    m = _WILDCARD.search(pattern)
+    return len(pattern) if m is None else m.start()
+
+
 class PatternDB:
-    """Actor-pool stage: `ds.map_batches(PatternDB, concurrency=N)`."""
+    """Actor-pool stage: `ds.map_batches(PatternDB, concurrency=N)`.
+
+    `selection="ordered"` (default) keeps declaration order —
+    first-match-wins. `selection="radix"` tries rules in descending
+    literal-prefix length (stable within ties), reproducing the radix
+    trie's longest-literal-prefix shadowing for overlapping patterns;
+    mid-pattern literal-vs-parser preference is NOT modeled (documented
+    divergence from radix.c's per-node backtracking)."""
 
     def __init__(self, rules: list[PdbRule] | None = None, rules_ref=None,
-                 source_col: str = "message", program_col: str = "program"):
+                 source_col: str = "message", program_col: str = "program",
+                 selection: str = "ordered"):
         if rules_ref is not None:
             import ray
 
             rules = ray.get(rules_ref)
+        if selection not in ("ordered", "radix"):
+            raise ValueError("selection must be ordered|radix")
         self.rules = rules if rules is not None else DEFAULT_RULES
         self.compiled = [(r, compile_pattern(r.pattern)) for r in self.rules]
+        if selection == "radix":
+            self.compiled.sort(key=lambda rc: -_literal_prefix_len(rc[0].pattern))
         self.source_col = source_col
         self.program_col = program_col
         self.value_names = sorted(

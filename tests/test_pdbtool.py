@@ -134,3 +134,23 @@ def test_pdbtool_cli_missing_file_friendly():
     from axosyslog_ray.pdbtool import main
 
     assert main(["test", "/nonexistent/x.pdb"]) == 2
+
+
+def test_radix_selection_longest_literal_prefix_wins():
+    """Overlapping patterns: the radix trie picks the most specific
+    literal prefix regardless of declaration order (radix.c); ordered
+    mode keeps first-declared-wins (documented divergence default)."""
+    import pyarrow as pa
+
+    from axosyslog_ray.stages.patterndb import PatternDB, PdbRule
+
+    rules = [
+        PdbRule("generic", "Accepted @ANYSTRING:rest@", program="sshd"),
+        PdbRule("specific", "Accepted password for @ESTRING:user: @", program="sshd"),
+    ]
+    t = pa.table({"message": ["Accepted password for bob "],
+                  "program": pa.array(["sshd"], type=pa.string())})
+    ordered = PatternDB(rules)(t).column("pdb_rule").to_pylist()
+    radix = PatternDB(rules, selection="radix")(t).column("pdb_rule").to_pylist()
+    assert ordered == ["generic"]       # first declared
+    assert radix == ["specific"]        # longest literal prefix
