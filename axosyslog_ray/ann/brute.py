@@ -130,7 +130,7 @@ def near_dup_pairs(ds, threshold: float = 0.95, vec_col: str = "embedding",
             keep = a < b  # dedupe symmetric pairs and self-pairs
             return _pairs_table(a[keep], b[keep], s[keep])
 
-        return ds.map_batches(pair_finder, batch_format="pyarrow")
+        return ds.map_batches(pair_finder, batch_format="pyarrow", concurrency=concurrency)
 
     proj = ds.select_columns([id_col, vec_col]).materialize()
     refs = [r for bundle in proj.iter_internal_ref_bundles() for r in bundle.block_refs]

@@ -286,6 +286,7 @@ class _Ctx:
     def __init__(self, table: pa.Table):
         self.n = table.num_rows
         self.cols: dict[str, pd.Series] = {}
+        self.assigned: set[str] = set()  # only these are written back
         self.table = table
         self.vars: dict[str, pd.Series] = {}
         self.active = np.ones(self.n, dtype=bool)  # rows still processed
@@ -364,7 +365,6 @@ class FilterX:
             op, a, b = node[1], self._eval(node[2], ctx), self._eval(node[3], ctx)
             an, bn = _isnull(a), _isnull(b)
             both = ~(an | bn)
-            av = pd.to_numeric(a, errors="ignore") if not isinstance(a, pd.Series) else a
             res = np.zeros(ctx.n, dtype=bool)
             if both.any():
                 aa = a[both] if isinstance(a, pd.Series) else a
@@ -433,6 +433,7 @@ class FilterX:
                 cur = ctx.col(name[1:]).astype(object)
                 cur[mask] = val[mask]
                 ctx.cols[name[1:]] = cur
+                ctx.assigned.add(name[1:])
             else:
                 cur = ctx.vars.get(name, pd.Series([None] * ctx.n, dtype=object)).astype(object)
                 cur[mask] = val[mask]
@@ -472,7 +473,11 @@ class FilterX:
         ctx = _Ctx(table)
         self._exec(self.ast, ctx, np.ones(table.num_rows, dtype=bool))
         out = table
-        for name, series in ctx.cols.items():
+        # write back ONLY assigned fields: merely-read columns must keep
+        # their original Arrow buffers and types (a pandas round-trip would
+        # demote nullable int64 to float64)
+        for name in ctx.assigned:
+            series = ctx.cols[name]
             arr = _series_to_arrow(series)
             if name in out.column_names:
                 out = out.set_column(out.column_names.index(name), name, arr)

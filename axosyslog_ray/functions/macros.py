@@ -180,10 +180,20 @@ MACROS: dict = {
 }
 
 
-def _loghost() -> str:
-    import socket
+# captured ONCE per process at import, not per batch. NOTE (documented
+# divergence): on a multi-node cluster each worker imports this module on
+# its own node, so $LOGHOST is the PROCESSING node's name — stable within
+# a process but not cluster-wide. A pipeline needing the single submitting
+# host's name should stamp it as a column at build time
+# (`set("myhost", value("LOGHOST_FIXED"))`) — the reference's LOGHOST is
+# trivially unique because there is only one syslog-ng host.
+import socket as _socket
 
-    return socket.gethostname()
+_LOGHOST = _socket.gethostname()
+
+
+def _loghost() -> str:
+    return _LOGHOST
 
 
 def _bsdtag(t: pa.Table) -> pd.Series:

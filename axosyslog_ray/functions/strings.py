@@ -358,6 +358,13 @@ _GETENT_CACHE: dict = {}
 def _getent_db(db: str) -> dict[str, str]:
     if db in _GETENT_CACHE:
         return _GETENT_CACHE[db]
+    if db == "hosts":  # ip <-> first hostname, both directions
+        fwd = _hosts_table()
+        table = dict(fwd)
+        for ip, name in fwd.items():
+            table.setdefault(name, ip)
+        _GETENT_CACHE[db] = table
+        return table
     path = {"passwd": "/etc/passwd", "group": "/etc/group",
             "services": "/etc/services", "protocols": "/etc/protocols"}.get(db)
     table: dict[str, str] = {}
@@ -389,8 +396,9 @@ def tf_getent(t, db, key):
 
 
 def _hosts_table() -> dict[str, str]:
-    if "hosts" in _GETENT_CACHE:
-        return _GETENT_CACHE["hosts"]
+    # private cache key: "hosts" is a PUBLIC getent db name (would collide)
+    if "_hosts_fwd" in _GETENT_CACHE:
+        return _GETENT_CACHE["_hosts_fwd"]
     table: dict[str, str] = {}
     try:
         with open("/etc/hosts") as f:
@@ -401,7 +409,7 @@ def _hosts_table() -> dict[str, str]:
                     table.setdefault(parts[0], parts[1])  # ip -> first hostname
     except OSError:
         pass
-    _GETENT_CACHE["hosts"] = table
+    _GETENT_CACHE["_hosts_fwd"] = table
     return table
 
 

@@ -171,6 +171,13 @@ def main(argv: list[str]) -> int:
             except (ValueError, json.JSONDecodeError) as e:
                 print(f"pdbtool: cannot parse ruleset {argv[1]}: {e}", file=sys.stderr)
                 return 2
+            except Exception as e:  # ET.ParseError subclasses SyntaxError
+                import xml.etree.ElementTree as ET
+
+                if isinstance(e, ET.ParseError):
+                    print(f"pdbtool: cannot parse ruleset {argv[1]}: {e}", file=sys.stderr)
+                    return 2
+                raise
         else:
             rules, examples = None, None
         failures = run_conformance(rules, examples)

@@ -170,9 +170,11 @@ class SqlDatasink(Datasink):
 
     def on_write_complete(self, write_result):
         import duckdb
-        import glob
 
-        files = sorted(glob.glob(os.path.join(self.staging_dir, "stage_*.parquet")))
+        # ONLY the shards this run's write tasks returned — a glob would
+        # also import stale shards left by a crashed earlier run or a
+        # concurrent sink sharing the staging dir
+        files = sorted(p for ret in write_result.write_returns for p in ret.get("paths", []))
         if not files:
             return
         con = duckdb.connect(self.db_path)

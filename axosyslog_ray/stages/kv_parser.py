@@ -69,7 +69,7 @@ class KvParser:
         pairs, spans = [], []
         for m in self.pair_re.finditer(line):
             raw = m.group(2)
-            quoted = raw[:1] in "\"'"
+            quoted = raw[:1] in ('"', "'")  # tuple: "" must NOT count as quoted
             pairs.append((self.prefix + m.group(1),
                           self._postprocess_value(self._unquote(raw), quoted)))
             spans.append(m.span())

@@ -106,8 +106,8 @@ class RateLimit:
         self.tie_break = tie_break
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty:
-            return g.copy()
+        if g.empty or self.rate <= 0:  # rate 0 = block everything
+            return g.iloc[0:0].copy()
         g, ts, bounds = _sorted_segments(g, self.keys, self.ts_col, self.tie_break)
         keep = np.zeros(len(g), dtype=bool)
         w, rate = self.window_ns, self.rate

@@ -86,3 +86,11 @@ def test_null_comparison_is_false():
 def test_syntax_error_reported():
     with pytest.raises(SyntaxError, match="filterx"):
         FilterX("if ($x { }")
+
+
+def test_read_only_columns_keep_arrow_type():
+    # a column only READ by the program must keep its original buffer/type
+    t = pa.table({"status": pa.array([200, None, 503], type=pa.int64())})
+    out = FilterX('if ($status >= 500) { $hit = "y"; };')(t)
+    assert out.schema.field("status").type == pa.int64()
+    assert out.column("status").to_pylist() == [200, None, 503]

@@ -124,3 +124,9 @@ def test_checkpoint_atomic_no_partial_dirs(tmp_path):
         ck.write_partition("px", Boom())
     assert not ck.is_done("px")
     assert not os.path.exists(ck.part_dir("px"))  # only tmp dir leaked, final absent
+
+
+def test_rate_limit_zero_blocks_everything():
+    g = _df(["2026-01-01 00:00:00", "2026-01-01 00:01:00"], url=["a", "b"])
+    out = RateLimit(rate=0, per_seconds=1.0)(g)
+    assert len(out) == 0

@@ -183,3 +183,11 @@ def test_getent_and_dns_resolve():
     # localhost should be in /etc/hosts
     out = Template("$(dns-resolve-ip 127.0.0.1)").eval(t).tolist()[0]
     assert out != "" and out != "127.0.0.1"
+
+
+def test_getent_hosts_does_not_poison_dns_cache():
+    t = _msg_table()
+    # hosts via getent first, then dns-resolve-ip must still work
+    via_getent = Template("$(getent hosts 127.0.0.1)").eval(t).tolist()[0]
+    via_dns = Template("$(dns-resolve-ip 127.0.0.1)").eval(t).tolist()[0]
+    assert via_getent == via_dns != "127.0.0.1"
