@@ -427,6 +427,100 @@ def _one_str(v) -> str:
     return str(v)
 
 
+# ---- cond/misc/tag funcs (cond-funcs.c, misc-funcs.c, tf-tag.c) ----
+
+def tf_or(t, *args):
+    """$(or a b c): first non-empty argument (cond-funcs.c:185-200)."""
+    out = pd.Series([""] * t.num_rows, dtype=object)
+    todo = np.ones(t.num_rows, dtype=bool)
+    for a in args:
+        vals = _s(a)
+        pick = todo & (vals != "").to_numpy()
+        out[pick] = vals[pick]
+        todo &= ~pick
+        if not todo.any():
+            break
+    return out
+
+
+def tf_env(t, *args):
+    """$(env NAME): environment of the EVALUATING process (misc-funcs.c)."""
+    import os
+
+    vals = "".join(os.environ.get(_one_str(a), "") for a in args)
+    return pd.Series([vals] * t.num_rows, dtype=object)
+
+
+def tf_indent_multi_line(t, *args):
+    """$(indent-multi-line x): insert a TAB after every newline not already
+    followed by one (str-funcs.c:307-326)."""
+    joined = _s(args[0]) if len(args) == 1 else pd.Series(
+        [" ".join(vs) for vs in zip(*(_s(a) for a in args))], dtype=object)
+    return joined.str.replace(r"\n(?!\t)", "\n\t", regex=True).astype(object)
+
+
+def tf_binary(t, *args):
+    """$(binary 0x41 66 ...): bytes from numeric args (str-funcs.c:577)."""
+    try:
+        data = bytes(int(_one_str(a), 0) & 0xFF for a in args)
+        s = data.decode("utf-8", "replace")
+    except ValueError:
+        s = ""
+    return pd.Series([s] * t.num_rows, dtype=object)
+
+
+def _tags_lists(t) -> pd.Series:
+    if "tags" not in t.column_names:
+        return pd.Series([[] for _ in range(t.num_rows)], dtype=object)
+    return t.column("tags").to_pandas().map(lambda v: list(v) if v is not None else [])
+
+
+def tf_tag(t, name, if_set=None, if_unset=None):
+    """$(tag name [if-set [if-unset]]) (tf-tag.c:32-75; defaults 1/0)."""
+    tag = _one_str(name)
+    yes = _one_str(if_set) if if_set is not None else "1"
+    no = _one_str(if_unset) if if_unset is not None else "0"
+    return _tags_lists(t).map(lambda tags: yes if tag in tags else no).astype(object)
+
+
+def tf_tags_head(t, *names):
+    """$(tags-head t1 t2 ...): first listed tag the row carries (tf-tag.c)."""
+    wanted = [_one_str(n) for n in names]
+    return _tags_lists(t).map(
+        lambda tags: next((w for w in wanted if w in tags), "")).astype(object)
+
+
+def tf_names(t, *globs):
+    """$(names glob): comma list of matching column names (value-pairs-
+    driven in the reference; here the NV space is the Arrow schema)."""
+    import fnmatch as _fn
+
+    pats = [_one_str(g) for g in globs] or ["*"]
+    names = sorted(c for c in t.column_names if any(_fn.fnmatch(c, p) for p in pats))
+    return pd.Series([",".join(names)] * t.num_rows, dtype=object)
+
+
+def tf_values(t, *globs):
+    """$(values glob): comma list of the matching columns' values per row."""
+    import fnmatch as _fn
+
+    pats = [_one_str(g) for g in globs] or ["*"]
+    names = sorted(c for c in t.column_names if any(_fn.fnmatch(c, p) for p in pats))
+    if not names:
+        return pd.Series([""] * t.num_rows, dtype=object)
+    cols = [t.column(c).to_pandas().astype("string").fillna("") for c in names]
+    return pd.Series([",".join(vals) for vals in zip(*cols)], dtype=object)
+
+
+def tf_template(t, spec, *rest):
+    """$(template 'TPL'): evaluate the argument as an inline template
+    (the reference resolves named templates from the config; a batch
+    engine has no config registry — inline form only, documented)."""
+    from .templates import Template
+
+    return Template(_one_str(spec)).eval(t)
+
+
 # ---- higher-order over lists (tf-iterate.c, tf-map.c, tf-filter.c) ----
 # the inner expression sees the current element as `$_` (the reference uses
 # a template evaluated per element)
@@ -531,6 +625,15 @@ TEMPLATE_FUNCS = {
     "ipv4-to-int": tf_ipv4_to_int,
     "getent": tf_getent,
     "dns-resolve-ip": tf_dns_resolve_ip,
+    "or": tf_or,
+    "env": tf_env,
+    "indent-multi-line": tf_indent_multi_line,
+    "binary": tf_binary,
+    "tag": tf_tag,
+    "tags-head": tf_tags_head,
+    "names": tf_names,
+    "values": tf_values,
+    "template": tf_template,
     # filterx-named string functions (lib/filterx/filterx-globals.c:97-200)
     "hex-encode": tf_hex_encode,
     "hex-decode": tf_hex_decode,

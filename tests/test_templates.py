@@ -191,3 +191,35 @@ def test_getent_hosts_does_not_poison_dns_cache():
     via_getent = Template("$(getent hosts 127.0.0.1)").eval(t).tolist()[0]
     via_dns = Template("$(dns-resolve-ip 127.0.0.1)").eval(t).tolist()[0]
     assert via_getent == via_dns != "127.0.0.1"
+
+
+def test_cond_misc_tag_functions():
+    t = _msg_table()
+    assert Template("$(or '' $HOST fallback)").eval(t).tolist() == ["myhost", "other"]
+    assert Template("$(or '' '' zz)").eval(t).tolist()[0] == "zz"
+    import os
+    os.environ["AXOTEST_ENV"] = "e1"
+    assert Template("$(env AXOTEST_ENV)").eval(t).tolist()[0] == "e1"
+    assert Template("$(binary 0x41 0x42)").eval(t).tolist()[0] == "AB"
+    assert Template("$(names pri)").eval(t).tolist()[0] == "pri"
+    assert Template("$(values url)").eval(t).tolist() == ["u1", "u2"]
+
+
+def test_indent_multi_line():
+    import pyarrow as pa
+    from axosyslog_ray.functions.templates import Template as T
+
+    t = pa.table({"m": ["line1\nline2\n\tkept"]})
+    assert T("$(indent-multi-line $m)").eval(t).tolist()[0] == "line1\n\tline2\n\tkept"
+
+
+def test_tag_functions():
+    import pyarrow as pa
+
+    t = pa.table({
+        "x": ["a", "b"],
+        "tags": pa.array([["auth", "ssh"], []], type=pa.list_(pa.string())),
+    })
+    assert Template("$(tag auth)").eval(t).tolist() == ["1", "0"]
+    assert Template("$(tag auth YES NO)").eval(t).tolist() == ["YES", "NO"]
+    assert Template("$(tags-head web ssh auth)").eval(t).tolist() == ["ssh", ""]
