@@ -78,6 +78,11 @@ def main() -> None:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
     ray.data.DataContext.get_current().enable_tensor_extension_casting = False
+    # Ray's sort-groupby emits empty-schema RefBundles for empty partitions
+    # on small inputs — cosmetic internal warning, silenced
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     from .state.checkpoint import resumable_run
 

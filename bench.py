@@ -112,6 +112,11 @@ def main() -> None:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
     ray.data.DataContext.get_current().enable_tensor_extension_casting = False
+    # Ray's sort-groupby emits empty-schema RefBundles for empty partitions
+    # on small inputs — cosmetic internal warning, silenced
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     import pyarrow.parquet as pq
 
@@ -185,8 +190,19 @@ def scaling() -> None:
     median ratio — short runs are noise-sensitive and independent minima
     bias the ratio."""
     mult = os.environ.get("BENCH_PAGES_MULT", "960")
-    reps = int(os.environ.get("BENCH_SCALE_REPS", "3"))
-    lo = int(os.environ.get("BENCH_SCALE_LO", "4"))
+
+    def _int_env(name: str, default: int, lo_ok: int, hi_ok: int) -> int:
+        raw = os.environ.get(name, str(default))
+        try:
+            v = int(raw)
+        except ValueError:
+            sys.exit(f"bench: {name}={raw!r} is not an integer")
+        if not (lo_ok <= v <= hi_ok):
+            sys.exit(f"bench: {name}={v} out of range [{lo_ok}, {hi_ok}]")
+        return v
+
+    reps = _int_env("BENCH_SCALE_REPS", 3, 1, 10)
+    lo = _int_env("BENCH_SCALE_LO", 4, 1, 16)
     hi = lo * 4
 
     def one(ncpu: int) -> dict:

@@ -75,3 +75,28 @@ def test_pri_roundtrip_through_macros(pris):
     fac, sev = facility_name(t), severity_name(t)
     recon = [FACILITY_NUM[f] * 8 + SEVERITY_NUM[s] for f, s in zip(fac, sev)]
     assert recon == pris
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(whitelist_categories=("L", "N"), whitelist_characters=' ,"\''),
+                max_size=24),
+        min_size=1, max_size=8,
+    ),
+    st.sampled_from(["escape-none", "escape-backslash", "escape-double-char"]),
+    st.booleans(),
+)
+def test_csv_vectorized_equals_scalar_scanner(lines, dialect, greedy):
+    """The Arrow fast path and the scalar scanner must agree on arbitrary
+    input (quoted, empty fields, wrong arity) for every dialect."""
+    from axosyslog_ray.stages.csv_parser import CsvParser
+
+    p = CsvParser(columns=["a", "b", "c"], delimiters=",", dialect=dialect, greedy=greedy)
+    out = p(pa.table({"message": lines})).to_pylist()
+    for line, row in zip(lines, out):
+        want = p.parse_tokens(line)
+        if want is None:
+            assert not row["csv_valid"], (line, row)
+        else:
+            assert row["csv_valid"] and [row["a"], row["b"], row["c"]] == want, (line, want, row)
