@@ -676,6 +676,20 @@ def emb_lsh_ann(sf_dir: str):
     return out
 
 
+def emb_ivf_ann(sf_dir: str):
+    """IVF ANN (k-means coarse quantizer, nprobe cell scan — the FAISS-
+    style scale path). Non-SQL (approximate by construction; the
+    nprobe=nlist exhaustive case is pinned to brute force in tests)."""
+    from ..ann import ivf_ann_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = emb.filter(lambda r: r["vec_id"] == 0).to_pandas()["embedding"].iloc[0]
+    out = ivf_ann_topk(emb, np.asarray([q]), k=10, nlist=16, nprobe=4)
+    out = out.drop(columns=["query_id"])
+    out["sim"] = round_half_away(out["sim"], 4)
+    return out
+
+
 def media_decode_stats(sf_dir: str):
     """Multimodal plumbing: synthetic media corpus -> actor-pool decode
     (stubbed kernel) -> per-type size stats. The corpus and the fake
@@ -1176,6 +1190,7 @@ RAY_QUERIES = {
     "docs_curation_pipeline": docs_curation_pipeline,
     "emb_knn_label": emb_knn_label,
     "events_filterx": events_filterx,
+    "emb_ivf_ann": emb_ivf_ann,
 }
 
 ORACLE_SQLS = {

@@ -236,3 +236,33 @@ def test_langid_vectorized_matches_scalar_oracle():
     li = LangId()
     out = li(pa.table({"text": texts})).column("lang_pred").to_pylist()
     assert out == [li.predict(t) for t in texts]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_ann_finds_exact_top1():
+    import ray.data as rd
+    from axosyslog_ray.ann import ann_topk, ivf_ann_topk
+
+    rng = np.random.RandomState(9)
+    m = rng.normal(size=(300, 16))
+    df = pd.DataFrame({"vec_id": range(300), "embedding": list(m)})
+    ds = rd.from_pandas(df).repartition(3)
+    q = m[7] + rng.normal(scale=0.01, size=16)
+    exact = ann_topk(rd.from_pandas(df), np.asarray([q]), k=3)
+    # probing ALL cells makes IVF exhaustive -> must equal brute force
+    approx_full = ivf_ann_topk(ds, np.asarray([q]), k=3, nlist=8, nprobe=8)
+    assert approx_full["vec_id"].tolist() == exact["vec_id"].tolist()
+    # realistic probe count still finds the planted near-identical top-1
+    approx = ivf_ann_topk(ds, np.asarray([q]), k=3, nlist=8, nprobe=2)
+    assert approx["vec_id"].iloc[0] == 7
+
+
+def test_train_centroids_deterministic_and_normalized():
+    from axosyslog_ray.ann import train_centroids
+
+    rng = np.random.RandomState(3)
+    s = rng.normal(size=(200, 8))
+    c1 = train_centroids(s, nlist=5, seed=4)
+    c2 = train_centroids(s, nlist=5, seed=4)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
