@@ -133,3 +133,34 @@ def salted_count(ds, key: str, num_salts: int = 16, alias: str = "n"):
     salted_ds = ds.map_batches(lambda b: salted(b, key, num_salts), batch_format="pyarrow")
     phase1 = pre_aggregated_count(salted_ds, [key, "_salt"], alias="_c")
     return phase1.groupby(key).aggregate(Sum("_c", alias_name=alias))
+
+
+def hopping_window_counts(ds, ts_col: str = "ts", size_s: int = 7200, hop_s: int = 3600,
+                          keys: list[str] | None = None, alias: str = "n", final: str = "shuffle"):
+    """Hopping (sliding) event-time windows: every event lands in
+    size_s/hop_s overlapping windows; one count row per (window_start
+    [, keys...]). Beyond the reference's tumbling stats aggregators
+    (lib/stats/aggregator/ are tumbling) — the brief's streaming-window
+    custom operator.
+
+    Scale shape: the explode emits ONLY (window_start, keys...) narrow
+    rows (k copies each, k = size/hop, typically 2-4), then the standard
+    partial-count combine — no payload replication, one small shuffle."""
+    if size_s % hop_s != 0:
+        raise ValueError("size_s must be a multiple of hop_s")
+    k = size_s // hop_s
+    keys = list(keys or [])
+
+    def explode(b: pa.Table) -> pa.Table:
+        ts = b.column(ts_col).to_pandas().to_numpy(dtype="datetime64[s]").astype(np.int64)
+        base = (ts // hop_s) * hop_s
+        cols = {}
+        ws = np.concatenate([base - off * hop_s for off in range(k)])
+        cols["window_start"] = pa.array(ws, type=pa.int64())
+        for c in keys:
+            arr = b.column(c).combine_chunks() if isinstance(b.column(c), pa.ChunkedArray) else b.column(c)
+            cols[c] = pa.concat_arrays([arr] * k)
+        return pa.table(cols)
+
+    return pre_aggregated_count(ds.map_batches(explode, batch_format="pyarrow"),
+                                ["window_start", *keys], alias=alias, final=final)

@@ -122,3 +122,67 @@ def hash_join(left, right, key: str | list[str], how: str = "inner",
             {n: pa.array([], type=out.schema.field(n).type) for n in out_order})
 
     return tagged.groupby(_BUCKET_COL).map_groups(merge, batch_format="pyarrow")
+
+
+def asof_join(left, right, on: str, by: str | list[str], direction: str = "backward",
+              suffixes: tuple[str, str] = ("_l", "_r"), num_buckets: int | None = None):
+    """As-of join: each LEFT row is matched to the nearest RIGHT row per
+    `by` key with right.on <= left.on (backward; 'forward' >=). A custom
+    operator beyond the reference (prompt custom-operators list), shaped
+    like hash_join: ONE coarse-bucket shuffle co-locating each key's rows
+    from both sides, then one vectorized `pd.merge_asof` per bucket.
+    Left-join semantics (unmatched left rows keep nulls); ties on equal
+    `on` values take the right side's LAST occurrence (pandas asof
+    semantics — matches DuckDB's ASOF JOIN value-wise since tied rows
+    share the `on` value). Output columns: by + on + left cols + right
+    cols (overlaps suffixed)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward|forward")
+    keys = [by] if isinstance(by, str) else list(by)
+    if num_buckets is None:
+        from .shuffle import default_num_buckets
+
+        num_buckets = default_num_buckets()
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    lcols = [c for c in lschema.names if c not in keys and c != on]
+    rcols = [c for c in rschema.names if c not in keys and c != on]
+    overlap = set(lcols) & set(rcols)
+    l_out = [(c + suffixes[0] if c in overlap else c, c, lschema.field(c).type) for c in lcols]
+    r_out = [(c + suffixes[1] if c in overlap else c, c, rschema.field(c).type) for c in rcols]
+    out_order = keys + [on] + [n for n, _, _ in l_out] + [n for n, _, _ in r_out]
+    l_names = [n for n, _, _ in l_out]
+    r_names = [n for n, _, _ in r_out]
+
+    def prep(side: str):
+        mine = l_out if side == "l" else r_out
+        other = r_out if side == "l" else l_out
+
+        def fn(b: pa.Table) -> pa.Table:
+            cols = {k: b.column(k) for k in keys}
+            cols[on] = b.column(on)
+            for out_name, src, _t in mine:
+                cols[out_name] = b.column(src)
+            for out_name, _s, typ in other:
+                cols[out_name] = pa.nulls(b.num_rows, typ)
+            t = pa.Table.from_arrays([cols[n] for n in out_order], names=out_order)
+            t = t.append_column(_SIDE_COL, pa.array([side] * b.num_rows, type=pa.string()))
+            return t.append_column(_BUCKET_COL, pa.array(_key_buckets(b, keys, num_buckets)))
+
+        return fn
+
+    tagged = left.map_batches(prep("l"), batch_format="pyarrow").union(
+        right.map_batches(prep("r"), batch_format="pyarrow")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g[_SIDE_COL] == "l"][keys + [on] + l_names].sort_values(on, kind="mergesort")
+        rg = g[g[_SIDE_COL] == "r"][keys + [on] + r_names].sort_values(on, kind="mergesort")
+        if lg.empty:
+            return lg
+        if rg.empty:
+            return lg.assign(**{n: pd.NA for n in r_names})[out_order]
+        out = pd.merge_asof(lg, rg, on=on, by=keys, direction=direction,
+                            suffixes=("", "__asof_dup"))
+        return out[out_order]
+
+    return tagged.groupby(_BUCKET_COL).map_groups(merge, batch_format="pandas")

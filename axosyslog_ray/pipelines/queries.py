@@ -676,6 +676,51 @@ def emb_lsh_ann(sf_dir: str):
     return out
 
 
+def events_asof_join(sf_dir: str):
+    """As-of join (axosyslog_ray.join.asof_join — brief's custom-operator
+    list): each 'error' event matched to the SAME USER's latest preceding
+    'click' (backward inclusive). Oracled by DuckDB's native ASOF JOIN."""
+    from ..join import asof_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    left = ev.filter(expr="event_type == 'error'").select_columns(["user_id", "ts", "event_id"])
+    right = ev.filter(expr="event_type == 'click'").select_columns(["user_id", "ts"]).map_batches(
+        lambda b: b.append_column("click_ts", b.column("ts")), batch_format="pyarrow")
+    out = asof_join(left, right, on="ts", by="user_id").to_pandas()
+    out = out[["event_id", "click_ts"]].sort_values("event_id").reset_index(drop=True)
+    out["event_id"] = out["event_id"].astype("int64")
+    return out
+
+
+EVENTS_ASOF_SQL = """
+SELECT CAST(e.event_id AS BIGINT) AS event_id, c.ts AS click_ts
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+ORDER BY event_id
+"""
+
+
+def events_hopping_windows(sf_dir: str):
+    """Hopping event-time windows (size 2h, hop 1h — every event in 2
+    overlapping windows): per-window counts. window_start = epoch secs."""
+    from ..aggregate import hopping_window_counts
+
+    out = hopping_window_counts(_read(sf_dir, "events", ["ts"]), ts_col="ts",
+                                size_s=7200, hop_s=3600, final="driver")
+    out["n"] = out["n"].astype("int64")
+    out["window_start"] = out["window_start"].astype("int64")
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+EVENTS_HOPPING_SQL = """
+SELECT (CAST(floor(epoch(ts) / 3600) AS BIGINT) - off.o) * 3600 AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events, (SELECT UNNEST(range(0, 2)) AS o) off
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def emb_ivf_ann(sf_dir: str):
     """IVF ANN (k-means coarse quantizer, nprobe cell scan — the FAISS-
     style scale path). Non-SQL (approximate by construction; the
@@ -1191,6 +1236,8 @@ RAY_QUERIES = {
     "emb_knn_label": emb_knn_label,
     "events_filterx": events_filterx,
     "emb_ivf_ann": emb_ivf_ann,
+    "events_asof_join": events_asof_join,
+    "events_hopping_windows": events_hopping_windows,
 }
 
 ORACLE_SQLS = {
@@ -1234,4 +1281,6 @@ ORACLE_SQLS = {
         "ORDER BY media_type"
     ),
     "events_filterx": EVENTS_FILTERX_SQL,
+    "events_asof_join": EVENTS_ASOF_SQL,
+    "events_hopping_windows": EVENTS_HOPPING_SQL,
 }

@@ -280,3 +280,47 @@ def test_tags_parser_creates_tags_column():
 
     t = pa.table({"message": ["t2,t1,t1"]})
     assert TagsParser()(t).column("tags").to_pylist() == [["t1", "t2"]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_backward_and_unmatched():
+    import pandas as pd
+    import ray.data as rd
+
+    from axosyslog_ray.join import asof_join
+
+    left = pd.DataFrame({
+        "k": [1, 1, 2, 3],
+        "ts": pd.to_datetime(["2026-01-01 10:00", "2026-01-01 12:00",
+                              "2026-01-01 10:30", "2026-01-01 09:00"]),
+        "eid": [100, 101, 102, 103],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": pd.to_datetime(["2026-01-01 09:30", "2026-01-01 11:00", "2026-01-01 10:30"]),
+        "price": [5.0, 7.0, 9.0],
+    })
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right), on="ts", by="k").to_pandas()
+    out = out.sort_values("eid").reset_index(drop=True)
+    # eid 100 -> 09:30 row (5.0); 101 -> 11:00 (7.0); 102 -> equal ts inclusive (9.0);
+    # 103 -> no preceding right row -> null
+    assert out["price"].tolist()[:3] == [5.0, 7.0, 9.0]
+    assert pd.isna(out["price"].iloc[3])
+
+
+def test_hopping_window_counts_explode_math():
+    import pandas as pd
+    import pyarrow as pa
+
+    from axosyslog_ray.aggregate import hopping_window_counts
+    import ray.data as rd
+
+    ts = pd.to_datetime(["2026-01-01 00:30:00", "2026-01-01 01:30:00"])
+    ds = rd.from_pandas(pd.DataFrame({"ts": ts}))
+    out = hopping_window_counts(ds, ts_col="ts", size_s=7200, hop_s=3600, final="driver")
+    out = out.sort_values("window_start").reset_index(drop=True)
+    # event@00:30 -> windows starting 00:00 and 23:00(prev day); event@01:30 -> 01:00, 00:00
+    e0 = int(pd.Timestamp("2026-01-01 00:00:00").timestamp())
+    got = dict(zip(out["window_start"].astype("int64"), out["n"].astype(int)))
+    assert got[e0] == 2  # both events inside [00:00, 02:00)
+    assert got[e0 - 3600] == 1 and got[e0 + 3600] == 1
