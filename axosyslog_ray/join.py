@@ -186,3 +186,33 @@ def asof_join(left, right, on: str, by: str | list[str], direction: str = "backw
         return out[out_order]
 
     return tagged.groupby(_BUCKET_COL).map_groups(merge, batch_format="pandas")
+
+
+def range_join(left, right, key: str | list[str], on: str, lo: str, hi: str,
+               suffixes: tuple[str, str] = ("_l", "_r"), num_buckets: int | None = None):
+    """Keyed range join: left rows matched to right rows with the same key
+    and left.on BETWEEN right.lo AND right.hi (inclusive). Composition:
+    the coarse-bucket hash join co-locates keys, then one vectorized
+    range filter per bucket — the range predicate cannot prune the
+    shuffle (it is not an equi-key), so this IS the minimal exchange for
+    the keyed case. For the KEYLESS small-interval-set case (e.g. CIDR
+    enrichment) use the broadcast path instead (enrich.geoip's
+    flattened-interval searchsorted — no shuffle at all)."""
+    inner = hash_join(left, right, key, how="inner", suffixes=suffixes,
+                      num_buckets=num_buckets)
+    # resolve suffixed names if they collided
+    names = None
+
+    def flt(b: pa.Table) -> pa.Table:
+        nonlocal names
+        if names is None:
+            def pick(c, side):
+                return c if c in b.column_names else c + suffixes[side]
+
+            names = (pick(on, 0), pick(lo, 1), pick(hi, 1))
+        onc = b.column(names[0])  # Arrow promotes mixed numeric widths
+        loc, hic = b.column(names[1]), b.column(names[2])
+        mask = pc.and_(pc.greater_equal(onc, loc), pc.less_equal(onc, hic))
+        return b.filter(pc.fill_null(mask, False))
+
+    return inner.map_batches(flt, batch_format="pyarrow")

@@ -96,6 +96,67 @@ class FrameSampler:
         )
 
 
+class ResizeImage:
+    """Resize stub: binary image -> binary image at (target_w, target_h).
+    Real kernel would be `PIL.Image.resize` — stubbed; the fake variant
+    produces a deterministic payload of the right nominal size class so
+    downstream batch-size/memory plumbing is exercised for real. Unlike
+    the feature stages the PAYLOAD flows through (resize is a
+    transform), so run with small batch_size."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224, decoder: str = "fake",
+                 payload_col: str = "payload"):
+        self.tw, self.th = target_w, target_h
+        self.decoder = decoder
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "real":
+            raise NotImplementedError("image resize requires PIL/pillow, not in this container")
+        out_payloads = []
+        for p in batch.column(self.payload_col).to_pylist():
+            d = hashlib.sha256((p or b"") + f"{self.tw}x{self.th}".encode()).digest()
+            # nominal resized size: 3 bytes/pixel of the target, content
+            # deterministic from the source digest
+            size = min(self.tw * self.th * 3, 4096)  # capped fake payload
+            out_payloads.append((d * (size // len(d) + 1))[:size])
+        idx = batch.column_names.index(self.payload_col)
+        out = batch.set_column(idx, self.payload_col, pa.array(out_payloads, type=pa.binary()))
+        out = out.append_column("resized_w", pa.array([self.tw] * batch.num_rows, type=pa.int32()))
+        return out.append_column("resized_h", pa.array([self.th] * batch.num_rows, type=pa.int32()))
+
+
+class ExtractFeatures:
+    """Feature-extraction stub: binary payload -> fixed-dim float32
+    embedding (the model-inference stage shape: model loaded once per
+    actor in __init__, batched forward pass in __call__; the 'model'
+    here is a deterministic digest expansion). Payload is DROPPED —
+    embeddings are what shuffles downstream (ANN/dedup over them works
+    for real: the output is a list<float> column like embeddings.parquet)."""
+
+    def __init__(self, dim: int = 32, decoder: str = "fake", payload_col: str = "payload"):
+        if decoder not in ("fake", "real"):
+            raise ValueError(decoder)
+        self.dim = dim
+        self.decoder = decoder
+        self.payload_col = payload_col
+        # "model load" happens here, once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "real":
+            raise NotImplementedError("feature extraction requires an image model, not in this container")
+        embs = []
+        for p in batch.column(self.payload_col).to_pylist():
+            d = hashlib.sha256(p or b"").digest()
+            raw = (d * (self.dim * 4 // len(d) + 1))[: self.dim * 4]
+            v = np.frombuffer(raw, dtype=np.uint32).astype(np.float32)
+            v = (v / np.float32(2**32)) - np.float32(0.5)
+            embs.append(v)
+        out = batch.drop_columns([self.payload_col])
+        return out.append_column("embedding", pa.array(
+            [e.tolist() for e in embs], type=pa.list_(pa.float32())))
+
+
 def gen_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic fake media corpus for plumbing tests."""
     from .hashutil import hash_idx

@@ -721,6 +721,33 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def lineitem_range_join(sf_dir: str):
+    """Keyed range join (axosyslog_ray.join.range_join): lineitems shipped
+    within 90 days of their order's date — per-orderkey counts by status."""
+    from ..join import range_join
+    from ..aggregate import pre_aggregated_count
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_linestatus"]).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_shipdate", "l_linestatus"]), batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: b.append_column(
+            "o_deadline", pc.add(b.column("o_orderdate"), pa.scalar(7776000000000, pa.duration("us")))),
+        batch_format="pyarrow")
+    joined = range_join(li, orders, key="o_orderkey", on="l_shipdate",
+                        lo="o_orderdate", hi="o_deadline")
+    out = pre_aggregated_count(joined, ["l_linestatus"], alias="n", final="driver")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+LINEITEM_RANGE_SQL = """
+SELECT l.l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def emb_ivf_ann(sf_dir: str):
     """IVF ANN (k-means coarse quantizer, nprobe cell scan — the FAISS-
     style scale path). Non-SQL (approximate by construction; the
@@ -1238,6 +1265,7 @@ RAY_QUERIES = {
     "emb_ivf_ann": emb_ivf_ann,
     "events_asof_join": events_asof_join,
     "events_hopping_windows": events_hopping_windows,
+    "lineitem_range_join": lineitem_range_join,
 }
 
 ORACLE_SQLS = {
@@ -1283,4 +1311,5 @@ ORACLE_SQLS = {
     "events_filterx": EVENTS_FILTERX_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_hopping_windows": EVENTS_HOPPING_SQL,
+    "lineitem_range_join": LINEITEM_RANGE_SQL,
 }
