@@ -152,7 +152,12 @@ def hopping_window_counts(ds, ts_col: str = "ts", size_s: int = 7200, hop_s: int
     keys = list(keys or [])
 
     def explode(b: pa.Table) -> pa.Table:
-        ts = b.column(ts_col).to_pandas().to_numpy(dtype="datetime64[s]").astype(np.int64)
+        ts_raw = b.column(ts_col).to_pandas().to_numpy(dtype="datetime64[s]")
+        ok = ~np.isnat(ts_raw)  # NaT would wrap to INT64_MIN garbage windows
+        if not ok.all():
+            b = b.filter(pa.array(ok))
+            ts_raw = ts_raw[ok]
+        ts = ts_raw.astype(np.int64)
         base = (ts // hop_s) * hop_s
         cols = {}
         ws = np.concatenate([base - off * hop_s for off in range(k)])

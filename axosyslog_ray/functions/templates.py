@@ -75,8 +75,11 @@ class FuncCall:
 
 
 def _split_args(body: str) -> list[str]:
-    """Split $(fn arg1 arg2...) body on spaces, honoring nested $() and quotes."""
+    """Split $(fn arg1 arg2...) body on spaces, honoring nested $() and
+    quotes. An empty quoted argument ('' or \"\") is a REAL empty-string
+    arg, not a separator artifact — tracked via `started`."""
     args, buf, depth, i, q = [], [], 0, 0, None
+    started = False  # an arg is open even if its buffer is empty ("")
     while i < len(body):
         c = body[i]
         if q:
@@ -86,22 +89,26 @@ def _split_args(body: str) -> list[str]:
                 buf.append(c)
         elif c in "\"'":
             q = c
+            started = True
         elif body.startswith("$(", i):
             depth += 1
             buf.append(c)
+            started = True
         elif c == "(" and depth >= 0 and buf and buf[-1] == "$":
             buf.append(c)
         elif c == ")" and depth > 0:
             depth -= 1
             buf.append(c)
         elif c == " " and depth == 0:
-            if buf:
+            if started or buf:
                 args.append("".join(buf))
                 buf = []
+                started = False
         else:
             buf.append(c)
+            started = True
         i += 1
-    if buf:
+    if started or buf:
         args.append("".join(buf))
     return args
 

@@ -28,6 +28,13 @@ SCOPES = {
     "everything": None,
 }
 
+# the engine's builtin column set (the reference's LM_V_* handles) — what
+# 'nv-pairs' excludes
+BUILTIN_COLS = {
+    "host", "program", "pid", "msgid", "message", "pri", "ts_stamp", "warc_ts",
+    "sdata", "tags", "syslog_parsed", "msgformat", "url",
+}
+
 
 class ValuePairs:
     """Column-set selection: scope + glob include/exclude + rekey."""
@@ -41,8 +48,10 @@ class ValuePairs:
         replace_prefix: tuple[str, str] | None = None,
         shift: int = 0,
     ):
+        if scope not in SCOPES:
+            raise ValueError(f"unknown value-pairs scope {scope!r}; one of {sorted(SCOPES)}")
         self.scope = scope
-        self.include = include or []
+        self.include = [re.compile(fnmatch.translate(g)) for g in (include or [])]
         self.exclude = [re.compile(fnmatch.translate(g)) for g in (exclude or [])]
         self.add_prefix = add_prefix
         self.replace_prefix = replace_prefix
@@ -51,10 +60,11 @@ class ValuePairs:
     def select(self, table: pa.Table) -> list[str]:
         if SCOPES.get(self.scope) is not None:
             cols = [c for c in SCOPES[self.scope] if c in table.column_names]
-        else:
+        elif self.scope == "nv-pairs":
+            cols = [c for c in table.column_names if c not in BUILTIN_COLS]
+        else:  # everything
             cols = list(table.column_names)
-        for g in self.include:
-            rx = re.compile(fnmatch.translate(g))
+        for rx in self.include:
             cols += [c for c in table.column_names if rx.match(c) and c not in cols]
         cols = [c for c in cols if not any(rx.match(c) for rx in self.exclude)]
         return cols
@@ -200,10 +210,14 @@ def format_leef(
 
     eid = Template(event_id).eval(table)
     attr_t = {k: Template(v).eval(table) for k, v in (attrs or {}).items()}
+    # delimiter escaping (a tab/pipe/newline in a value must not shift
+    # fields for a LEEF consumer): header gets CEF-style pipe escaping,
+    # attribute values escape the tab/equals/newline delimiters
+    leef_val = {"\\": "\\\\", "=": "\\=", "\t": "\\t", "\n": "\\n"}
     out = []
     for i in range(table.num_rows):
-        body = "\t".join(f"{k}={v[i]}" for k, v in sorted(attr_t.items()))
-        out.append(f"LEEF:1.0|{vendor}|{product}|{version}|{eid[i] or 'unknown'}|" + body)
+        body = "\t".join(f"{k}={_esc(str(v[i]), leef_val)}" for k, v in sorted(attr_t.items()))
+        out.append(f"LEEF:1.0|{vendor}|{product}|{version}|{_esc(eid[i] or 'unknown', _CEF_ESC)}|" + body)
     return table.append_column(out_col, pa.array(out, type=pa.string()))
 
 
@@ -217,15 +231,40 @@ def parse_cef(table: pa.Table, source_col: str = "message", out_col: str = "cef"
     head_names = ["version", "device_vendor", "device_product", "device_version",
                   "device_event_class_id", "name", "agent_severity"]
     ext_re = re.compile(r"([\w.]+)=((?:[^=\\]|\\.)*?)(?=\s+[\w.]+=|$)")
+    def split_header(line: str) -> tuple[list[str], str] | None:
+        """Split the 7 header fields on UNESCAPED pipes (a single-char
+        lookbehind would treat '\\\\|' — escaped backslash then pipe — as
+        escaped); returns (headers, extension)."""
+        parts: list[str] = []
+        buf: list[str] = []
+        i = 0
+        while i < len(line):
+            c = line[i]
+            if c == "\\" and i + 1 < len(line):
+                buf.append(c)
+                buf.append(line[i + 1])
+                i += 2
+                continue
+            if c == "|":
+                parts.append("".join(buf))
+                buf = []
+                i += 1
+                if len(parts) == 7:
+                    return parts, line[i:]
+                continue
+            buf.append(c)
+            i += 1
+        return None  # fewer than 7 delimited header fields
+
     for i, line in enumerate(s.to_numpy()):
         if not line.startswith("CEF:"):
             continue
-        parts = re.split(r"(?<!\\)\|", line)
-        if len(parts) < 8:
+        split = split_header(line)
+        if split is None:
             continue
+        parts, ext = split
         pairs = [(head_names[0], parts[0][4:])]
         pairs += list(zip(head_names[1:], (p.replace("\\|", "|").replace("\\\\", "\\") for p in parts[1:7])))
-        ext = "|".join(parts[7:])
         for m in ext_re.finditer(ext):
             pairs.append((m.group(1), m.group(2).replace("\\=", "=").replace("\\\\", "\\")))
         maps[i], valid[i] = pairs, True

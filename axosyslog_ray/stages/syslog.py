@@ -148,8 +148,10 @@ def parse_syslog_table(
     is5424 = pc.match_substring_regex(arrow_text, r"^<\d{1,3}>\d ").to_numpy(zero_copy_only=False)
     is5424 = np.asarray(is5424, dtype=bool)
     if is5424.any():
-        struct_5424 = pc.extract_regex(pc.cast(arrow_text, pa.string()), pattern="(?s)" + RE_5424.pattern)  # (?s): RE2 ignores Python re.S
-        sub_struct = struct_5424.filter(pa.array(is5424))
+        # filter BEFORE extracting: the full regex runs only on candidate
+        # rows, not the whole (mostly-3164) corpus
+        sub_text = pc.cast(arrow_text, pa.string()).filter(pa.array(is5424))
+        sub_struct = pc.extract_regex(sub_text, pattern="(?s)" + RE_5424.pattern)  # (?s): RE2 ignores Python re.S
         ex = pd.DataFrame(
             {name: pc.struct_field(sub_struct, name).to_pandas().astype("string") for name in RE_5424.groupindex}
         )
@@ -177,8 +179,8 @@ def parse_syslog_table(
     # ---------- RFC3164 ----------
     cand = ~is5424
     if cand.any():
-        struct_3164 = pc.extract_regex(pc.cast(arrow_text, pa.string()), pattern="(?s)" + RE_3164.pattern)
-        sub3 = struct_3164.filter(pa.array(cand))
+        sub_text3 = pc.cast(arrow_text, pa.string()).filter(pa.array(cand))
+        sub3 = pc.extract_regex(sub_text3, pattern="(?s)" + RE_3164.pattern)
         ex = pd.DataFrame(
             {name: pc.struct_field(sub3, name).to_pandas().astype("string") for name in RE_3164.groupindex}
         )
@@ -288,7 +290,9 @@ def parse_syslog_line(line: str, recv_ts) -> dict:
     if m and re.match(r"^<\d{1,3}>\d ", line):
         out["pri"] = int(m.group("pri"))
         if m.group("ts") != "-":
-            t = pd.to_datetime(m.group("ts"), utc=True, errors="coerce")
+            # format='ISO8601' mirrors the vectorized path: a non-RFC3339
+            # string in the TIMESTAMP slot must coerce to null on BOTH
+            t = pd.to_datetime(m.group("ts"), utc=True, errors="coerce", format="ISO8601")
             out["ts_stamp"] = None if pd.isna(t) else t.tz_localize(None)
         for k, g in (("host", "host"), ("program", "app"), ("pid", "pid"), ("msgid", "msgid")):
             v = m.group(g)
@@ -311,7 +315,11 @@ def parse_syslog_line(line: str, recv_ts) -> dict:
             year -= 1
         elif mon == 1 and recv.month == 12:
             year += 1
-        out["ts_stamp"] = pd.Timestamp(f"{year}-{mon:02d}-{int(m.group('day')):02d} {m.group('time')}")
+        # errors='coerce' semantics like the vectorized dict-form
+        # to_datetime: a calendar-invalid date (Feb 30) -> null, not raise
+        t = pd.to_datetime(f"{year}-{mon:02d}-{int(m.group('day')):02d} {m.group('time')}",
+                           errors="coerce")
+        out["ts_stamp"] = None if pd.isna(t) else t
         out["host"] = m.group("host")
         tm = RE_TAG.match(m.group("rest"))
         if tm:

@@ -106,12 +106,17 @@ class PdbCorrelator:
                     for name, spec in act.fields.items():
                         row[name] = _eval_field(spec, sub)
                     rows.append(row)
+        # STABLE schema regardless of which actions fired in THIS group —
+        # map_groups blocks from different groups must concat (a group
+        # whose match action never triggered would otherwise lack its
+        # field columns)
+        cols = cfg.key + ["context_id", "context_start", "context_end", "action_on"]
+        for act in cfg.actions:
+            cols += list(act.fields)
+        cols = list(dict.fromkeys(cols))
         if not rows:
-            cols = cfg.key + ["context_id", "context_start", "context_end", "action_on"]
-            for act in cfg.actions:
-                cols += list(act.fields)
-            return pd.DataFrame({c: pd.Series([], dtype=object) for c in dict.fromkeys(cols)})
-        return pd.DataFrame(rows)
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        return pd.DataFrame(rows).reindex(columns=cols)
 
 
 def correlate(ds, cfg: CorrelationConfig):

@@ -324,3 +324,64 @@ def test_hopping_window_counts_explode_math():
     got = dict(zip(out["window_start"].astype("int64"), out["n"].astype(int)))
     assert got[e0] == 2  # both events inside [00:00, 02:00)
     assert got[e0 - 3600] == 1 and got[e0 + 3600] == 1
+
+
+def test_valuepairs_scopes_and_validation():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from axosyslog_ray.functions.valuepairs import ValuePairs
+
+    t = pa.table({"host": ["h"], "message": ["m"], "custom_nv": ["x"], "pri": [13]})
+    assert ValuePairs("nv-pairs").select(t) == ["custom_nv"]  # builtins excluded
+    assert set(ValuePairs("everything").select(t)) == set(t.column_names)
+    with _pytest.raises(ValueError, match="scope"):
+        ValuePairs("no-such-scope")
+
+
+def test_format_leef_escapes_delimiters():
+    import pyarrow as pa
+
+    from axosyslog_ray.functions.valuepairs import format_leef
+
+    t = pa.table({"host": ["a\tb|c"], "z": ["x"]})
+    out = format_leef(t, event_id="evt", attrs={"h": "$host", "z": "$z"}).column("leef_out").to_pylist()[0]
+    # attr value's TAB is escaped to literal \t, so the only real tab is
+    # the attr separator — tokenizing on tab yields exactly 2 attrs
+    assert out.endswith("|h=a\\tb|c\tz=x")
+    assert out.split("|evt|")[1].count("\t") == 1
+
+
+def test_parse_cef_escaped_backslash_before_pipe():
+    import pyarrow as pa
+
+    from axosyslog_ray.functions.valuepairs import parse_cef
+
+    # device_product 'C:\' is CEF-encoded as 'C:\\' — must still split
+    line = "CEF:0|vendor|C:\\\\|1.0|cls|name|5|src=1.2.3.4"
+    r = parse_cef(pa.table({"message": [line]})).to_pylist()[0]
+    d = dict(r["cef"])
+    assert r["cef_valid"] and d["device_product"] == "C:\\" and d["src"] == "1.2.3.4"
+
+
+def test_correlate_stable_schema_across_groups(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from axosyslog_ray.state.correlate import CorrelationConfig, PdbAction, correlate
+
+    cfg = CorrelationConfig(
+        key=["k"], timeout=60, ts_col="ts_stamp",
+        actions=[
+            PdbAction(on="timeout", fields={"n": "context-length"}),
+            PdbAction(on="match", condition=lambda df: (df["v"] > 100).any(),
+                      fields={"big": "max:v"}),
+        ],
+    )
+    df = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "ts_stamp": pd.to_datetime(["2026-01-01"] * 3),
+        "v": [1, 200, 2],  # group a fires match; group b does not
+    })
+    out = correlate(rd.from_pandas(df), cfg).to_pandas()
+    assert "big" in out.columns and "n" in out.columns  # schema stable

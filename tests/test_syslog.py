@@ -145,3 +145,27 @@ def test_rfc3164_space_after_pri():
     r = _parse_one("<189> Feb  3 12:34:56 host program[pid]: message")
     assert r["host"] == "host" and r["program"] == "program"
     assert r["tags"] is None
+
+
+def test_scalar_oracle_matches_vectorized_on_invalid_dates():
+    """Feb 30 (calendar-invalid) and a non-ISO 5424 timestamp must coerce
+    to null identically on the scalar oracle and the vectorized path."""
+    import pyarrow as pa
+
+    from axosyslog_ray.stages.syslog import parse_syslog_line, parse_syslog_table
+
+    recv = pd.Timestamp("2026-08-17")
+    lines = [
+        "<13>Feb 30 12:00:00 myhost prog: hi",
+        "<34>1 10/11/2003 host app - - - msg",
+    ]
+    t = parse_syslog_table(pa.table({"text": lines, "warc_ts": pa.array(
+        pd.Series([recv] * 2, dtype="datetime64[us]"))}))
+    vec_ts = t.column("ts_stamp").to_pylist()
+    for line, vts in zip(lines, vec_ts):
+        srow = parse_syslog_line(line, recv)
+        sts = srow["ts_stamp"]
+        if vts is None:
+            assert sts is None, (line, sts)
+        else:
+            assert sts == vts, (line, sts, vts)

@@ -223,3 +223,13 @@ def test_tag_functions():
     assert Template("$(tag auth)").eval(t).tolist() == ["1", "0"]
     assert Template("$(tag auth YES NO)").eval(t).tolist() == ["YES", "NO"]
     assert Template("$(tags-head web ssh auth)").eval(t).tolist() == ["ssh", ""]
+
+
+def test_empty_quoted_arg_preserved():
+    t = _msg_table()
+    # an empty quoted argument is a REAL argument (was silently dropped,
+    # making 3-arg functions crash with a missing positional)
+    assert Template("$(if $(echo 1) '' fb)").eval(t).tolist() == ["", ""]
+    assert Template("$(if $(echo '') yes '')").eval(t).tolist() == ["", ""]
+    from axosyslog_ray.functions.templates import _split_args
+    assert _split_args("default '' fallback") == ["default", "", "fallback"]
