@@ -821,12 +821,12 @@ def events_xml_roundtrip(sf_dir: str):
             + "</user><value>" + df["value"].astype(str) + "</value></event>"
         )
         t = xp(pa.Table.from_pandas(df[["event_id", "xml_doc"]], preserve_index=False))
-        m = t.column("xv").to_pylist()
+        dicts = [dict(x) for x in t.column("xv").to_pylist()]  # one dict per row
         out = pd.DataFrame({
             "event_id": t.column("event_id").to_pylist(),
-            "xml_type": [dict(x)["event._type"] for x in m],
-            "xml_user": [dict(x)["event.user"] for x in m],
-            "xml_value": [dict(x)["event.value"] for x in m],
+            "xml_type": [d["event._type"] for d in dicts],
+            "xml_user": [d["event.user"] for d in dicts],
+            "xml_value": [d["event.value"] for d in dicts],
         })
         return pa.Table.from_pandas(out, preserve_index=False)
 
