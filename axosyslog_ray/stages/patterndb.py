@@ -32,6 +32,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _WILDCARD = re.compile(r"@([A-Za-z0-9]+)(?::([^:@]*)(?::([^@]*))?)?@")
 
@@ -150,9 +151,49 @@ class PatternDB:
             {n for _, rx in self.compiled for n in rx.groupindex} | {n for r in self.rules for n in r.values}
         )
 
+    def _rule_extract(self, rule_idx: int, rx: re.Pattern, sub_arrow: pa.Array):
+        """Match+extract one rule over the candidate rows: Arrow RE2 (one C
+        pass, no pandas string churn) with a per-rule pandas fallback for
+        non-RE2 patterns (@PCRE@ with lookarounds etc). Returns (hit bool
+        ndarray, {group: list-of-values for hit rows})."""
+        import pyarrow.compute as pc
+
+        names = list(rx.groupindex.keys())
+        if not hasattr(self, "_re2_ok"):
+            self._re2_ok = {}
+        if self._re2_ok.get(rule_idx, True):
+            try:
+                if names:
+                    st = pc.extract_regex(sub_arrow, pattern="(?s)" + rx.pattern)
+                    hit = np.asarray(pc.is_valid(st).to_numpy(zero_copy_only=False), dtype=bool)
+                    hit_arr = pa.array(hit)
+                    cols = {nm: pc.struct_field(st, nm).filter(hit_arr).to_pylist() for nm in names}
+                else:
+                    m = pc.fill_null(pc.match_substring_regex(sub_arrow, "(?s)" + rx.pattern), False)
+                    hit = np.asarray(m.to_numpy(zero_copy_only=False), dtype=bool)
+                    cols = {}
+                self._re2_ok[rule_idx] = True
+                return hit, cols
+            except pa.ArrowInvalid:
+                self._re2_ok[rule_idx] = False
+        sub = pd.Series(sub_arrow.to_pandas()).astype("string")
+        ex = sub.str.extract(rx)
+        if ex.shape[1] == 0:
+            hit = sub.str.match(rx, na=False).to_numpy()
+            return hit, {}
+        hit = ex.notna().any(axis=1).to_numpy()
+        cols = {}
+        for nm in names:
+            sub_col = ex[nm][hit]
+            cols[nm] = sub_col.astype(object).where(sub_col.notna(), None).tolist()
+        return hit, cols
+
     def __call__(self, table: pa.Table) -> pa.Table:
         n = table.num_rows
-        msg = table.column(self.source_col).to_pandas().astype("string")
+        arrow_msg = table.column(self.source_col)
+        arrow_msg = pc.fill_null(pc.cast(
+            arrow_msg.combine_chunks() if isinstance(arrow_msg, pa.ChunkedArray) else arrow_msg,
+            pa.string()), "")
         prog = (
             table.column(self.program_col).to_pandas().astype("string")
             if self.program_col in table.column_names
@@ -166,20 +207,24 @@ class PatternDB:
             if "tags" in table.column_names
             else [[] for _ in range(n)]
         )
+        # null messages never match (the pandas NA semantics of the old path)
+        msg_valid = ~np.asarray(
+            table.column(self.source_col).is_null().to_numpy(zero_copy_only=False)
+            if isinstance(table.column(self.source_col), pa.Array)
+            else table.column(self.source_col).combine_chunks().is_null().to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
         unmatched = np.ones(n, dtype=bool)
-        for rule, rx in self.compiled:
-            cand = unmatched.copy()
+        for rule_idx, (rule, rx) in enumerate(self.compiled):
+            cand = unmatched & msg_valid
             if rule.program is not None:
                 cand &= (prog == rule.program).fillna(False).to_numpy()
             if not cand.any():
                 continue
-            sub = msg[cand]
-            ex = sub.str.extract(rx)  # vectorized; all-NaN row = no match
-            if ex.shape[1] == 0:  # no capture groups: use str.match
-                hit = sub.str.match(rx, na=False).to_numpy()
-            else:
-                hit = ex.notna().any(axis=1).to_numpy()
-            rows = np.flatnonzero(cand)[hit]
+            cand_idx = np.flatnonzero(cand)
+            sub_arrow = arrow_msg.take(pa.array(cand_idx, type=pa.int64()))
+            hit, cols = self._rule_extract(rule_idx, rx, sub_arrow)
+            rows = cand_idx[hit]
             if not len(rows):
                 continue
             unmatched[rows] = False
@@ -187,13 +232,6 @@ class PatternDB:
             class_col[rows] = rule.rule_class
             names = list(rx.groupindex.keys())
             static_items = list(rule.values.items())
-            # plain numpy object columns — row-wise .iloc here was 40%+ of
-            # the whole fused stage (profiled)
-            cols = {}
-            if ex.shape[1]:
-                for nm in names:
-                    sub_col = ex[nm][hit]
-                    cols[nm] = sub_col.astype(object).where(sub_col.notna(), None).to_numpy(dtype=object)
             rule_tags = sorted(set(rule.tags)) if rule.tags else None
             for k, i in enumerate(rows):
                 pairs = list(static_items)
