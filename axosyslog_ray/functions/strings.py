@@ -65,16 +65,30 @@ def tf_strip(t, a):
     return _s(a).str.strip().astype(object)
 
 
+def _substr_one(x: str, i: int, k) -> str:
+    """reference str-funcs.c tf_substr: negative ofs counts from the end,
+    negative len trims from the end (len = strlen - ofs + len)."""
+    n = len(x)
+    if i < 0:
+        i = max(n + i, 0)
+    elif i > n:
+        return ""
+    if k is None:
+        k = n - i
+    elif k < 0:
+        k = n - i + k
+    if k <= 0:
+        return ""
+    return x[i : i + k]
+
+
 def tf_substr(t, a, off, ln=None):
     o = _num(off).fillna(0).astype(int)
     s = _s(a)
     if ln is None:
-        return pd.Series([x[i:] if i >= 0 else x[i:] for x, i in zip(s, o)], dtype=object)
+        return pd.Series([_substr_one(x, i, None) for x, i in zip(s, o)], dtype=object)
     l = _num(ln).fillna(0).astype(int)
-    return pd.Series(
-        [x[i : i + k] if i >= 0 else (x[i : i + k] if i + k < 0 else x[i:]) for x, i, k in zip(s, o, l)],
-        dtype=object,
-    )
+    return pd.Series([_substr_one(x, i, k) for x, i, k in zip(s, o, l)], dtype=object)
 
 
 def tf_sanitize(t, a):
@@ -135,14 +149,23 @@ def _binop(op):
 
 
 def _listfold(agg):
+    def fold(x: str) -> str:
+        # non-numeric elements are skipped; nothing numeric -> "" (every
+        # template function degrades to "" on bad input, never raises —
+        # one malformed line must not kill the batch task)
+        nums = []
+        for v in x.split(","):
+            v = v.strip()
+            if not v:
+                continue
+            try:
+                nums.append(float(v))
+            except ValueError:
+                continue
+        return _one(agg(nums)) if nums else ""
+
     def f(t, a):
-        return pd.Series(
-            [
-                "" if not x else _one(agg([float(v) for v in x.split(",") if v.strip() != ""]))
-                for x in _s(a)
-            ],
-            dtype=object,
-        )
+        return pd.Series([fold(x) for x in _s(a)], dtype=object)
 
     def _one(v):
         return str(int(v)) if float(v).is_integer() else repr(float(v))

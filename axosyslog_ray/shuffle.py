@@ -68,11 +68,16 @@ def bucketed_map_groups(ds, keys: list[str] | str, fn, num_buckets: int | None =
 
 def key_segments(g: pd.DataFrame, keys: list[str]) -> np.ndarray:
     """Boolean array marking the FIRST row of each key segment in a frame
-    already sorted by `keys` (vectorized shift-compare)."""
+    already sorted by `keys` (vectorized shift-compare). Nulls compare
+    EQUAL to each other here — NaN != NaN would split a null-key group
+    into one segment per row (silent wrong output for stateful ops)."""
     change = np.zeros(len(g), dtype=bool)
     for k in keys:
         col = g[k]
-        change |= col.ne(col.shift()).to_numpy()
+        prev = col.shift()
+        diff = col.ne(prev).to_numpy()
+        both_na = (col.isna() & prev.isna()).to_numpy()
+        change |= diff & ~both_na
     if len(change):
         change[0] = True
     return change

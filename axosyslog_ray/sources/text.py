@@ -84,9 +84,12 @@ class MultiLineJoiner:
         n_lines = [len(parts) for parts in out_rows]
         cols = {"text": pa.array(joined, type=pa.string()),
                 "n_lines": pa.array(n_lines, type=pa.int64())}
-        if "warc_ts" in batch.column_names:
-            # first line's stamp wins for the joined message
-            firsts = np.cumsum([0] + n_lines[:-1])
-            ts = batch.column("warc_ts").take(pa.array(firsts, type=pa.int64()))
-            cols["warc_ts"] = ts
+        # carry every OTHER column through (first line's value wins for
+        # the joined message — same rule as warc_ts); empty batches take
+        # the empty-slice path rather than an out-of-bounds take
+        firsts = pa.array(np.cumsum([0] + n_lines[:-1]) if n_lines else [], type=pa.int64())
+        for name in batch.column_names:
+            if name == "text":
+                continue
+            cols[name] = batch.column(name).take(firsts)
         return pa.table(cols)

@@ -29,28 +29,6 @@ import numpy as np
 import pandas as pd
 
 
-def _agg_value(g: pd.DataFrame, spec: str):
-    if spec == "count":
-        return len(g)
-    op, _, col = spec.partition(":")
-    s = g[col]
-    if op == "sum":
-        return s.sum()
-    if op == "avg":
-        return s.mean()
-    if op == "min":
-        return s.min()
-    if op == "max":
-        return s.max()
-    if op == "first":
-        return s.iloc[0]
-    if op == "last":
-        return s.iloc[-1]
-    if op == "values":
-        return ",".join(s.astype(str))
-    raise ValueError(f"unknown aggregate spec {spec!r}")
-
-
 class GroupingBy:
     """Callable for `ds.groupby(key).map_groups(self, batch_format="pandas")`."""
 
@@ -89,7 +67,10 @@ class GroupingBy:
             return self._empty()
         from ..shuffle import key_segments
 
-        g = g.sort_values(self.key + [self.sort_key or self.ts_col], kind="mergesort").reset_index(drop=True)
+        # gap detection ALWAYS runs in event-time order — sort_key only
+        # orders rows WITHIN a session (for first/last/values aggregates),
+        # never the timeout computation
+        g = g.sort_values(self.key + [self.ts_col], kind="mergesort").reset_index(drop=True)
         ts = g[self.ts_col]
         key_change = key_segments(g, self.key)
         gap_break = (ts.diff() > self.timeout).to_numpy()
@@ -104,11 +85,14 @@ class GroupingBy:
         sess_at_key_start = sess_glob[key_change]
         sid = sess_glob - sess_at_key_start[key_seg]
         g = g.assign(_gsess=sess_glob, _sid=sid)
+        start_end = g.groupby("_gsess", sort=True)[self.ts_col].agg(["first", "last"])
+        if self.sort_key is not None:
+            g = g.sort_values(["_gsess", self.sort_key], kind="mergesort").reset_index(drop=True)
         grp = g.groupby("_gsess", sort=True)
         out = grp[self.key].first()
         out["session_id"] = grp["_sid"].first()
-        out["session_start"] = grp[self.ts_col].first()
-        out["session_end"] = grp[self.ts_col].last()
+        out["session_start"] = start_end["first"]
+        out["session_end"] = start_end["last"]
         for name, spec in self.aggregates.items():
             out[name] = self._agg_series(grp, spec)
         if self.having is not None:
@@ -142,8 +126,21 @@ class GroupingBy:
         raise ValueError(f"unknown aggregate spec {spec!r}")
 
     def _empty(self) -> pd.DataFrame:
-        cols = self.key + ["session_id", "session_start", "session_end"] + list(self.aggregates)
-        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        """0-row frame with REAL dtypes — an all-object empty block would
+        carry an Arrow null schema that mismatches non-empty buckets."""
+        def agg_dtype(spec: str):
+            if spec == "count":
+                return "int64"
+            op = spec.partition(":")[0]
+            return "float64" if op in ("sum", "avg") else object
+
+        cols = {k: pd.Series([], dtype=object) for k in self.key}
+        cols["session_id"] = pd.Series([], dtype="int64")
+        cols["session_start"] = pd.Series([], dtype="datetime64[ns]")
+        cols["session_end"] = pd.Series([], dtype="datetime64[ns]")
+        for name, spec in self.aggregates.items():
+            cols[name] = pd.Series([], dtype=agg_dtype(spec))
+        return pd.DataFrame(cols)
 
 
 def sessionize(ds, key, timeout, ts_col="ts_stamp", aggregates=None,
@@ -154,6 +151,21 @@ def sessionize(ds, key, timeout, ts_col="ts_stamp", aggregates=None,
     from ..shuffle import bucketed_map_groups
 
     gb = GroupingBy(key, timeout, ts_col=ts_col, aggregates=aggregates, **kw)
+    if gb.where is not None:
+        # pre-filter BEFORE the shuffle: only surviving rows are hashed,
+        # bucketed and exchanged (and the per-bucket pandas->Arrow mask
+        # round-trip disappears)
+        where = gb.where
+        gb.where = None
+
+        def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow as _pa
+
+            mask = where(df) if callable(where) else where.mask(
+                _pa.Table.from_pandas(df, preserve_index=False))
+            return df[np.asarray(mask, dtype=bool)]
+
+        ds = ds.map_batches(prefilter, batch_format="pandas")
 
     def apply_sessions(df):
         return gb(df)

@@ -221,7 +221,25 @@ def write_pages(out_dir: str, n_rows: int, seed: int = 42, html_pad: int = 256, 
 
     import pyarrow.parquet as pq
 
+    import json
+
     os.makedirs(out_dir, exist_ok=True)
+    # resume is only valid for the SAME generation config — a dir built
+    # with a different n_rows/seed/pad/shards would otherwise be silently
+    # served with stale shards
+    cfg = {"n_rows": n_rows, "seed": seed, "html_pad": html_pad, "shards": shards}
+    cfg_path = os.path.join(out_dir, "_gen_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as fh:
+            if json.load(fh) != cfg:
+                for f in os.listdir(out_dir):
+                    if f.startswith("pages-") and f.endswith(".parquet"):
+                        os.unlink(os.path.join(out_dir, f))
+                with open(cfg_path, "w") as fh:
+                    json.dump(cfg, fh)
+    else:
+        with open(cfg_path, "w") as fh:
+            json.dump(cfg, fh)
     per = (n_rows + shards - 1) // shards
     for s in range(shards):
         path = os.path.join(out_dir, f"pages-{s:05d}.parquet")

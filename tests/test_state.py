@@ -130,3 +130,63 @@ def test_rate_limit_zero_blocks_everything():
     g = _df(["2026-01-01 00:00:00", "2026-01-01 00:01:00"], url=["a", "b"])
     out = RateLimit(rate=0, per_seconds=1.0)(g)
     assert len(out) == 0
+
+
+def test_sessions_sort_key_does_not_break_gap_detection():
+    # sort_key orders WITHIN sessions; the timeout gap must use event time
+    g = _df(
+        ["2026-01-01 10:00:00", "2026-01-01 00:00:00", "2026-01-01 10:00:30"],
+        host=["h"] * 3, seq=[1, 2, 3], v=["a", "b", "c"],
+    )
+    gb = GroupingBy("host", timeout=60, sort_key="seq",
+                    aggregates={"vals": "values:v", "n": "count"})
+    out = gb(g).sort_values("session_id").reset_index(drop=True)
+    # event-time order: 00:00 | gap | 10:00, 10:00:30 -> 2 sessions
+    assert len(out) == 2
+    assert out["n"].tolist() == [1, 2]
+    assert str(out["session_start"].iloc[1]) == "2026-01-01 10:00:00"
+    assert str(out["session_end"].iloc[1]) == "2026-01-01 10:00:30"
+    # within session 1, values follow seq order (a before c)
+    assert out["vals"].iloc[1] == "a,c"
+
+
+def test_key_segments_null_keys_group_together():
+    import numpy as np
+
+    from axosyslog_ray.shuffle import key_segments
+
+    g = pd.DataFrame({"k": [1.0, np.nan, np.nan, 2.0]})
+    seg = key_segments(g, ["k"])
+    assert seg.tolist() == [True, True, False, True]  # nulls = ONE segment
+
+
+def test_multiline_joiner_empty_batch_and_passthrough():
+    import pyarrow as pa
+
+    from axosyslog_ray.sources.text import MultiLineJoiner
+
+    j = MultiLineJoiner(mode="indented")
+    empty = pa.table({"text": pa.array([], type=pa.string()),
+                      "warc_ts": pa.array([], type=pa.timestamp("us"))})
+    out = j(empty)
+    assert out.num_rows == 0 and "warc_ts" in out.column_names
+    t = pa.table({"text": ["head", "  cont", "next"], "src_file": ["f1", "f1", "f2"]})
+    out = j(t)
+    assert out.column("text").to_pylist() == ["head\n  cont", "next"]
+    assert out.column("src_file").to_pylist() == ["f1", "f2"]  # carried through
+
+
+def test_write_pages_regenerates_on_config_change(tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from axosyslog_ray.synth import write_pages
+
+    d = str(tmp_path / "pages")
+    write_pages(d, n_rows=100, shards=4)
+    total1 = sum(pq.read_metadata(f).num_rows for f in glob.glob(d + "/*.parquet"))
+    assert total1 == 100
+    write_pages(d, n_rows=200, shards=4)  # config change must regenerate
+    total2 = sum(pq.read_metadata(f).num_rows for f in glob.glob(d + "/*.parquet"))
+    assert total2 == 200
