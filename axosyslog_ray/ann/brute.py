@@ -14,11 +14,13 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _to_matrix(col) -> np.ndarray:
+def _to_matrix(col, dim: int | None = None) -> np.ndarray:
     if hasattr(col, "to_pylist"):  # Arrow array/chunked array
         lists = col.to_pylist()
     else:  # pandas Series of lists/ndarrays
         lists = list(col)
+    if not lists:  # empty Ray block: keep 2-D so matmuls don't AxisError
+        return np.empty((0, dim or 0), dtype=np.float64)
     return np.asarray(lists, dtype=np.float64)
 
 
@@ -43,6 +45,10 @@ class CosineTopK:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             self.id_col: pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
         m = _norm(_to_matrix(batch.column(self.vec_col)))
         ids = batch.column(self.id_col).to_numpy()
         sims = self.q @ m.T  # (n_queries, batch)

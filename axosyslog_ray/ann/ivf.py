@@ -66,6 +66,10 @@ class IvfScanner:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             self.id_col: pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
         m = _norm(_to_matrix(batch.column(self.vec_col)))
         ids = batch.column(self.id_col).to_numpy()
         cell = np.argmax(m @ self.cents.T, axis=1)  # (n,)

@@ -47,6 +47,10 @@ class LshBucketer:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"table_id": pa.array([], type=pa.int32()),
+                             "bucket": pa.array([], type=pa.int64()),
+                             self.id_col: pa.array([], type=pa.int64())})
         m = _norm(_to_matrix(batch.column(self.vec_col)))
         ids = batch.column(self.id_col).to_numpy()
         out_t, out_b, out_i = [], [], []
@@ -80,6 +84,10 @@ class LshScanner:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             self.id_col: pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
         m = _norm(_to_matrix(batch.column(self.vec_col)))
         ids = batch.column(self.id_col).to_numpy()
         nq, n = self.qm.shape[0], len(ids)

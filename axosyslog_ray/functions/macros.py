@@ -37,6 +37,17 @@ def _str(series: pd.Series) -> pd.Series:
     return series.astype("string").fillna("").astype(object)
 
 
+
+def _int_str(d: pd.Series, zfill: int = 0, rjust: int = 0) -> pd.Series:
+    """Int-series -> string with '' (never the literal '<NA>') for nulls."""
+    out = d.astype("Int64").astype(str)
+    if zfill:
+        out = out.str.zfill(zfill)
+    if rjust:
+        out = out.str.rjust(rjust)
+    return out.where(d.notna(), "")
+
+
 def facility_num(table: pa.Table) -> pd.Series:
     return _col(table, "pri") // 8
 
@@ -46,14 +57,22 @@ def severity_num(table: pa.Table) -> pd.Series:
 
 
 def facility_name(table: pa.Table) -> pd.Series:
-    f = facility_num(table).to_numpy(dtype=np.int64)
+    fs = facility_num(table)
+    ok = fs.notna().to_numpy()
+    f = fs.fillna(0).to_numpy(dtype=np.int64)
     names = np.array(FACILITY_NAMES + ["unknown"], dtype=object)
-    return pd.Series(names[np.clip(f, 0, len(FACILITY_NAMES))], dtype=object)
+    out = names[np.clip(f, 0, len(FACILITY_NAMES))]
+    out[~ok] = ""  # null pri renders empty, not 'kern'
+    return pd.Series(out, dtype=object)
 
 
 def severity_name(table: pa.Table) -> pd.Series:
-    s = severity_num(table).to_numpy(dtype=np.int64)
-    return pd.Series(np.array(SEVERITY_NAMES, dtype=object)[np.clip(s, 0, 7)], dtype=object)
+    ss = severity_num(table)
+    ok = ss.notna().to_numpy()
+    s = ss.fillna(0).to_numpy(dtype=np.int64)
+    out = np.array(SEVERITY_NAMES, dtype=object)[np.clip(s, 0, 7)]
+    out[~ok] = ""  # null pri renders empty, not 'emerg'
+    return pd.Series(out, dtype=object)
 
 
 def _ts(table: pa.Table, col: str) -> pd.Series:
@@ -75,7 +94,7 @@ def _date_macros(col: str, prefix: str = "") -> dict:
         prefix + "DATE": mk(
             lambda s: _str(
                 pd.Series(BSD_MONTHS[s.dt.month.fillna(1).astype(int) - 1], index=s.index)
-                + " " + s.dt.day.astype("Int64").astype(str).str.rjust(2)
+                + " " + s.dt.day.pipe(_int_str, rjust=2)
                 + " " + s.dt.strftime("%H:%M:%S")
             )
         ),
@@ -88,7 +107,7 @@ def _date_macros(col: str, prefix: str = "") -> dict:
         prefix + "WEEKDAY": mk(lambda s: _str(s.dt.strftime("%a"))),
         # reference lib/template/macros.c:372: tm_wday + 1, Sunday=1..Saturday=7
         # (pandas dayofweek is Monday=0..Sunday=6)
-        prefix + "WEEK_DAY": mk(lambda s: _str((((s.dt.dayofweek + 1) % 7) + 1).astype("Int64").astype(str))),
+        prefix + "WEEK_DAY": mk(lambda s: _str((((s.dt.dayofweek + 1) % 7) + 1).pipe(_int_str))),
         prefix + "UNIXTIME": mk(
             lambda s: _str(
                 pd.Series(s.to_numpy(dtype="datetime64[s]").astype("int64").astype(str), index=s.index).where(
@@ -96,22 +115,22 @@ def _date_macros(col: str, prefix: str = "") -> dict:
                 )
             )
         ),
-        prefix + "MSEC": mk(lambda s: _str((s.dt.microsecond // 1000).astype("Int64").astype(str).str.zfill(3))),
-        prefix + "USEC": mk(lambda s: _str(s.dt.microsecond.astype("Int64").astype(str).str.zfill(6))),
+        prefix + "MSEC": mk(lambda s: _str((s.dt.microsecond // 1000).pipe(_int_str, zfill=3))),
+        prefix + "USEC": mk(lambda s: _str(s.dt.microsecond.pipe(_int_str, zfill=6))),
         prefix + "STAMP": mk(lambda s: _str(s.dt.strftime("%Y-%m-%dT%H:%M:%S+00:00"))),
         # --- the full reference date family (lib/template/macros.c:375-440) ---
-        prefix + "YEAR_DAY": mk(lambda s: _str(s.dt.dayofyear.astype("Int64").astype(str).str.zfill(3))),
+        prefix + "YEAR_DAY": mk(lambda s: _str(s.dt.dayofyear.pipe(_int_str, zfill=3))),
         prefix + "MONTH_ABBREV": mk(lambda s: _str(s.dt.strftime("%b"))),
         prefix + "MONTH_NAME": mk(lambda s: _str(s.dt.strftime("%B"))),
         prefix + "MONTH_WEEK": mk(_month_week),
         prefix + "HOUR12": mk(
-            lambda s: _str((((s.dt.hour + 11) % 12) + 1).astype("Int64").astype(str).str.zfill(2))
+            lambda s: _str((((s.dt.hour + 11) % 12) + 1).pipe(_int_str, zfill=2))
         ),
         prefix + "AMPM": mk(lambda s: _str(s.dt.strftime("%p"))),
         prefix + "WEEK_DAY_ABBREV": mk(lambda s: _str(s.dt.strftime("%a"))),
         prefix + "WEEK_DAY_NAME": mk(lambda s: _str(s.dt.strftime("%A"))),
         prefix + "WEEK": mk(_week_sunday_start),
-        prefix + "ISOWEEK": mk(lambda s: _str(s.dt.isocalendar().week.astype("Int64").astype(str).str.zfill(2))),
+        prefix + "ISOWEEK": mk(lambda s: _str(s.dt.isocalendar().week.pipe(_int_str, zfill=2))),
         # engine timestamps are UTC-normalized; per-row zone lives in the
         # companion gmtoff column (stages/timezones.py) — the macro renders
         # the normalized form, like ISODATE
@@ -150,13 +169,13 @@ MACROS: dict = {
     "MSGID": _passthrough("msgid"),
     "MESSAGE": _passthrough("message"),
     "MSG": _passthrough("message"),
-    "PRI": lambda t: _str(_col(t, "pri").astype("Int64").astype(str)),
+    "PRI": lambda t: _str(_col(t, "pri").pipe(_int_str)),
     "FACILITY": facility_name,
-    "FACILITY_NUM": lambda t: _str(facility_num(t).astype("Int64").astype(str)),
+    "FACILITY_NUM": lambda t: _str(facility_num(t).pipe(_int_str)),
     "SEVERITY": severity_name,
     "LEVEL": severity_name,
-    "SEVERITY_NUM": lambda t: _str(severity_num(t).astype("Int64").astype(str)),
-    "LEVEL_NUM": lambda t: _str(severity_num(t).astype("Int64").astype(str)),
+    "SEVERITY_NUM": lambda t: _str(severity_num(t).pipe(_int_str)),
+    "LEVEL_NUM": lambda t: _str(severity_num(t).pipe(_int_str)),
     "TAGS": lambda t: (
         _col(t, "tags").map(lambda v: ",".join(v) if isinstance(v, (list, np.ndarray)) else "")
         if "tags" in t.column_names

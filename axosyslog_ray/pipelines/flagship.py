@@ -129,39 +129,6 @@ class LogPipelineStage:
         self.json = JsonParser(source_col="text", promote=["event.type", "event.count"])
         self.router = build_router()
 
-    @staticmethod
-    def _apply_subset(t: pa.Table, mask: np.ndarray, parser, keep=None) -> pa.Table:
-        """Run a parser only on candidate rows and scatter its new columns
-        back full-length (parsers cost per row — running the csv/kv/json
-        parsers over all rows instead of their ~1/6 candidates was half
-        the stage's wall time, profiled)."""
-        src = parser.source_col
-        # slice ONLY the parser's input column — filtering the whole table
-        # would copy the fat html payload per parser
-        sub = pa.table({src: t.column(src).filter(pa.array(mask))})
-        out_sub = parser(sub)
-        idx = np.flatnonzero(mask)
-        n = t.num_rows
-        for name in out_sub.column_names[1:]:
-            if keep is not None and name not in keep:
-                continue
-            col = out_sub.column(name)
-            typ = col.type
-            if pa.types.is_boolean(typ):
-                full_b = np.zeros(n, dtype=bool)
-                if len(idx):
-                    full_b[idx] = col.to_numpy(zero_copy_only=False)
-                t = t.append_column(name, pa.array(full_b))
-                continue
-            full = np.full(n, None, dtype=object)
-            if len(idx):
-                vals = col.to_pylist()
-                varr = np.empty(len(vals), dtype=object)
-                varr[:] = vals  # nested lists/maps must stay ragged objects
-                full[idx] = varr
-            t = t.append_column(name, pa.array(full, type=typ))
-        return t
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = parse_syslog_table(batch)
 
@@ -180,14 +147,26 @@ class LogPipelineStage:
         ) & ~syslog_ok & ~looks_json & ~looks_apache
         text_np = text.to_numpy(dtype=object)
         json_ok = fast_json_valid(text_np, looks_json)
-        av, aip, ast = fast_apache(arrow_text)
-        apache_ok = av & looks_apache
-        aip[~apache_ok] = None
-        ast[~apache_ok] = None
-        kv_ip = fast_kv_promote(arrow_text, "src_ip")
-        kv_status = fast_kv_promote(arrow_text, "status")
-        kv_ip[~looks_kv] = None
-        kv_status[~looks_kv] = None
+        # fast parsers run on CANDIDATE subsets only (taking the slim text
+        # column, then numpy scatter-back) — extracting over every row and
+        # masking afterwards ran the RE2 passes over the whole corpus
+        n_rows = t.num_rows
+        apache_ok = np.zeros(n_rows, dtype=bool)
+        aip = np.full(n_rows, None, dtype=object)
+        ast = np.full(n_rows, None, dtype=object)
+        ap_idx = np.flatnonzero(looks_apache)
+        if len(ap_idx):
+            av_s, aip_s, ast_s = fast_apache(arrow_text.take(pa.array(ap_idx, type=pa.int64())))
+            apache_ok[ap_idx] = av_s
+            aip[ap_idx] = aip_s
+            ast[ap_idx] = ast_s
+        kv_ip = np.full(n_rows, None, dtype=object)
+        kv_status = np.full(n_rows, None, dtype=object)
+        kv_idx = np.flatnonzero(looks_kv)
+        if len(kv_idx):
+            sub_kv = arrow_text.take(pa.array(kv_idx, type=pa.int64()))
+            kv_ip[kv_idx] = fast_kv_promote(sub_kv, "src_ip")
+            kv_status[kv_idx] = fast_kv_promote(sub_kv, "status")
         t = t.append_column("json_valid", pa.array(json_ok))
         t = t.append_column("csv_valid", pa.array(apache_ok))
         t = t.append_column("web_clientip", pa.array(aip, type=pa.string()))

@@ -41,17 +41,16 @@ class RegexpParser:
         s = table.column(self.source_col).to_pandas().astype("string")
         ex = s.str.extract(self.re)  # one row per input, NaN where unmatched
         out = table
+        # match success is the PATTERN matching, not any group capturing —
+        # a match where every (optional) group is empty still succeeds,
+        # like the reference's matcher (logmatcher.c)
+        matched = s.str.contains(self.re, na=False)
         if self.named:
             for name in self.named:
                 col = ex[name]
                 arr = col.to_numpy(dtype=object, copy=True)
                 arr[col.isna().to_numpy()] = None
                 out = out.append_column(self.prefix + name, pa.array(arr, type=pa.string()))
-            matched = ex[self.named[0]].notna()
-            for name in self.named[1:]:
-                matched |= ex[name].notna()
-        else:
-            matched = ex[0].notna()
         if self.emit_matches:
             # numbered groups -> $1..$n list column (transient between stages)
             lists = np.full(len(s), None, dtype=object)

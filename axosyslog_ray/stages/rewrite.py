@@ -41,11 +41,19 @@ def _replace_col(table: pa.Table, name: str, arr: pa.Array) -> pa.Table:
 
 def set_value(table: pa.Table, field: str, template: str, condition=None) -> pa.Table:
     """set("tmpl", value(X)) — evaluate template, store into field
-    (reference rewrite-set.c:48-61)."""
+    (reference rewrite-set.c:48-61). Rows failing condition() keep their
+    old value — or stay UNSET (null) when the field did not exist
+    (reference condition semantics: untouched rows are untouched)."""
     new = Template(template).eval(table).to_numpy(dtype=object)
     m = _cond_mask(table, condition)
-    if field in table.column_names and not m.all():
-        old = table.column(field).to_pandas().astype(object).to_numpy()
+    if not m.all():
+        if field in table.column_names:
+            # stringify surviving old values (the target becomes a string
+            # column; numeric originals keep their repr, nulls stay null)
+            old_s = table.column(field).to_pandas()
+            old = old_s.map(lambda v: None if pd.isna(v) else str(v)).to_numpy(dtype=object)
+        else:
+            old = np.full(table.num_rows, None, dtype=object)
         new = np.where(m, new, old)
     return _replace_col(table, field, pa.array(new, type=pa.string()))
 
@@ -118,14 +126,23 @@ def clear_tag(table: pa.Table, tag: str, condition=None) -> pa.Table:
 def _set_pri_part(table: pa.Table, template: str, part: str, condition=None) -> pa.Table:
     vals = Template(template).eval(table)
     pri = table.column("pri").to_numpy().astype(np.int64)
+    # out-of-range values leave the row unchanged (the reference rejects
+    # severity > 7 / facility > 23 / pri > 1023, rewrite-set-pri.c)
     if part == "pri":
         num = pd.to_numeric(vals, errors="coerce")
+        num = num.where((num >= 0) & (num <= 1023))
         new = np.where(num.notna(), num.fillna(0).astype(int), pri)
     elif part == "severity":
-        num = vals.map(lambda v: SEVERITY_NUM.get(v, int(v) if str(v).isdigit() else None))
+        num = pd.to_numeric(
+            vals.map(lambda v: SEVERITY_NUM.get(v, int(v) if str(v).isdigit() else None)),
+            errors="coerce")
+        num = num.where((num >= 0) & (num <= 7))
         new = np.where(num.notna(), (pri // 8) * 8 + num.fillna(0).astype(int), pri)
     else:  # facility
-        num = vals.map(lambda v: FACILITY_NUM.get(v, int(v) if str(v).isdigit() else None))
+        num = pd.to_numeric(
+            vals.map(lambda v: FACILITY_NUM.get(v, int(v) if str(v).isdigit() else None)),
+            errors="coerce")
+        num = num.where((num >= 0) & (num <= 23))
         new = np.where(num.notna(), num.fillna(0).astype(int) * 8 + pri % 8, pri)
     m = _cond_mask(table, condition)
     new = np.where(m, new, pri)

@@ -50,10 +50,22 @@ class XmlParser:
 
     def _walk(self, root, path: str, out: dict[str, str]):
         # iterative DFS (document order) — recursion would hit Python's
-        # stack limit on hostile deeply-nested inputs and kill the batch
-        stack = [(root, path, 0)]
+        # stack limit on hostile deeply-nested inputs and kill the batch.
+        # Stack entries: ("elem", node, parent_path, depth) or a
+        # ("text", key, value) emission for a child's TAIL text — mixed
+        # content like <a>x<b/>y</a> must deliver 'y' to a's key too
+        # (the reference's SAX text callback fires per text run).
+        stack = [("elem", root, path, 0)]
         while stack:
-            elem, parent_path, depth = stack.pop()
+            entry = stack.pop()
+            if entry[0] == "text":
+                _, key, value = entry
+                if self.strip:
+                    value = value.strip()
+                if value.strip():
+                    self._put(out, key, value)
+                continue
+            _, elem, parent_path, depth = entry
             if depth > self.MAX_DEPTH:
                 continue
             tag = elem.tag.split("}")[-1]  # strip xml namespace
@@ -72,7 +84,9 @@ class XmlParser:
             if text.strip():
                 self._put(out, key, text)
             for child in reversed(list(elem)):
-                stack.append((child, key, depth + 1))
+                if child.tail and child.tail.strip():
+                    stack.append(("text", key, child.tail))
+                stack.append(("elem", child, key, depth + 1))
 
     def _put(self, out: dict[str, str], key: str, value: str):
         # repeated keys list-append with the reference's comma string-repr
@@ -83,6 +97,12 @@ class XmlParser:
 
     def parse_line(self, line: str) -> list[tuple[str, str]] | None:
         if len(line) > self.max_input_len:
+            return None
+        # stdlib ElementTree EXPANDS internal DTD entities, so a tiny
+        # billion-laughs doc (nested <!ENTITY>) blows up exponentially far
+        # under any input-size cap — reject docs carrying a DTD outright
+        # (the reference's GMarkup parser does not process DTDs either)
+        if "<!DOCTYPE" in line or "<!ENTITY" in line:
             return None
         try:
             root = ET.fromstring(line)

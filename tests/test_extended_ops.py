@@ -385,3 +385,89 @@ def test_correlate_stable_schema_across_groups(ray_session):
     })
     out = correlate(rd.from_pandas(df), cfg).to_pandas()
     assert "big" in out.columns and "n" in out.columns  # schema stable
+
+
+def test_xml_rejects_dtd_and_keeps_tail_text():
+    import pyarrow as pa
+
+    from axosyslog_ray.stages.xml_parser import XmlParser
+
+    xp = XmlParser()
+    # billion-laughs-style doc: rejected outright, never expanded
+    bomb = ('<!DOCTYPE x [<!ENTITY a "aaaa"><!ENTITY b "&a;&a;&a;&a;">]>'
+            "<x>&b;</x>")
+    r = xp(pa.table({"message": [bomb]})).to_pylist()[0]
+    assert not r["xml_valid"]
+    # mixed content: tail text after a child reaches the parent's key
+    r2 = xp(pa.table({"message": ["<a>x<b>inner</b>y</a>"]})).to_pylist()[0]
+    d = dict(r2["xv"])
+    assert d["a"] == "x,y" and d["a.b"] == "inner"
+
+
+def test_regexp_parser_optional_groups_still_match():
+    import pyarrow as pa
+
+    from axosyslog_ray.stages.regexp_parser import RegexpParser
+
+    p = RegexpParser(r"^(?P<user>\w+)?-suffix$")
+    out = p(pa.table({"message": ["-suffix", "bob-suffix", "nope"]}))
+    assert out.column("re_matched").to_pylist() == [True, True, False]
+    assert out.column("user").to_pylist() == [None, "bob", None]
+
+
+def test_set_value_condition_new_and_numeric_columns():
+    import pyarrow as pa
+
+    from axosyslog_ray.route import ColFilter
+    from axosyslog_ray.stages.rewrite import set_value
+
+    import numpy as np
+
+    cond = ColFilter(lambda t: np.array([True, False]))
+    t = pa.table({"pri": pa.array([38, 13], type=pa.uint16())})
+    # new column: failing row stays UNSET
+    out = set_value(t, "newf", "X", condition=cond)
+    assert out.column("newf").to_pylist() == ["X", None]
+    # numeric column target: failing row keeps its (stringified) value
+    out = set_value(t, "pri", "99", condition=cond)
+    assert out.column("pri").to_pylist() == ["99", "13"]
+
+
+def test_set_severity_rejects_out_of_range():
+    import pyarrow as pa
+
+    from axosyslog_ray.stages.rewrite import set_facility, set_severity
+
+    t = pa.table({"pri": pa.array([38], type=pa.uint16()), "message": ["m"]})
+    assert set_severity(t, "12").column("pri").to_pylist() == [38]  # unchanged
+    assert set_severity(t, "2").column("pri").to_pylist() == [34]
+    assert set_facility(t, "99").column("pri").to_pylist() == [38]  # unchanged
+
+
+def test_null_pri_macros_render_empty():
+    import pyarrow as pa
+
+    from axosyslog_ray.functions.templates import Template
+
+    t = pa.table({"pri": pa.array([38, None], type=pa.uint16())})
+    assert Template("$FACILITY/$SEVERITY").eval(t).tolist() == ["auth/info", "/"]
+    assert Template("[$PRI|$SEVERITY_NUM]").eval(t).tolist() == ["[38|6]", "[|]"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_stages_survive_empty_blocks():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from axosyslog_ray.ann import ann_topk, ivf_ann_topk, lsh_ann_topk
+
+    rng = np.random.RandomState(2)
+    m = rng.normal(size=(50, 8))
+    df = pd.DataFrame({"vec_id": range(50), "embedding": list(m), "keep": [i % 2 == 0 for i in range(50)]})
+    # a filter creating empty blocks upstream of the ANN scan
+    ds = rd.from_pandas(df).repartition(8).filter(lambda r: r["keep"])
+    q = np.asarray([m[0]])
+    assert len(ann_topk(ds, q, k=3)) == 3
+    assert len(lsh_ann_topk(ds, q, k=3, n_bits=4, n_tables=8)) >= 1
+    assert len(ivf_ann_topk(ds, q, k=3, nlist=4, nprobe=4)) == 3
