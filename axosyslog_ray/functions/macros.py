@@ -3,9 +3,13 @@
 Mirrors the reference's macro table (reference lib/template/macros.c:50-231
 and the LM_VF_MACRO dispatch lib/logmsg/logmsg.h:572-584): FACILITY /
 SEVERITY / PRI derived from `pri`, the date macro family in sent
-(`ts_stamp`) and received (`R_*` over `warc_ts`) flavors, and passthrough
-name aliases for builtin columns. Each macro is a vectorized function
-`pa.Table -> pd.Series[str]`.
+(`ts_stamp`), received (`R_*` over `warc_ts`), S_*, and C_*/P_*
+(`proc_ts`) flavors, transport-address macros (SOURCEIP/DESTIP/PEERIP/
+ports/proto) over optional columns with the reference's fallbacks, and
+passthrough name aliases for builtin columns. Covers all 168 names in
+the reference macro table (verified against macros.c in
+tests/test_templates.py::test_full_reference_macro_table). Each macro is
+a vectorized function `pa.Table -> pd.Series[str]`.
 """
 
 from __future__ import annotations
@@ -195,7 +199,9 @@ MACROS: dict = {
     "SYSUPTIME": _passthrough("sysuptime"),
     "CONTEXT_ID": _passthrough("context_id"),
     "SDATA": _passthrough("sdata"),
-    "SOURCEIP": _passthrough("sourceip"),
+    # reference falls back to 127.0.0.1 when the source has no IP address
+    # (macros.c:614-629 M_SOURCE_IP)
+    "SOURCEIP": lambda t: _col_or(t, "sourceip", "127.0.0.1"),
 }
 
 
@@ -235,7 +241,63 @@ def _msghdr(t: pa.Table) -> pd.Series:
     return pd.Series(hdr, dtype=object)
 
 
+def _col_or(t: pa.Table, name: str, default: str) -> pd.Series:
+    """Column as strings with `default` for nulls / a missing column —
+    the batch-engine shape of the reference's per-message transport
+    attributes (saddr/daddr/proto live as optional columns here)."""
+    if name not in t.column_names:
+        return pd.Series([default] * t.num_rows, dtype=object)
+    s = _col(t, name)
+    if pd.api.types.is_numeric_dtype(s):
+        s = _int_str(s)  # nullable ints arrive as float64: avoid '6.0'
+    else:
+        s = _str(s)
+    return s.replace("", default)
+
+
+def _ip_proto(t: pa.Table) -> pd.Series:
+    """$IP_PROTO (macros.c:277-291 _get_originating_ip_protocol): 0 when
+    no source address, 6 for IPv6, 4 for IPv4 (incl. v4-mapped ::ffff:)."""
+    ip = _col_or(t, "sourceip", "")
+    arr = ip.to_numpy(dtype=object)
+    is_set = arr != ""
+    is_v6 = np.array([(":" in v) and not v.lower().startswith("::ffff:") for v in arr], dtype=bool)
+    return pd.Series(np.where(is_set, np.where(is_v6, "6", "4"), "0"), dtype=object)
+
+
+def _proto_name(t: pa.Table) -> pd.Series:
+    """$PROTO_NAME (macros.c:295-306): 6->tcp, 17->udp, else unknown."""
+    p = _col_or(t, "proto", "0")
+    return p.map({"6": "tcp", "17": "udp"}).fillna("unknown").astype(object)
+
+
 MACROS["MSGHDR"] = _msghdr
+# deprecated alias (macros.c:56): $PRIORITY == $SEVERITY
+MACROS["PRIORITY"] = severity_name
+# $TAG: the full PRI as 2-digit zero-padded hex (macros.c:513-517)
+MACROS["TAG"] = lambda t: (
+    _col(t, "pri").map(lambda v: format(int(v), "02x") if pd.notna(v) else "").astype(object)
+)
+# $_ is an alias of $CONTEXT_ID (macros.c:220)
+MACROS["_"] = MACROS["CONTEXT_ID"]
+# transport-address macros (macros.c:595-712): optional columns in the
+# batch data model with the reference's fallback values; PEERIP/PEERPORT
+# fall through to SOURCEIP/SOURCEPORT when unset (macros.c:603-612,676)
+MACROS["DESTIP"] = lambda t: _col_or(t, "destip", "127.0.0.1")
+MACROS["DESTPORT"] = lambda t: _col_or(t, "destport", "0")
+MACROS["SOURCEPORT"] = lambda t: _col_or(t, "sourceport", "0")
+MACROS["PEERIP"] = lambda t: (
+    _col_or(t, "peerip", "").replace("", None).fillna(_col_or(t, "sourceip", "127.0.0.1")).astype(object)
+    if "peerip" in t.column_names else _col_or(t, "sourceip", "127.0.0.1")
+)
+MACROS["PEERPORT"] = lambda t: (
+    _col_or(t, "peerport", "").replace("", None).fillna(_col_or(t, "sourceport", "0")).astype(object)
+    if "peerport" in t.column_names else _col_or(t, "sourceport", "0")
+)
+MACROS["IP_PROTO"] = _ip_proto
+MACROS["PROTO"] = lambda t: _col_or(t, "proto", "0")
+MACROS["PROTO_NAME"] = _proto_name
+MACROS["RAWMSG_SIZE"] = lambda t: _col_or(t, "rawmsg_size", "0")
 MACROS.update(_date_macros("ts_stamp"))
 MACROS.update(_date_macros("warc_ts", "R_"))
 # S_*: explicit sent-stamp prefix (same source as the unprefixed family)

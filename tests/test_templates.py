@@ -233,3 +233,78 @@ def test_empty_quoted_arg_preserved():
     assert Template("$(if $(echo '') yes '')").eval(t).tolist() == ["", ""]
     from axosyslog_ray.functions.templates import _split_args
     assert _split_args("default '' fallback") == ["default", "", "fallback"]
+
+
+# the complete macro-name table from the reference (lib/template/macros.c
+# macros[] rows 50-231), embedded so the test runs without the reference
+# checkout. Regenerate: grep -oE '\{ "[A-Z0-9_]+"' lib/template/macros.c.
+_REFERENCE_MACRO_TABLE = """
+AMPM BSDTAG CONTEXT_ID C_AMPM C_DATE C_DAY C_FULLDATE C_HOUR C_HOUR12
+C_ISODATE C_ISOWEEK C_MIN C_MONTH C_MONTH_ABBREV C_MONTH_NAME
+C_MONTH_WEEK C_MSEC C_SEC C_STAMP C_TZ C_TZOFFSET C_UNIXTIME C_USEC
+C_WEEK C_WEEKDAY C_WEEK_DAY C_WEEK_DAY_ABBREV C_WEEK_DAY_NAME C_YEAR
+C_YEAR_DAY DATE DAY DESTIP DESTPORT FACILITY FACILITY_NUM FULLDATE
+HOST HOSTID HOUR HOUR12 IP_PROTO ISODATE ISOWEEK LEVEL LEVEL_NUM
+LOGHOST MIN MONTH MONTH_ABBREV MONTH_NAME MONTH_WEEK MSEC MSGHDR
+PEERIP PEERPORT PRI PRIORITY PROTO PROTO_NAME P_AMPM P_DATE P_DAY
+P_FULLDATE P_HOUR P_HOUR12 P_ISODATE P_ISOWEEK P_MIN P_MONTH
+P_MONTH_ABBREV P_MONTH_NAME P_MONTH_WEEK P_MSEC P_SEC P_STAMP P_TZ
+P_TZOFFSET P_UNIXTIME P_USEC P_WEEK P_WEEKDAY P_WEEK_DAY
+P_WEEK_DAY_ABBREV P_WEEK_DAY_NAME P_YEAR P_YEAR_DAY RAWMSG_SIZE RCPTID
+RUNID R_AMPM R_DATE R_DAY R_FULLDATE R_HOUR R_HOUR12 R_ISODATE
+R_ISOWEEK R_MIN R_MONTH R_MONTH_ABBREV R_MONTH_NAME R_MONTH_WEEK
+R_MSEC R_SEC R_STAMP R_TZ R_TZOFFSET R_UNIXTIME R_USEC R_WEEK
+R_WEEKDAY R_WEEK_DAY R_WEEK_DAY_ABBREV R_WEEK_DAY_NAME R_YEAR
+R_YEAR_DAY SDATA SEC SEQNUM SEVERITY SEVERITY_NUM SOURCEIP SOURCEPORT
+STAMP SYSUPTIME S_AMPM S_DATE S_DAY S_FULLDATE S_HOUR S_HOUR12
+S_ISODATE S_ISOWEEK S_MIN S_MONTH S_MONTH_ABBREV S_MONTH_NAME
+S_MONTH_WEEK S_MSEC S_SEC S_STAMP S_TZ S_TZOFFSET S_UNIXTIME S_USEC
+S_WEEK S_WEEKDAY S_WEEK_DAY S_WEEK_DAY_ABBREV S_WEEK_DAY_NAME S_YEAR
+S_YEAR_DAY TAG TAGS TZ TZOFFSET UNIQID UNIXTIME USEC WEEK WEEKDAY
+WEEK_DAY WEEK_DAY_ABBREV WEEK_DAY_NAME YEAR YEAR_DAY _
+""".split()
+
+
+def test_full_reference_macro_table():
+    """Every macro name in the reference table resolves here, and every
+    one evaluates on a minimal message table without raising."""
+    from axosyslog_ray.functions.macros import MACROS
+
+    assert len(_REFERENCE_MACRO_TABLE) == 168
+    missing = [m for m in _REFERENCE_MACRO_TABLE if m not in MACROS]
+    assert missing == []
+    t = pa.table({
+        "pri": pa.array([38], pa.int64()),
+        "host": ["h1"], "program": ["sshd"], "pid": ["42"],
+        "message": ["hello"], "msgid": ["-"],
+        "ts_stamp": pd.to_datetime(["2024-03-03 10:00:00"]),
+        "warc_ts": pd.to_datetime(["2024-03-03 10:00:01"]),
+        "proc_ts": pd.to_datetime(["2024-03-03 10:00:02"]),
+    })
+    for m in _REFERENCE_MACRO_TABLE:
+        out = MACROS[m](t)
+        assert len(out) == 1, m
+
+
+def test_transport_macros_reference_fallbacks():
+    """macros.c:595-712: PEERIP falls through to SOURCEIP, missing
+    addresses render 127.0.0.1, ports/proto default 0, TAG is 2-digit
+    hex PRI, PRIORITY aliases SEVERITY."""
+    from axosyslog_ray.functions.macros import MACROS
+
+    t = pa.table({
+        "pri": pa.array([38, 165, None], pa.int64()),
+        "sourceip": ["10.0.0.1", None, "::ffff:10.2.3.4"],
+        "proto": pa.array([6, 17, None], pa.int64()),
+        "peerip": ["9.9.9.9", None, None],
+    })
+    assert list(MACROS["PEERIP"](t)) == ["9.9.9.9", "127.0.0.1", "::ffff:10.2.3.4"]
+    assert list(MACROS["SOURCEIP"](t)) == ["10.0.0.1", "127.0.0.1", "::ffff:10.2.3.4"]
+    assert list(MACROS["DESTIP"](t)) == ["127.0.0.1"] * 3
+    assert list(MACROS["DESTPORT"](t)) == ["0"] * 3
+    assert list(MACROS["PROTO"](t)) == ["6", "17", "0"]
+    assert list(MACROS["PROTO_NAME"](t)) == ["tcp", "udp", "unknown"]
+    # v4-mapped IPv6 counts as IPv4 (macros.c:286-288)
+    assert list(MACROS["IP_PROTO"](t)) == ["4", "0", "4"]
+    assert list(MACROS["TAG"](t)) == ["26", "a5", ""]
+    assert list(MACROS["PRIORITY"](t)) == ["info", "notice", ""]
