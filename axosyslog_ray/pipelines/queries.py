@@ -547,6 +547,38 @@ def docs_simhash_clusters(sf_dir: str):
     return out.astype("int64").sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs (distributed inverted-index
+    set-similarity join, dedup/ngram.py) — the brief's fourth dedup
+    family, independently oracled by an equivalent SQL formulation
+    (UNNEST shingles -> self-join intersection counts)."""
+    from ..dedup.ngram import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5, shingle=3
+    ).to_pandas()
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    out["jaccard"] = round_half_away(out["jaccard"], 4)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+DOCS_JACCARD_SQL = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+idx AS (SELECT doc_id, w, UNNEST(range(1, GREATEST(len(w) - 2, 1) + 1)) AS i FROM t),
+sh AS (SELECT DISTINCT doc_id, CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+        ELSE array_to_string(w[i:i+2], ' ') END AS s FROM idx),
+sz AS (SELECT doc_id, COUNT(*) AS size FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       ROUND(n * 1.0 / (sa.size + sb.size - n), 4) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE n * 1.0 / (sa.size + sb.size - n) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def docs_langid(sf_dir: str):
     """Language-ID heuristic (stopword profiles, actor-pool stage).
     Oracled by an equivalent SQL formulation (list_filter membership
@@ -1262,6 +1294,7 @@ RAY_QUERIES = {
     "emb_near_dup": emb_near_dup,
     "docs_minhash_dedup": docs_minhash_dedup,
     "docs_simhash_clusters": docs_simhash_clusters,
+    "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_langid": docs_langid,
     "emb_lsh_ann": emb_lsh_ann,
     "media_decode_stats": media_decode_stats,
@@ -1317,6 +1350,7 @@ ORACLE_SQLS = {
     "events_suppress": EVENTS_SUPPRESS_SQL,
     "events_rate_limit": EVENTS_RATE_LIMIT_SQL,
     "docs_langid": DOCS_LANGID_SQL,
+    "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_curation_pipeline": DOCS_CURATION_SQL,
     "emb_knn_label": EMB_KNN_LABEL_SQL,
     # golden-parquet oracle (deterministic sf-independent synthetic corpus;

@@ -309,3 +309,64 @@ def test_media_features_feed_ann():
     q = emb.filter(lambda r: r["vec_id"] == 0).to_pandas()["embedding"].iloc[0]
     top = ann_topk(emb, np.asarray([q], dtype=np.float64), k=3)
     assert top["vec_id"].iloc[0] == 0 and top["sim"].iloc[0] > 0.999
+
+
+def test_ngram_jaccard_pairs_exact_vs_scalar(ray_session):
+    """The distributed set-similarity join reproduces the scalar
+    jaccard() utility exactly, on a corpus with planted near-dups."""
+    import itertools
+
+    import ray.data as rd
+
+    from axosyslog_ray.dedup.ngram import ngram_jaccard_pairs
+
+    rng = np.random.RandomState(3)
+    words = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(words, size=40)) for _ in range(20)]
+    # planted near-dups: copy with a small mutation
+    texts.append(texts[0].replace("w1", "w2", 1))
+    texts.append(texts[5])
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    got = (
+        ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.5, shingle=3, num_shards=7)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    want = []
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        j = jaccard(texts[a], texts[b], shingle=3)
+        if j >= 0.5:
+            want.append((a, b, j))
+    assert [(r.id_a, r.id_b) for r in got.itertuples()] == [(a, b) for a, b, _ in want]
+    assert len(want) >= 2  # the planted pairs are found
+    np.testing.assert_allclose(got["jaccard"].to_numpy(), [j for _, _, j in want])
+
+
+def test_ngram_jaccard_invariant_to_num_shards(ray_session):
+    import ray.data as rd
+
+    from axosyslog_ray.dedup.ngram import ngram_jaccard_pairs
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e f", "a b c d e g", "x y z q r s"],
+    })
+    outs = []
+    for ns in (1, 3, 64):
+        o = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.1, shingle=3,
+                                num_shards=ns).to_pandas()
+        outs.append(o.sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+
+
+def test_ngram_jaccard_max_freq_cap_drops_stop_shingles(ray_session):
+    """With max_shingle_freq=1 no shingle co-occurs, so no pairs."""
+    import ray.data as rd
+
+    from axosyslog_ray.dedup.ngram import ngram_jaccard_pairs
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "a b c d"]})
+    o = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.1, shingle=3,
+                            max_shingle_freq=1, num_shards=4).to_pandas()
+    assert len(o) == 0
