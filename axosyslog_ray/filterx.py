@@ -16,9 +16,15 @@ Surface (the subset a log pipeline actually uses):
   name            local variable
   literals        "str" 'str' 123 4.5 true false null
   operators       == != < <= > >= + - * / %  and or not  ??  cond ? a : b
+                  =~ "pat"  !~ "pat" (expr-regexp.c, literal pattern,
+                  compiled once)   x in [a, b, c] (expr-membership.c)
+  literals        [e1, e2, ...] list (expr-literal-container.c)
   functions       upper(x) lower(x) len(x) string(x) int(x) double(x)
-                  isset(x) defined(x)
-  statements      lval = expr;   if (e) {..} elif (e) {..} else {..}
+                  isset(x) defined(x) startswith(x, "p") endswith(x, "s")
+                  includes(x, "sub") (func-str.c)
+  statements      lval = expr;   lval += expr; (expr-plus-assign.c)
+                  unset($f); (expr-unset.c)
+                  if (e) {..} elif (e) {..} else {..}
                   switch (e) { case LIT: ..; default: ..; }
                   drop;   done;
 Null semantics follow the reference: `??` takes the right side when the
@@ -50,13 +56,13 @@ _TOKEN_RE = re.compile(
     | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
     | (?P<field>\$[A-Za-z_][A-Za-z0-9_.]*)
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op>\?\?|==|!=|<=|>=|&&|\|\||[-+*/%<>=(){};:,?!])
+    | (?P<op>\?\?|=~|!~|\+=|==|!=|<=|>=|&&|\|\||[-+*/%<>=(){};:,?!\[\]])
     )""",
     re.VERBOSE,
 )
 
 _KEYWORDS = {"if", "elif", "else", "switch", "case", "default", "drop", "done",
-             "and", "or", "not", "true", "false", "null"}
+             "and", "or", "not", "true", "false", "null", "in", "unset"}
 
 
 def _tokenize(src: str) -> list[tuple[str, str]]:
@@ -135,8 +141,22 @@ class _Parser:
         if v == "done":
             self.next()
             return ("done",)
+        if v == "unset":
+            # unset($field); — reference lib/filterx/expr-unset.c: the
+            # value becomes unset (null here); isset() turns false
+            self.next()
+            self.expect("(")
+            fk, fv = self.next()
+            if fk != "field":
+                raise SyntaxError("filterx: unset() takes a $field")
+            self.expect(")")
+            return ("unset", fv[1:])
         if k in ("field", "name") and v not in _KEYWORDS:
             self.next()
+            if self.accept("+="):
+                # lib/filterx/expr-plus-assign.c: desugars to lval = lval + rhs
+                lval = ("field", v[1:]) if k == "field" else ("var", v)
+                return ("assign", (k, v), ("arith", "+", lval, self.expr()))
             self.expect("=")
             return ("assign", (k, v), self.expr())
         raise SyntaxError(f"filterx: unexpected {v!r}")
@@ -220,6 +240,19 @@ class _Parser:
         if self.peek()[1] in ("==", "!=", "<", "<=", ">", ">="):
             op = self.next()[1]
             return ("cmp", op, e, self.coalesce())
+        if self.peek()[1] in ("=~", "!~"):
+            # lib/filterx/expr-regexp.c: RHS must be a literal pattern so it
+            # compiles ONCE per program, not per batch/row
+            op = self.next()[1]
+            pk, pv = self.next()
+            if pk != "str":
+                raise SyntaxError("filterx: =~ / !~ needs a literal string pattern")
+            pat = re.compile(re.sub(r"\\(.)", r"\1", pv[1:-1]))
+            return ("regex", op == "!~", e, pat)
+        if self.peek()[1] == "in":
+            # lib/filterx/expr-membership.c
+            self.next()
+            return ("in", e, self.expr())
         return e
 
     def coalesce(self):
@@ -275,6 +308,15 @@ class _Parser:
             e = self.expr()
             self.expect(")")
             return e
+        if v == "[":
+            # literal list (lib/filterx/expr-literal-container.c)
+            items = []
+            if not self.accept("]"):
+                items.append(self.expr())
+                while self.accept(","):
+                    items.append(self.expr())
+                self.expect("]")
+            return ("listlit", items)
         raise SyntaxError(f"filterx: unexpected token {v!r}")
 
 
@@ -316,6 +358,27 @@ def _truthy(s: pd.Series) -> np.ndarray:
     return out
 
 
+def _arg_scalar(b: pd.Series):
+    """A literal argument evaluates to a constant Series; take its value.
+    (The reference str funcs take literal needles: func-str.c usage.)"""
+    if not isinstance(b, pd.Series):
+        return b
+    nn = b[~pd.isna(b)]
+    return nn.iloc[0] if len(nn) else ""
+
+
+def _startswith(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(a.astype("string").str.startswith(str(_arg_scalar(b))).fillna(False).to_numpy(), dtype=object)
+
+
+def _endswith(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(a.astype("string").str.endswith(str(_arg_scalar(b))).fillna(False).to_numpy(), dtype=object)
+
+
+def _includes(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(a.astype("string").str.contains(str(_arg_scalar(b)), regex=False).fillna(False).to_numpy(), dtype=object)
+
+
 _FUNCS = {
     "upper": lambda a: a.astype("string").str.upper().astype(object),
     "lower": lambda a: a.astype("string").str.lower().astype(object),
@@ -325,6 +388,10 @@ _FUNCS = {
     "double": lambda a: pd.to_numeric(a, errors="coerce").astype(float),
     "isset": lambda a: pd.Series(~pd.isna(a).to_numpy(), dtype=object),
     "defined": lambda a: pd.Series(~pd.isna(a).to_numpy(), dtype=object),
+    # reference lib/filterx/func-str.c (literal needle, vectorized subject)
+    "startswith": _startswith,
+    "endswith": _endswith,
+    "includes": _includes,
 }
 
 
@@ -361,6 +428,31 @@ class FilterX:
             c = _truthy(self._eval(node[1], ctx))
             a, b = self._eval(node[2], ctx), self._eval(node[3], ctx)
             return pd.Series(np.where(c, a.to_numpy(dtype=object), b.to_numpy(dtype=object)), dtype=object)
+        if tag == "regex":
+            negate, subj, pat = node[1], self._eval(node[2], ctx), node[3]
+            m = subj.astype("string").str.contains(pat, regex=True)
+            # null/unset never matches; under !~ a null subject stays false
+            # too (an eval error in the reference, which a filter treats
+            # as no-verdict) — documented divergence from pure negation
+            res = m.fillna(False).to_numpy(dtype=bool)
+            if negate:
+                res = ~res & ~_isnull(subj)
+            return pd.Series(res)
+        if tag == "in":
+            subj = self._eval(node[1], ctx)
+            items = node[2][1] if node[2][0] == "listlit" else [node[2]]
+            res = np.zeros(ctx.n, dtype=bool)
+            for it in items:
+                aa, bb = _align_types(subj, self._eval(it, ctx))
+                eq = aa == bb
+                if isinstance(eq, pd.Series):
+                    eq = eq.fillna(False).to_numpy(dtype=bool)
+                res |= np.asarray(eq, dtype=bool)
+            return pd.Series(res & ~_isnull(subj))
+        if tag == "listlit":
+            cols = [self._eval(it, ctx).to_numpy(dtype=object) for it in node[1]]
+            return pd.Series([list(row) for row in zip(*cols)] if cols else [[]] * ctx.n,
+                             dtype=object)
         if tag == "cmp":
             op, a, b = node[1], self._eval(node[2], ctx), self._eval(node[3], ctx)
             an, bn = _isnull(a), _isnull(b)
@@ -459,6 +551,13 @@ class FilterX:
                 remaining &= ~m
             if node[3] is not None:
                 self._exec(node[3], ctx, remaining)
+            return
+        if tag == "unset":
+            name = node[1]
+            cur = ctx.col(name).astype(object)
+            cur[mask] = None
+            ctx.cols[name] = cur
+            ctx.assigned.add(name)
             return
         if tag == "drop":
             ctx.kept &= ~mask

@@ -94,3 +94,59 @@ def test_read_only_columns_keep_arrow_type():
     out = FilterX('if ($status >= 500) { $hit = "y"; };')(t)
     assert out.schema.field("status").type == pa.int64()
     assert out.column("status").to_pylist() == [200, None, 503]
+
+
+def _run(src, table):
+    from axosyslog_ray.filterx import FilterX
+
+    return FilterX(src)(table)
+
+
+def test_regex_match_operators():
+    t = pa.table({"msg": ["error: disk full", "ok", None, "ERROR 42"]})
+    out = _run('if ($msg =~ "(?i)error") { $is_err = "y"; } else { $is_err = "n"; };', t)
+    assert out.column("is_err").to_pylist() == ["y", "n", "n", "y"]
+    # !~ : null subject stays false (no-verdict), matching rows excluded
+    out = _run('if ($msg !~ "error") { $clean = "y"; } else { $clean = "n"; };', t)
+    assert out.column("clean").to_pylist() == ["n", "y", "n", "y"]
+
+
+def test_regex_requires_literal_pattern():
+    import pytest as _pytest
+
+    from axosyslog_ray.filterx import FilterX
+
+    with _pytest.raises(SyntaxError):
+        FilterX("$a =~ $b;")
+
+
+def test_in_membership_and_list_literal():
+    t = pa.table({"status": ["a", "b", "c", None], "n": [1, 2, 3, 4]})
+    out = _run('if ($status in ["a", "c"]) { $hit = 1; } else { $hit = 0; };', t)
+    assert out.column("hit").to_pylist() == [1, 0, 1, 0]
+    out = _run('if ($n in [1, 4]) { $hit = 1; } else { $hit = 0; };', t)
+    assert out.column("hit").to_pylist() == [1, 0, 0, 1]
+
+
+def test_unset_and_isset():
+    t = pa.table({"a": ["x", "y"], "keep": [1, 0]})
+    out = _run('if ($keep == 0) { unset($a); }; $has = isset($a) ? "t" : "f";', t)
+    assert out.column("a").to_pylist() == ["x", None]
+    assert out.column("has").to_pylist() == ["t", "f"]
+
+
+def test_plus_assign():
+    t = pa.table({"n": [1, 2], "s": ["a", "b"]})
+    out = _run("$n += 10;", t)
+    assert out.column("n").to_pylist() == [11, 12]
+    out = _run('$s += "!";', t)
+    assert out.column("s").to_pylist() == ["a!", "b!"]
+
+
+def test_str_functions():
+    t = pa.table({"p": ["/var/log/x", "/tmp/y", None]})
+    out = _run('$v = startswith($p, "/var") ? 1 : 0; $i = includes($p, "log") ? 1 : 0;'
+               '$e = endswith($p, "y") ? 1 : 0;', t)
+    assert out.column("v").to_pylist() == [1, 0, 0]
+    assert out.column("i").to_pylist() == [1, 0, 0]
+    assert out.column("e").to_pylist() == [0, 1, 0]
