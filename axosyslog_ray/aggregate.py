@@ -32,19 +32,27 @@ NULL_SENTINEL = "\x00__NULL__\x00"
 
 
 def partial_counts(keys: list[str], count_col: str = "partial_count"):
-    """map_batches fn: batch -> one row per distinct key combo with counts."""
+    """map_batches fn: batch -> one row per distinct key combo with counts.
+
+    The per-batch combine is Arrow's C++ hash aggregate (Table.group_by)
+    — no pandas conversion of the full batch; the sentinel substitution
+    for null string keys (needed only so Ray's sort-based shuffle can
+    order them in the final="shuffle" path) runs over the tiny partial
+    table, O(distinct keys), not O(rows)."""
+    import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
-        df = batch.select(keys).to_pandas()
-        g = df.groupby(keys, dropna=False, observed=True).size().reset_index(name=count_col)
+        g = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
         arrays = []
         for k in keys:
+            col = g.column(k)
             typ = batch.schema.field(k).type
-            vals = g[k].astype(object).where(g[k].notna(), None).to_numpy(dtype=object)
-            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-                vals = np.array([NULL_SENTINEL if v is None else v for v in vals], dtype=object)
-            arrays.append(pa.array(vals, type=typ))
-        arrays.append(pa.array(g[count_col].to_numpy(), type=pa.int64()))
+            if (pa.types.is_string(typ) or pa.types.is_large_string(typ)) and col.null_count:
+                col = pc.fill_null(col.cast(typ), NULL_SENTINEL)
+            else:
+                col = col.cast(typ)
+            arrays.append(col)
+        arrays.append(g.column("count_all").cast(pa.int64()))
         return pa.Table.from_arrays(arrays, names=keys + [count_col])
 
     return fn
@@ -76,9 +84,12 @@ def pre_aggregated_count(ds, keys: list[str], alias: str = "n", final: str = "sh
     langs, routes: partials total O(batches x distinct)); this is the
     last level of the combine tree, not a full materialization of rows.
     """
-    # big batches: each partial row set is O(distinct keys) regardless of
-    # batch size, so larger batches shrink the combine tree ~8x
-    partial = ds.map_batches(partial_counts(keys), batch_format="pyarrow", batch_size=65536)
+    # natural block-sized batches: each partial row set is O(distinct keys)
+    # per batch either way, and forcing a large batch_size makes Ray
+    # re-batch (concat-copy) many-small-file reads — measured 1.6s of the
+    # 4.6s sink read-back at 4 CPUs — for no combine-tree win that the
+    # driver/final groupby doesn't already absorb
+    partial = ds.map_batches(partial_counts(keys), batch_format="pyarrow")
     if final == "driver":
         import pandas as pd
 
