@@ -255,7 +255,10 @@ def run_flagship(n_rows: int = 6000, out_dir: str | None = None, concurrency=Non
     ds = pages_dataset(n_rows, seed=seed)
     routed = flagship_routed(ds, concurrency=concurrency)
     if out_dir:
-        routed.write_parquet(out_dir, partition_cols=["route"])
+        # size sink files sanely: one file per ~150k rows, not one tiny
+        # file per task-block-route combination (bench.py note; at 100TB
+        # the same knob targets ~256MB files)
+        routed.write_parquet(out_dir, partition_cols=["route"], min_rows_per_file=150_000)
         import ray.data as rd
 
         routed = rd.read_parquet(out_dir)
