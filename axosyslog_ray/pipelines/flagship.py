@@ -185,13 +185,15 @@ class LogPipelineStage:
         t = self.patterndb(t)
 
         # ---- derived src_ip: apache clientip | kv src_ip | pdb client_ip ----
-        pdb_vals = t.column("pdb_values").to_pandas()
-        pdb_ip = pdb_vals.map(lambda v: dict(v).get("client_ip") if v is not None else None)
+        # Arrow-native map key extraction — no per-row dict() materialization
+        pdb_ip = pc.map_lookup(
+            t.column("pdb_values").combine_chunks(), query_key="client_ip", occurrence="first"
+        )
         web_ip_arr = t.column("web_clientip")
         web_ip = pc.if_else(pa.array(apache_ok), web_ip_arr, pa.nulls(t.num_rows, pa.string()))
         kv_ip = t.column("src_ip")
         t = t.drop_columns(["src_ip"])
-        src_ip = _coalesce_str(web_ip, kv_ip, pa.array(pdb_ip.to_numpy(dtype=object), type=pa.string()))
+        src_ip = _coalesce_str(web_ip, kv_ip, pdb_ip)
         t = t.append_column("src_ip", src_ip)
 
         # ---- enrich: context db (host -> tier/dc), geoip (src_ip) ----

@@ -871,14 +871,13 @@ def events_xml_roundtrip(sf_dir: str):
             + "</user><value>" + df["value"].astype(str) + "</value></event>"
         )
         t = xp(pa.Table.from_pandas(df[["event_id", "xml_doc"]], preserve_index=False))
-        dicts = [dict(x) for x in t.column("xv").to_pylist()]  # one dict per row
-        out = pd.DataFrame({
-            "event_id": t.column("event_id").to_pylist(),
-            "xml_type": [d["event._type"] for d in dicts],
-            "xml_user": [d["event.user"] for d in dicts],
-            "xml_value": [d["event.value"] for d in dicts],
+        xv = t.column("xv").combine_chunks()  # map<string,string>: Arrow-native key extraction
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "xml_type": pc.map_lookup(xv, query_key="event._type", occurrence="first"),
+            "xml_user": pc.map_lookup(xv, query_key="event.user", occurrence="first"),
+            "xml_value": pc.map_lookup(xv, query_key="event.value", occurrence="first"),
         })
-        return pa.Table.from_pandas(out, preserve_index=False)
 
     return _read(sf_dir, "events", ["event_id", "event_type", "user_id", "value"]).map_batches(
         rt, batch_format="pyarrow"

@@ -323,11 +323,26 @@ class Router:
 
     def route_table(self, table: pa.Table, col: str = "route") -> pa.Table:
         """Append a list<string> of every sink each row reaches (full
-        multiplexer fan-out, non-final routes included)."""
+        multiplexer fan-out, non-final routes included). Vectorized: one
+        (row, route) pair table, stable-sorted by row (preserving route
+        declaration order within a row), assembled as an Arrow ListArray
+        from bincount offsets — no per-row Python lists."""
         masks = self.masks(table)
         n = table.num_rows
-        lists: list[list[str]] = [[] for _ in range(n)]
+        idx_parts, name_parts, counts = [], [], np.zeros(n, dtype=np.int64)
         for r in self.routes:
-            for i in np.flatnonzero(masks[r.name]):
-                lists[i].append(r.name)
-        return table.append_column(col, pa.array(lists, type=pa.list_(pa.string())))
+            hit = np.flatnonzero(masks[r.name])
+            idx_parts.append(hit)
+            name_parts.append(np.full(len(hit), r.name, dtype=object))
+            counts[hit] += 1
+        if idx_parts:
+            idx = np.concatenate(idx_parts)
+            names = np.concatenate(name_parts) if len(idx) else np.array([], dtype=object)
+            order = np.argsort(idx, kind="stable")
+            names = names[order]
+        else:
+            names = np.array([], dtype=object)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        arr = pa.ListArray.from_arrays(pa.array(offsets), pa.array(names, type=pa.string()))
+        return table.append_column(col, arr)

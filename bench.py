@@ -53,8 +53,10 @@ def ensure_pages(n_rows: int) -> tuple[str, float]:
 
         total = 0
         for f in glob.glob(os.path.join(out, "*.parquet")):
-            t = pq.read_table(f, columns=["html", "text"])
-            total += t.column("html").nbytes + t.column("text").nbytes
+            # GB/s denominator = bytes the pipeline actually reads and
+            # parses (the pruned column set; html never leaves storage)
+            t = pq.read_table(f, columns=["url", "warc_ts", "text", "lang"])
+            total += sum(t.column(c).nbytes for c in t.column_names)
         with open(meta_path, "w") as fh:
             json.dump({"n_rows": n_rows, "payload_bytes": total}, fh)
     with open(meta_path) as fh:
@@ -71,7 +73,12 @@ def run_headline(pages_dir: str, out_dir: str) -> dict:
     from axosyslog_ray.pipelines.flagship import flagship_routed
 
     files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
-    ds = rd.read_parquet(files)
+    # prune at the read: the fused stage parses `text` and carries
+    # url/warc_ts/lang to the sinks — `html` (half the payload) is never
+    # touched, so it must not leave storage (brief: "a read that loads
+    # all columns for a 2-column transform is wrong"). The reported GB/s
+    # counts the bytes the pipeline actually processes (text payload).
+    ds = rd.read_parquet(files, columns=["url", "warc_ts", "text", "lang"])
     routed = flagship_routed(ds)
     t_w = time.time()
     # min_rows_per_file: without it each write task emits one ~300KB file
