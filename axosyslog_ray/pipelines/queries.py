@@ -922,6 +922,40 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def events_filterx_regex(sf_dir: str):
+    """FilterX round-2 surface (=~ regex match, `in` membership, +=,
+    unset) over events: tag single-digit prop payloads via regex, group
+    conversion-ish types via membership, suffix the label, null out props
+    for errors — per-label counts + surviving props count."""
+    from ..aggregate import pre_aggregated_count
+    from ..filterx import FilterX
+
+    fx = FilterX("""
+        if ($props =~ "\\\\{\\"k\\": [0-9]\\\\}") { $label = "tiny"; }
+        else { $label = "big"; };
+        if ($event_type in ["signup", "purchase"]) { $label = "conv"; };
+        $label += "/" + $event_type;
+        if ($event_type == "error") { unset($props); };
+        $has_props = isset($props) ? 1 : 0;
+    """)
+    ds = _read(sf_dir, "events", ["event_type", "props"]).map_batches(fx, batch_format="pyarrow")
+    out = pre_aggregated_count(ds, ["label", "has_props"], alias="n", final="driver")
+    out["n"] = out["n"].astype("int64")
+    out["has_props"] = out["has_props"].astype("int64")
+    return out.sort_values(["label", "has_props"]).reset_index(drop=True)
+
+
+EVENTS_FILTERX_REGEX_SQL = r"""
+SELECT (CASE WHEN event_type IN ('signup', 'purchase') THEN 'conv'
+             WHEN regexp_matches(props, '\{"k": [0-9]\}') THEN 'tiny'
+             ELSE 'big' END) || '/' || event_type AS label,
+       CAST(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS BIGINT) AS has_props,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_format_json(sf_dir: str):
     """$(format-json) serializer (reference modules/json/format-json.c) over
     selected event columns."""
@@ -1312,6 +1346,7 @@ RAY_QUERIES = {
     "docs_curation_pipeline": docs_curation_pipeline,
     "emb_knn_label": emb_knn_label,
     "events_filterx": events_filterx,
+    "events_filterx_regex": events_filterx_regex,
     "emb_ivf_ann": emb_ivf_ann,
     "events_asof_join": events_asof_join,
     "events_hopping_windows": events_hopping_windows,
@@ -1360,6 +1395,7 @@ ORACLE_SQLS = {
         "ORDER BY media_type"
     ),
     "events_filterx": EVENTS_FILTERX_SQL,
+    "events_filterx_regex": EVENTS_FILTERX_REGEX_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_hopping_windows": EVENTS_HOPPING_SQL,
     "lineitem_range_join": LINEITEM_RANGE_SQL,
