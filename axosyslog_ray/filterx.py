@@ -22,6 +22,15 @@ Surface (the subset a log pipeline actually uses):
   functions       upper(x) lower(x) len(x) string(x) int(x) double(x)
                   isset(x) defined(x) startswith(x, "p") endswith(x, "s")
                   includes(x, "sub") (func-str.c)
+                  str_strip/str_lstrip/str_rstrip(x) str_replace(x, o, n)
+                  (func-str-transform.c)
+                  regexp_subst(x, "pat", "rep"[, global])  first match by
+                  default, all with the global flag; \\1 group refs
+                  (expr-regexp-subst.c)
+                  regexp_search(x, "pat") -> capture list (expr-regexp-search.c)
+                  glob_match(x, "a*b") (func-glob.c)
+                  md5/sha1/sha256/sha512(x) (func-digest.c)
+                  hex_/base64_/url encode+decode (func-encode.c)
   statements      lval = expr;   lval += expr; (expr-plus-assign.c)
                   unset($f); (expr-unset.c)
                   if (e) {..} elif (e) {..} else {..}
@@ -63,6 +72,17 @@ _TOKEN_RE = re.compile(
 
 _KEYWORDS = {"if", "elif", "else", "switch", "case", "default", "drop", "done",
              "and", "or", "not", "true", "false", "null", "in", "unset"}
+
+_ESCAPES = {"\\": "\\", '"': '"', "'": "'", "n": "\n", "t": "\t", "r": "\r"}
+
+
+def _unescape(body: str) -> str:
+    """String-literal escapes: the quote/backslash/whitespace set is
+    processed; UNKNOWN escapes keep their backslash so regex classes
+    (\\d, \\w) and group refs (\\1) written inside a quoted pattern
+    survive to the regex compiler (matching the reference, where the
+    pattern string reaches PCRE with its backslashes intact)."""
+    return re.sub(r"\\(.)", lambda m: _ESCAPES.get(m.group(1), "\\" + m.group(1)), body)
 
 
 def _tokenize(src: str) -> list[tuple[str, str]]:
@@ -247,7 +267,7 @@ class _Parser:
             pk, pv = self.next()
             if pk != "str":
                 raise SyntaxError("filterx: =~ / !~ needs a literal string pattern")
-            pat = re.compile(re.sub(r"\\(.)", r"\1", pv[1:-1]))
+            pat = re.compile(_unescape(pv[1:-1]))
             return ("regex", op == "!~", e, pat)
         if self.peek()[1] == "in":
             # lib/filterx/expr-membership.c
@@ -285,7 +305,7 @@ class _Parser:
         if k == "num":
             return ("lit", float(v) if "." in v else int(v))
         if k == "str":
-            return ("lit", re.sub(r"\\(.)", r"\1", v[1:-1]))
+            return ("lit", _unescape(v[1:-1]))
         if k == "field":
             return ("field", v[1:])
         if k == "name":
@@ -379,6 +399,95 @@ def _includes(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(a.astype("string").str.contains(str(_arg_scalar(b)), regex=False).fillna(False).to_numpy(), dtype=object)
 
 
+def _regexp_subst(a: pd.Series, pat: pd.Series, repl: pd.Series, glob=None) -> pd.Series:
+    """reference lib/filterx/expr-regexp-subst.c: replace the FIRST match
+    unless the `global` flag is set; replacement supports \\1 group refs
+    (_build_replacement_string_with_match_groups). Vectorized via pandas
+    str.replace (compiled-regex C loop), n=1 vs n=-1 for the flag."""
+    p = str(_arg_scalar(pat))
+    # \1 -> pandas/Python re backreference form
+    r = re.sub(r"\\(\d+)", r"\\g<\1>", str(_arg_scalar(repl)))
+    n = -1 if (glob is not None and bool(_arg_scalar(glob))) else 1
+    out = a.astype("string").str.replace(p, r, n=n, regex=True)
+    return out.astype(object).where(~pd.isna(a), None)
+
+
+def _regexp_search(a: pd.Series, pat: pd.Series) -> pd.Series:
+    """reference lib/filterx/expr-regexp-search.c (list form): the match's
+    capture groups as a list column; null when no match."""
+    p = str(_arg_scalar(pat))
+    ex = a.astype("string").str.extract(f"({p})" if "(" not in p else p)
+    vals = ex.to_numpy(dtype=object)
+    return pd.Series([None if pd.isna(row[0]) else list(row) for row in vals], dtype=object)
+
+
+def _str_replace(a: pd.Series, old: pd.Series, new: pd.Series) -> pd.Series:
+    return a.astype("string").str.replace(
+        str(_arg_scalar(old)), str(_arg_scalar(new)), regex=False
+    ).astype(object).where(~pd.isna(a), None)
+
+
+def _glob_match(a: pd.Series, pat: pd.Series) -> pd.Series:
+    import fnmatch
+
+    rx = fnmatch.translate(str(_arg_scalar(pat)))
+    return pd.Series(a.astype("string").str.fullmatch(rx).fillna(False).to_numpy(), dtype=object)
+
+
+def _digest(algo: str):
+    import hashlib
+
+    h = getattr(hashlib, algo)
+
+    def fn(a: pd.Series) -> pd.Series:
+        # hashing is C; the comprehension is unavoidable for per-row digests
+        return pd.Series(
+            [None if pd.isna(v) else h(str(v).encode()).hexdigest() for v in a],
+            dtype=object)
+
+    return fn
+
+
+def _codec(enc, null_on_err=True):
+    def fn(a: pd.Series) -> pd.Series:
+        out = []
+        for v in a:
+            if pd.isna(v):
+                out.append(None)
+                continue
+            try:
+                out.append(enc(str(v)))
+            except (ValueError, TypeError):
+                out.append(None if null_on_err else v)
+        return pd.Series(out, dtype=object)
+
+    return fn
+
+
+def _b64e(s: str) -> str:
+    import base64
+
+    return base64.b64encode(s.encode()).decode()
+
+
+def _b64d(s: str) -> str:
+    import base64
+
+    return base64.b64decode(s.encode(), validate=True).decode()
+
+
+def _urlencode(s: str) -> str:
+    from urllib.parse import quote
+
+    return quote(s, safe="")
+
+
+def _urldecode(s: str) -> str:
+    from urllib.parse import unquote
+
+    return unquote(s)
+
+
 _FUNCS = {
     "upper": lambda a: a.astype("string").str.upper().astype(object),
     "lower": lambda a: a.astype("string").str.lower().astype(object),
@@ -392,6 +501,29 @@ _FUNCS = {
     "startswith": _startswith,
     "endswith": _endswith,
     "includes": _includes,
+    # lib/filterx/func-str-transform.c
+    "str_strip": lambda a: a.astype("string").str.strip().astype(object).where(~pd.isna(a), None),
+    "str_lstrip": lambda a: a.astype("string").str.lstrip().astype(object).where(~pd.isna(a), None),
+    "str_rstrip": lambda a: a.astype("string").str.rstrip().astype(object).where(~pd.isna(a), None),
+    "str_replace": _str_replace,
+    # lib/filterx/expr-regexp-subst.c / expr-regexp-search.c
+    "regexp_subst": _regexp_subst,
+    "regexp_search": _regexp_search,
+    # lib/filterx/func-glob.c
+    "glob_match": _glob_match,
+    # lib/filterx/func-digest.c (md5/sha1/sha256/sha512 registered in
+    # filterx-globals.c)
+    "md5": _digest("md5"),
+    "sha1": _digest("sha1"),
+    "sha256": _digest("sha256"),
+    "sha512": _digest("sha512"),
+    # lib/filterx/func-encode.c + urlencode/urldecode
+    "hex_encode": _codec(lambda s: s.encode().hex()),
+    "hex_decode": _codec(lambda s: bytes.fromhex(s).decode()),
+    "base64_encode": _codec(_b64e),
+    "base64_decode": _codec(_b64d),
+    "urlencode": _codec(_urlencode),
+    "urldecode": _codec(_urldecode),
 }
 
 

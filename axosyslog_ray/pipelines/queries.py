@@ -956,6 +956,46 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def docs_filterx_strfns(sf_dir: str):
+    """FilterX string/regex/digest/codec functions (reference
+    lib/filterx/expr-regexp-subst.c first-vs-global, func-str-transform.c
+    str_replace, func-digest.c, func-encode.c, func-glob.c) applied over
+    the documents corpus — each one vectorized per batch (pandas
+    str.replace compiled-regex C loop; hashlib C digests)."""
+    from ..filterx import FilterX
+
+    fx = FilterX("""
+        $t1 = regexp_subst($text, "data", "DATA");
+        $t2 = regexp_subst($text, "[aeiou]", "_", true);
+        $sig = md5($lang);
+        $b64 = base64_encode($lang);
+        $hx = hex_encode($lang);
+        $is_src = glob_match($source, "src*") ? 1 : 0;
+        $src2 = str_replace($source, "src", "S");
+    """)
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"]).map_batches(
+        fx, batch_format="pyarrow"
+    )
+    out = ds.to_pandas()[["doc_id", "t1", "t2", "sig", "b64", "hx", "is_src", "src2"]]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["is_src"] = out["is_src"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_FILTERX_STRFNS_SQL = """
+SELECT doc_id,
+       regexp_replace(text, 'data', 'DATA') AS t1,
+       regexp_replace(text, '[aeiou]', '_', 'g') AS t2,
+       md5(lang) AS sig,
+       to_base64(encode(lang)) AS b64,
+       lower(hex(encode(lang))) AS hx,
+       CAST(CASE WHEN source LIKE 'src%' THEN 1 ELSE 0 END AS BIGINT) AS is_src,
+       replace(source, 'src', 'S') AS src2
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def events_format_json(sf_dir: str):
     """$(format-json) serializer (reference modules/json/format-json.c) over
     selected event columns."""
@@ -1347,6 +1387,7 @@ RAY_QUERIES = {
     "emb_knn_label": emb_knn_label,
     "events_filterx": events_filterx,
     "events_filterx_regex": events_filterx_regex,
+    "docs_filterx_strfns": docs_filterx_strfns,
     "emb_ivf_ann": emb_ivf_ann,
     "events_asof_join": events_asof_join,
     "events_hopping_windows": events_hopping_windows,
@@ -1396,6 +1437,7 @@ ORACLE_SQLS = {
     ),
     "events_filterx": EVENTS_FILTERX_SQL,
     "events_filterx_regex": EVENTS_FILTERX_REGEX_SQL,
+    "docs_filterx_strfns": DOCS_FILTERX_STRFNS_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_hopping_windows": EVENTS_HOPPING_SQL,
     "lineitem_range_join": LINEITEM_RANGE_SQL,

@@ -150,3 +150,70 @@ def test_str_functions():
     assert out.column("v").to_pylist() == [1, 0, 0]
     assert out.column("i").to_pylist() == [1, 0, 0]
     assert out.column("e").to_pylist() == [0, 1, 0]
+
+
+def test_regexp_subst_first_vs_global():
+    t = pa.table({"m": ["a1b2c3", "xyz", None]})
+    out = _run(r'$first = regexp_subst($m, "[0-9]", "#");'
+               r'$all = regexp_subst($m, "[0-9]", "#", true);', t)
+    assert out.column("first").to_pylist() == ["a#b2c3", "xyz", None]
+    assert out.column("all").to_pylist() == ["a#b#c#", "xyz", None]
+
+
+def test_regexp_subst_group_refs():
+    t = pa.table({"m": ["user=bob", "nope"]})
+    out = _run(r'$m = regexp_subst($m, "user=(\w+)", "\1@corp");', t)
+    assert out.column("m").to_pylist() == ["bob@corp", "nope"]
+
+
+def test_regexp_search():
+    t = pa.table({"m": ["code=42 ok", "none here"]})
+    out = _run(r'$g = regexp_search($m, "code=(\d+)");', t)
+    assert out.column("g").to_pylist() == [["42"], None]
+
+
+def test_str_transform_functions():
+    t = pa.table({"s": ["  pad  ", "a-b", None]})
+    out = _run('$t = str_strip($s); $l = str_lstrip($s); $r = str_rstrip($s);'
+               '$x = str_replace($s, "-", "_");', t)
+    assert out.column("t").to_pylist() == ["pad", "a-b", None]
+    assert out.column("l").to_pylist() == ["pad  ", "a-b", None]
+    assert out.column("r").to_pylist() == ["  pad", "a-b", None]
+    assert out.column("x").to_pylist() == ["  pad  ", "a_b", None]
+
+
+def test_glob_match():
+    t = pa.table({"h": ["web-01", "db-02", None]})
+    out = _run('$w = glob_match($h, "web-*") ? 1 : 0;', t)
+    assert out.column("w").to_pylist() == [1, 0, 0]
+
+
+def test_digests_match_hashlib():
+    import hashlib
+
+    t = pa.table({"s": ["abc", None]})
+    out = _run("$m = md5($s); $a = sha1($s); $b = sha256($s); $c = sha512($s);", t)
+    assert out.column("m").to_pylist() == [hashlib.md5(b"abc").hexdigest(), None]
+    assert out.column("a").to_pylist() == [hashlib.sha1(b"abc").hexdigest(), None]
+    assert out.column("b").to_pylist() == [hashlib.sha256(b"abc").hexdigest(), None]
+    assert out.column("c").to_pylist() == [hashlib.sha512(b"abc").hexdigest(), None]
+
+
+def test_encodings_roundtrip():
+    t = pa.table({"s": ["hi there/x", None]})
+    out = _run("$h = hex_decode(hex_encode($s));"
+               "$b = base64_decode(base64_encode($s));"
+               "$u = urldecode(urlencode($s));"
+               "$he = hex_encode($s); $ue = urlencode($s);", t)
+    assert out.column("h").to_pylist() == ["hi there/x", None]
+    assert out.column("b").to_pylist() == ["hi there/x", None]
+    assert out.column("u").to_pylist() == ["hi there/x", None]
+    assert out.column("he").to_pylist() == ["68692074686572652f78", None]
+    assert out.column("ue").to_pylist() == ["hi%20there%2Fx", None]
+
+
+def test_decode_error_yields_null():
+    t = pa.table({"s": ["zz-not-hex", "6869"]})
+    out = _run("$d = hex_decode($s); $b = base64_decode($s);", t)
+    assert out.column("d").to_pylist() == [None, "hi"]
+    assert out.column("b").to_pylist()[0] is None
