@@ -31,6 +31,12 @@ Surface (the subset a log pipeline actually uses):
                   glob_match(x, "a*b") (func-glob.c)
                   md5/sha1/sha256/sha512(x) (func-digest.c)
                   hex_/base64_/url encode+decode (func-encode.c)
+  object model    parse_json(x)/json(x) format_json(x) keys(x)
+                  unset_empties(x) istype(x, "dict")
+                  $p["k"]  $p.k.j  $p["tags"][0]   (expr-get-subscript.c,
+                  expr-getattr.c; missing member -> unset)
+                  $p["k"] = e;  $p.k = e;  (expr-set-subscript.c,
+                  expr-setattr; copy-on-write per masked row)
   statements      lval = expr;   lval += expr; (expr-plus-assign.c)
                   unset($f); (expr-unset.c)
                   if (e) {..} elif (e) {..} else {..}
@@ -65,7 +71,7 @@ _TOKEN_RE = re.compile(
     | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
     | (?P<field>\$[A-Za-z_][A-Za-z0-9_.]*)
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op>\?\?|=~|!~|\+=|==|!=|<=|>=|&&|\|\||[-+*/%<>=(){};:,?!\[\]])
+    | (?P<op>\?\?|=~|!~|\+=|==|!=|<=|>=|&&|\|\||[-+*/%<>=(){};:,?!\[\].])
     )""",
     re.VERBOSE,
 )
@@ -173,6 +179,24 @@ class _Parser:
             return ("unset", fv[1:])
         if k in ("field", "name") and v not in _KEYWORDS:
             self.next()
+            # subscript / attr lval: $d["k"] = e; d.k = e;
+            # (lib/filterx/expr-set-subscript.c, expr-setattr; a dotted
+            # FIELD token `$d.k` is one token — resolved at exec time)
+            path = []
+            while True:
+                if self.accept("["):
+                    path.append(self.expr())
+                    self.expect("]")
+                elif self.accept("."):
+                    nk, nv = self.next()
+                    if nk != "name":
+                        raise SyntaxError("filterx: expected name after '.'")
+                    path.append(("lit", nv))
+                else:
+                    break
+            if path:
+                self.expect("=")
+                return ("setpath", (k, v), path, self.expr())
             if self.accept("+="):
                 # lib/filterx/expr-plus-assign.c: desugars to lval = lval + rhs
                 lval = ("field", v[1:]) if k == "field" else ("var", v)
@@ -300,7 +324,26 @@ class _Parser:
             return ("neg", self.unary())
         return self.primary()
 
+    def postfix(self, e):
+        """Postfix access chain (lib/filterx/expr-get-subscript.c `[k]`,
+        expr-getattr.c `.name`) on any primary expression."""
+        while True:
+            if self.accept("["):
+                key = self.expr()
+                self.expect("]")
+                e = ("subscript", e, key)
+            elif self.accept("."):
+                nk, nv = self.next()
+                if nk != "name":
+                    raise SyntaxError("filterx: expected name after '.'")
+                e = ("subscript", e, ("lit", nv))
+            else:
+                return e
+
     def primary(self):
+        return self.postfix(self._primary_base())
+
+    def _primary_base(self):
         k, v = self.next()
         if k == "num":
             return ("lit", float(v) if "." in v else int(v))
@@ -399,6 +442,101 @@ def _includes(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(a.astype("string").str.contains(str(_arg_scalar(b)), regex=False).fillna(False).to_numpy(), dtype=object)
 
 
+def _get_key(s: pd.Series, key) -> pd.Series:
+    """Vectorized-over-objects get: dict -> .get(key); list -> index (int
+    key, None when out of range); anything else / null -> None.
+    (lib/filterx/expr-get-subscript.c + expr-getattr.c: a missing member
+    evaluates to unset, which a filter treats as false.)"""
+    out = []
+    for v in s:
+        if isinstance(v, dict):
+            out.append(v.get(key))
+        elif isinstance(v, (list, tuple)):
+            try:
+                out.append(v[int(key)])
+            except (IndexError, ValueError, TypeError):
+                out.append(None)
+        else:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+def _parse_json(a: pd.Series) -> pd.Series:
+    """lib/filterx/: json() / parse_json() — invalid JSON evaluates to
+    unset (null), matching eval-error-as-no-verdict filter semantics."""
+    import json
+
+    out = []
+    for v in a:
+        if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
+            out.append(None)
+            continue
+        try:
+            out.append(json.loads(v))
+        except (ValueError, TypeError):
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+def _format_json(a: pd.Series) -> pd.Series:
+    import json
+
+    out = []
+    for v in a:
+        if v is None or (not isinstance(v, (dict, list, str, bytes)) and pd.isna(v)):
+            out.append(None)
+        else:
+            out.append(json.dumps(v, separators=(",", ":"), ensure_ascii=False))
+    return pd.Series(out, dtype=object)
+
+
+def _keys(a: pd.Series) -> pd.Series:
+    """lib/filterx/func-keys.c: keys of a dict as a list; null otherwise."""
+    return pd.Series(
+        [list(v.keys()) if isinstance(v, dict) else None for v in a], dtype=object)
+
+
+def _unset_empties(a: pd.Series) -> pd.Series:
+    """lib/filterx/func-unset-empties.c defaults: remove null/""/[]/{}
+    members of a dict (one level)."""
+    def clean(v):
+        if not isinstance(v, dict):
+            return v
+        return {k: x for k, x in v.items()
+                if x is not None and x != "" and x != [] and x != {}}
+
+    return pd.Series([clean(v) for v in a], dtype=object)
+
+
+_TYPE_CHECKS = {
+    "string": lambda v: isinstance(v, str),
+    "int": lambda v: isinstance(v, (int, np.integer)) and not isinstance(v, bool),
+    "double": lambda v: isinstance(v, (float, np.floating)),
+    "bool": lambda v: isinstance(v, bool),
+    "dict": lambda v: isinstance(v, dict),
+    "list": lambda v: isinstance(v, (list, tuple)),
+    "null": lambda v: v is None,
+}
+
+
+def _istype(a: pd.Series, t: pd.Series) -> pd.Series:
+    """lib/filterx/func-istype.c (json types map to dict/list here)."""
+    name = str(_arg_scalar(t))
+    chk = _TYPE_CHECKS.get(name)
+    if chk is None:
+        raise ValueError(f"filterx: istype(): unknown type {name!r}")
+    return pd.Series([False if pd.isna(v) is True else chk(v) for v in a], dtype=object)
+
+
+def _len(a: pd.Series) -> pd.Series:
+    """lib/filterx/func-len.c: length of a string, dict or list."""
+    first = next((v for v in a if v is not None and not (np.ndim(v) == 0 and pd.isna(v))), None)
+    if isinstance(first, (dict, list, tuple)):
+        return pd.Series([len(v) if isinstance(v, (dict, list, tuple)) else None for v in a],
+                         dtype=object)
+    return a.astype("string").str.len()
+
+
 def _regexp_subst(a: pd.Series, pat: pd.Series, repl: pd.Series, glob=None) -> pd.Series:
     """reference lib/filterx/expr-regexp-subst.c: replace the FIRST match
     unless the `global` flag is set; replacement supports \\1 group refs
@@ -491,7 +629,7 @@ def _urldecode(s: str) -> str:
 _FUNCS = {
     "upper": lambda a: a.astype("string").str.upper().astype(object),
     "lower": lambda a: a.astype("string").str.lower().astype(object),
-    "len": lambda a: a.astype("string").str.len(),
+    "len": _len,
     "string": lambda a: a.where(pd.isna(a), a.astype(str)),
     "int": lambda a: pd.to_numeric(a, errors="coerce").astype("Int64"),
     "double": lambda a: pd.to_numeric(a, errors="coerce").astype(float),
@@ -524,6 +662,14 @@ _FUNCS = {
     "base64_decode": _codec(_b64d),
     "urlencode": _codec(_urlencode),
     "urldecode": _codec(_urldecode),
+    # object model: lib/filterx json()/parse_json, format_json(),
+    # func-keys.c, func-unset-empties.c, func-istype.c
+    "parse_json": _parse_json,
+    "json": _parse_json,
+    "format_json": _format_json,
+    "keys": _keys,
+    "unset_empties": _unset_empties,
+    "istype": _istype,
 }
 
 
@@ -539,9 +685,22 @@ class FilterX:
         if tag == "lit":
             return pd.Series([node[1]] * ctx.n, dtype=object if not isinstance(node[1], (int, float)) or isinstance(node[1], bool) else None)
         if tag == "field":
-            return ctx.col(node[1])
+            name = node[1]
+            # dotted field $d.k.j: if no column has the literal dotted
+            # name, resolve as base column + getattr chain
+            # (lib/filterx/expr-getattr.c)
+            if name not in ctx.cols and name not in ctx.table.column_names and "." in name:
+                base, *path = name.split(".")
+                s = ctx.col(base)
+                for key in path:
+                    s = _get_key(s, key)
+                return s
+            return ctx.col(name)
         if tag == "var":
             return ctx.vars.get(node[1], pd.Series([None] * ctx.n, dtype=object))
+        if tag == "subscript":
+            obj = self._eval(node[1], ctx)
+            return _get_key(obj, _arg_scalar(self._eval(node[2], ctx)))
         if tag == "call":
             fn = _FUNCS.get(node[1])
             if fn is None:
@@ -639,6 +798,12 @@ class FilterX:
             return pd.Series(~_truthy(self._eval(node[1], ctx)))
         raise ValueError(f"filterx: bad node {tag}")
 
+    def _set_path(self, ctx: _Ctx, base: str, keys_, val: pd.Series,
+                  mask: np.ndarray) -> None:
+        cur = ctx.col(base).astype(object)
+        ctx.cols[base] = _set_path_series(cur, keys_, val, mask)
+        ctx.assigned.add(base)
+
     # -- statement execution under a row mask --
     def _exec(self, node, ctx: _Ctx, mask: np.ndarray) -> None:
         tag = node[0]
@@ -654,14 +819,37 @@ class FilterX:
             if not isinstance(val, pd.Series):
                 val = pd.Series([val] * ctx.n)
             if kind == "field":
-                cur = ctx.col(name[1:]).astype(object)
+                fname = name[1:]
+                # dotted lval $d.k = e on an existing base column of dicts
+                # -> setattr (expr-setattr); otherwise a literal dotted
+                # column name is created/assigned
+                if ("." in fname and fname not in ctx.cols
+                        and fname not in ctx.table.column_names):
+                    base, *path = fname.split(".")
+                    if base in ctx.cols or base in ctx.table.column_names:
+                        self._set_path(ctx, base, path, val, mask)
+                        return
+                cur = ctx.col(fname).astype(object)
                 cur[mask] = val[mask]
-                ctx.cols[name[1:]] = cur
-                ctx.assigned.add(name[1:])
+                ctx.cols[fname] = cur
+                ctx.assigned.add(fname)
             else:
                 cur = ctx.vars.get(name, pd.Series([None] * ctx.n, dtype=object)).astype(object)
                 cur[mask] = val[mask]
                 ctx.vars[name] = cur
+            return
+        if tag == "setpath":
+            # $d["k"] = e; / d.k = e; (lib/filterx/expr-set-subscript.c)
+            (kind, name), keyexprs, valnode = node[1], node[2], node[3]
+            keys_ = [_arg_scalar(self._eval(k, ctx)) for k in keyexprs]
+            val = self._eval(valnode, ctx)
+            if not isinstance(val, pd.Series):
+                val = pd.Series([val] * ctx.n)
+            if kind == "field":
+                self._set_path(ctx, name[1:], keys_, val, mask)
+            else:
+                base = ctx.vars.get(name, pd.Series([None] * ctx.n, dtype=object))
+                ctx.vars[name] = _set_path_series(base, keys_, val, mask)
             return
         if tag == "if":
             cond = _truthy(self._eval(node[1], ctx)) & mask
@@ -734,6 +922,28 @@ def _align_types(a, b):
     sa = a.astype("string") if isinstance(a, pd.Series) else str(a)
     sb = b.astype("string") if isinstance(b, pd.Series) else str(b)
     return sa, sb
+
+
+def _set_path_series(cur: pd.Series, keys_, val: pd.Series,
+                     mask: np.ndarray) -> pd.Series:
+    """Masked nested-key store into a Series of dicts (expr-set-subscript.c
+    / expr-setattr): per selected row, copy-on-write the dict chain and set
+    the leaf. A null/non-dict row becomes a fresh dict (the reference
+    errors; the columnar engine creates, matching set-subscript on unset)."""
+    arr = cur.to_numpy(dtype=object).copy()
+    varr = val.to_numpy(dtype=object)
+    for i in np.nonzero(mask)[0]:
+        d = arr[i]
+        d = dict(d) if isinstance(d, dict) else {}
+        tgt = d
+        for k in keys_[:-1]:
+            nxt = tgt.get(k)
+            nxt = dict(nxt) if isinstance(nxt, dict) else {}
+            tgt[k] = nxt
+            tgt = nxt
+        tgt[keys_[-1]] = varr[i]
+        arr[i] = d
+    return pd.Series(arr, dtype=object)
 
 
 def _series_to_arrow(s: pd.Series) -> pa.Array:

@@ -996,6 +996,40 @@ ORDER BY doc_id
 """
 
 
+def events_filterx_json(sf_dir: str):
+    """FilterX object model (reference lib/filterx/: parse_json,
+    expr-get-subscript.c / expr-getattr.c reads, expr-set-subscript.c
+    masked writes, format_json) over events.props: parse the JSON
+    payload, read k, enrich the dict with the event type for high-k rows
+    only, re-serialize."""
+    from ..filterx import FilterX
+
+    fx = FilterX("""
+        $p = parse_json($props);
+        $k = $p["k"];
+        if ($k >= 50) { $p["evt"] = $event_type; };
+        $j = format_json($p);
+    """)
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"]).map_batches(
+        fx, batch_format="pyarrow"
+    )
+    out = ds.to_pandas()[["event_id", "k", "j"]]
+    out["event_id"] = out["event_id"].astype("int64")
+    out["k"] = out["k"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_FILTERX_JSON_SQL = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+            THEN '{"k":' || json_extract(props, '$.k') || ',"evt":"' || event_type || '"}'
+            ELSE '{"k":' || json_extract(props, '$.k') || '}' END AS j
+FROM events
+ORDER BY event_id
+"""
+
+
 def events_format_json(sf_dir: str):
     """$(format-json) serializer (reference modules/json/format-json.c) over
     selected event columns."""
@@ -1388,6 +1422,7 @@ RAY_QUERIES = {
     "events_filterx": events_filterx,
     "events_filterx_regex": events_filterx_regex,
     "docs_filterx_strfns": docs_filterx_strfns,
+    "events_filterx_json": events_filterx_json,
     "emb_ivf_ann": emb_ivf_ann,
     "events_asof_join": events_asof_join,
     "events_hopping_windows": events_hopping_windows,
@@ -1438,6 +1473,7 @@ ORACLE_SQLS = {
     "events_filterx": EVENTS_FILTERX_SQL,
     "events_filterx_regex": EVENTS_FILTERX_REGEX_SQL,
     "docs_filterx_strfns": DOCS_FILTERX_STRFNS_SQL,
+    "events_filterx_json": EVENTS_FILTERX_JSON_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_hopping_windows": EVENTS_HOPPING_SQL,
     "lineitem_range_join": LINEITEM_RANGE_SQL,

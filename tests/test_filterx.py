@@ -217,3 +217,44 @@ def test_decode_error_yields_null():
     out = _run("$d = hex_decode($s); $b = base64_decode($s);", t)
     assert out.column("d").to_pylist() == [None, "hi"]
     assert out.column("b").to_pylist()[0] is None
+
+
+def test_parse_json_and_subscripts():
+    t = pa.table({"props": ['{"k": 5, "u": {"name": "bob"}, "tags": ["a","b"]}',
+                            '{"k": 12}', "not json", None]})
+    out = _run('$p = parse_json($props); $k = $p["k"]; $uname = $p.u.name;'
+               '$t0 = $p["tags"][0]; $nk = len(keys($p));'
+               '$isd = istype($p, "dict") ? 1 : 0;', t)
+    assert out.column("k").to_pylist() == [5, 12, None, None]
+    assert out.column("uname").to_pylist() == ["bob", None, None, None]
+    assert out.column("t0").to_pylist() == ["a", None, None, None]
+    assert out.column("nk").to_pylist() == [3, 1, None, None]
+    assert out.column("isd").to_pylist() == [1, 1, 0, 0]
+
+
+def test_set_subscript_and_setattr():
+    t = pa.table({"props": ['{"a": 1}', '{"a": 2, "b": 9}']})
+    out = _run('$p = parse_json($props); $p["new"] = "x"; $p.a = 100;'
+               '$j = format_json($p);', t)
+    assert out.column("j").to_pylist() == ['{"a":100,"new":"x"}',
+                                           '{"a":100,"b":9,"new":"x"}']
+
+
+def test_set_subscript_respects_mask():
+    t = pa.table({"props": ['{"a": 1}', '{"a": 2}'], "sel": [1, 0]})
+    out = _run('$p = parse_json($props);'
+               'if ($sel == 1) { $p["hit"] = true; };'
+               '$j = format_json($p);', t)
+    assert out.column("j").to_pylist() == ['{"a":1,"hit":true}', '{"a":2}']
+
+
+def test_unset_empties():
+    t = pa.table({"props": ['{"a": 1, "b": "", "c": null, "d": [], "e": {}}']})
+    out = _run("$j = format_json(unset_empties(parse_json($props)));", t)
+    assert out.column("j").to_pylist() == ['{"a":1}']
+
+
+def test_format_json_roundtrip_invalid_is_null():
+    t = pa.table({"props": ["nope", '{"x": [1, 2]}']})
+    out = _run("$j = format_json(parse_json($props));", t)
+    assert out.column("j").to_pylist() == [None, '{"x":[1,2]}']
