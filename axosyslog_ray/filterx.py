@@ -31,6 +31,9 @@ Surface (the subset a log pipeline actually uses):
                   glob_match(x, "a*b") (func-glob.c)
                   md5/sha1/sha256/sha512(x) (func-digest.c)
                   hex_/base64_/url encode+decode (func-encode.c)
+  datetime        strptime(x, "%Y-%m-%d %H:%M:%S") strftime(x, fmt)
+                  format_isodate(x)/isodate(x) fix_timezone(x, "zone")
+                  (func-timestamp.c; two-pass DST via stages/timezones)
   object model    parse_json(x)/json(x) format_json(x) keys(x)
                   unset_empties(x) istype(x, "dict")
                   $p["k"]  $p.k.j  $p["tags"][0]   (expr-get-subscript.c,
@@ -508,6 +511,48 @@ def _unset_empties(a: pd.Series) -> pd.Series:
     return pd.Series([clean(v) for v in a], dtype=object)
 
 
+def _to_dt(a: pd.Series) -> pd.Series:
+    if pd.api.types.is_datetime64_any_dtype(a):
+        return a
+    return pd.to_datetime(a, errors="coerce")
+
+
+def _strptime(a: pd.Series, fmt: pd.Series) -> pd.Series:
+    """lib/filterx/func-timestamp.c strptime(): unparseable -> unset."""
+    return pd.to_datetime(a.astype("string"), format=str(_arg_scalar(fmt)),
+                          errors="coerce")
+
+
+def _strftime(a: pd.Series, fmt: pd.Series) -> pd.Series:
+    out = _to_dt(a).dt.strftime(str(_arg_scalar(fmt)))
+    return out.astype(object).where(~pd.isna(out), None)
+
+
+def _format_isodate(a: pd.Series) -> pd.Series:
+    """format_isodate(): same normalized form as the ISODATE macro
+    (functions/macros.py — engine timestamps are UTC)."""
+    out = _to_dt(a).dt.strftime("%Y-%m-%dT%H:%M:%S+00:00")
+    return out.astype(object).where(~pd.isna(out), None)
+
+
+def _fix_timezone(a: pd.Series, zone: pd.Series) -> pd.Series:
+    """fix_timezone(): reinterpret the wall-clock value as being in
+    `zone` and shift to UTC, with the stage's two-pass DST re-lookup
+    (stages/timezones.fix_time_zone; reference
+    modules/timestamp/rewrite-fix-timezone.c)."""
+    from .stages.timezones import zone_offsets_at
+
+    z = str(_arg_scalar(zone))
+    dt = _to_dt(a)
+    ns = dt.to_numpy(dtype="datetime64[ns]").view(np.int64)
+    valid = ~dt.isna().to_numpy()
+    off1 = zone_offsets_at(ns.view("int64"), z)
+    ns1 = np.where(valid, ns - off1 * 1_000_000_000, ns)
+    off2 = zone_offsets_at(ns1, z)
+    ns2 = np.where(valid, ns - off2 * 1_000_000_000, ns)
+    return pd.Series(ns2.view("datetime64[ns]")).where(pd.Series(valid), pd.NaT)
+
+
 _TYPE_CHECKS = {
     "string": lambda v: isinstance(v, str),
     "int": lambda v: isinstance(v, (int, np.integer)) and not isinstance(v, bool),
@@ -670,6 +715,13 @@ _FUNCS = {
     "keys": _keys,
     "unset_empties": _unset_empties,
     "istype": _istype,
+    # datetime: lib/filterx/func-timestamp.c strptime/strftime/
+    # format_isodate; fix_timezone registered in filterx-globals.c
+    "strptime": _strptime,
+    "strftime": _strftime,
+    "format_isodate": _format_isodate,
+    "isodate": _format_isodate,
+    "fix_timezone": _fix_timezone,
 }
 
 

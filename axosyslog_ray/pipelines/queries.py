@@ -1030,6 +1030,39 @@ ORDER BY event_id
 """
 
 
+def events_filterx_datetime(sf_dir: str):
+    """FilterX datetime functions (reference lib/filterx/func-timestamp.c
+    strptime/strftime/format_isodate; fix_timezone registered in
+    filterx-globals.c with the two-pass DST re-lookup of
+    modules/timestamp/rewrite-fix-timezone.c) over events.ts: format ->
+    reparse roundtrip (second precision), ISO normalization, and a
+    wall-clock-in-Budapest -> UTC reinterpretation."""
+    from ..filterx import FilterX
+
+    fx = FilterX("""
+        $local = strftime($ts, "%Y-%m-%d %H:%M:%S");
+        $rt = strptime($local, "%Y-%m-%d %H:%M:%S");
+        $iso = format_isodate($rt);
+        $uiso = format_isodate(fix_timezone($rt, "Europe/Budapest"));
+        $hour = strftime($ts, "%H");
+    """)
+    ds = _read(sf_dir, "events", ["event_id", "ts"]).map_batches(fx, batch_format="pyarrow")
+    out = ds.to_pandas()[["event_id", "iso", "uiso", "hour"]]
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_FILTERX_DATETIME_SQL = """
+SELECT event_id,
+       strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S') || '+00:00' AS iso,
+       strftime(CAST(timezone('Europe/Budapest', date_trunc('second', ts)) AS TIMESTAMP),
+                '%Y-%m-%dT%H:%M:%S') || '+00:00' AS uiso,
+       strftime(ts, '%H') AS hour
+FROM events
+ORDER BY event_id
+"""
+
+
 def events_format_json(sf_dir: str):
     """$(format-json) serializer (reference modules/json/format-json.c) over
     selected event columns."""
@@ -1423,6 +1456,7 @@ RAY_QUERIES = {
     "events_filterx_regex": events_filterx_regex,
     "docs_filterx_strfns": docs_filterx_strfns,
     "events_filterx_json": events_filterx_json,
+    "events_filterx_datetime": events_filterx_datetime,
     "emb_ivf_ann": emb_ivf_ann,
     "events_asof_join": events_asof_join,
     "events_hopping_windows": events_hopping_windows,
@@ -1474,6 +1508,7 @@ ORACLE_SQLS = {
     "events_filterx_regex": EVENTS_FILTERX_REGEX_SQL,
     "docs_filterx_strfns": DOCS_FILTERX_STRFNS_SQL,
     "events_filterx_json": EVENTS_FILTERX_JSON_SQL,
+    "events_filterx_datetime": EVENTS_FILTERX_DATETIME_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_hopping_windows": EVENTS_HOPPING_SQL,
     "lineitem_range_join": LINEITEM_RANGE_SQL,

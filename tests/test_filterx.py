@@ -258,3 +258,21 @@ def test_format_json_roundtrip_invalid_is_null():
     t = pa.table({"props": ["nope", '{"x": [1, 2]}']})
     out = _run("$j = format_json(parse_json($props));", t)
     assert out.column("j").to_pylist() == [None, '{"x":[1,2]}']
+
+
+def test_datetime_functions():
+    import pandas as pd
+
+    ts = pd.to_datetime(["2024-03-31 01:30:00", "2024-07-01 12:00:00", None])
+    t = pa.table({"ts": pa.array(ts), "s": ["2024-01-02 03:04:05", "bad", None]})
+    out = _run('$str = strftime($ts, "%Y-%m-%d %H:%M");'
+               '$iso = format_isodate($ts);'
+               '$p = format_isodate(strptime($s, "%Y-%m-%d %H:%M:%S"));'
+               '$u = format_isodate(fix_timezone($ts, "Europe/Budapest"));', t)
+    assert out.column("str").to_pylist() == ["2024-03-31 01:30", "2024-07-01 12:00", None]
+    assert out.column("iso").to_pylist() == ["2024-03-31T01:30:00+00:00",
+                                            "2024-07-01T12:00:00+00:00", None]
+    assert out.column("p").to_pylist() == ["2024-01-02T03:04:05+00:00", None, None]
+    # CET +1 before the 02:00 spring-forward, CEST +2 in July
+    assert out.column("u").to_pylist() == ["2024-03-31T00:30:00+00:00",
+                                          "2024-07-01T10:00:00+00:00", None]
