@@ -36,6 +36,8 @@ Surface (the subset a log pipeline actually uses):
                   (func-timestamp.c; two-pass DST via stages/timezones)
   object model    parse_json(x)/json(x) format_json(x) keys(x)
                   unset_empties(x) istype(x, "dict")
+                  flatten(x[, sep]) dict_to_pairs(x)
+                  (func-flatten.c, func-dict-to-pairs.c)
                   $p["k"]  $p.k.j  $p["tags"][0]   (expr-get-subscript.c,
                   expr-getattr.c; missing member -> unset)
                   $p["k"] = e;  $p.k = e;  (expr-set-subscript.c,
@@ -553,6 +555,38 @@ def _fix_timezone(a: pd.Series, zone: pd.Series) -> pd.Series:
     return pd.Series(ns2.view("datetime64[ns]")).where(pd.Series(valid), pd.NaT)
 
 
+def _flatten(a: pd.Series, sep=None) -> pd.Series:
+    """lib/filterx/func-flatten.c: flatten(dict, separator=".") — nested
+    dict keys joined by the separator, one level of output."""
+    s = str(_arg_scalar(sep)) if sep is not None else "."
+
+    def fl(v):
+        if not isinstance(v, dict):
+            return v
+        out = {}
+
+        def rec(prefix, d):
+            for k, x in d.items():
+                kk = f"{prefix}{s}{k}" if prefix else str(k)
+                if isinstance(x, dict):
+                    rec(kk, x)
+                else:
+                    out[kk] = x
+
+        rec("", v)
+        return out
+
+    return pd.Series([fl(v) for v in a], dtype=object)
+
+
+def _dict_to_pairs(a: pd.Series) -> pd.Series:
+    """lib/filterx/func-dict-to-pairs.c: dict -> list of {key, value}
+    dicts (iterable pair form)."""
+    return pd.Series(
+        [[{"key": k, "value": x} for k, x in v.items()] if isinstance(v, dict) else None
+         for v in a], dtype=object)
+
+
 _TYPE_CHECKS = {
     "string": lambda v: isinstance(v, str),
     "int": lambda v: isinstance(v, (int, np.integer)) and not isinstance(v, bool),
@@ -715,6 +749,8 @@ _FUNCS = {
     "keys": _keys,
     "unset_empties": _unset_empties,
     "istype": _istype,
+    "flatten": _flatten,
+    "dict_to_pairs": _dict_to_pairs,
     # datetime: lib/filterx/func-timestamp.c strptime/strftime/
     # format_isodate; fix_timezone registered in filterx-globals.c
     "strptime": _strptime,

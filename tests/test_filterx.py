@@ -276,3 +276,14 @@ def test_datetime_functions():
     # CET +1 before the 02:00 spring-forward, CEST +2 in July
     assert out.column("u").to_pylist() == ["2024-03-31T00:30:00+00:00",
                                           "2024-07-01T10:00:00+00:00", None]
+
+
+def test_flatten_and_dict_to_pairs():
+    t = pa.table({"props": ['{"a": {"b": 1, "c": {"d": 2}}, "e": 3}']})
+    out = _run('$f = format_json(flatten(parse_json($props)));'
+               '$f2 = format_json(flatten(parse_json($props), "_"));'
+               '$p = format_json(dict_to_pairs(flatten(parse_json($props))));', t)
+    assert out.column("f").to_pylist() == ['{"a.b":1,"a.c.d":2,"e":3}']
+    assert out.column("f2").to_pylist() == ['{"a_b":1,"a_c_d":2,"e":3}']
+    assert out.column("p").to_pylist() == [
+        '[{"key":"a.b","value":1},{"key":"a.c.d","value":2},{"key":"e","value":3}]']
