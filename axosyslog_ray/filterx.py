@@ -18,7 +18,8 @@ Surface (the subset a log pipeline actually uses):
   operators       == != < <= > >= + - * / %  and or not  ??  cond ? a : b
                   =~ "pat"  !~ "pat" (expr-regexp.c, literal pattern,
                   compiled once)   x in [a, b, c] (expr-membership.c)
-  literals        [e1, e2, ...] list (expr-literal-container.c)
+  literals        [e1, e2, ...] list; {"k": e, ...} dict (null key
+                  contributes no member) (expr-literal-container.c)
   functions       upper(x) lower(x) len(x) string(x) int(x) double(x)
                   isset(x) defined(x) startswith(x, "p") endswith(x, "s")
                   includes(x, "sub") (func-str.c)
@@ -385,6 +386,19 @@ class _Parser:
                     items.append(self.expr())
                 self.expect("]")
             return ("listlit", items)
+        if v == "{":
+            # literal dict (expr-literal-container.c): {"k": expr, ...} —
+            # unambiguous in expression position (blocks are statements)
+            pairs = []
+            if not self.accept("}"):
+                while True:
+                    key = self.expr()
+                    self.expect(":")
+                    pairs.append((key, self.expr()))
+                    if not self.accept(","):
+                        break
+                self.expect("}")
+            return ("dictlit", pairs)
         raise SyntaxError(f"filterx: unexpected token {v!r}")
 
 
@@ -828,6 +842,22 @@ class FilterX:
                     eq = eq.fillna(False).to_numpy(dtype=bool)
                 res |= np.asarray(eq, dtype=bool)
             return pd.Series(res & ~_isnull(subj))
+        if tag == "dictlit":
+            kvs = []
+            for kx, vx in node[1]:
+                ks, vs = self._eval(kx, ctx), self._eval(vx, ctx)
+                kvs.append((ks.to_numpy(dtype=object) if isinstance(ks, pd.Series) else ks,
+                            vs.to_numpy(dtype=object) if isinstance(vs, pd.Series) else vs))
+            rows = []
+            for i in range(ctx.n):
+                d = {}
+                for ka, va in kvs:
+                    kv = ka[i] if isinstance(ka, np.ndarray) else ka
+                    if kv is None or (np.ndim(kv) == 0 and pd.isna(kv)):
+                        continue  # unset key contributes no member
+                    d[str(kv)] = va[i] if isinstance(va, np.ndarray) else va
+                rows.append(d)
+            return pd.Series(rows, dtype=object)
         if tag == "listlit":
             cols = [self._eval(it, ctx).to_numpy(dtype=object) for it in node[1]]
             return pd.Series([list(row) for row in zip(*cols)] if cols else [[]] * ctx.n,

@@ -287,3 +287,14 @@ def test_flatten_and_dict_to_pairs():
     assert out.column("f2").to_pylist() == ['{"a_b":1,"a_c_d":2,"e":3}']
     assert out.column("p").to_pylist() == [
         '[{"key":"a.b","value":1},{"key":"a.c.d","value":2},{"key":"e","value":3}]']
+
+
+def test_dict_literal():
+    t = pa.table({"host": ["h1", None], "n": [1, 2]})
+    out = _run('$d = {"host": $host, "n": $n, "tag": "x"};'
+               '$j = format_json($d); $h = $d["host"];', t)
+    # a null VALUE stays as JSON null (drop members with unset_empties);
+    # only a null KEY contributes no member
+    assert out.column("j").to_pylist() == ['{"host":"h1","n":1,"tag":"x"}',
+                                           '{"host":null,"n":2,"tag":"x"}']
+    assert out.column("h").to_pylist() == ["h1", None]
