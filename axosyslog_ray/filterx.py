@@ -365,13 +365,23 @@ class _Parser:
             if v == "null":
                 return ("lit", None)
             if self.accept("("):
-                args = []
+                # positional then named args: f(a, b, key=expr, ...) —
+                # the reference FILTERX_FUNCTION arg convention
+                # (lib/filterx/expr-function.c named literal args)
+                args, kwargs = [], []
                 if not self.accept(")"):
-                    args.append(self.expr())
-                    while self.accept(","):
-                        args.append(self.expr())
+                    while True:
+                        if (self.peek()[0] == "name"
+                                and self.toks[self.i + 1][1] == "="):
+                            kname = self.next()[1]
+                            self.next()  # '='
+                            kwargs.append((kname, self.expr()))
+                        else:
+                            args.append(self.expr())
+                        if not self.accept(","):
+                            break
                     self.expect(")")
-                return ("call", v, args)
+                return ("call", v, args, kwargs)
             return ("var", v)
         if v == "(":
             e = self.expr()
@@ -459,6 +469,18 @@ def _endswith(a: pd.Series, b: pd.Series) -> pd.Series:
 
 def _includes(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(a.astype("string").str.contains(str(_arg_scalar(b)), regex=False).fillna(False).to_numpy(), dtype=object)
+
+
+def _get_one(v, key):
+    """Single-value get: dict member, list index, else None."""
+    if isinstance(v, dict):
+        return v.get(key)
+    if isinstance(v, (list, tuple)):
+        try:
+            return v[int(key)]
+        except (IndexError, ValueError, TypeError):
+            return None
+    return None
 
 
 def _get_key(s: pd.Series, key) -> pd.Series:
@@ -774,6 +796,59 @@ _FUNCS = {
     "fix_timezone": _fix_timezone,
 }
 
+# reference arg names that collide with Python keywords
+_KWARG_RENAME = {"global": "glob"}
+
+
+def _uuid4(ctx) -> pd.Series:
+    """uuid()/uuid4() (filterx-globals.c simple functions): one random
+    UUID per row — inherently nondeterministic, like the reference."""
+    import uuid
+
+    return pd.Series([str(uuid.uuid4()) for _ in range(ctx.n)], dtype=object)
+
+
+def _uuid7(ctx) -> pd.Series:
+    """uuid7(): RFC 9562 time-ordered UUID (48-bit unix-ms timestamp +
+    random tail), built from os.urandom like the reference's
+    implementation."""
+    import os
+    import time
+
+    out = []
+    for _ in range(ctx.n):
+        ms = time.time_ns() // 1_000_000
+        rnd = os.urandom(10)
+        b = ms.to_bytes(6, "big") + bytes([0x70 | (rnd[0] & 0x0F), rnd[1],
+                                           0x80 | (rnd[2] & 0x3F)]) + rnd[3:10]
+        h = b.hex()
+        out.append(f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}")
+    return pd.Series(out, dtype=object)
+
+
+def _vars(ctx) -> pd.Series:
+    """vars() (lib/filterx/func-vars.c): snapshot of the declared
+    variables as a dict, per row."""
+    names = list(ctx.vars)
+    cols = [ctx.vars[k].to_numpy(dtype=object) for k in names]
+    return pd.Series(
+        [{k: col[i] for k, col in zip(names, cols)
+          if not (col[i] is None or (np.ndim(col[i]) == 0 and pd.isna(col[i])))}
+         for i in range(ctx.n)], dtype=object)
+
+
+# functions that need the row context (count / variable scope)
+_CTX_FUNCS = {"uuid", "uuid4", "uuid7", "vars"}
+_FUNCS["uuid"] = _uuid4
+_FUNCS["uuid4"] = _uuid4
+_FUNCS["uuid7"] = _uuid7
+_FUNCS["vars"] = _vars
+
+# parse_*/format_* + casts + misc extension registry (filterx_ext.py)
+from .filterx_ext import EXT_FUNCS as _EXT_FUNCS  # noqa: E402
+
+_FUNCS.update(_EXT_FUNCS)
+
 
 class FilterX:
     """Compiled FilterX program; callable as a map_batches stage."""
@@ -802,12 +877,23 @@ class FilterX:
             return ctx.vars.get(node[1], pd.Series([None] * ctx.n, dtype=object))
         if tag == "subscript":
             obj = self._eval(node[1], ctx)
-            return _get_key(obj, _arg_scalar(self._eval(node[2], ctx)))
+            key = self._eval(node[2], ctx)
+            if node[2][0] == "lit" or not isinstance(key, pd.Series):
+                return _get_key(obj, _arg_scalar(key))
+            # row-varying key (e.g. $cfg[$svc]): per-row lookup
+            karr = key.to_numpy(dtype=object)
+            return pd.Series(
+                [_get_one(v, karr[i]) for i, v in enumerate(obj)], dtype=object)
         if tag == "call":
             fn = _FUNCS.get(node[1])
             if fn is None:
                 raise NameError(f"filterx: unknown function {node[1]}()")
-            return fn(*[self._eval(a, ctx) for a in node[2]])
+            args = [self._eval(a, ctx) for a in node[2]]
+            kwargs = {_KWARG_RENAME.get(k, k): self._eval(x, ctx)
+                      for k, x in (node[3] if len(node) > 3 else [])}
+            if node[1] in _CTX_FUNCS:
+                return fn(ctx, *args, **kwargs)
+            return fn(*args, **kwargs)
         if tag == "coalesce":
             left = self._eval(node[1], ctx)
             right = self._eval(node[2], ctx)

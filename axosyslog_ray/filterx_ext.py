@@ -1,0 +1,617 @@
+"""FilterX extension functions: the parse_*/format_* family, casts and
+misc builtins from the reference's module plugins.
+
+Reference semantics (public repo, studied not copied):
+  parse_csv       modules/csvparser/filterx-func-parse-csv.c
+  format_csv      modules/csvparser/filterx-func-format-csv.c
+  parse_kv        modules/kvformat/filterx-func-parse-kv.c
+  format_kv       modules/kvformat/filterx-func-format-kv.c
+  parse_cef/leef  modules/cef/filterx-func-parse-{cef,leef}.c,
+                  event-format-parser.c (header field names, hex
+                  leef_delimiter, separate_extensions)
+  format_cef/leef modules/cef/filterx-func-format-{cef,leef}.c
+  parse_xml       modules/xml/filterx-parse-xml.c (@attr / #text / list
+                  promotion rules documented in its header comment)
+  format_xml      modules/xml/filterx-func-format-xml.c
+  parse_windows_eventlog_xml  modules/xml/filterx-parse-windows-eventlog-xml.c
+  casts/misc      lib/filterx/filterx-globals.c registrations (bool,
+                  bytes, datetime, repr, strcasecmp, utf8_sanitize,
+                  utf8_validate, cache_json_file)
+
+Execution model: each function receives pandas Series (the FilterX
+evaluator's per-batch column representation) and returns a Series of the
+same length. Object-producing functions (dicts/lists) are row loops by
+nature — same as every other object function in filterx.py — but all
+option parsing, regex compilation and file loading is cached per
+process via lru_cache, so per-batch cost is the row loop only. At scale
+these run inside map_batches workers; a cache_json_file() load happens
+once per worker process (the broadcast-small-side pattern), never per
+batch.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+
+def _sc(v, default=None):
+    """Scalar value of a (constant) argument Series; literal args
+    evaluate to constant Series in this engine."""
+    if isinstance(v, pd.Series):
+        nn = v[~pd.isna(v)]
+        return nn.iloc[0] if len(nn) else default
+    return default if v is None else v
+
+
+def _null(v) -> bool:
+    return v is None or (not isinstance(v, (str, bytes, list, dict, tuple))
+                         and pd.isna(v))
+
+
+# ---------------------------------------------------------------------------
+# parse_csv / format_csv
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=64)
+def _csv_scanner(columns: tuple, delimiter: str, quotes: str, dialect: str,
+                 strip: bool, greedy: bool):
+    from .stages.csv_parser import CsvParser
+
+    return CsvParser(columns=list(columns), delimiters=delimiter,
+                     quotes=quotes, dialect=dialect,
+                     strip_whitespace=strip, greedy=greedy)
+
+
+def parse_csv(a: pd.Series, columns=None, delimiter=None, string_delimiters=None,
+              dialect=None, strip_whitespace=None, strip_whitespaces=None,
+              greedy=None, quote_pairs=None) -> pd.Series:
+    """parse_csv(msg [, columns=[...], delimiter=",", dialect=...,
+    strip_whitespace=bool, greedy=bool, quote_pairs=[open+close, ...]]).
+    Without columns -> list of fields; with columns -> dict (row becomes
+    unset on column-count mismatch, like the reference's eval error).
+    string_delimiters (multi-char) is not supported."""
+    if string_delimiters is not None and _sc(string_delimiters):
+        raise ValueError("filterx: parse_csv(): string_delimiters is not supported")
+    cols = _sc(columns)
+    cols_t = tuple(str(c) for c in cols) if isinstance(cols, (list, tuple)) else ()
+    qp = _sc(quote_pairs)
+    quotes = "".join(qp) if isinstance(qp, (list, tuple)) else (str(qp) if qp else "\"\"''")
+    scanner = _csv_scanner(
+        cols_t, str(_sc(delimiter, ",")), quotes,
+        str(_sc(dialect, "escape-none")),
+        bool(_sc(strip_whitespace, _sc(strip_whitespaces, False))),
+        bool(_sc(greedy, False)))
+    out = []
+    for v in a:
+        if _null(v):
+            out.append(None)
+        elif cols_t:
+            toks = scanner.parse_tokens(str(v))
+            out.append(None if toks is None else dict(zip(cols_t, toks)))
+        else:
+            out.append(scanner.scan_tokens(str(v)))
+    return pd.Series(out, dtype=object)
+
+
+def format_csv(a: pd.Series, columns=None, delimiter=None,
+               default_value=None) -> pd.Series:
+    """format_csv(list-or-dict [, columns=[...], delimiter=",",
+    default_value=""]): join values with the delimiter; for dict input,
+    `columns` picks and orders keys (missing -> default_value)."""
+    cols = _sc(columns)
+    cols = [str(c) for c in cols] if isinstance(cols, (list, tuple)) else None
+    d = str(_sc(delimiter, ","))
+    dflt = str(_sc(default_value, ""))
+    out = []
+    for v in a:
+        if _null(v):
+            out.append(None)
+        elif isinstance(v, dict):
+            keys = cols if cols is not None else list(v)
+            out.append(d.join("" if v.get(k) is None else str(v.get(k, dflt)) for k in keys))
+        elif isinstance(v, (list, tuple)):
+            out.append(d.join("" if x is None else str(x) for x in v))
+        else:
+            out.append(str(v))
+    return pd.Series(out, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# parse_kv / format_kv
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=64)
+def _kv_parser(value_separator: str):
+    from .stages.kv_parser import KvParser
+
+    return KvParser(value_separator=value_separator, collect_stray=True)
+
+
+def parse_kv(a: pd.Series, value_separator=None, pair_separator=None,
+             stray_words_key=None, stray_words_append_to_value=None) -> pd.Series:
+    """parse_kv(msg, value_separator="=", pair_separator=", ",
+    stray_words_key=...): k=v pairs as a dict. With the default pair
+    separator the engine's kv-scanner (stages/kv_parser.py) runs; a
+    custom pair_separator switches to a plain split. Divergence: stray
+    words are DROPPED unless stray_words_key is given (the reference
+    default appends them to the previous value)."""
+    vs = str(_sc(value_separator, "="))
+    ps = _sc(pair_separator, ", ")
+    swk = _sc(stray_words_key)
+    swk = str(swk) if swk else None
+    out = []
+    if str(ps) in (", ", " ", ","):
+        p = _kv_parser(vs)
+        for v in a:
+            if _null(v):
+                out.append(None)
+                continue
+            pairs, stray = p.parse_line(str(v))
+            d = dict(pairs)
+            if swk and stray:
+                d[swk] = stray
+            out.append(d)
+    else:
+        ps = str(ps)
+        for v in a:
+            if _null(v):
+                out.append(None)
+                continue
+            d, stray = {}, []
+            for seg in str(v).split(ps):
+                if vs in seg:
+                    k, val = seg.split(vs, 1)
+                    d[k.strip()] = val
+                elif seg.strip():
+                    stray.append(seg.strip())
+            if swk and stray:
+                d[swk] = " ".join(stray)
+            out.append(d)
+    return pd.Series(out, dtype=object)
+
+
+def format_kv(a: pd.Series, value_separator=None, pair_separator=None) -> pd.Series:
+    """format_kv(kvs_dict, value_separator="=", pair_separator=", ")."""
+    vs = str(_sc(value_separator, "="))
+    ps = str(_sc(pair_separator, ", "))
+    out = []
+    for v in a:
+        if not isinstance(v, dict):
+            out.append(None)
+        else:
+            out.append(ps.join(f"{k}{vs}{'' if x is None else x}" for k, x in v.items()))
+    return pd.Series(out, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# parse_cef / parse_leef / format_cef / format_leef
+# ---------------------------------------------------------------------------
+
+_CEF_HEAD = ["cef_version", "device_vendor", "device_product", "device_version",
+             "device_event_class_id", "event_name", "agent_severity"]
+_LEEF_HEAD = ["leef_version", "vendor_name", "product_name", "product_version",
+              "event_id"]
+
+
+@lru_cache(maxsize=64)
+def _ext_re(pair_sep: str, value_sep: str):
+    p, v = re.escape(pair_sep), re.escape(value_sep)
+    return re.compile(rf"([\w.]+){v}((?:[^{v}\\]|\\.)*?)(?=(?:{p})+[\w.]+{v}|$)")
+
+
+def _unescape_ext(v: str, value_sep: str) -> str:
+    return v.replace("\\" + value_sep, value_sep).replace("\\\\", "\\")
+
+
+def _parse_event_format(line: str, marker: str, head_names: list[str],
+                        pair_sep: str, value_sep: str, separate: bool):
+    from .functions.valuepairs import split_escaped_fields
+
+    if not line.startswith(marker + ":"):
+        return None
+    split = split_escaped_fields(line, len(head_names))
+    if split is None:
+        return None
+    parts, ext_str = split
+    unesc = lambda s: s.replace("\\|", "|").replace("\\\\", "\\")  # noqa: E731
+    d = {head_names[0]: parts[0][len(marker) + 1:]}
+    for k, p in zip(head_names[1:], parts[1:]):
+        d[k] = unesc(p)
+    if marker == "LEEF" and d["leef_version"].startswith("2"):
+        # LEEF 2.0: a 6th header field carries the extension delimiter,
+        # single char or hex ("x09" / "0x09") — event-format-parser.c
+        split2 = split_escaped_fields(ext_str, 1)
+        delim_raw, ext_str = (split2[0][0], split2[1]) if split2 else ("", ext_str)
+        delim = delim_raw
+        if len(delim_raw) > 1 and delim_raw[0] in "xX":
+            delim = chr(int(delim_raw[1:], 16))
+        elif len(delim_raw) > 2 and delim_raw[:2] in ("0x", "0X"):
+            delim = chr(int(delim_raw[2:], 16))
+        d["leef_delimiter"] = delim_raw
+        if delim:
+            pair_sep = delim
+    ext = {m.group(1): _unescape_ext(m.group(2), value_sep)
+           for m in _ext_re(pair_sep, value_sep).finditer(ext_str)}
+    if separate:
+        d["extensions"] = ext
+    else:
+        d.update(ext)
+    return d
+
+
+def parse_cef(a: pd.Series, pair_separator=None, value_separator=None,
+              separate_extensions=None) -> pd.Series:
+    """parse_cef(str): CEF:v|vendor|product|version|class|name|severity|
+    k=v k=v -> dict with the reference's header keys; malformed -> unset."""
+    ps = str(_sc(pair_separator, " "))
+    vs = str(_sc(value_separator, "="))
+    sep = bool(_sc(separate_extensions, False))
+    return pd.Series(
+        [None if _null(v) else _parse_event_format(str(v), "CEF", _CEF_HEAD, ps, vs, sep)
+         for v in a], dtype=object)
+
+
+def parse_leef(a: pd.Series, pair_separator=None, value_separator=None,
+               separate_extensions=None) -> pd.Series:
+    """parse_leef(str): LEEF 1.0 (tab-separated extensions) and LEEF 2.0
+    (delimiter header field, hex form supported) -> dict."""
+    ps = _sc(pair_separator)
+    vs = str(_sc(value_separator, "="))
+    sep = bool(_sc(separate_extensions, False))
+    return pd.Series(
+        [None if _null(v) else _parse_event_format(str(v), "LEEF", _LEEF_HEAD,
+                                                   str(ps) if ps else "\t", vs, sep)
+         for v in a], dtype=object)
+
+
+_CEF_HDR_ESC = {"\\": "\\\\", "|": "\\|"}
+_CEF_EXT_ESC = {"\\": "\\\\", "=": "\\=", "\n": "\\n"}
+
+
+def _esc(v: str, table: dict) -> str:
+    for x, y in table.items():
+        v = v.replace(x, y)
+    return v
+
+
+def format_cef(a: pd.Series) -> pd.Series:
+    """format_cef(dict): inverse of parse_cef — header keys in CEF order
+    (missing -> empty), remaining keys (or an 'extensions' subdict)
+    serialized as space-separated k=v with value escaping."""
+    out = []
+    for v in a:
+        if not isinstance(v, dict):
+            out.append(None)
+            continue
+        head = "|".join(_esc(str(v.get(k, "")), _CEF_HDR_ESC) for k in _CEF_HEAD)
+        ext = v.get("extensions") if isinstance(v.get("extensions"), dict) else \
+            {k: x for k, x in v.items() if k not in _CEF_HEAD}
+        body = " ".join(f"{k}={_esc('' if x is None else str(x), _CEF_EXT_ESC)}"
+                        for k, x in ext.items())
+        out.append(f"CEF:{head}|{body}")
+    return pd.Series(out, dtype=object)
+
+
+_LEEF_EXT_ESC = {"\\": "\\\\", "=": "\\=", "\t": "\\t", "\n": "\\n"}
+
+
+def format_leef(a: pd.Series) -> pd.Series:
+    """format_leef(dict): LEEF:ver|vendor|product|version|eventid|
+    k=v<tab>k=v (LEEF 1.0 layout; a leef_delimiter member is emitted as
+    the 6th header field and used as the pair separator)."""
+    out = []
+    for v in a:
+        if not isinstance(v, dict):
+            out.append(None)
+            continue
+        head = "|".join(_esc(str(v.get(k, "")), _CEF_HDR_ESC) for k in _LEEF_HEAD)
+        delim_raw = v.get("leef_delimiter", "")
+        pair_sep = "\t"
+        if delim_raw:
+            head += "|" + str(delim_raw)
+            d = str(delim_raw)
+            if len(d) > 1 and d[0] in "xX":
+                pair_sep = chr(int(d[1:], 16))
+            elif len(d) > 2 and d[:2] in ("0x", "0X"):
+                pair_sep = chr(int(d[2:], 16))
+            else:
+                pair_sep = d
+        skip = set(_LEEF_HEAD) | {"leef_delimiter"}
+        ext = v.get("extensions") if isinstance(v.get("extensions"), dict) else \
+            {k: x for k, x in v.items() if k not in skip}
+        body = pair_sep.join(f"{k}={_esc('' if x is None else str(x), _LEEF_EXT_ESC)}"
+                             for k, x in ext.items())
+        out.append(f"LEEF:{head}|{body}")
+    return pd.Series(out, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# parse_xml / format_xml / parse_windows_eventlog_xml
+# ---------------------------------------------------------------------------
+
+def _xml_to_obj(elem):
+    """modules/xml/filterx-parse-xml.c conversion rules: empty element ->
+    "", attributes -> "@attr", text beside attrs/children -> "#text"
+    (multiple text runs concatenated), repeated siblings -> list."""
+    d = {}
+    for k, v in elem.attrib.items():
+        d["@" + k] = v
+    texts = []
+    if elem.text and elem.text.strip():
+        texts.append(elem.text)
+    for child in elem:
+        val = _xml_to_obj(child)
+        tag = child.tag
+        if tag in d:
+            if not isinstance(d[tag], list):
+                d[tag] = [d[tag]]
+            d[tag].append(val)
+        else:
+            d[tag] = val
+        if child.tail and child.tail.strip():
+            texts.append(child.tail)
+    text = "".join(t.strip() for t in texts)
+    if not d:
+        return text
+    if text:
+        d["#text"] = text
+    return d
+
+
+def parse_xml(a: pd.Series) -> pd.Series:
+    """parse_xml(raw_xml) -> dict; invalid XML -> unset."""
+    import xml.etree.ElementTree as ET
+
+    out = []
+    for v in a:
+        if _null(v):
+            out.append(None)
+            continue
+        try:
+            root = ET.fromstring(str(v))
+        except ET.ParseError:
+            out.append(None)
+            continue
+        out.append({root.tag: _xml_to_obj(root)})
+    return pd.Series(out, dtype=object)
+
+
+def parse_windows_eventlog_xml(a: pd.Series) -> pd.Series:
+    """parse_windows_eventlog_xml(raw): parse_xml plus the EventData
+    rewrite — <Data Name="k">v</Data> entries become {"k": v}
+    (modules/xml/filterx-parse-windows-eventlog-xml.c)."""
+    parsed = parse_xml(a)
+
+    def fix(v):
+        if not isinstance(v, dict):
+            return v
+        ev = v.get("Event")
+        if isinstance(ev, dict) and isinstance(ev.get("EventData"), dict):
+            data = ev["EventData"].get("Data")
+            items = data if isinstance(data, list) else ([data] if data is not None else [])
+            named = {}
+            for it in items:
+                if isinstance(it, dict) and "@Name" in it:
+                    named[it["@Name"]] = it.get("#text", "")
+            if named:
+                ev["EventData"]["Data"] = named
+        return v
+
+    return pd.Series([fix(v) for v in parsed], dtype=object)
+
+
+def _obj_to_xml(key: str, v) -> str:
+    from xml.sax.saxutils import escape, quoteattr
+
+    if isinstance(v, list):
+        return "".join(_obj_to_xml(key, x) for x in v)
+    if isinstance(v, dict):
+        attrs = "".join(f" {k[1:]}={quoteattr(str(x))}"
+                        for k, x in v.items() if k.startswith("@"))
+        inner = escape(str(v.get("#text", "")))
+        inner += "".join(_obj_to_xml(k, x) for k, x in v.items()
+                         if not k.startswith("@") and k != "#text")
+        return f"<{key}{attrs}>{inner}</{key}>"
+    return f"<{key}>{escape('' if v is None else str(v))}</{key}>"
+
+
+def format_xml(a: pd.Series) -> pd.Series:
+    """format_xml(dict): inverse of parse_xml's conversion rules."""
+    out = []
+    for v in a:
+        if not isinstance(v, dict):
+            out.append(None)
+        else:
+            out.append("".join(_obj_to_xml(k, x) for k, x in v.items()))
+    return pd.Series(out, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# casts + misc (lib/filterx/filterx-globals.c)
+# ---------------------------------------------------------------------------
+
+def _cast_bool(a: pd.Series) -> pd.Series:
+    """bool(x): reference truthiness — null -> false, numbers != 0,
+    strings != "", containers non-empty."""
+    return pd.Series([False if _null(v) else bool(v) for v in a], dtype=object)
+
+
+def _cast_bytes(a: pd.Series) -> pd.Series:
+    """bytes(x): strings encode utf-8 (surrogates replaced); bytes pass."""
+    out = []
+    for v in a:
+        if _null(v):
+            out.append(None)
+        elif isinstance(v, bytes):
+            out.append(v)
+        else:
+            out.append(str(v).encode("utf-8", "replace"))
+    return pd.Series(out, dtype=object)
+
+
+def _cast_datetime(a: pd.Series) -> pd.Series:
+    """datetime(x): ISO strings and unix epoch numbers -> timestamp."""
+    if pd.api.types.is_datetime64_any_dtype(a):
+        return a
+    num = pd.to_numeric(a, errors="coerce")
+    if num.notna().any() and not a.astype("string").str.contains("[-:T ]", regex=True).fillna(False).any():
+        return pd.to_datetime(num, unit="s", errors="coerce")
+    return pd.to_datetime(a, errors="coerce", format="mixed")
+
+
+def _repr(a: pd.Series) -> pd.Series:
+    """repr(x): canonical string form — datetimes as isodate, bools
+    true/false, dict/list as compact JSON, others str()."""
+    import json
+
+    if pd.api.types.is_datetime64_any_dtype(a):
+        out = a.dt.strftime("%Y-%m-%dT%H:%M:%S%z")
+        return out.astype(object).where(~pd.isna(out), None)
+    out = []
+    for v in a:
+        if _null(v):
+            out.append(None)
+        elif isinstance(v, bool):
+            out.append("true" if v else "false")
+        elif isinstance(v, (dict, list)):
+            out.append(json.dumps(v, separators=(",", ":"), ensure_ascii=False))
+        else:
+            out.append(str(v))
+    return pd.Series(out, dtype=object)
+
+
+def _strcasecmp(a: pd.Series, b: pd.Series) -> pd.Series:
+    """strcasecmp(a, b) -> int like C strcasecmp (0 when equal
+    case-insensitively); null operand -> unset."""
+    bs = _sc(b, "")
+    bl = str(bs).lower()
+    out = []
+    for v in a:
+        if _null(v):
+            out.append(None)
+        else:
+            vl = str(v).lower()
+            out.append(0 if vl == bl else (-1 if vl < bl else 1))
+    return pd.Series(out, dtype=object)
+
+
+def _utf8_sanitize(a: pd.Series) -> pd.Series:
+    """utf8_sanitize(str): replace non-UTF-8 sequences with U+FFFD."""
+    out = []
+    for v in a:
+        if _null(v):
+            out.append(None)
+        elif isinstance(v, bytes):
+            out.append(v.decode("utf-8", "replace"))
+        else:
+            out.append(str(v).encode("utf-8", "replace").decode("utf-8", "replace"))
+    return pd.Series(out, dtype=object)
+
+
+def _utf8_validate(a: pd.Series) -> pd.Series:
+    out = []
+    for v in a:
+        if _null(v):
+            out.append(False)
+            continue
+        if isinstance(v, bytes):
+            try:
+                v.decode("utf-8")
+                out.append(True)
+            except UnicodeDecodeError:
+                out.append(False)
+            continue
+        try:
+            str(v).encode("utf-8", "strict")
+            out.append(True)
+        except UnicodeEncodeError:
+            out.append(False)
+    return pd.Series(out, dtype=object)
+
+
+@lru_cache(maxsize=32)
+def _load_json_file(path: str):
+    import json
+
+    with open(path) as f:
+        return json.load(f)
+
+
+def cache_json_file(a: pd.Series, default_value=None) -> pd.Series:
+    """cache_json_file("/path.json"): the file parsed ONCE per worker
+    process (lru_cache) and replicated as a constant column — the
+    broadcast-lookup pattern; combine with subscript access for
+    enrichment joins. Missing/invalid file -> default_value."""
+    path = str(_sc(a, ""))
+    try:
+        obj = _load_json_file(path)
+    except (OSError, ValueError):
+        obj = _sc(default_value)
+    n = len(a) if isinstance(a, pd.Series) else 1
+    return pd.Series([obj] * n, dtype=object)
+
+
+# timezone display functions delegate to the rewrite stage's zone math
+# (stages/timezones.py; reference modules/timestamp/)
+
+def set_timezone(a: pd.Series, zone: pd.Series) -> pd.Series:
+    """set_timezone(ts, zone): the instant is correct; returns the
+    wall-clock datetime as displayed in `zone` (engine timestamps are
+    UTC-normalized, so display conversion is a value shift here)."""
+    from .stages.timezones import zone_offsets_at
+
+    z = str(_sc(zone))
+    dt = a if pd.api.types.is_datetime64_any_dtype(a) else pd.to_datetime(a, errors="coerce")
+    ns = dt.to_numpy(dtype="datetime64[ns]").view(np.int64)
+    valid = ~dt.isna().to_numpy()
+    off = zone_offsets_at(ns, z)
+    out = np.where(valid, ns + off * 1_000_000_000, ns)
+    return pd.Series(out.view("datetime64[ns]")).where(pd.Series(valid), pd.NaT)
+
+
+def guess_timezone(a: pd.Series, now=None) -> pd.Series:
+    """guess_timezone(ts [, now]): assume message time ~ real time; the
+    offset error is the difference to `now` rounded to quarter hours
+    (30 s tolerance, capped at +/-24 h) — lib/timeutils/unixtime.c
+    _guess_recv_timezone_offset_based_on_time_difference. `now` defaults
+    to the current time; pass it explicitly for deterministic runs."""
+    dt = a if pd.api.types.is_datetime64_any_dtype(a) else pd.to_datetime(a, errors="coerce")
+    nv = _sc(now)
+    now_ts = pd.to_datetime(nv) if nv is not None else pd.Timestamp.utcnow().tz_localize(None)
+    ns = dt.to_numpy(dtype="datetime64[ns]").view(np.int64)
+    valid = ~dt.isna().to_numpy()
+    diff_s = (ns - np.int64(now_ts.value)) // 1_000_000_000
+    q = np.round(diff_s / 900.0).astype(np.int64) * 900
+    near = np.abs(diff_s - q) <= 30
+    apply = valid & near & (q != 0) & (np.abs(q) <= 24 * 3600)
+    out = np.where(apply, ns - q * 1_000_000_000, ns)
+    return pd.Series(out.view("datetime64[ns]")).where(pd.Series(valid), pd.NaT)
+
+
+EXT_FUNCS = {
+    "parse_csv": parse_csv,
+    "format_csv": format_csv,
+    "parse_kv": parse_kv,
+    "format_kv": format_kv,
+    "parse_cef": parse_cef,
+    "parse_leef": parse_leef,
+    "format_cef": format_cef,
+    "format_leef": format_leef,
+    "parse_xml": parse_xml,
+    "parse_windows_eventlog_xml": parse_windows_eventlog_xml,
+    "format_xml": format_xml,
+    "bool": _cast_bool,
+    "bytes": _cast_bytes,
+    "datetime": _cast_datetime,
+    "repr": _repr,
+    "strcasecmp": _strcasecmp,
+    "utf8_sanitize": _utf8_sanitize,
+    "utf8_validate": _utf8_validate,
+    "cache_json_file": cache_json_file,
+    "set_timezone": set_timezone,
+    "guess_timezone": guess_timezone,
+}

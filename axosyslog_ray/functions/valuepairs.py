@@ -221,6 +221,35 @@ def format_leef(
     return table.append_column(out_col, pa.array(out, type=pa.string()))
 
 
+def split_escaped_fields(line: str, nfields: int, sep: str = "|") -> tuple[list[str], str] | None:
+    """Split the first `nfields` header fields on UNESCAPED separators (a
+    single-char lookbehind would treat '\\\\|' — escaped backslash then
+    pipe — as escaped); returns (fields, rest-of-line) or None when fewer
+    than `nfields` delimited fields exist. Shared by the CEF/LEEF table
+    parsers here and the FilterX parse_cef/parse_leef functions
+    (reference modules/cef/event-format-parser.c)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    i = 0
+    while i < len(line):
+        c = line[i]
+        if c == "\\" and i + 1 < len(line):
+            buf.append(c)
+            buf.append(line[i + 1])
+            i += 2
+            continue
+        if c == sep:
+            parts.append("".join(buf))
+            buf = []
+            i += 1
+            if len(parts) == nfields:
+                return parts, line[i:]
+            continue
+        buf.append(c)
+        i += 1
+    return None
+
+
 def parse_cef(table: pa.Table, source_col: str = "message", out_col: str = "cef") -> pa.Table:
     """parse_cef() (reference modules/cef/filterx-func-parse-cef.c shape):
     header fields + extension k=v pairs into a map column."""
@@ -231,30 +260,7 @@ def parse_cef(table: pa.Table, source_col: str = "message", out_col: str = "cef"
     head_names = ["version", "device_vendor", "device_product", "device_version",
                   "device_event_class_id", "name", "agent_severity"]
     ext_re = re.compile(r"([\w.]+)=((?:[^=\\]|\\.)*?)(?=\s+[\w.]+=|$)")
-    def split_header(line: str) -> tuple[list[str], str] | None:
-        """Split the 7 header fields on UNESCAPED pipes (a single-char
-        lookbehind would treat '\\\\|' — escaped backslash then pipe — as
-        escaped); returns (headers, extension)."""
-        parts: list[str] = []
-        buf: list[str] = []
-        i = 0
-        while i < len(line):
-            c = line[i]
-            if c == "\\" and i + 1 < len(line):
-                buf.append(c)
-                buf.append(line[i + 1])
-                i += 2
-                continue
-            if c == "|":
-                parts.append("".join(buf))
-                buf = []
-                i += 1
-                if len(parts) == 7:
-                    return parts, line[i:]
-                continue
-            buf.append(c)
-            i += 1
-        return None  # fewer than 7 delimited header fields
+    split_header = lambda line: split_escaped_fields(line, 7)  # noqa: E731
 
     for i, line in enumerate(s.to_numpy()):
         if not line.startswith("CEF:"):
