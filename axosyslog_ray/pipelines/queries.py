@@ -1063,6 +1063,53 @@ ORDER BY event_id
 """
 
 
+def events_filterx_parse_fns(sf_dir: str):
+    """FilterX parse_*/format_* function family (reference
+    modules/kvformat/filterx-func-{parse,format}-kv.c,
+    modules/cef/filterx-func-{parse,format}-cef.c,
+    modules/csvparser/filterx-func-{parse,format}-csv.c) over
+    events.props: JSON -> kv string, a CEF envelope built from a dict
+    literal and round-tripped through parse_cef, and a CSV
+    format/parse roundtrip — all per-batch inside map_batches."""
+    from ..filterx import FilterX
+
+    fx = FilterX("""
+        $d = parse_json($props);
+        $kvs = format_kv($d);
+        $cef = format_cef({"cef_version": "0", "device_vendor": "ax",
+                           "device_product": "engine", "device_version": "1",
+                           "device_event_class_id": $event_type,
+                           "event_name": $event_type, "agent_severity": "5",
+                           "k": string($d.k)});
+        $back = parse_cef($cef);
+        $k2 = int($back["k"]);
+        $vendor = $back.device_vendor;
+        $csv = format_csv([$event_type, string($d.k)], delimiter="|");
+        $et2 = parse_csv($csv, delimiter="|")[0];
+    """)
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"]).map_batches(
+        fx, batch_format="pyarrow"
+    )
+    out = ds.to_pandas()[["event_id", "kvs", "cef", "k2", "vendor", "csv", "et2"]]
+    out["event_id"] = out["event_id"].astype("int64")
+    out["k2"] = out["k2"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_FILTERX_PARSE_FNS_SQL = """
+SELECT event_id,
+       'k=' || CAST(json_extract(props, '$.k') AS VARCHAR) AS kvs,
+       'CEF:0|ax|engine|1|' || event_type || '|' || event_type || '|5|k='
+           || CAST(json_extract(props, '$.k') AS VARCHAR) AS cef,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k2,
+       'ax' AS vendor,
+       event_type || '|' || CAST(json_extract(props, '$.k') AS VARCHAR) AS csv,
+       event_type AS et2
+FROM events
+ORDER BY event_id
+"""
+
+
 def events_format_json(sf_dir: str):
     """$(format-json) serializer (reference modules/json/format-json.c) over
     selected event columns."""
@@ -1457,6 +1504,7 @@ RAY_QUERIES = {
     "docs_filterx_strfns": docs_filterx_strfns,
     "events_filterx_json": events_filterx_json,
     "events_filterx_datetime": events_filterx_datetime,
+    "events_filterx_parse_fns": events_filterx_parse_fns,
     "emb_ivf_ann": emb_ivf_ann,
     "events_asof_join": events_asof_join,
     "events_hopping_windows": events_hopping_windows,
@@ -1509,6 +1557,7 @@ ORACLE_SQLS = {
     "docs_filterx_strfns": DOCS_FILTERX_STRFNS_SQL,
     "events_filterx_json": EVENTS_FILTERX_JSON_SQL,
     "events_filterx_datetime": EVENTS_FILTERX_DATETIME_SQL,
+    "events_filterx_parse_fns": EVENTS_FILTERX_PARSE_FNS_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_hopping_windows": EVENTS_HOPPING_SQL,
     "lineitem_range_join": LINEITEM_RANGE_SQL,
