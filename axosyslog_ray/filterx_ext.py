@@ -199,20 +199,46 @@ _LEEF_HEAD = ["leef_version", "vendor_name", "product_name", "product_version",
 
 @lru_cache(maxsize=64)
 def _ext_re(pair_sep: str, value_sep: str):
+    """kv-scanner-shaped extension pair regex: a value runs (escape pairs
+    consumed atomically, so an escaped pair separator can't split) until
+    the next `<pair_sep>key<value_sep>` boundary or end — unescaped
+    value separators stay inside the value ("foo=foo=bar=baz") and stray
+    words append to the previous value (KVSSWM_APPEND_TO_LAST_VALUE)."""
     p, v = re.escape(pair_sep), re.escape(value_sep)
-    return re.compile(rf"([\w.]+){v}((?:[^{v}\\]|\\.)*?)(?=(?:{p})+[\w.]+{v}|$)")
+    return re.compile(rf"([\w.]+){v}((?:[^\\]|\\[\s\S])*?)(?=(?:{p})+[\w.]+{v}|$)")
 
 
-def _unescape_ext(v: str, value_sep: str) -> str:
-    return v.replace("\\" + value_sep, value_sep).replace("\\\\", "\\")
+def _leef_decode_delim(raw: str) -> str | None:
+    """event-format-parser.c _delimiter_multi_parser: single char, or hex
+    as 'xHH' / '0xHH'; None = invalid (field is then NOT a delimiter)."""
+    if raw == "":
+        return ""
+    if len(raw) == 1:
+        return raw
+    hexpart = None
+    if raw[0] in "xX":
+        hexpart = raw[1:]
+    elif raw[:2] in ("0x", "0X"):
+        hexpart = raw[2:]
+    if hexpart:
+        try:
+            return chr(int(hexpart, 16))
+        except ValueError:
+            return None
+    return None
 
 
 def _parse_event_format(line: str, marker: str, head_names: list[str],
-                        pair_sep: str, value_sep: str, separate: bool):
+                        pair_sep: str, value_sep: str, separate: bool,
+                        ps_forced: bool):
     from .functions.valuepairs import split_escaped_fields
 
     if not line.startswith(marker + ":"):
         return None
+    if marker == "CEF":
+        # drop_newlines=TRUE for CEF only (event-format-parser.c:285 —
+        # against-spec payloads from real firewalls): CR/LF -> space
+        line = line.replace("\r", " ").replace("\n", " ")
     split = split_escaped_fields(line, len(head_names))
     if split is None:
         return None
@@ -222,19 +248,28 @@ def _parse_event_format(line: str, marker: str, head_names: list[str],
     for k, p in zip(head_names[1:], parts[1:]):
         d[k] = unesc(p)
     if marker == "LEEF" and d["leef_version"].startswith("2"):
-        # LEEF 2.0: a 6th header field carries the extension delimiter,
-        # single char or hex ("x09" / "0x09") — event-format-parser.c
+        # LEEF 2.0 OPTIONAL 6th header field: the extension delimiter,
+        # single char or hex ("x09"/"0x40"/"0x09"). The field is only
+        # consumed when it validates as a delimiter — otherwise the rest
+        # is all extensions (reference test_header_custom_invalid_delimiter,
+        # test_v2_no_delimiter_field).
         split2 = split_escaped_fields(ext_str, 1)
-        delim_raw, ext_str = (split2[0][0], split2[1]) if split2 else ("", ext_str)
-        delim = delim_raw
-        if len(delim_raw) > 1 and delim_raw[0] in "xX":
-            delim = chr(int(delim_raw[1:], 16))
-        elif len(delim_raw) > 2 and delim_raw[:2] in ("0x", "0X"):
-            delim = chr(int(delim_raw[2:], 16))
-        d["leef_delimiter"] = delim_raw
-        if delim:
-            pair_sep = delim
-    ext = {m.group(1): _unescape_ext(m.group(2), value_sep)
+        if split2 is not None:
+            delim_raw = split2[0][0]
+            delim = _leef_decode_delim(delim_raw)
+            if delim is not None:
+                d["leef_delimiter"] = delim_raw
+                ext_str = split2[1]
+                if delim and not ps_forced:
+                    pair_sep = delim
+    # unescape per config (event-format-parser.c escape flags): CEF
+    # escapes the value separator in values, LEEF the pair separator;
+    # backslash itself always
+    if marker == "CEF":
+        unesc_ext = lambda s: s.replace("\\" + value_sep, value_sep).replace("\\\\", "\\")  # noqa: E731
+    else:
+        unesc_ext = lambda s: s.replace("\\" + pair_sep, pair_sep).replace("\\\\", "\\")  # noqa: E731
+    ext = {m.group(1): unesc_ext(m.group(2))
            for m in _ext_re(pair_sep, value_sep).finditer(ext_str)}
     if separate:
         d["extensions"] = ext
@@ -249,22 +284,30 @@ def parse_cef(a: pd.Series, pair_separator=None, value_separator=None,
     k=v k=v -> dict with the reference's header keys; malformed -> unset."""
     ps = str(_sc(pair_separator, " "))
     vs = str(_sc(value_separator, "="))
+    if not vs:
+        raise ValueError("filterx: parse_cef(): value_separator must be a single character")
     sep = bool(_sc(separate_extensions, False))
     return pd.Series(
-        [None if _null(v) else _parse_event_format(str(v), "CEF", _CEF_HEAD, ps, vs, sep)
+        [None if _null(v) else _parse_event_format(str(v), "CEF", _CEF_HEAD, ps, vs, sep, True)
          for v in a], dtype=object)
 
 
 def parse_leef(a: pd.Series, pair_separator=None, value_separator=None,
                separate_extensions=None) -> pd.Series:
     """parse_leef(str): LEEF 1.0 (tab-separated extensions) and LEEF 2.0
-    (delimiter header field, hex form supported) -> dict."""
+    (optional delimiter header field, hex form supported) -> dict. An
+    explicit pair_separator is FORCED: a valid LEEF 2.0 delimiter field
+    is still consumed but not applied (reference
+    test_forced_pair_separator_v2_with_delimiter_field)."""
     ps = _sc(pair_separator)
     vs = str(_sc(value_separator, "="))
+    if not vs:
+        raise ValueError("filterx: parse_leef(): value_separator must be a single character")
     sep = bool(_sc(separate_extensions, False))
+    forced = ps is not None
     return pd.Series(
         [None if _null(v) else _parse_event_format(str(v), "LEEF", _LEEF_HEAD,
-                                                   str(ps) if ps else "\t", vs, sep)
+                                                   str(ps) if ps else "\t", vs, sep, forced)
          for v in a], dtype=object)
 
 
