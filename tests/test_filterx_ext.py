@@ -71,6 +71,19 @@ def test_parse_kv_custom_separators_and_stray():
     assert out.column("s").to_pylist() == ["junk"]
 
 
+def test_parse_kv_reference_conformance():
+    # transcribed from modules/kvformat/tests/test_filterx_func_parse_kv.c
+    out = _run("$d = parse_kv($m);", _t(m=["foo=bar, bar=baz"]))
+    assert out.column("d").to_pylist() == [{"foo": "bar", "bar": "baz"}]
+    out = _run('$d = parse_kv($m, pair_separator="-=|=-");',
+               _t(m=["foo=bar-=|=-bar=baz"]))
+    assert out.column("d").to_pylist() == [{"foo": "bar", "bar": "baz"}]
+    out = _run('$d = parse_kv($m, stray_words_key="straywords");',
+               _t(m=["foo=bar, lookslikenonKV bar=baz"]))
+    assert out.column("d").to_pylist() == [
+        {"foo": "bar", "bar": "baz", "straywords": "lookslikenonKV"}]
+
+
 def test_format_kv():
     t = _t(m=["a=1, b=2"])
     out = _run('$s = format_kv(parse_kv($m));'
