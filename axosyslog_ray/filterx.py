@@ -183,6 +183,13 @@ class _Parser:
                 raise SyntaxError("filterx: unset() takes a $field")
             self.expect(")")
             return ("unset", fv[1:])
+        if (k == "name" and v not in _KEYWORDS
+                and self.toks[self.i + 1][1] == "("):
+            # expression statement: a bare function call used for its
+            # side effect (load_vars(...); set_pri(...); update-style
+            # functions) — the FilterX compound statement allows any
+            # expression as a step (lib/filterx/expr-compound.c)
+            return ("exprstmt", self.expr())
         if k in ("field", "name") and v not in _KEYWORDS:
             self.next()
             # subscript / attr lval: $d["k"] = e; d.k = e;
@@ -425,6 +432,7 @@ class _Ctx:
         self.vars: dict[str, pd.Series] = {}
         self.active = np.ones(self.n, dtype=bool)  # rows still processed
         self.kept = np.ones(self.n, dtype=bool)    # rows not dropped
+        self.mask = np.ones(self.n, dtype=bool)    # exprstmt write mask
 
     def col(self, name: str) -> pd.Series:
         if name in self.cols:
@@ -837,12 +845,52 @@ def _vars(ctx) -> pd.Series:
          for i in range(ctx.n)], dtype=object)
 
 
-# functions that need the row context (count / variable scope)
-_CTX_FUNCS = {"uuid", "uuid4", "uuid7", "vars"}
+def _load_vars(ctx, d: pd.Series) -> pd.Series:
+    """load_vars(dict) (lib/filterx/func-vars.c): declare a variable per
+    dict key, holding that key's value — inverse of vars(). Masked:
+    inside an if-branch only the selected rows are written."""
+    darr = d.to_numpy(dtype=object) if isinstance(d, pd.Series) else np.full(ctx.n, d, dtype=object)
+    names: set[str] = set()
+    for i in np.nonzero(ctx.mask)[0]:
+        if isinstance(darr[i], dict):
+            names.update(darr[i])
+    for name in names:
+        cur = ctx.vars.get(name, pd.Series([None] * ctx.n, dtype=object)).astype(object)
+        arr = cur.to_numpy(dtype=object)
+        for i in np.nonzero(ctx.mask)[0]:
+            if isinstance(darr[i], dict) and name in darr[i]:
+                arr[i] = darr[i][name]
+        ctx.vars[name] = pd.Series(arr, dtype=object)
+    return pd.Series([None] * ctx.n, dtype=object)
+
+
+def _set_pri(ctx, pri: pd.Series) -> pd.Series:
+    """set_pri(int) (lib/filterx/func-set-pri.c): split the syslog PRI
+    into the engine's facility/severity columns (facility = pri >> 3,
+    severity = pri & 7); out-of-range rows are left untouched, like the
+    reference's eval error. Masked like load_vars."""
+    p = pd.to_numeric(pri, errors="coerce") if isinstance(pri, pd.Series) else pd.Series([pri] * ctx.n)
+    vals = p.to_numpy(dtype="float64")
+    with np.errstate(invalid="ignore"):
+        ok = ctx.mask & ~np.isnan(vals) & (vals >= 0) & (vals <= 1023)
+    iv = np.nan_to_num(vals, nan=0).astype("int64")
+    for colname, newv in (("facility", iv >> 3), ("severity", iv & 7)):
+        cur = ctx.col(colname).astype(object)
+        arr = cur.to_numpy(dtype=object)
+        arr[ok] = newv[ok]
+        ctx.cols[colname] = pd.Series(arr, dtype=object)
+        ctx.assigned.add(colname)
+    return pd.Series([None] * ctx.n, dtype=object)
+
+
+# functions that need the row context (count / variable scope / columns)
+_CTX_FUNCS = {"uuid", "uuid4", "uuid7", "vars", "load_vars", "set_pri"}
 _FUNCS["uuid"] = _uuid4
 _FUNCS["uuid4"] = _uuid4
 _FUNCS["uuid7"] = _uuid7
 _FUNCS["vars"] = _vars
+_FUNCS["load_vars"] = _load_vars
+_FUNCS["set_pri"] = _set_pri
 
 # parse_*/format_* + casts + misc extension registry (filterx_ext.py)
 from .filterx_ext import EXT_FUNCS as _EXT_FUNCS  # noqa: E402
@@ -1082,6 +1130,15 @@ class FilterX:
             cur[mask] = None
             ctx.cols[name] = cur
             ctx.assigned.add(name)
+            return
+        if tag == "exprstmt":
+            # side-effecting call: expose the active-row mask so ctx
+            # functions (load_vars, set_pri) mutate only selected rows
+            ctx.mask = mask
+            try:
+                self._eval(node[1], ctx)
+            finally:
+                ctx.mask = np.ones(ctx.n, dtype=bool)
             return
         if tag == "drop":
             ctx.kept &= ~mask

@@ -576,6 +576,94 @@ def _utf8_validate(a: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _first_valid(cands):
+    """First non-null candidate of a list (or the scalar itself)."""
+    if not isinstance(cands, (list, tuple)):
+        cands = [cands]
+    for c in cands:
+        if c is not None and not (np.ndim(c) == 0 and pd.isna(c)):
+            return c
+    return None
+
+
+def set_fields(a: pd.Series, overrides=None, defaults=None,
+               replacements=None) -> pd.Series:
+    """set_fields(dict, overrides={f: [...]}, defaults={f: [...]},
+    replacements={f: [...]}) (lib/filterx/func-set-fields.c): per field,
+    the first valid candidate is applied — overrides regardless of
+    current state, defaults only when the field is unset, replacements
+    only when it is set."""
+    ov = overrides.to_numpy(dtype=object) if isinstance(overrides, pd.Series) else None
+    df = defaults.to_numpy(dtype=object) if isinstance(defaults, pd.Series) else None
+    rp = replacements.to_numpy(dtype=object) if isinstance(replacements, pd.Series) else None
+    out = []
+    for i, v in enumerate(a):
+        if not isinstance(v, dict):
+            out.append(None)
+            continue
+        d = dict(v)
+        for spec, mode in ((ov, "override"), (df, "default"), (rp, "replace")):
+            rules = spec[i] if spec is not None else None
+            if not isinstance(rules, dict):
+                continue
+            for field, cands in rules.items():
+                have = d.get(field) is not None
+                if mode == "default" and have:
+                    continue
+                if mode == "replace" and not have:
+                    continue
+                val = _first_valid(cands)
+                if val is not None:
+                    d[field] = val
+        out.append(d)
+    return pd.Series(out, dtype=object)
+
+
+def _dict_ctor(a: pd.Series = None) -> pd.Series:
+    """dict() / dict(x): empty dict, or cast (JSON string / dict)."""
+    if a is None:
+        raise TypeError("filterx: dict() with no argument needs row context; use {}")
+    import json
+
+    out = []
+    for v in a:
+        if isinstance(v, dict):
+            out.append(dict(v))
+        elif isinstance(v, str):
+            try:
+                p = json.loads(v)
+                out.append(p if isinstance(p, dict) else None)
+            except ValueError:
+                out.append(None)
+        else:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+def _list_ctor(a: pd.Series = None) -> pd.Series:
+    """list() / json_array(): cast to a list (JSON array string, list,
+    or a scalar wrapped as a 1-element list)."""
+    if a is None:
+        raise TypeError("filterx: list() with no argument needs row context; use []")
+    import json
+
+    out = []
+    for v in a:
+        if isinstance(v, (list, tuple)):
+            out.append(list(v))
+        elif isinstance(v, str):
+            try:
+                p = json.loads(v)
+            except ValueError:
+                p = None
+            out.append(p if isinstance(p, list) else ([v] if p is None else [p]))
+        elif _null(v):
+            out.append(None)
+        else:
+            out.append([v])
+    return pd.Series(out, dtype=object)
+
+
 @lru_cache(maxsize=32)
 def _load_json_file(path: str):
     import json
@@ -657,4 +745,8 @@ EXT_FUNCS = {
     "cache_json_file": cache_json_file,
     "set_timezone": set_timezone,
     "guess_timezone": guess_timezone,
+    "set_fields": set_fields,
+    "dict": _dict_ctor,
+    "list": _list_ctor,
+    "json_array": _list_ctor,
 }

@@ -255,6 +255,45 @@ def test_guess_timezone():
     assert out.column("s").to_pylist() == ["04:00:00"]
 
 
+def test_set_fields():
+    out = _run('$d = parse_json($j);'
+               '$d2 = set_fields($d, overrides={"a": [$x, "fb"]},'
+               '                     defaults={"b": ["defb"], "a": ["nope"]},'
+               '                     replacements={"c": ["repc"], "z": ["nope"]});',
+               _t(j=['{"a":1,"c":2}', '{"c":5}'], x=["ox", None]))
+    assert out.column("d2").to_pylist() == [
+        {"a": "ox", "c": "repc", "b": "defb"},
+        {"c": "repc", "a": "fb", "b": "defb"}]
+
+
+def test_dict_list_ctors():
+    out = _run('$d = dict($j); $l = list($j2); $l2 = json_array($s);',
+               _t(j=['{"a":1}', "notjson"], j2=["[1,2]", "[3]"], s=["x", "y"]))
+    assert out.column("d").to_pylist() == [{"a": 1}, None]
+    assert out.column("l").to_pylist() == [[1, 2], [3]]
+    assert out.column("l2").to_pylist() == [["x"], ["y"]]
+
+
+def test_load_vars_and_exprstmt():
+    out = _run('load_vars(parse_json($j)); $got = a + b;',
+               _t(j=['{"a":1,"b":2}', '{"a":10,"b":20}']))
+    assert out.column("got").to_pylist() == [3, 30]
+
+
+def test_load_vars_masked():
+    out = _run('x = "keep";'
+               'if ($sel == 1) { load_vars({"x": "changed"}); };'
+               '$got = x;',
+               _t(sel=[0, 1, 0]))
+    assert out.column("got").to_pylist() == ["keep", "changed", "keep"]
+
+
+def test_set_pri():
+    out = _run("set_pri($pri);", _t(pri=[165, 13, 9999]))
+    assert out.column("facility").to_pylist() == [20, 1, None]
+    assert out.column("severity").to_pylist() == [5, 5, None]
+
+
 def test_named_args_with_global_keyword():
     out = _run('$s = regexp_subst($m, "o", "0", global=true);', _t(m=["foo boo"]))
     assert out.column("s").to_pylist() == ["f00 b00"]
