@@ -433,6 +433,11 @@ class _Ctx:
         self.active = np.ones(self.n, dtype=bool)  # rows still processed
         self.kept = np.ones(self.n, dtype=bool)    # rows not dropped
         self.mask = np.ones(self.n, dtype=bool)    # exprstmt write mask
+        self.metrics: dict = {}                    # update_metric counters
+        self.failure_enabled = False               # failure_info collector
+        self.failure_collect_falsy = False
+        self.failure_info: list = []
+        self.failure_meta = None
 
     def col(self, name: str) -> pd.Series:
         if name in self.cols:
@@ -564,9 +569,15 @@ def _to_dt(a: pd.Series) -> pd.Series:
 
 
 def _strptime(a: pd.Series, fmt: pd.Series) -> pd.Series:
-    """lib/filterx/func-timestamp.c strptime(): unparseable -> unset."""
-    return pd.to_datetime(a.astype("string"), format=str(_arg_scalar(fmt)),
-                          errors="coerce")
+    """lib/filterx/func-timestamp.c strptime(): unparseable -> unset.
+    A %z format carries its own offset -> tz_source "parsed", else
+    "assumed" (get_timezone_source, lib/timeutils/unixtime.c:428)."""
+    f = str(_arg_scalar(fmt))
+    out = pd.to_datetime(a.astype("string"), format=f, errors="coerce", utc="%z" in f)
+    if "%z" in f:
+        out = out.dt.tz_localize(None)
+    out.attrs["tz_source"] = "parsed" if "%z" in f else "assumed"
+    return out
 
 
 def _strftime(a: pd.Series, fmt: pd.Series) -> pd.Series:
@@ -596,7 +607,9 @@ def _fix_timezone(a: pd.Series, zone: pd.Series) -> pd.Series:
     ns1 = np.where(valid, ns - off1 * 1_000_000_000, ns)
     off2 = zone_offsets_at(ns1, z)
     ns2 = np.where(valid, ns - off2 * 1_000_000_000, ns)
-    return pd.Series(ns2.view("datetime64[ns]")).where(pd.Series(valid), pd.NaT)
+    res = pd.Series(ns2.view("datetime64[ns]")).where(pd.Series(valid), pd.NaT)
+    res.attrs["tz_source"] = "fixed"
+    return res
 
 
 def _flatten(a: pd.Series, sep=None) -> pd.Series:
@@ -897,12 +910,26 @@ from .filterx_ext import EXT_FUNCS as _EXT_FUNCS  # noqa: E402
 
 _FUNCS.update(_EXT_FUNCS)
 
+# message-context + network-object functions (filterx_msg.py): sdata,
+# timestamps, metrics, failure_info, ip()/subnet(), digest()
+from .filterx_msg import MSG_FUNCS as _MSG_FUNCS  # noqa: E402
+from .filterx_msg import MSG_CTX_FUNCS as _MSG_CTX_FUNCS  # noqa: E402
+from .filterx_msg import FxSubnet as _FxSubnet  # noqa: E402
+
+_FUNCS.update(_MSG_FUNCS)
+_FUNCS.update(_MSG_CTX_FUNCS)
+_CTX_FUNCS |= set(_MSG_CTX_FUNCS)
+
 
 class FilterX:
     """Compiled FilterX program; callable as a map_batches stage."""
 
     def __init__(self, src: str):
         self.ast = _Parser(src).program()
+        # update_metric counters, merged per batch; per-actor in an
+        # actor-pool map_batches (the Ray-native stats registry — a
+        # pipeline aggregates snapshots instead of scraping a global)
+        self.metrics: dict = {}
 
     # -- expression eval: returns pd.Series aligned with the batch --
     def _eval(self, node, ctx: _Ctx) -> pd.Series:
@@ -933,15 +960,36 @@ class FilterX:
             return pd.Series(
                 [_get_one(v, karr[i]) for i, v in enumerate(obj)], dtype=object)
         if tag == "call":
+            if node[1] == "move" and node[2] and node[2][0][0] == "field":
+                # $a = move($b): eval then unset the source under the
+                # mask (lib/filterx/expr-move.c filterx_expr_move_method:
+                # eval + unset, skipping the copy)
+                src = node[2][0][1]
+                val = ctx.col(src).copy()
+                cur = ctx.col(src).astype(object)
+                cur[ctx.mask] = None
+                ctx.cols[src] = cur
+                ctx.assigned.add(src)
+                return val
             fn = _FUNCS.get(node[1])
             if fn is None:
                 raise NameError(f"filterx: unknown function {node[1]}()")
             args = [self._eval(a, ctx) for a in node[2]]
             kwargs = {_KWARG_RENAME.get(k, k): self._eval(x, ctx)
                       for k, x in (node[3] if len(node) > 3 else [])}
-            if node[1] in _CTX_FUNCS:
-                return fn(ctx, *args, **kwargs)
-            return fn(*args, **kwargs)
+            try:
+                if node[1] in _CTX_FUNCS:
+                    return fn(ctx, *args, **kwargs)
+                return fn(*args, **kwargs)
+            except Exception as e:  # noqa: BLE001
+                if not ctx.failure_enabled:
+                    raise
+                # func-failure-info.c: under an enabled collector an eval
+                # error becomes a recorded entry; the expression yields
+                # unset instead of aborting the program
+                ctx.failure_info.append(
+                    {"meta": ctx.failure_meta, "error": f"{node[1]}(): {e}"})
+                return pd.Series([None] * ctx.n, dtype=object)
         if tag == "coalesce":
             left = self._eval(node[1], ctx)
             right = self._eval(node[2], ctx)
@@ -970,7 +1018,19 @@ class FilterX:
             items = node[2][1] if node[2][0] == "listlit" else [node[2]]
             res = np.zeros(ctx.n, dtype=bool)
             for it in items:
-                aa, bb = _align_types(subj, self._eval(it, ctx))
+                rhs = self._eval(it, ctx)
+                rv = rhs.iloc[0] if isinstance(rhs, pd.Series) and len(rhs) else rhs
+                if isinstance(rv, _FxSubnet):
+                    # ip/string in subnet(...) membership
+                    # (object-subnet.c:268-303 _subnet_contains)
+                    rarr = rhs.to_numpy(dtype=object) if isinstance(rhs, pd.Series) \
+                        else np.full(ctx.n, rhs, dtype=object)
+                    hit = np.array(
+                        [isinstance(rarr[i], _FxSubnet) and rarr[i].contains(v)
+                         for i, v in enumerate(subj)], dtype=bool)
+                    res |= hit
+                    continue
+                aa, bb = _align_types(subj, rhs)
                 eq = aa == bb
                 if isinstance(eq, pd.Series):
                     eq = eq.fillna(False).to_numpy(dtype=bool)
@@ -1022,8 +1082,20 @@ class FilterX:
         if tag == "arith":
             op, a, b = node[1], self._eval(node[2], ctx), self._eval(node[3], ctx)
             if op == "+" and (a.dtype == object or b.dtype == object):
-                # string concat when either side is non-numeric (reference
-                # expr-plus: type-directed)
+                # string concat when either side HOLDS strings (reference
+                # expr-plus is type-directed: a string operand means
+                # concatenation even if the text looks numeric, e.g.
+                # "10." + "11" -> "10.11")
+                def _holds_str(s):
+                    if not isinstance(s, pd.Series) or s.dtype != object:
+                        return False
+                    for v in s:
+                        if v is None or (np.ndim(v) == 0 and pd.isna(v)):
+                            continue
+                        return isinstance(v, str)
+                    return False
+                if _holds_str(a) or _holds_str(b):
+                    return (a.astype("string") + b.astype("string")).astype(object)
                 na = pd.to_numeric(a, errors="coerce")
                 nb = pd.to_numeric(b, errors="coerce")
                 if na.isna().to_numpy().all() or nb.isna().to_numpy().all():
@@ -1067,7 +1139,13 @@ class FilterX:
             return
         if tag == "assign":
             (kind, name), valnode = node[1], node[2]
-            val = self._eval(valnode, ctx)
+            # ctx funcs evaluated in the RHS (move, set_timestamp,
+            # update_metric) must see the branch's row mask
+            ctx.mask = mask
+            try:
+                val = self._eval(valnode, ctx)
+            finally:
+                ctx.mask = np.ones(ctx.n, dtype=bool)
             if not isinstance(val, pd.Series):
                 val = pd.Series([val] * ctx.n)
             if kind == "field":
@@ -1152,6 +1230,8 @@ class FilterX:
     def __call__(self, table: pa.Table) -> pa.Table:
         ctx = _Ctx(table)
         self._exec(self.ast, ctx, np.ones(table.num_rows, dtype=bool))
+        for mk, mv in ctx.metrics.items():
+            self.metrics[mk] = self.metrics.get(mk, 0) + mv
         out = table
         # write back ONLY assigned fields: merely-read columns must keep
         # their original Arrow buffers and types (a pandas round-trip would

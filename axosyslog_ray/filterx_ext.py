@@ -405,9 +405,48 @@ def _xml_to_obj(elem):
     return d
 
 
+def _parse_raw_xml(text: str):
+    """Namespace-UNAWARE parse to an Element tree: xmlns stays a plain
+    attribute and tags keep their literal names, matching the
+    reference's scanner (modules/xml/ does no namespace resolution —
+    ET.fromstring would rewrite <Event xmlns='u'> to tag '{u}Event')."""
+    import xml.etree.ElementTree as ET
+    from xml.parsers import expat
+
+    parser = expat.ParserCreate()
+    parser.buffer_text = True
+    root = None
+    stack: list = []
+
+    def start(name, attrs):
+        nonlocal root
+        e = ET.Element(name, attrs)
+        if stack:
+            stack[-1].append(e)
+        else:
+            root = e
+        stack.append(e)
+
+    def end(_name):
+        stack.pop()
+
+    def chars(data):
+        e = stack[-1]
+        if len(e):
+            e[-1].tail = (e[-1].tail or "") + data
+        else:
+            e.text = (e.text or "") + data
+
+    parser.StartElementHandler = start
+    parser.EndElementHandler = end
+    parser.CharacterDataHandler = chars
+    parser.Parse(text, True)
+    return root
+
+
 def parse_xml(a: pd.Series) -> pd.Series:
     """parse_xml(raw_xml) -> dict; invalid XML -> unset."""
-    import xml.etree.ElementTree as ET
+    from xml.parsers import expat
 
     out = []
     for v in a:
@@ -415,8 +454,11 @@ def parse_xml(a: pd.Series) -> pd.Series:
             out.append(None)
             continue
         try:
-            root = ET.fromstring(str(v))
-        except ET.ParseError:
+            root = _parse_raw_xml(str(v))
+        except expat.ExpatError:
+            out.append(None)
+            continue
+        if root is None:
             out.append(None)
             continue
         out.append({root.tag: _xml_to_obj(root)})
@@ -447,29 +489,128 @@ def parse_windows_eventlog_xml(a: pd.Series) -> pd.Series:
     return pd.Series([fix(v) for v in parsed], dtype=object)
 
 
-def _obj_to_xml(key: str, v) -> str:
-    from xml.sax.saxutils import escape, quoteattr
+# g_markup_escape_text escapes all five markup chars, in text and in
+# attribute values alike (reference modules/xml/filterx-func-format-xml.c)
+_XML_ESCAPE = str.maketrans({"&": "&amp;", "<": "&lt;", ">": "&gt;",
+                             "'": "&apos;", '"': "&quot;"})
 
+
+def _xml_leaf_str(v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if hasattr(v, "timestamp") and not isinstance(v, str):
+        # datetime leaf -> epoch seconds with microsecond precision
+        # (functional pin: datetime_leaf == "946677600.000000")
+        return f"{v.timestamp():.6f}"
+    return str(v)
+
+
+def _obj_to_xml(key: str, v) -> str:
     if isinstance(v, list):
         return "".join(_obj_to_xml(key, x) for x in v)
     if isinstance(v, dict):
-        attrs = "".join(f" {k[1:]}={quoteattr(str(x))}"
-                        for k, x in v.items() if k.startswith("@"))
-        inner = escape(str(v.get("#text", "")))
+        attrs = "".join(
+            f" {k[1:]}='{_xml_leaf_str(x).translate(_XML_ESCAPE)}'"
+            for k, x in v.items() if k.startswith("@"))
+        inner = _xml_leaf_str(v.get("#text", "")).translate(_XML_ESCAPE)
         inner += "".join(_obj_to_xml(k, x) for k, x in v.items()
                          if not k.startswith("@") and k != "#text")
+        if not inner:
+            return f"<{key}{attrs}/>"
         return f"<{key}{attrs}>{inner}</{key}>"
-    return f"<{key}>{escape('' if v is None else str(v))}</{key}>"
+    s = _xml_leaf_str(v).translate(_XML_ESCAPE)
+    # empty element self-closes (functional pins: "<a/>", "<a>bd<c/></a>")
+    return f"<{key}>{s}</{key}>" if s else f"<{key}/>"
 
 
 def format_xml(a: pd.Series) -> pd.Series:
-    """format_xml(dict): inverse of parse_xml's conversion rules."""
+    """format_xml(dict): inverse of parse_xml's conversion rules.
+    Conformance pinned to the reference's own functional tests
+    (tests/light/functional_tests/filterx/test_filterx.py
+    test_format_xml): empty leaves/dicts self-close, attributes render
+    single-quoted, repeated keys come from lists, datetime leaves render
+    as epoch-seconds.6f."""
     out = []
     for v in a:
         if not isinstance(v, dict):
             out.append(None)
         else:
             out.append("".join(_obj_to_xml(k, x) for k, x in v.items()))
+    return pd.Series(out, dtype=object)
+
+
+def _eventdata_to_xml(v) -> str:
+    """EventData body (filterx-func-format-windows-eventlog-xml.c
+    _append_data_dict): dict value -> <Data Name='k'>v</Data> per entry
+    (empty value -> <Data Name='k' /> with the reference's literal
+    space); list -> repeated <Data>; scalar -> plain leaf."""
+    if not isinstance(v, dict):
+        return _obj_to_xml("EventData", v)
+    parts = []
+    for k, val in v.items():
+        if k.startswith("@"):
+            continue
+        if isinstance(val, dict):
+            for name, dv in val.items():
+                sv = _xml_leaf_str(dv).translate(_XML_ESCAPE)
+                if sv:
+                    parts.append(f"<Data Name='{name}'>{sv}</Data>")
+                else:
+                    parts.append(f"<Data Name='{name}' />")
+        elif isinstance(val, list):
+            parts.extend(_obj_to_xml(k, x) for x in val)
+        else:
+            parts.append(_obj_to_xml(k, val))
+    attrs = "".join(
+        f" {k[1:]}='{_xml_leaf_str(x).translate(_XML_ESCAPE)}'"
+        for k, x in v.items() if k.startswith("@"))
+    inner = "".join(parts)
+    return f"<EventData{attrs}>{inner}</EventData>" if inner else f"<EventData{attrs}/>"
+
+
+def _win_obj_to_xml(key: str, v) -> str:
+    if key == "EventData":
+        return _eventdata_to_xml(v)
+    if isinstance(v, list):
+        return "".join(_win_obj_to_xml(key, x) for x in v)
+    if isinstance(v, dict):
+        attrs = "".join(
+            f" {k[1:]}='{_xml_leaf_str(x).translate(_XML_ESCAPE)}'"
+            for k, x in v.items() if k.startswith("@"))
+        inner = _xml_leaf_str(v.get("#text", "")).translate(_XML_ESCAPE)
+        inner += "".join(_win_obj_to_xml(k, x) for k, x in v.items()
+                         if not k.startswith("@") and k != "#text")
+        # EventIDQualifiers leaf is re-attached to the already-emitted
+        # EventID element as a Qualifiers attribute
+        # (_insert_event_id_qualifier)
+        if "EventIDQualifiers" in v:
+            q = _xml_leaf_str(v["EventIDQualifiers"]).translate(_XML_ESCAPE)
+            inner = inner.replace("<EventIDQualifiers/>", "", 1) \
+                         .replace(f"<EventIDQualifiers>{q}</EventIDQualifiers>", "", 1) \
+                         .replace("<EventID>", f"<EventID Qualifiers='{q}'>", 1) \
+                         .replace("<EventID/>", f"<EventID Qualifiers='{q}'/>", 1)
+        if not inner:
+            return f"<{key}{attrs}/>"
+        return f"<{key}{attrs}>{inner}</{key}>"
+    s = _xml_leaf_str(v).translate(_XML_ESCAPE)
+    return f"<{key}>{s}</{key}>" if s else f"<{key}/>"
+
+
+def format_windows_eventlog_xml(a: pd.Series) -> pd.Series:
+    """format_windows_eventlog_xml(dict): format_xml plus the Windows
+    EventData rewrite — dict entries under EventData render as
+    <Data Name='k'>v</Data>, and an EventIDQualifiers sibling becomes
+    the EventID element's Qualifiers attribute
+    (modules/xml/filterx-func-format-windows-eventlog-xml.c; pinned to
+    tests/light/functional_tests/filterx/test_filterx.py)."""
+    out = []
+    for v in a:
+        if not isinstance(v, dict):
+            out.append(None)
+        else:
+            out.append("".join(_win_obj_to_xml(k, x) for k, x in v.items()))
     return pd.Series(out, dtype=object)
 
 
@@ -701,7 +842,9 @@ def set_timezone(a: pd.Series, zone: pd.Series) -> pd.Series:
     valid = ~dt.isna().to_numpy()
     off = zone_offsets_at(ns, z)
     out = np.where(valid, ns + off * 1_000_000_000, ns)
-    return pd.Series(out.view("datetime64[ns]")).where(pd.Series(valid), pd.NaT)
+    res = pd.Series(out.view("datetime64[ns]")).where(pd.Series(valid), pd.NaT)
+    res.attrs["tz_source"] = "fixed"
+    return res
 
 
 def guess_timezone(a: pd.Series, now=None) -> pd.Series:
@@ -720,7 +863,9 @@ def guess_timezone(a: pd.Series, now=None) -> pd.Series:
     near = np.abs(diff_s - q) <= 30
     apply = valid & near & (q != 0) & (np.abs(q) <= 24 * 3600)
     out = np.where(apply, ns - q * 1_000_000_000, ns)
-    return pd.Series(out.view("datetime64[ns]")).where(pd.Series(valid), pd.NaT)
+    res = pd.Series(out.view("datetime64[ns]")).where(pd.Series(valid), pd.NaT)
+    res.attrs["tz_source"] = "guessed"
+    return res
 
 
 EXT_FUNCS = {
@@ -735,6 +880,7 @@ EXT_FUNCS = {
     "parse_xml": parse_xml,
     "parse_windows_eventlog_xml": parse_windows_eventlog_xml,
     "format_xml": format_xml,
+    "format_windows_eventlog_xml": format_windows_eventlog_xml,
     "bool": _cast_bool,
     "bytes": _cast_bytes,
     "datetime": _cast_datetime,

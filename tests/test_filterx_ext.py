@@ -157,9 +157,11 @@ def test_parse_xml_invalid_is_unset():
 
 
 def test_format_xml_roundtrip():
+    # attributes re-render single-quoted, like the reference
+    # (functional pin: test_parse_xml_format_xml -> "<a><b attr='attr_val'>...")
     xml = '<event id="7"><name>login</name><tags><t>a</t><t>b</t></tags></event>'
     out = _run("$s = format_xml(parse_xml($m));", _t(m=[xml]))
-    assert out.column("s").to_pylist() == [xml]
+    assert out.column("s").to_pylist() == [xml.replace('"7"', "'7'")]
 
 
 def test_parse_windows_eventlog_xml():
