@@ -44,10 +44,17 @@ Surface (the subset a log pipeline actually uses):
                   $p["k"] = e;  $p.k = e;  (expr-set-subscript.c,
                   expr-setattr; copy-on-write per masked row)
   statements      lval = expr;   lval += expr; (expr-plus-assign.c)
-                  unset($f); (expr-unset.c)
+                  lval =?? expr; (null-safe assign, expr-assign.c nullv)
+                  declare x = expr;   break; (expr-break.c, innermost
+                  block)   unset($f); (expr-unset.c)
                   if (e) {..} elif (e) {..} else {..}
-                  switch (e) { case LIT: ..; default: ..; }
+                  switch (e) { case LIT: ..; case LO..HI: ..; default: ..; }
                   drop;   done;
+  more operators  e[a..b] string/list slicing (negative indices OK)
+                  eq/ne/lt/le/gt/ge string comparisons (KW_STR_*)
+                  === / !== type-and-value comparisons (KW_TAV_*)
+                  x not in [..]   {"k" :?? e} null-elided dict member
+                  ${dotted.name} message refs; 0xff / 2k / 2Kib literals
 Null semantics follow the reference: `??` takes the right side when the
 left is null/unset; comparisons with null are false; `and`/`or` treat
 null as false. `drop;` removes the row from the output; `done;` freezes
@@ -73,17 +80,18 @@ import pyarrow as pa
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-      (?P<num>\d+\.\d+|\d+)
+      (?P<num>0x[0-9a-fA-F]+|\d+\.\d+|\d+[kKmMgG][iI]?[bB]?|\d+)
     | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-    | (?P<field>\$[A-Za-z_][A-Za-z0-9_.]*)
+    | (?P<field>\$\{[^}]+\}|\$[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)*)
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op>\?\?|=~|!~|\+=|==|!=|<=|>=|&&|\|\||[-+*/%<>=(){};:,?!\[\].])
+    | (?P<op>===|!==|=\?\?|:\?\?|\.\.|\?\?|=~|!~|\+=|==|!=|<=|>=|&&|\|\||[-+*/%<>=(){};:,?!\[\].])
     )""",
     re.VERBOSE,
 )
 
 _KEYWORDS = {"if", "elif", "else", "switch", "case", "default", "drop", "done",
-             "and", "or", "not", "true", "false", "null", "in", "unset"}
+             "and", "or", "not", "true", "false", "null", "in", "unset",
+             "eq", "ne", "lt", "le", "gt", "ge", "declare", "break"}
 
 _ESCAPES = {"\\": "\\", '"': '"', "'": "'", "n": "\n", "t": "\t", "r": "\r"}
 
@@ -109,6 +117,10 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
         for kind in ("num", "str", "field", "name", "op"):
             v = m.group(kind)
             if v is not None:
+                if kind == "field" and v.startswith("${"):
+                    # ${name-with-specials} message ref (cfg-lex.l
+                    # LL_MESSAGE_REF) — same as $name after unwrapping
+                    v = "$" + v[2:-1]
                 toks.append((kind, v))
                 break
     toks.append(("eof", ""))
@@ -173,6 +185,21 @@ class _Parser:
         if v == "done":
             self.next()
             return ("done",)
+        if v == "break":
+            # lib/filterx/expr-break.c: short-circuits the rest of the
+            # INNERMOST enclosing block (the compound consumes it)
+            self.next()
+            return ("break",)
+        if v == "declare":
+            # declare x = expr; (filterx-grammar.ym KW_DECLARE) — the
+            # declaration scope is the whole program here, which the
+            # per-batch variable table already provides
+            self.next()
+            nk, nv = self.next()
+            if nk != "name":
+                raise SyntaxError("filterx: declare needs a variable name")
+            self.expect("=")
+            return ("assign", ("name", nv), self.expr())
         if v == "unset":
             # unset($field); — reference lib/filterx/expr-unset.c: the
             # value becomes unset (null here); isset() turns false
@@ -208,12 +235,18 @@ class _Parser:
                 else:
                     break
             if path:
+                if self.accept("=??"):
+                    # nullv set: only assign when the RHS is set
+                    # (expr-assign.c _do_nullv_assign)
+                    return ("setpath", (k, v), path, self.expr(), True)
                 self.expect("=")
                 return ("setpath", (k, v), path, self.expr())
             if self.accept("+="):
                 # lib/filterx/expr-plus-assign.c: desugars to lval = lval + rhs
                 lval = ("field", v[1:]) if k == "field" else ("var", v)
                 return ("assign", (k, v), ("arith", "+", lval, self.expr()))
+            if self.accept("=??"):
+                return ("assign", (k, v), self.expr(), True)
             self.expect("=")
             return ("assign", (k, v), self.expr())
         raise SyntaxError(f"filterx: unexpected {v!r}")
@@ -243,6 +276,10 @@ class _Parser:
         while not self.accept("}"):
             if self.accept("case"):
                 lit = self.expr()
+                if self.accept(".."):
+                    # case lo..hi: numeric half-open range lo <= x < hi
+                    # (expr-switch.c _switch_case_range_match)
+                    lit = ("caserange", lit, self.expr())
                 self.expect(":")
                 body = []
                 while self.peek()[1] not in ("case", "default", "}"):
@@ -297,6 +334,17 @@ class _Parser:
         if self.peek()[1] in ("==", "!=", "<", "<=", ">", ">="):
             op = self.next()[1]
             return ("cmp", op, e, self.coalesce())
+        if self.peek()[1] in ("===", "!=="):
+            # type-AND-value comparison (filterx-grammar.ym KW_TAV_EQ/NE:
+            # FCMPX_TYPE_AND_VALUE_BASED — no conversion, type mismatch
+            # means unequal)
+            op = self.next()[1]
+            return ("cmptav", op, e, self.coalesce())
+        if self.peek()[1] in ("eq", "ne", "lt", "le", "gt", "ge"):
+            # string-based comparison keywords (KW_STR_*: both sides
+            # rendered to string, memcmp order)
+            op = self.next()[1]
+            return ("cmpstr", op, e, self.coalesce())
         if self.peek()[1] in ("=~", "!~"):
             # lib/filterx/expr-regexp.c: RHS must be a literal pattern so it
             # compiles ONCE per program, not per batch/row
@@ -310,6 +358,10 @@ class _Parser:
             # lib/filterx/expr-membership.c
             self.next()
             return ("in", e, self.expr())
+        if self.peek()[1] == "not" and self.toks[self.i + 1][1] == "in":
+            self.next()
+            self.next()
+            return ("not", ("in", e, self.expr()))
         return e
 
     def coalesce(self):
@@ -342,7 +394,20 @@ class _Parser:
         expr-getattr.c `.name`) on any primary expression."""
         while True:
             if self.accept("["):
+                # slicing e[a..b] / e[..b] / e[a..] (filterx-grammar.ym
+                # LL_DOTDOT -> filterx_string_slicing_new; Python-style
+                # negative indices per the reference functional pins)
+                if self.accept(".."):
+                    hi = self.expr()
+                    self.expect("]")
+                    e = ("slice", e, None, hi)
+                    continue
                 key = self.expr()
+                if self.accept(".."):
+                    hi = None if self.peek()[1] == "]" else self.expr()
+                    self.expect("]")
+                    e = ("slice", e, key, hi)
+                    continue
                 self.expect("]")
                 e = ("subscript", e, key)
             elif self.accept("."):
@@ -359,7 +424,18 @@ class _Parser:
     def _primary_base(self):
         k, v = self.next()
         if k == "num":
-            return ("lit", float(v) if "." in v else int(v))
+            if v.startswith("0x"):
+                return ("lit", int(v, 16))
+            if "." in v:
+                return ("lit", float(v))
+            m = re.fullmatch(r"(\d+)([kKmMgG])?([iI])?[bB]?", v)
+            base, suf, binary = int(m.group(1)), m.group(2), m.group(3)
+            if suf:
+                # size suffixes (lib/parse-number.c): k/M/G are decimal
+                # powers, the 'i' infix makes them binary (Ki/Mi/Gi)
+                exp = {"k": 1, "m": 2, "g": 3}[suf.lower()]
+                base *= (1024 if binary else 1000) ** exp
+            return ("lit", base)
         if k == "str":
             return ("lit", _unescape(v[1:-1]))
         if k == "field":
@@ -410,8 +486,13 @@ class _Parser:
             if not self.accept("}"):
                 while True:
                     key = self.expr()
-                    self.expect(":")
-                    pairs.append((key, self.expr()))
+                    if self.accept(":??"):
+                        # "k" :?? expr — member elided when the value is
+                        # null/unset (cfg-lex.l KW_NULLV_DICT_ELEM)
+                        pairs.append((key, self.expr(), True))
+                    else:
+                        self.expect(":")
+                        pairs.append((key, self.expr(), False))
                     if not self.accept(","):
                         break
                 self.expect("}")
@@ -434,6 +515,7 @@ class _Ctx:
         self.kept = np.ones(self.n, dtype=bool)    # rows not dropped
         self.mask = np.ones(self.n, dtype=bool)    # exprstmt write mask
         self.metrics: dict = {}                    # update_metric counters
+        self.break_rows = np.zeros(self.n, dtype=bool)  # break verdicts
         self.failure_enabled = False               # failure_info collector
         self.failure_collect_falsy = False
         self.failure_info: list = []
@@ -1038,24 +1120,97 @@ class FilterX:
             return pd.Series(res & ~_isnull(subj))
         if tag == "dictlit":
             kvs = []
-            for kx, vx in node[1]:
+            for entry in node[1]:
+                kx, vx = entry[0], entry[1]
+                nullv = entry[2] if len(entry) > 2 else False
                 ks, vs = self._eval(kx, ctx), self._eval(vx, ctx)
                 kvs.append((ks.to_numpy(dtype=object) if isinstance(ks, pd.Series) else ks,
-                            vs.to_numpy(dtype=object) if isinstance(vs, pd.Series) else vs))
+                            vs.to_numpy(dtype=object) if isinstance(vs, pd.Series) else vs,
+                            nullv))
             rows = []
             for i in range(ctx.n):
                 d = {}
-                for ka, va in kvs:
+                for ka, va, nullv in kvs:
                     kv = ka[i] if isinstance(ka, np.ndarray) else ka
                     if kv is None or (np.ndim(kv) == 0 and pd.isna(kv)):
                         continue  # unset key contributes no member
-                    d[str(kv)] = va[i] if isinstance(va, np.ndarray) else va
+                    vv = va[i] if isinstance(va, np.ndarray) else va
+                    if nullv and (vv is None or (np.ndim(vv) == 0 and pd.isna(vv))):
+                        continue  # ":??" member elided when value unset
+                    d[str(kv)] = vv
                 rows.append(d)
             return pd.Series(rows, dtype=object)
         if tag == "listlit":
             cols = [self._eval(it, ctx).to_numpy(dtype=object) for it in node[1]]
             return pd.Series([list(row) for row in zip(*cols)] if cols else [[]] * ctx.n,
                              dtype=object)
+        if tag == "slice":
+            # e[a..b] Python-slice semantics incl. negative indices
+            # (expr-string-slicing; functional pins: "example"[3..5]=="mp")
+            s = self._eval(node[1], ctx)
+            lo = self._eval(node[2], ctx) if node[2] is not None else None
+            hi = self._eval(node[3], ctx) if node[3] is not None else None
+
+            def _idx(series, i):
+                if series is None:
+                    return None
+                v = series.iloc[i] if isinstance(series, pd.Series) else series
+                if v is None or (np.ndim(v) == 0 and pd.isna(v)):
+                    return None
+                return int(v)
+            out = []
+            for i, v in enumerate(s):
+                if isinstance(v, (str, list)):
+                    out.append(v[_idx(lo, i):_idx(hi, i)])
+                else:
+                    out.append(None)
+            return pd.Series(out, dtype=object)
+        if tag == "cmpstr":
+            # string-based comparison (expr-comparison.c
+            # _evaluate_as_string: both sides rendered to string, memcmp
+            # order); a null side -> false (eval error as no-verdict)
+            op, a, b = node[1], self._eval(node[2], ctx), self._eval(node[3], ctx)
+            an, bn = _isnull(a), _isnull(b)
+            both = ~(an | bn)
+            sa = a.where(pd.isna(a), a.astype(str)) if isinstance(a, pd.Series) else a
+            sb = b.where(pd.isna(b), b.astype(str)) if isinstance(b, pd.Series) else b
+            res = np.zeros(ctx.n, dtype=bool)
+            if both.any():
+                aa = sa[both].astype("string") if isinstance(sa, pd.Series) else str(sa)
+                bb = sb[both].astype("string") if isinstance(sb, pd.Series) else str(sb)
+                r = {"eq": aa == bb, "ne": aa != bb, "lt": aa < bb,
+                     "le": aa <= bb, "gt": aa > bb, "ge": aa >= bb}[op]
+                res[both.nonzero()[0]] = np.asarray(r, dtype=bool)
+            return pd.Series(res)
+        if tag == "cmptav":
+            # === / !== type-and-value comparison: no conversion; a type
+            # mismatch (incl. bool vs int) means unequal; null === null
+            # is true (same type, same value)
+            op, a, b = node[1], self._eval(node[2], ctx), self._eval(node[3], ctx)
+            aarr = a.to_numpy(dtype=object) if isinstance(a, pd.Series) else np.full(ctx.n, a, dtype=object)
+            barr = b.to_numpy(dtype=object) if isinstance(b, pd.Series) else np.full(ctx.n, b, dtype=object)
+
+            def _tv_eq(x, y):
+                xn = x is None or (np.ndim(x) == 0 and pd.isna(x))
+                yn = y is None or (np.ndim(y) == 0 and pd.isna(y))
+                if xn or yn:
+                    return xn and yn
+                if isinstance(x, bool) != isinstance(y, bool):
+                    return False
+                if isinstance(x, bool):
+                    return x == y
+                if isinstance(x, (int, np.integer)) != isinstance(y, (int, np.integer)):
+                    return False
+                if isinstance(x, (float, np.floating)) != isinstance(y, (float, np.floating)):
+                    return False
+                if isinstance(x, str) != isinstance(y, str):
+                    return False
+                try:
+                    return bool(x == y)
+                except Exception:  # noqa: BLE001
+                    return False
+            eq = np.array([_tv_eq(aarr[i], barr[i]) for i in range(ctx.n)], dtype=bool)
+            return pd.Series(eq if op == "===" else ~eq)
         if tag == "cmp":
             op, a, b = node[1], self._eval(node[2], ctx), self._eval(node[3], ctx)
             an, bn = _isnull(a), _isnull(b)
@@ -1132,10 +1287,22 @@ class FilterX:
     def _exec(self, node, ctx: _Ctx, mask: np.ndarray) -> None:
         tag = node[0]
         if tag == "block":
-            for st in node[1]:
-                if not mask.any():
-                    return
-                self._exec(st, ctx, mask & ctx.active)
+            # each compound consumes break verdicts raised inside it
+            # (expr-compound.c _is_control_modifier_set resets FXC_BREAK)
+            prev_break = ctx.break_rows
+            ctx.break_rows = np.zeros(ctx.n, dtype=bool)
+            try:
+                for st in node[1]:
+                    # ALWAYS execute, even with an all-false mask: every
+                    # assignment must register its output column so each
+                    # batch produces the SAME schema (Ray Data requires
+                    # block-schema stability; writes are masked anyway)
+                    self._exec(st, ctx, mask & ctx.active & ~ctx.break_rows)
+            finally:
+                ctx.break_rows = prev_break
+            return
+        if tag == "break":
+            ctx.break_rows = ctx.break_rows | mask
             return
         if tag == "assign":
             (kind, name), valnode = node[1], node[2]
@@ -1146,6 +1313,9 @@ class FilterX:
                 val = self._eval(valnode, ctx)
             finally:
                 ctx.mask = np.ones(ctx.n, dtype=bool)
+            if len(node) > 3 and node[3]:
+                # =?? nullv assign: rows with an unset RHS keep their value
+                mask = mask & ~_isnull(val)
             if not isinstance(val, pd.Series):
                 val = pd.Series([val] * ctx.n)
             if kind == "field":
@@ -1175,6 +1345,8 @@ class FilterX:
             val = self._eval(valnode, ctx)
             if not isinstance(val, pd.Series):
                 val = pd.Series([val] * ctx.n)
+            if len(node) > 4 and node[4]:
+                mask = mask & ~_isnull(val)  # =?? nullv set
             if kind == "field":
                 self._set_path(ctx, name[1:], keys_, val, mask)
             else:
@@ -1191,11 +1363,19 @@ class FilterX:
             subject = self._eval(node[1], ctx)
             remaining = mask.copy()
             for lit, body in node[2]:
-                case_val = self._eval(lit, ctx)
-                aa, bb = _align_types(subject, case_val)
-                eq = aa == bb
-                if isinstance(eq, pd.Series):
-                    eq = eq.fillna(False).to_numpy(dtype=bool)
+                if lit[0] == "caserange":
+                    # case lo..hi: numeric lo <= x < hi (expr-switch.c
+                    # _switch_case_range_match, half-open)
+                    sn = pd.to_numeric(subject, errors="coerce")
+                    lo = pd.to_numeric(self._eval(lit[1], ctx), errors="coerce")
+                    hi = pd.to_numeric(self._eval(lit[2], ctx), errors="coerce")
+                    eq = ((sn >= lo) & (sn < hi)).fillna(False).to_numpy(dtype=bool)
+                else:
+                    case_val = self._eval(lit, ctx)
+                    aa, bb = _align_types(subject, case_val)
+                    eq = aa == bb
+                    if isinstance(eq, pd.Series):
+                        eq = eq.fillna(False).to_numpy(dtype=bool)
                 m = remaining & np.asarray(eq, dtype=bool) & ~_isnull(subject)
                 self._exec(body, ctx, m)
                 remaining &= ~m
@@ -1254,9 +1434,11 @@ def _align_types(a, b):
     nb = pd.to_numeric(b, errors="coerce") if isinstance(b, pd.Series) else b
     a_num = isinstance(na, pd.Series) and not na.isna().to_numpy().all() or np.isscalar(na) and not pd.isna(na)
     b_num = isinstance(nb, pd.Series) and not nb.isna().to_numpy().all() or np.isscalar(nb) and not pd.isna(nb)
-    if isinstance(a, pd.Series) and a.dtype != object and np.issubdtype(a.dtype, np.number):
+    # pd.api.types handles numpy AND pandas nullable dtypes (Int64 from
+    # len(), boolean, etc.) where np.issubdtype raises
+    if isinstance(a, pd.Series) and a.dtype != object and pd.api.types.is_numeric_dtype(a.dtype):
         a_num = True
-    if isinstance(b, pd.Series) and b.dtype != object and np.issubdtype(b.dtype, np.number):
+    if isinstance(b, pd.Series) and b.dtype != object and pd.api.types.is_numeric_dtype(b.dtype):
         b_num = True
     if a_num and b_num:
         return na, nb

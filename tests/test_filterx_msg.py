@@ -341,3 +341,99 @@ def test_plus_concat_numeric_looking_strings():
     t = _t(n=[11, 13])
     out = _run('$s = "10." + string($n) + ".0.9";', t)
     assert out.column("s").to_pylist() == ["10.11.0.9", "10.13.0.9"]
+
+
+# -- grammar extensions ------------------------------------------------------
+# (filterx-grammar.ym: slicing, case ranges, break, declare, string
+#  comparisons, ===/!==, not in, =??, :??, ${...}, numeric literal forms)
+
+def test_string_slicing_reference_pins():
+    # functional pin test_string_slicing: str="example", idx=3
+    t = _t(s=["example"], idx=[3])
+    out = _run('$r = $s[$idx..5]; $p = $s[..$idx]; $u = $s[$idx..];'
+               '$nr = $s[-3..-1]; $np = $s[..-2]; $ns = $s[-3..];', t)
+    assert out.column("r").to_pylist() == ["mp"]
+    assert out.column("p").to_pylist() == ["exa"]
+    assert out.column("u").to_pylist() == ["mple"]
+    assert out.column("nr").to_pylist() == ["pl"]
+    assert out.column("np").to_pylist() == ["examp"]
+    assert out.column("ns").to_pylist() == ["ple"]
+
+
+def test_switch_case_range():
+    t = _t(code=[102, 250, 404, 503, None])
+    out = _run('switch ($code) {'
+               ' case 100..300: $class = "ok";'
+               ' case 400..500: $class = "client";'
+               ' default: $class = "other"; }', t)
+    assert out.column("class").to_pylist() == ["ok", "ok", "client", "other", "other"]
+
+
+def test_break_exits_innermost_block():
+    t = _t(k=[1, 2])
+    out = _run('$a = "pre";'
+               'if ($k == 1) { $b = "set"; break; $c = "skipped"; };'
+               '$d = "post";', t)
+    # break skips the rest of the if-body only; the outer block continues
+    assert out.column("b").to_pylist() == ["set", None]
+    assert "c" not in out.column_names or out.column("c").to_pylist() == [None, None]
+    assert out.column("d").to_pylist() == ["post", "post"]
+
+
+def test_declare_variable():
+    t = _t(n=[1, 2])
+    out = _run('declare threshold = 2; $hi = $n >= threshold;', t)
+    assert out.column("hi").to_pylist() == [False, True]
+
+
+def test_string_comparison_keywords():
+    t = _t(a=["10", "9", None], b=["9", "9", "x"])
+    out = _run('$lt = $a lt $b; $eq = $a eq $b; $ge = $a ge $b;', t)
+    # "10" < "9" lexicographically
+    assert out.column("lt").to_pylist() == [True, False, False]
+    assert out.column("eq").to_pylist() == [False, True, False]
+    assert out.column("ge").to_pylist() == [False, True, False]
+
+
+def test_type_and_value_comparison():
+    t = _t(s=["1", "1"], n=[1, 2])
+    out = _run('$a = $s === "1"; $b = $s === 1; $c = $n !== 1;'
+               '$d = null === null;', t)
+    assert out.column("a").to_pylist() == [True, True]
+    assert out.column("b").to_pylist() == [False, False]  # type mismatch
+    assert out.column("c").to_pylist() == [False, True]
+    assert out.column("d").to_pylist() == [True, True]
+
+
+def test_not_in_membership():
+    t = _t(v=["a", "b", None])
+    out = _run('$r = $v not in ["a", "c"];', t)
+    # null subject: `in` is false, so `not in` is true (pure negation)
+    assert out.column("r").to_pylist() == [False, True, True]
+
+
+def test_nullv_assign():
+    t = _t(cur=["keep", "keep"], src=["new", None])
+    out = _run('$cur =?? $src;', t)
+    assert out.column("cur").to_pylist() == ["new", "keep"]
+
+
+def test_nullv_dict_elem():
+    t = _t(v=["x", None])
+    out = _run('$d = {"always": $v, "opt" :?? $v}; $k = keys($d);', t)
+    assert out.column("k").to_pylist() == [["always", "opt"], ["always"]]
+
+
+def test_braced_message_ref():
+    t = pa.table({"a.b": ["v1", "v2"]})
+    out = _run('$out = ${a.b};', t)
+    assert out.column("out").to_pylist() == ["v1", "v2"]
+
+
+def test_numeric_literal_forms():
+    t = _t(x=[1])
+    out = _run('$h = 0xff; $k = 2k; $ki = 2Kib; $m = 1M;', t)
+    assert out.column("h").to_pylist() == [255]
+    assert out.column("k").to_pylist() == [2000]
+    assert out.column("ki").to_pylist() == [2048]
+    assert out.column("m").to_pylist() == [1000000]
