@@ -10,9 +10,12 @@ implementation. Rules are declared with the reference's wildcard syntax
 @EMAIL:name@, @HOSTNAME:name@, @MACADDR:name@), compiled once per actor
 into anchored regexes with named groups.
 
-Divergences (documented): rule selection is ordered first-match-wins per
-program instead of radix longest-prefix; patterns are anchored at both
-ends (the reference requires the full message consumed too).
+Rule selection: `selection="ordered"` (default) is first-match-wins in
+declaration order; `selection="radix"` reproduces the reference's radix
+lookup (stages/radix.py models radix.c's literal-over-parser preference
+with backtracking AND the partial-prefix fallback) — the vectorized
+regex pass stays the bulk matcher, the trie resolves only ambiguous or
+prefix-only rows.
 
 A matched rule writes: `pdb_rule` (rule id), `pdb_class` (rule class,
 default 'system'), extracted values into promoted string columns
@@ -114,23 +117,18 @@ DEFAULT_RULES = [
 ]
 
 
-def _literal_prefix_len(pattern: str) -> int:
-    """Length of the literal text before the first @WILDCARD@ — the radix
-    trie's primary discriminator (reference modules/correlation/radix.c:
-    literal chars are consumed greedily before parser nodes are tried)."""
-    m = _WILDCARD.search(pattern)
-    return len(pattern) if m is None else m.start()
-
-
 class PatternDB:
     """Actor-pool stage: `ds.map_batches(PatternDB, concurrency=N)`.
 
     `selection="ordered"` (default) keeps declaration order —
-    first-match-wins. `selection="radix"` tries rules in descending
-    literal-prefix length (stable within ties), reproducing the radix
-    trie's longest-literal-prefix shadowing for overlapping patterns;
-    mid-pattern literal-vs-parser preference is NOT modeled (documented
-    divergence from radix.c's per-node backtracking)."""
+    first-match-wins. `selection="radix"` reproduces the reference's
+    radix-trie lookup exactly (modules/correlation/radix.c): literal
+    edges beat parser edges at every position with backtracking, and a
+    rule whose whole pattern matches a PREFIX of the message wins when
+    no complete match exists (the two-pass partial fallback,
+    radix.c:1552). The bulk matching stays vectorized — the per-row
+    trie walk (stages/radix.py) runs ONLY for rows the vectorized pass
+    flags as ambiguous (2+ full matches) or prefix-only."""
 
     def __init__(self, rules: list[PdbRule] | None = None, rules_ref=None,
                  source_col: str = "message", program_col: str = "program",
@@ -141,15 +139,27 @@ class PatternDB:
             rules = ray.get(rules_ref)
         if selection not in ("ordered", "radix"):
             raise ValueError("selection must be ordered|radix")
+        self.selection = selection
         self.rules = rules if rules is not None else DEFAULT_RULES
         self.compiled = [(r, compile_pattern(r.pattern)) for r in self.rules]
-        if selection == "radix":
-            self.compiled.sort(key=lambda rc: -_literal_prefix_len(rc[0].pattern))
         self.source_col = source_col
         self.program_col = program_col
         self.value_names = sorted(
             {n for _, rx in self.compiled for n in rx.groupindex} | {n for r in self.rules for n in r.values}
         )
+        if selection == "radix":
+            from .radix import RadixTree
+
+            # one tree per exact program (program specificity shadows the
+            # match-any tree, like the reference's program-level radix);
+            # prefix regexes (no $ anchor) flag partial-fallback candidates
+            self.trees: dict = {}
+            for idx, (r, _rx) in enumerate(self.compiled):
+                self.trees.setdefault(r.program, RadixTree()).insert(r.pattern, idx)
+            self.prefix_compiled = [
+                re.compile(rx.pattern[: -1], re.S) if rx.pattern.endswith("$") else rx
+                for _, rx in self.compiled
+            ]
 
     def _rule_extract(self, rule_idx: int, rx: re.Pattern, sub_arrow: pa.Array):
         """Match+extract one rule over the candidate rows: Arrow RE2 (one C
@@ -188,7 +198,178 @@ class PatternDB:
             cols[nm] = sub_col.astype(object).where(sub_col.notna(), None).tolist()
         return hit, cols
 
+    def _msg_prog_valid(self, table: pa.Table):
+        n = table.num_rows
+        col = table.column(self.source_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        arrow_msg = pc.fill_null(pc.cast(col, pa.string()), "")
+        prog = (
+            table.column(self.program_col).to_pandas().astype("string")
+            if self.program_col in table.column_names
+            else pd.Series([None] * n, dtype="string")
+        )
+        msg_valid = ~np.asarray(col.is_null().to_numpy(zero_copy_only=False), dtype=bool)
+        return arrow_msg, prog, msg_valid
+
+    def _assemble(self, table: pa.Table, rule_col, class_col, vmaps) -> pa.Table:
+        n = table.num_rows
+        tag_lists = (
+            table.column("tags").to_pandas().map(lambda v: list(v) if v is not None else []).tolist()
+            if "tags" in table.column_names
+            else [[] for _ in range(n)]
+        )
+        by_id = {r.rule_id: r for r in self.rules}
+        for i in range(n):
+            rid = rule_col[i]
+            if rid is None:
+                continue
+            rtags = by_id[rid].tags
+            if rtags:
+                rt = sorted(set(rtags))
+                tag_lists[i] = sorted(set(tag_lists[i]) | set(rt)) if tag_lists[i] else rt
+        out = table
+        for name, arr, typ in (
+            ("pdb_rule", rule_col, pa.string()),
+            ("pdb_class", class_col, pa.string()),
+            ("pdb_values", vmaps, pa.map_(pa.string(), pa.string())),
+        ):
+            out = out.append_column(name, pa.array(arr, type=typ))
+        tags_arr = pa.array(tag_lists, type=pa.list_(pa.string()))
+        if "tags" in out.column_names:
+            out = out.set_column(out.column_names.index("tags"), "tags", tags_arr)
+        else:
+            out = out.append_column("tags", tags_arr)
+        return out
+
+    def _call_radix(self, table: pa.Table) -> pa.Table:
+        """Radix selection: one vectorized full-match pass per rule with
+        NO short-circuit, then winners resolved per row — single-hit
+        rows directly, 2+-hit rows by trie walk (literal-preference
+        shadowing), zero-hit rows with a vectorized prefix hit by the
+        trie's partial fallback. Python-loop cost is bounded by the
+        ambiguous/prefix rows, not the batch."""
+        n = table.num_rows
+        arrow_msg, prog, msg_valid = self._msg_prog_valid(table)
+        hit_count = np.zeros(n, dtype=np.int16)
+        first_hit = np.full(n, -1, dtype=np.int32)
+        infos: list = []
+        for rule_idx, (rule, rx) in enumerate(self.compiled):
+            cand = msg_valid.copy()
+            if rule.program is not None:
+                cand &= (prog == rule.program).fillna(False).to_numpy()
+            if not cand.any():
+                infos.append(None)
+                continue
+            cand_idx = np.flatnonzero(cand)
+            hit, cols = self._rule_extract(rule_idx, rx, arrow_msg.take(pa.array(cand_idx, type=pa.int64())))
+            rows = cand_idx[hit]
+            hit_count[rows] += 1
+            first_hit[rows[first_hit[rows] < 0]] = rule_idx
+            infos.append((rows, cols))
+        winner = np.full(n, -1, dtype=np.int32)
+        single = hit_count == 1
+        winner[single] = first_hit[single]
+
+        prog_arr = prog.to_numpy(dtype=object)
+
+        def _trie_lookup(i, msg, valid=None):
+            """Program-specific tree first (program specificity shadows
+            match-any, like the reference's program-level radix), then
+            the match-any tree; a `valid` rule set filters results so a
+            partial match in one tree cannot shadow a full match known
+            to exist in the other."""
+            p = prog_arr[i]
+            p = None if p is None or (np.ndim(p) == 0 and pd.isna(p)) else p
+            trees = [self.trees[p]] if p in self.trees else []
+            if None in self.trees:
+                trees.append(self.trees[None])
+            for t in trees:
+                res = t.lookup(msg)
+                if res is not None and (valid is None or res[0] in valid):
+                    return res
+            return None
+
+        walk_caps: dict[int, list] = {}
+        amb = np.flatnonzero(hit_count >= 2)
+        if len(amb):
+            amb_rules: dict[int, set] = {int(i): set() for i in amb}
+            for rule_idx, info in enumerate(infos):
+                if info is None:
+                    continue
+                for r in info[0]:
+                    ri = int(r)
+                    if ri in amb_rules:
+                        amb_rules[ri].add(rule_idx)
+            msgs = arrow_msg.take(pa.array(amb, type=pa.int64())).to_pylist()
+            for j, i in enumerate(amb):
+                res = _trie_lookup(i, msgs[j], valid=amb_rules[int(i)])
+                winner[i] = res[0] if res is not None else first_hit[i]
+        # prefix-only (partial fallback) candidates among zero-hit rows
+        zero = msg_valid & (hit_count == 0)
+        if zero.any():
+            partial_cand = np.zeros(n, dtype=bool)
+            for rule_idx, (rule, _rx) in enumerate(self.compiled):
+                cand = zero.copy()
+                if rule.program is not None:
+                    cand &= (prog == rule.program).fillna(False).to_numpy()
+                if not cand.any():
+                    continue
+                cand_idx = np.flatnonzero(cand & ~partial_cand)
+                if not len(cand_idx):
+                    continue
+                try:
+                    m = pc.fill_null(pc.match_substring_regex(
+                        arrow_msg.take(pa.array(cand_idx, type=pa.int64())),
+                        "(?s)" + self.prefix_compiled[rule_idx].pattern), False)
+                    hits = np.asarray(m.to_numpy(zero_copy_only=False), dtype=bool)
+                except pa.ArrowInvalid:
+                    sub = pd.Series(arrow_msg.take(pa.array(cand_idx, type=pa.int64())).to_pandas()).astype("string")
+                    hits = sub.str.match(self.prefix_compiled[rule_idx], na=False).to_numpy()
+                partial_cand[cand_idx[hits]] = True
+            prows = np.flatnonzero(partial_cand)
+            if len(prows):
+                msgs = arrow_msg.take(pa.array(prows, type=pa.int64())).to_pylist()
+                for j, i in enumerate(prows):
+                    res = _trie_lookup(i, msgs[j])
+                    if res is not None:
+                        winner[i] = res[0]
+                        walk_caps[i] = res[1]
+
+        rule_col = np.full(n, None, dtype=object)
+        class_col = np.full(n, None, dtype=object)
+        vmaps = np.full(n, None, dtype=object)
+        for rule_idx, info in enumerate(infos):
+            if info is None:
+                continue
+            rows, cols = info
+            rule, rx = self.compiled[rule_idx]
+            names = list(rx.groupindex.keys())
+            static_items = list(rule.values.items())
+            pos = {int(r): k for k, r in enumerate(rows)}
+            won = rows[winner[rows] == rule_idx]
+            for i in won:
+                rule_col[i] = rule.rule_id
+                class_col[i] = rule.rule_class
+                pairs = list(static_items)
+                k = pos[int(i)]
+                for nm in names:
+                    v = cols[nm][k]
+                    if v is not None:
+                        pairs.append((nm, v))
+                vmaps[i] = pairs
+        # partial winners: values come from the trie walk's captures
+        for i, caps in walk_caps.items():
+            if winner[i] < 0:
+                continue
+            rule, _rx = self.compiled[winner[i]]
+            rule_col[i] = rule.rule_id
+            class_col[i] = rule.rule_class
+            vmaps[i] = list(rule.values.items()) + [(nm, v) for nm, v in caps]
+        return self._assemble(table, rule_col, class_col, vmaps)
+
     def __call__(self, table: pa.Table) -> pa.Table:
+        if self.selection == "radix":
+            return self._call_radix(table)
         n = table.num_rows
         arrow_msg = table.column(self.source_col)
         arrow_msg = pc.fill_null(pc.cast(

@@ -154,3 +154,92 @@ def test_radix_selection_longest_literal_prefix_wins():
     radix = PatternDB(rules, selection="radix")(t).column("pdb_rule").to_pylist()
     assert ordered == ["generic"]       # first declared
     assert radix == ["specific"]        # longest literal prefix
+
+
+def test_radix_trie_literal_beats_parser_mid_pattern():
+    """radix.c _find_node_recursively: at every node a literal child is
+    preferred over parser children — not just at the pattern start."""
+    import pyarrow as pa
+
+    from axosyslog_ray.stages.patterndb import PatternDB, PdbRule
+
+    rules = [
+        PdbRule("wild", "user @STRING:who@ logged in", program="app"),
+        PdbRule("lit", "user admin logged in", program="app"),
+    ]
+    t = pa.table({
+        "message": ["user admin logged in", "user bob logged in"],
+        "program": pa.array(["app", "app"], type=pa.string()),
+    })
+    got = PatternDB(rules, selection="radix")(t).column("pdb_rule").to_pylist()
+    assert got == ["lit", "wild"]
+
+
+def test_radix_partial_prefix_fallback():
+    """radix.c:1552 _find_node_with_state: when no rule matches the
+    whole message, a rule whose complete pattern matches a PREFIX of
+    the message wins (require_complete_match second pass)."""
+    import pyarrow as pa
+
+    from axosyslog_ray.stages.patterndb import PatternDB, PdbRule
+
+    rules = [PdbRule("pfx", "session opened for @ESTRING:user: @", program="su")]
+    t = pa.table({
+        "message": ["session opened for root by (uid=0)",
+                    "something else entirely"],
+        "program": pa.array(["su", "su"], type=pa.string()),
+    })
+    out = PatternDB(rules, selection="radix")(t)
+    assert out.column("pdb_rule").to_pylist() == ["pfx", None]
+    # captures come from the trie walk for partial matches
+    vals = out.column("pdb_values").to_pylist()
+    assert dict(vals[0])["user"] == "root"
+    # ordered mode (anchored regex) does NOT partial-match
+    assert PatternDB(rules)(t).column("pdb_rule").to_pylist() == [None, None]
+
+
+def test_radix_backtracking_across_parser_edges():
+    """A greedy parser that dead-ends must backtrack to try the next
+    parser edge (radix.c node-level backtracking)."""
+    from axosyslog_ray.stages.radix import RadixTree
+
+    tree = RadixTree()
+    # NUMBER consumes greedily but 'x' after it only continues in rule B
+    tree.insert("id @NUMBER:n@ end", "A")
+    tree.insert("id @ESTRING:e:;@ end", "B")
+    rule, caps = tree.lookup("id 123 end")
+    assert rule == "A" and dict(caps)["n"] == "123"
+    rule, caps = tree.lookup("id 123x7; end")
+    assert rule == "B" and dict(caps)["e"] == "123x7"
+
+
+def test_radix_qstring_estring_capture_conventions():
+    """QSTRING strips quotes; ESTRING excludes the terminator
+    (radix.c match->ofs/len conventions)."""
+    from axosyslog_ray.stages.radix import RadixTree
+
+    tree = RadixTree()
+    tree.insert("said @QSTRING:q:\"@ to @ESTRING:who:!@", "R")
+    rule, caps = tree.lookup('said "hi there" to bob!')
+    assert rule == "R"
+    d = dict(caps)
+    assert d["q"] == "hi there" and d["who"] == "bob"
+
+
+def test_radix_program_specificity():
+    """A rule bound to the row's exact program shadows a match-any rule
+    (the reference's program-level radix lookup)."""
+    import pyarrow as pa
+
+    from axosyslog_ray.stages.patterndb import PatternDB, PdbRule
+
+    rules = [
+        PdbRule("any", "start @ANYSTRING:r@", program=None),
+        PdbRule("mine", "start @ANYSTRING:r@", program="svc"),
+    ]
+    t = pa.table({
+        "message": ["start x", "start y"],
+        "program": pa.array(["svc", "other"], type=pa.string()),
+    })
+    got = PatternDB(rules, selection="radix")(t).column("pdb_rule").to_pylist()
+    assert got == ["mine", "any"]
