@@ -266,13 +266,27 @@ class _Parser:
             return ("if", cond, then, self.block())
         return ("if", cond, then, None)
 
+    def _case_body(self):
+        body = []
+        while self.peek()[1] not in ("case", "default", "}"):
+            body.append(self.statement())
+            while self.accept(";"):
+                pass
+        return body
+
     def switch_stmt(self):
+        """The switch body is ONE compound with case labels as entry
+        points — execution FALLS THROUGH into later cases until a
+        `break;` (expr-switch.c _eval_body -> compound_expr_eval_ext
+        from the matched target; pinned by the reference's own
+        functional tests test_switch_fallthrough*). `default:` keeps
+        its source position like a C switch."""
         self.expect("switch")
         self.expect("(")
         subject = self.expr()
         self.expect(")")
         self.expect("{")
-        cases, default = [], None
+        cases = []
         while not self.accept("}"):
             if self.accept("case"):
                 lit = self.expr()
@@ -281,23 +295,13 @@ class _Parser:
                     # (expr-switch.c _switch_case_range_match)
                     lit = ("caserange", lit, self.expr())
                 self.expect(":")
-                body = []
-                while self.peek()[1] not in ("case", "default", "}"):
-                    body.append(self.statement())
-                    while self.accept(";"):
-                        pass
-                cases.append((lit, ("block", body)))
+                cases.append((lit, self._case_body()))
             elif self.accept("default"):
                 self.expect(":")
-                body = []
-                while self.peek()[1] not in ("case", "default", "}"):
-                    body.append(self.statement())
-                    while self.accept(";"):
-                        pass
-                default = ("block", body)
+                cases.append((None, self._case_body()))
             else:
                 raise SyntaxError("filterx: expected case/default in switch")
-        return ("switch", subject, cases, default)
+        return ("switch", subject, cases)
 
     # -- expressions --
     def expr(self):
@@ -355,13 +359,14 @@ class _Parser:
             pat = re.compile(_unescape(pv[1:-1]))
             return ("regex", op == "!~", e, pat)
         if self.peek()[1] == "in":
-            # lib/filterx/expr-membership.c
+            # lib/filterx/expr-membership.c — the RHS binds tighter than
+            # ?: so `a in b ? c : d` is `(a in b) ? c : d`
             self.next()
-            return ("in", e, self.expr())
+            return ("in", e, self.coalesce())
         if self.peek()[1] == "not" and self.toks[self.i + 1][1] == "in":
             self.next()
             self.next()
-            return ("not", ("in", e, self.expr()))
+            return ("not", ("in", e, self.coalesce()))
         return e
 
     def coalesce(self):
@@ -1360,27 +1365,57 @@ class FilterX:
                 self._exec(node[3], ctx, mask & ~cond)
             return
         if tag == "switch":
+            # C-style dispatch: each row enters at its matched case and
+            # FALLS THROUGH subsequent case bodies until a break exits
+            # the switch (expr-switch.c _eval_body runs the body compound
+            # from the target index; the compound consumes FXC_BREAK).
+            # Literal cases match before range/expr cases regardless of
+            # position (the reference's literal_cache is probed first).
             subject = self._eval(node[1], ctx)
-            remaining = mask.copy()
-            for lit, body in node[2]:
-                if lit[0] == "caserange":
-                    # case lo..hi: numeric lo <= x < hi (expr-switch.c
-                    # _switch_case_range_match, half-open)
-                    sn = pd.to_numeric(subject, errors="coerce")
-                    lo = pd.to_numeric(self._eval(lit[1], ctx), errors="coerce")
-                    hi = pd.to_numeric(self._eval(lit[2], ctx), errors="coerce")
-                    eq = ((sn >= lo) & (sn < hi)).fillna(False).to_numpy(dtype=bool)
-                else:
-                    case_val = self._eval(lit, ctx)
-                    aa, bb = _align_types(subject, case_val)
-                    eq = aa == bb
-                    if isinstance(eq, pd.Series):
-                        eq = eq.fillna(False).to_numpy(dtype=bool)
-                m = remaining & np.asarray(eq, dtype=bool) & ~_isnull(subject)
-                self._exec(body, ctx, m)
-                remaining &= ~m
-            if node[3] is not None:
-                self._exec(node[3], ctx, remaining)
+            cases = node[2]
+            flat: list = []
+            offsets: list[int] = []
+            for _lit, body in cases:
+                offsets.append(len(flat))
+                flat.extend(body)
+            entry = np.full(ctx.n, len(flat), dtype=np.int64)
+            assigned = np.zeros(ctx.n, dtype=bool)
+            subj_ok = ~_isnull(subject)
+            for literal_pass in (True, False):
+                for ci, (lit, _body) in enumerate(cases):
+                    if lit is None:
+                        continue
+                    if (lit[0] == "lit") != literal_pass:
+                        continue
+                    if lit[0] == "caserange":
+                        # case lo..hi: numeric lo <= x < hi
+                        # (expr-switch.c _switch_case_range_match)
+                        sn = pd.to_numeric(subject, errors="coerce")
+                        lo = pd.to_numeric(self._eval(lit[1], ctx), errors="coerce")
+                        hi = pd.to_numeric(self._eval(lit[2], ctx), errors="coerce")
+                        eq = ((sn >= lo) & (sn < hi)).fillna(False).to_numpy(dtype=bool)
+                    else:
+                        case_val = self._eval(lit, ctx)
+                        aa, bb = _align_types(subject, case_val)
+                        eq = aa == bb
+                        if isinstance(eq, pd.Series):
+                            eq = eq.fillna(False).to_numpy(dtype=bool)
+                    m = ~assigned & np.asarray(eq, dtype=bool) & subj_ok
+                    entry[m] = offsets[ci]
+                    assigned |= m
+            for ci, (lit, _body) in enumerate(cases):
+                if lit is None:  # default keeps its source position
+                    m = ~assigned
+                    entry[m] = offsets[ci]
+                    assigned |= m
+            prev_break = ctx.break_rows
+            ctx.break_rows = np.zeros(ctx.n, dtype=bool)
+            try:
+                for j, st in enumerate(flat):
+                    self._exec(st, ctx,
+                               mask & ctx.active & (entry <= j) & ~ctx.break_rows)
+            finally:
+                ctx.break_rows = prev_break
             return
         if tag == "unset":
             name = node[1]

@@ -1110,6 +1110,58 @@ ORDER BY event_id
 """
 
 
+def events_filterx_grammar2(sf_dir: str):
+    """FilterX grammar completion surface in one oracled pipeline:
+    switch with numeric `case lo..hi:` ranges, C-style FALLTHROUGH and
+    `break;` (expr-switch.c _eval_body + the reference's own
+    test_switch_fallthrough pins), string slicing with negative indices
+    (LL_DOTDOT), `eq`/`lt` string comparisons (KW_STR_*), `===`
+    type-and-value equality (KW_TAV_EQ), `not in` membership and the
+    `=??` null-safe assign (expr-assign.c nullv)."""
+    from ..aggregate import pre_aggregated_count
+    from ..filterx import FilterX
+
+    fx = FilterX("""
+        switch ($value) {
+          case 0..50: $band = "low"; break;
+          case 50..200: $band = "mid";
+          default: $band = $band eq "mid" ? "mid+" : "other";
+        };
+        $head = $event_type[..4];
+        $tail = $event_type[-2..];
+        $early = $event_type lt "login" ? 1 : 0;
+        $ptag = "none";
+        $ptag =?? $props[..1];
+        $rare = $event_type not in ["click", "view"] ? 1 : 0;
+        $exact_v = $value === 100.0 ? 1 : 0;
+    """)
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"]).map_batches(
+        fx, batch_format="pyarrow")
+    cols = ["band", "head", "tail", "early", "ptag", "rare", "exact_v"]
+    out = pre_aggregated_count(ds, cols, alias="n", final="driver")
+    out["n"] = out["n"].astype("int64")
+    for c in ("early", "rare", "exact_v"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(cols).reset_index(drop=True)
+
+
+EVENTS_FILTERX_GRAMMAR2_SQL = """
+SELECT CASE WHEN value >= 0 AND value < 50 THEN 'low'
+            WHEN value >= 50 AND value < 200 THEN 'mid+'
+            ELSE 'other' END AS band,
+       substr(event_type, 1, 4) AS head,
+       CASE WHEN length(event_type) <= 2 THEN event_type
+            ELSE substr(event_type, length(event_type) - 1, 2) END AS tail,
+       CAST(CASE WHEN event_type < 'login' THEN 1 ELSE 0 END AS BIGINT) AS early,
+       CASE WHEN props IS NULL THEN 'none' ELSE substr(props, 1, 1) END AS ptag,
+       CAST(CASE WHEN event_type NOT IN ('click', 'view') THEN 1 ELSE 0 END AS BIGINT) AS rare,
+       CAST(CASE WHEN value = 100.0 THEN 1 ELSE 0 END AS BIGINT) AS exact_v,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2, 3, 4, 5, 6, 7 ORDER BY 1, 2, 3, 4, 5, 6, 7
+"""
+
+
 def events_format_json(sf_dir: str):
     """$(format-json) serializer (reference modules/json/format-json.c) over
     selected event columns."""
@@ -1505,6 +1557,7 @@ RAY_QUERIES = {
     "events_filterx_json": events_filterx_json,
     "events_filterx_datetime": events_filterx_datetime,
     "events_filterx_parse_fns": events_filterx_parse_fns,
+    "events_filterx_grammar2": events_filterx_grammar2,
     "emb_ivf_ann": emb_ivf_ann,
     "events_asof_join": events_asof_join,
     "events_hopping_windows": events_hopping_windows,
@@ -1558,6 +1611,7 @@ ORACLE_SQLS = {
     "events_filterx_json": EVENTS_FILTERX_JSON_SQL,
     "events_filterx_datetime": EVENTS_FILTERX_DATETIME_SQL,
     "events_filterx_parse_fns": EVENTS_FILTERX_PARSE_FNS_SQL,
+    "events_filterx_grammar2": EVENTS_FILTERX_GRAMMAR2_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_hopping_windows": EVENTS_HOPPING_SQL,
     "lineitem_range_join": LINEITEM_RANGE_SQL,

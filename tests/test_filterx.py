@@ -46,13 +46,27 @@ def test_drop_and_done():
 def test_switch_first_match_and_default():
     fx = FilterX("""
         switch ($sev) {
-          case "err": $n = 3;
-          case "warn": $n = 4;
+          case "err": $n = 3; break;
+          case "warn": $n = 4; break;
           default: $n = 6;
         }
     """)
     out = fx(_t(sev=["err", "warn", "info", None]))
     assert out.column("n").to_pylist() == [3, 4, 6, 6]
+
+
+def test_switch_fallthrough_without_break():
+    # the reference's own functional pins (test_switch_fallthrough*):
+    # without break, execution falls through into the next case body
+    fx = FilterX("""
+        switch ($sev) {
+          case "err": $n = 3;
+          case "warn": $n = 4; break;
+          default: $n = 6;
+        }
+    """)
+    out = fx(_t(sev=["err", "warn", "info"]))
+    assert out.column("n").to_pylist() == [4, 4, 6]
 
 
 def test_bool_ops_and_ternary():

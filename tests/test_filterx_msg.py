@@ -363,10 +363,20 @@ def test_string_slicing_reference_pins():
 def test_switch_case_range():
     t = _t(code=[102, 250, 404, 503, None])
     out = _run('switch ($code) {'
-               ' case 100..300: $class = "ok";'
-               ' case 400..500: $class = "client";'
+               ' case 100..300: $class = "ok"; break;'
+               ' case 400..500: $class = "client"; break;'
                ' default: $class = "other"; }', t)
     assert out.column("class").to_pylist() == ["ok", "ok", "client", "other", "other"]
+
+
+def test_switch_literal_beats_range_regardless_of_position():
+    # the reference probes its literal cache before iterating
+    # range/expr cases (expr-switch.c _find_matching_literal_case first)
+    t = _t(code=[250])
+    out = _run('switch ($code) {'
+               ' case 100..300: $class = "range"; break;'
+               ' case 250: $class = "exact"; break; }', t)
+    assert out.column("class").to_pylist() == ["exact"]
 
 
 def test_break_exits_innermost_block():
