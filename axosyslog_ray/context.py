@@ -1,0 +1,40 @@
+"""Ray Data context tuning for block sizing.
+
+Ray's read planner splits every read into at least
+`DataContext.read_op_min_num_blocks` blocks (default 200) so that a big
+job has enough parallelism. At small corpus sizes that minimum DOMINATES:
+the 600k-row bench headline becomes 224 blocks of ~2.7k rows, and the
+driver's per-block scheduling round-trips cost more wall time than the
+compute (measured: parse+write 11.5s at 224 blocks vs 2.5s at 64 blocks
+on the same 32-CPU box — the streaming executor's per-block driver work
+is the serial bottleneck, not the workers).
+
+`tune_read_blocks()` lowers the minimum to 2 blocks per cluster CPU
+(floor 32): every core still gets work, the driver loop handles ~3x
+fewer block events. At 100-TB scale this setting is INERT — natural
+block counts (target_max_block_size splits of big files) far exceed
+2/CPU, so the minimum never binds; it only stops the planner from
+shredding small inputs.
+"""
+
+from __future__ import annotations
+
+
+def cluster_cpus(default: int = 8) -> int:
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        pass
+    return default
+
+
+def tune_read_blocks(cpus: int | None = None) -> int:
+    """Set read_op_min_num_blocks = max(2*cpus, 32). Returns the value."""
+    import ray.data as rd
+
+    n = max(2 * (cpus if cpus is not None else cluster_cpus()), 32)
+    rd.DataContext.get_current().read_op_min_num_blocks = n
+    return n

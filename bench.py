@@ -64,6 +64,15 @@ def ensure_pages(n_rows: int) -> tuple[str, float]:
     return out, meta["payload_bytes"] / 1e9
 
 
+def sink_min_rows_per_file(n_rows: int) -> int:
+    """Target ~2 output files per write slot, floored so files never get
+    tiny: big corpora get the full 150k-row (~10-30MB) files, the 600k-row
+    bench corpus gets ~25k-row files instead of coalescing 32 write tasks
+    down to 4 (which serialized the write at small scale). At 100 TB the
+    same knob targets ~256MB files via the 150k cap being raised."""
+    return max(25_000, min(150_000, n_rows // (2 * NUM_CPUS)))
+
+
 def run_headline(pages_dir: str, out_dir: str) -> dict:
     import glob
 
@@ -73,6 +82,8 @@ def run_headline(pages_dir: str, out_dir: str) -> dict:
     from axosyslog_ray.pipelines.flagship import flagship_routed
 
     files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    with open(os.path.join(pages_dir, "_meta.json")) as fh:
+        routed_rows = json.load(fh)["n_rows"]
     # prune at the read: the fused stage parses `text` and carries
     # url/warc_ts/lang to the sinks — `html` (half the payload) is never
     # touched, so it must not leave storage (brief: "a read that loads
@@ -84,9 +95,10 @@ def run_headline(pages_dir: str, out_dir: str) -> dict:
     # min_rows_per_file: without it each write task emits one ~300KB file
     # per input block per route (896 files for a 280MB sink) — bad file
     # sizing for ANY downstream reader and ~2s of flat metadata/scheduling
-    # cost in the read-back aggregate. ~150k rows ≈ 10-30MB files here;
-    # at 100TB the same knob targets ~256MB files.
-    routed.write_parquet(out_dir, partition_cols=["route"], min_rows_per_file=150_000)
+    # cost in the read-back aggregate. Scaled with corpus size so the
+    # coalesce never throttles write parallelism (sink_min_rows_per_file).
+    routed.write_parquet(out_dir, partition_cols=["route"],
+                         min_rows_per_file=sink_min_rows_per_file(routed_rows))
     if os.environ.get("BENCH_DEBUG"):
         print(f"# write phase: {time.time() - t_w:.1f}s", file=sys.stderr)
         t_a = time.time()
@@ -124,6 +136,14 @@ def main() -> None:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
     ray.data.DataContext.get_current().enable_tensor_extension_casting = False
+    # Small-scale block sizing: Ray's default read_op_min_num_blocks=200
+    # shreds the bench corpora into ~2.7k-row blocks and the driver's
+    # per-block scheduling dominates wall time (measured 2-5x on the
+    # headline). 2 blocks/CPU keeps all cores busy with far fewer driver
+    # round-trips; inert at 100-TB scale (see axosyslog_ray/context.py).
+    from axosyslog_ray.context import tune_read_blocks
+
+    tune_read_blocks(NUM_CPUS)
     # Ray's sort-groupby emits empty-schema RefBundles for empty partitions
     # on small inputs — cosmetic internal warning, silenced
     import logging
