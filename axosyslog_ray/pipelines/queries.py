@@ -28,9 +28,21 @@ def round_half_away(s: pd.Series, digits: int = 2) -> pd.Series:
     return np.sign(v) * np.floor(np.abs(v) * f + 0.5) / f
 
 
+_BLOCKS_TUNED = False
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
+    # central read hook: floor read splitting at 2 blocks/CPU (Ray's
+    # default minimum of 200 shreds small test tables into ~kB blocks and
+    # per-block driver scheduling dominates; inert at scale — context.py)
+    global _BLOCKS_TUNED
+    if not _BLOCKS_TUNED:
+        from ..context import tune_read_blocks
+
+        tune_read_blocks()
+        _BLOCKS_TUNED = True
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
