@@ -1,0 +1,163 @@
+"""Training-data curation operators: decontamination, deterministic
+sampling, per-source quotas.
+
+These are the corpus-hygiene steps of a large-scale LLM data pipeline
+(beyond the reference's operator set; first-class per the build brief):
+
+- **Decontamination**: drop/flag training documents that share any word
+  n-gram with a benchmark/eval set (the standard open-eval hygiene step,
+  e.g. GPT-3 appendix C / PaLM-style 8-gram overlap). The eval side is
+  SMALL by definition (benchmarks are thousands of docs, not billions),
+  so its n-gram hash set is built once, `ray.put`-broadcast, and each
+  corpus batch checks membership with a vectorized searchsorted — the
+  corpus side streams, nothing corpus-sized ever sits on the driver.
+
+- **Deterministic hash sampling**: keep a row iff the first 4 hex chars
+  of md5(key) fall under a per-stratum threshold. Reproducible under any
+  partitioning (pure function of the row), no shuffle, no RNG state —
+  the scale-correct way to sample 100 TB (random_shuffle would be an
+  all-to-all exchange for no reason). Thresholds are expressed in
+  hex-string space so the DuckDB oracle is a plain lexicographic
+  `substr(md5(..),1,4) < 'xxxx'` comparison.
+
+- **Per-source quota**: cap each source/domain at K documents (smallest
+  order-key first — deterministic). Standard anti-boilerplate step for
+  web corpora. Runs on the repo's coarse-bucket shuffle (hash(source)%B
+  co-locates a source's rows; a bucket holds MANY sources, group sizes
+  stay bounded at scale) with one vectorized pandas groupby per bucket.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .hashutil import hash_str_array
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def _gram_hashes(texts: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All word-n-gram hashes of a batch of texts, flat, plus per-doc
+    segment starts (minhash.signatures_batch's layout). Tokenization is
+    lower + [a-z0-9]+ runs — chosen to be exactly expressible in the
+    DuckDB oracle (regexp_extract_all(lower(text), '[a-z0-9]+')). Docs
+    with fewer than n tokens contribute NO grams (can't be contaminated
+    by an n-gram they don't contain)."""
+    grams: list[str] = []
+    seg_starts = np.empty(len(texts) + 1, dtype=np.int64)
+    pos = 0
+    for d, text in enumerate(texts):
+        seg_starts[d] = pos
+        toks = _WORD_RE.findall(text.lower())
+        if len(toks) >= n:
+            grams.extend(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+            pos += len(toks) - n + 1
+    seg_starts[len(texts)] = pos
+    h = hash_str_array(np.array(grams, dtype=object)) if grams else np.empty(0, np.uint64)
+    return h, seg_starts
+
+
+def build_eval_gram_set(eval_ds, n: int = 5, text_col: str = "text") -> np.ndarray:
+    """Sorted unique n-gram hash array of the eval/benchmark set.
+
+    Driver-side by design: the eval side of decontamination is bounded
+    (a benchmark suite, not a corpus) — the brief's broadcast-small-side
+    pattern. Streams eval batches; never materializes the corpus."""
+    parts: list[np.ndarray] = []
+    for b in eval_ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        texts = b.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
+        h, _ = _gram_hashes(texts, n)
+        parts.append(h)
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+class Decontaminator:
+    """Actor-pool stage: flag corpus docs sharing any n-gram with the
+    broadcast eval gram set. `ds.map_batches(Decontaminator,
+    fn_constructor_kwargs=dict(eval_grams_ref=ref), concurrency=N)` —
+    the eval set is fetched once per actor (zero-copy object store read),
+    membership per batch is one searchsorted over the flat gram array."""
+
+    def __init__(self, eval_grams_ref=None, eval_grams: np.ndarray | None = None,
+                 n: int = 5, text_col: str = "text", id_col: str = "doc_id"):
+        if eval_grams is None:
+            import ray
+
+            eval_grams = ray.get(eval_grams_ref)
+        self.eval_grams = np.asarray(eval_grams, dtype=np.uint64)  # sorted unique
+        self.n = n
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pandas().fillna("").to_numpy(dtype=object)
+        h, seg = _gram_hashes(texts, self.n)
+        pos = np.searchsorted(self.eval_grams, h)
+        pos[pos == len(self.eval_grams)] = max(len(self.eval_grams) - 1, 0)
+        hit = (self.eval_grams[pos] == h) if len(self.eval_grams) else np.zeros(len(h), bool)
+        # per-doc any(): sum hits over each doc's gram segment
+        csum = np.concatenate([[0], np.cumsum(hit)])
+        contaminated = (csum[seg[1:]] - csum[seg[:-1]]) > 0
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "contaminated": pa.array(contaminated),
+        })
+
+
+def decontaminate(ds, eval_ds, n: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id", concurrency: int = 4):
+    """(id, contaminated) flags for every row of `ds` vs `eval_ds` grams."""
+    import ray
+
+    ref = ray.put(build_eval_gram_set(eval_ds, n, text_col))
+    return ds.map_batches(
+        Decontaminator,
+        fn_constructor_kwargs=dict(eval_grams_ref=ref, n=n, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def md5_bucket_hex4(keys: np.ndarray) -> np.ndarray:
+    """First 4 hex chars of md5(str(key)) per row — the sampling coordinate.
+    md5 is per-row by nature; the loop is over a C-level object array and
+    md5 of tiny inputs is ~1µs — this is the documented cost of choosing a
+    coordinate every SQL engine can reproduce exactly (DuckDB md5())."""
+    return np.array([hashlib.md5(str(k).encode()).hexdigest()[:4] for k in keys], dtype=object)
+
+
+def hash_sample(ds, rates: dict[str, float], key_col: str = "doc_id",
+                strat_col: str = "lang", default_rate: float = 0.0):
+    """Deterministic stratified sampling: keep a row iff
+    md5hex4(key) < hex4(rate[stratum] * 65536). Pure per-row function —
+    no shuffle, reproducible at any partitioning/scale."""
+    thresholds = {s: format(min(int(r * 65536), 65535), "04x") for s, r in rates.items()}
+    default_thr = format(min(int(default_rate * 65536), 65535), "04x")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pandas().to_numpy()
+        strata = batch.column(strat_col).to_pandas().to_numpy(dtype=object)
+        hx = md5_bucket_hex4(keys)
+        thr = np.array([thresholds.get(s, default_thr) for s in strata], dtype=object)
+        return batch.filter(pa.array(hx < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def quota_head(ds, key_col: str, order_col: str, k: int, num_buckets: int | None = None):
+    """Keep the first k rows per key (ascending order_col) — per-domain
+    document caps. Coarse-bucket shuffle + one vectorized pandas
+    sort+groupby.head per bucket (bounded group sizes at any scale)."""
+    from .shuffle import bucketed_map_groups
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([key_col, order_col], kind="mergesort").groupby(key_col, sort=False).head(k)
+
+    return bucketed_map_groups(ds, key_col, cap, num_buckets=num_buckets)

@@ -1524,6 +1524,84 @@ def emb_knn_label(sf_dir: str):
     return pd.DataFrame(rows).sort_values("vec_id").reset_index(drop=True)
 
 
+def docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    3-gram with the eval set (doc_id % 97 == 0 stands in for a benchmark
+    suite). Eval gram set broadcast once; corpus streams (curation.py)."""
+    from ..curation import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _split(is_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = pa.array(b.column("doc_id").to_numpy() % 97 == 0)
+            return b.filter(m if is_eval else pc.invert(m))
+
+        return f
+
+    eval_ds = docs.map_batches(_split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_split(False), batch_format="pyarrow")
+    out = decontaminate(corpus, eval_ds, n=3).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_DECONTAMINATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g FROM idx
+),
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT d.doc_id,
+       EXISTS(SELECT 1 FROM grams gr JOIN eval_grams e USING (g)
+              WHERE gr.doc_id = d.doc_id) AS contaminated
+FROM documents d WHERE d.doc_id % 97 <> 0
+ORDER BY doc_id
+"""
+
+
+def docs_hash_sample(sf_dir: str):
+    """Deterministic stratified sampling: keep a doc iff the first 4 hex
+    chars of md5(doc_id) fall under its language's rate threshold —
+    reproducible under any partitioning, no shuffle, no RNG (curation.py)."""
+    from ..curation import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = hash_sample(ds, rates={"en": 0.5, "de": 0.2}, key_col="doc_id",
+                      strat_col="lang", default_rate=0.05).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_HASH_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '3333' ELSE '0ccc' END
+ORDER BY doc_id
+"""
+
+
+def docs_source_quota(sf_dir: str):
+    """Per-source document cap: first 30 docs per source by doc_id
+    (web-corpus per-domain quota; coarse-bucket shuffle, curation.py)."""
+    from ..curation import quota_head
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = quota_head(ds, key_col="source", order_col="doc_id", k=30).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "source"]]
+
+
+DOCS_SOURCE_QUOTA_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn <= 30 ORDER BY doc_id
+"""
+
+
 RAY_QUERIES = {
     "q1_pricing": q1_pricing,
     "customer_nation_join": customer_nation_join,
@@ -1574,6 +1652,9 @@ RAY_QUERIES = {
     "events_asof_join": events_asof_join,
     "events_hopping_windows": events_hopping_windows,
     "lineitem_range_join": lineitem_range_join,
+    "docs_decontaminate": docs_decontaminate,
+    "docs_hash_sample": docs_hash_sample,
+    "docs_source_quota": docs_source_quota,
 }
 
 ORACLE_SQLS = {
@@ -1627,6 +1708,9 @@ ORACLE_SQLS = {
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_hopping_windows": EVENTS_HOPPING_SQL,
     "lineitem_range_join": LINEITEM_RANGE_SQL,
+    "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
+    "docs_hash_sample": DOCS_HASH_SAMPLE_SQL,
+    "docs_source_quota": DOCS_SOURCE_QUOTA_SQL,
     # exhaustive IVF (nprobe=nlist) provably equals brute-force top-k,
     # so the independent brute-force SQL is a true oracle for the full
     # IVF train/assign/scan machinery

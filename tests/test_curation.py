@@ -1,0 +1,96 @@
+"""Curation operators: decontamination, hash sampling, per-source quota."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from axosyslog_ray.curation import (
+    Decontaminator,
+    build_eval_gram_set,
+    decontaminate,
+    hash_sample,
+    md5_bucket_hex4,
+    quota_head,
+)
+
+
+def _docs_ds(rows):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+    }))
+
+
+class TestDecontaminate:
+    def test_planted_overlap_flagged(self, ray_session):
+        eval_ds = _docs_ds([(100, "the quick brown fox jumps over dogs")])
+        corpus = _docs_ds([
+            (1, "completely unrelated words here okay"),          # clean
+            (2, "intro text quick brown fox tail words"),         # shares 3-gram
+            (3, "quick brown unrelated"),                          # only 2 shared in a row -> no 3-gram
+            (4, "xx"),                                             # < 3 tokens, no grams
+        ])
+        out = decontaminate(corpus, eval_ds, n=3).to_pandas().set_index("doc_id")
+        assert not out.loc[1, "contaminated"]
+        assert out.loc[2, "contaminated"]
+        assert not out.loc[3, "contaminated"]
+        assert not out.loc[4, "contaminated"]
+
+    def test_case_and_punct_normalized(self, ray_session):
+        eval_ds = _docs_ds([(9, "Alpha Beta Gamma")])
+        corpus = _docs_ds([(1, "prefix alpha, BETA gamma! suffix")])
+        out = decontaminate(corpus, eval_ds, n=3).to_pandas()
+        assert bool(out["contaminated"].iloc[0])
+
+    def test_empty_eval_set(self, ray_session):
+        eval_ds = _docs_ds([])
+        corpus = _docs_ds([(1, "some words in a row here")])
+        grams = build_eval_gram_set(eval_ds, n=3)
+        assert len(grams) == 0
+        dec = Decontaminator(eval_grams=grams, n=3)
+        out = dec(pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                            "text": pa.array(["some words in a row"])}))
+        assert out.column("contaminated").to_pylist() == [False]
+
+
+class TestHashSample:
+    def test_thresholds_and_determinism(self, ray_session):
+        n = 4000
+        df = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": np.where(np.arange(n) % 2 == 0, "en", "de"),
+        })
+        ds = rd.from_pandas(df)
+        kept = hash_sample(ds, rates={"en": 0.5, "de": 0.1}, key_col="doc_id",
+                           strat_col="lang").to_pandas()
+        # per-row recheck: exact membership, not a statistical bound
+        hx = md5_bucket_hex4(kept["doc_id"].to_numpy())
+        thr = np.where(kept["lang"].to_numpy() == "en", "8000", "1999")
+        assert (hx < thr).all()
+        # rates land near nominal
+        en_rate = (kept["lang"] == "en").sum() / (n / 2)
+        de_rate = (kept["lang"] == "de").sum() / (n / 2)
+        assert abs(en_rate - 0.5) < 0.05 and abs(de_rate - 0.1) < 0.03
+        # identical under different partitioning
+        kept2 = hash_sample(ds.repartition(7), rates={"en": 0.5, "de": 0.1},
+                            key_col="doc_id", strat_col="lang").to_pandas()
+        assert sorted(kept2["doc_id"]) == sorted(kept["doc_id"])
+
+    def test_default_rate_zero_drops_unknown(self, ray_session):
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2, 3], "lang": ["xx"] * 3}))
+        kept = hash_sample(ds, rates={"en": 1.0}, key_col="doc_id", strat_col="lang").to_pandas()
+        assert len(kept) == 0
+
+
+class TestQuotaHead:
+    def test_cap_keeps_smallest_order_keys(self, ray_session):
+        rows = [(i, f"src{i % 3}") for i in range(90)]
+        ds = rd.from_pandas(pd.DataFrame(rows, columns=["doc_id", "source"]))
+        out = quota_head(ds, key_col="source", order_col="doc_id", k=5).to_pandas()
+        assert len(out) == 15
+        for s, g in out.groupby("source"):
+            expected = sorted(i for i, src in rows if src == s)[:5]
+            assert sorted(g["doc_id"]) == expected
