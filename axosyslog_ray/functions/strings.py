@@ -291,6 +291,74 @@ def tf_format_date(t, fmt, ts=None):
     )
 
 
+def tf_stardate(t, *args):
+    """$(stardate [--digits N] $UNIXTIME) (reference modules/stardate/
+    stardate.c): year + elapsed-fraction-of-year, fraction FLOORED at N
+    digits (default 2). UTC calendar (engine convention; the reference
+    uses the daemon's local timezone)."""
+    args = list(args)
+    digits = 2
+    if args and len(args[0]) and str(args[0].iloc[0]) == "--digits":
+        digits = int(str(args[1].iloc[0]))
+        args = args[2:]
+    if not (0 <= digits <= 9):
+        raise ValueError("stardate: digits must be between 0-9")
+    secs = pd.to_numeric(_s(args[0]), errors="coerce")
+    ts = pd.to_datetime(secs, unit="s", utc=True, errors="coerce")
+    year = ts.dt.year
+    soy = pd.to_datetime(year.map(lambda y: f"{int(y)}-01-01" if pd.notna(y) else None), utc=True, errors="coerce")
+    elapsed = (ts - soy).dt.total_seconds()
+    leap = ((year % 4 == 0) & (year % 100 != 0)) | (year % 400 == 0)
+    ysecs = np.where(leap.fillna(False), 31622400.0, 31536000.0)
+    p = 10.0 ** digits
+    val = year + np.floor((elapsed / ysecs) * p) / p
+    return pd.Series(["" if pd.isna(v) else f"{v:.{digits}f}" for v in val], dtype=object)
+
+
+def _md4_hex(data: bytes) -> str:
+    """Pure-Python MD4 (RFC 1320, public algorithm) — this container's
+    OpenSSL 3 removed the md4 provider, so hashlib.new('md4') raises."""
+    import struct
+
+    M = 0xFFFFFFFF
+
+    def lrot(x, n):
+        return ((x << n) | (x >> (32 - n))) & M
+
+    msg = bytearray(data)
+    ml = (8 * len(data)) & 0xFFFFFFFFFFFFFFFF
+    msg.append(0x80)
+    while len(msg) % 64 != 56:
+        msg.append(0)
+    msg += struct.pack("<Q", ml)
+    A, B, C, D = 0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476
+    R3_ORDER = (0, 8, 4, 12, 2, 10, 6, 14, 1, 9, 5, 13, 3, 11, 7, 15)
+    for off in range(0, len(msg), 64):
+        X = struct.unpack("<16I", bytes(msg[off : off + 64]))
+        v = [A, B, C, D]
+        for i in range(16):  # round 1: F = xy | ~x z
+            j = (-i) % 4
+            f = (v[(j + 1) % 4] & v[(j + 2) % 4]) | (~v[(j + 1) % 4] & v[(j + 3) % 4])
+            v[j] = lrot((v[j] + f + X[i]) & M, (3, 7, 11, 19)[i % 4])
+        for i in range(16):  # round 2: G = xy | xz | yz, +0x5A827999
+            j = (-i) % 4
+            x, y, z = v[(j + 1) % 4], v[(j + 2) % 4], v[(j + 3) % 4]
+            g = (x & y) | (x & z) | (y & z)
+            k = (i % 4) * 4 + i // 4
+            v[j] = lrot((v[j] + g + X[k] + 0x5A827999) & M, (3, 5, 9, 13)[i % 4])
+        for i in range(16):  # round 3: H = x^y^z, +0x6ED9EBA1
+            j = (-i) % 4
+            h = v[(j + 1) % 4] ^ v[(j + 2) % 4] ^ v[(j + 3) % 4]
+            v[j] = lrot((v[j] + h + X[R3_ORDER[i]] + 0x6ED9EBA1) & M, (3, 9, 11, 15)[i % 4])
+        A, B, C, D = (A + v[0]) & M, (B + v[1]) & M, (C + v[2]) & M, (D + v[3]) & M
+    return struct.pack("<4I", A, B, C, D).hex()
+
+
+def tf_md4(t, a):
+    """$(md4) (reference modules/cryptofuncs/) via the RFC 1320 fallback."""
+    return _s(a).map(lambda x: _md4_hex(x.encode()))
+
+
 def tf_uuid(t, *args):
     # deterministic per-row UUID5 over row index (the reference's $(uuid) is
     # random; determinism is required for replayable batch lineage)
@@ -635,7 +703,9 @@ TEMPLATE_FUNCS = {
     "sha256": _digest("sha256"),
     "sha512": _digest("sha512"),
     "md5": _digest("md5"),
+    "md4": tf_md4,
     "hash": _digest("sha256"),
+    "stardate": tf_stardate,
     "uuid": tf_uuid,
     "list-concat": tf_list_concat,
     "list-head": tf_list_head,

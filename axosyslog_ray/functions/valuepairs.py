@@ -196,6 +196,63 @@ def format_cef(
     return table.append_column(out_col, pa.array(out, type=pa.string()))
 
 
+def format_cef_extension(table: pa.Table, vp: ValuePairs | None = None,
+                         out_col: str = "cef_ext_out") -> pa.Table:
+    """$(format-cef-extension): extension-only CEF serialization of the
+    value-pairs selection (reference modules/cef/format-cef-extension.c):
+    keys must be fully alphanumeric (others dropped — the walker's
+    strspn key check), values escape \\ = \\n \\r literally and other
+    control chars < 32 as \\uXXXX, pairs space-joined in sorted key order
+    (tf_cef_walk_cmp strcmp)."""
+    vp = vp or ValuePairs("everything")
+    _, rows = _rows(table, vp)
+
+    def esc(v: str) -> str:
+        out = []
+        for ch in v:
+            if ch == "\\":
+                out.append("\\\\")
+            elif ch == "=":
+                out.append("\\=")
+            elif ch == "\n":
+                out.append("\\n")
+            elif ch == "\r":
+                out.append("\\r")
+            elif ord(ch) < 32:
+                out.append(f"\\u{ord(ch):04x}")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    out = [
+        " ".join(f"{k}={esc(str(v))}" for k, v in sorted(r.items()) if k.isalnum() and k.isascii())
+        for r in rows
+    ]
+    return table.append_column(out_col, pa.array(out, type=pa.string()))
+
+
+def format_graphite(table: pa.Table, vp: ValuePairs | None = None,
+                    timestamp: str = "$R_UNIXTIME",
+                    out_col: str = "graphite_out") -> pa.Table:
+    """$(graphite-output [--timestamp tmpl] --key glob): graphite plaintext
+    protocol, one 'name value unixtime\\n' line per selected pair
+    (reference modules/graphite/graphite-output.c). A leading '.' in a key
+    is replaced with '_' (the module's hardwired replace-prefix transform)."""
+    from .templates import Template
+
+    vp = vp or ValuePairs("everything")
+    _, rows = _rows(table, vp)
+    ts = Template(timestamp).eval(table)
+    out = []
+    for i, r in enumerate(rows):
+        t = str(ts[i])
+        out.append("".join(
+            f"{('_' + k[1:]) if k.startswith('.') else k} {v} {t}\n"
+            for k, v in sorted(r.items())
+        ))
+    return table.append_column(out_col, pa.array(out, type=pa.string()))
+
+
 def format_leef(
     table: pa.Table,
     vendor: str = "axosyslog-ray",

@@ -308,3 +308,45 @@ def test_transport_macros_reference_fallbacks():
     assert list(MACROS["IP_PROTO"](t)) == ["4", "0", "4"]
     assert list(MACROS["TAG"](t)) == ["26", "a5", ""]
     assert list(MACROS["PRIORITY"](t)) == ["info", "notice", ""]
+
+
+def test_md4_rfc1320_vectors():
+    # RFC 1320 appendix A.5 test suite
+    from axosyslog_ray.functions.strings import _md4_hex
+
+    assert _md4_hex(b"") == "31d6cfe0d16ae931b73c59d7e0c089c0"
+    assert _md4_hex(b"abc") == "a448017aaf21d8525fc10ae87aa6729d"
+    assert _md4_hex(b"message digest") == "d9130a8164549fe818874806e1c7014b"
+    assert (
+        _md4_hex(b"12345678901234567890123456789012345678901234567890123456789012345678901234567890")
+        == "e33b4ddc9c38f2199c3e7b164fcc0536"
+    )
+    t = pa.table({"m": ["abc"]})
+    assert Template("$(md4 $m)").eval(t).tolist() == ["a448017aaf21d8525fc10ae87aa6729d"]
+
+
+def test_stardate():
+    # 2017-01-01T00:00:00Z -> 2017.00; 2017-07-01T12:00:00Z ->
+    # floor(15638400/31536000 * 100)/100 = .49; --digits 0 truncates
+    t = pa.table({"u": ["1483228800", "1498910400"]})
+    assert Template("$(stardate $u)").eval(t).tolist() == ["2017.00", "2017.49"]
+    assert Template("$(stardate --digits 0 $u)").eval(t).tolist() == ["2017", "2017"]
+    # leap year denominator: 2016-07-01T12:00:00Z elapsed=15768000 over
+    # 31622400 -> .49867 -> 2016.4986 at 4 digits
+    t2 = pa.table({"u": ["1467374400"]})
+    assert Template("$(stardate --digits 4 $u)").eval(t2).tolist() == ["2016.4986"]
+
+
+def test_format_cef_extension_and_graphite():
+    from axosyslog_ray.functions.valuepairs import ValuePairs, format_cef_extension, format_graphite
+
+    t = pa.table({
+        "act": ["blocked a=b", "ok"],
+        "bad.key": ["x", "y"],          # non-alnum key -> dropped by cef-ext
+        "recvd_unixtime": ["100", "200"],
+    })
+    vp = ValuePairs(include=["act", "bad.key"])
+    out = format_cef_extension(t, vp).column("cef_ext_out").to_pylist()
+    assert out == ["act=blocked a\\=b", "act=ok"]
+    g = format_graphite(t, ValuePairs(include=["act"]), timestamp="$recvd_unixtime")
+    assert g.column("graphite_out").to_pylist() == ["act blocked a=b 100\n", "act ok 200\n"]
