@@ -102,8 +102,14 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5, shingle: int = 3,
         return b.append_column("_shard", pa.array(shard))
 
     def pairs_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        freq = g.groupby("sh")["sh"].transform("size")
+        # singleton shingles (the long tail) can never form an id_a<id_b
+        # pair — drop them BEFORE the self-merge so the merge input is
+        # only the shared-shingle rows, not the whole shard
+        keep = freq >= 2
         if max_shingle_freq is not None:
-            g = g[g.groupby("sh")["sh"].transform("size") <= max_shingle_freq]
+            keep &= freq <= max_shingle_freq
+        g = g[keep]
         m = g.merge(g, on="sh", suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         if m.empty:
