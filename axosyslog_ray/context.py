@@ -38,3 +38,16 @@ def tune_read_blocks(cpus: int | None = None) -> int:
     n = max(2 * (cpus if cpus is not None else cluster_cpus()), 32)
     rd.DataContext.get_current().read_op_min_num_blocks = n
     return n
+
+
+def actor_pool_size(requested: int) -> int:
+    """Cap a fixed actor-pool size at cluster_cpus - 1.
+
+    A fixed-size actor pool reserves one CPU per actor for the stage's
+    whole lifetime; if the pool takes EVERY cluster CPU, the upstream
+    task-based operators (the read, fused map_batches) can never
+    schedule and the pipeline deadlocks — observed as a silent hang on
+    the 4-CPU pytest session the first time a `concurrency=4` class
+    stage ran there. One spare CPU keeps the producer side live; on a
+    real cluster (cpus >> pool) the cap is inert."""
+    return max(1, min(requested, cluster_cpus(default=requested + 1) - 1))

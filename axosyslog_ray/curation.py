@@ -116,12 +116,14 @@ def decontaminate(ds, eval_ds, n: int = 5, text_col: str = "text",
     """(id, contaminated) flags for every row of `ds` vs `eval_ds` grams."""
     import ray
 
+    from .context import actor_pool_size
+
     ref = ray.put(build_eval_gram_set(eval_ds, n, text_col))
     return ds.map_batches(
         Decontaminator,
         fn_constructor_kwargs=dict(eval_grams_ref=ref, n=n, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=actor_pool_size(concurrency),
     )
 
 

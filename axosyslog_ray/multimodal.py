@@ -182,11 +182,7 @@ def decode_images(ds, concurrency=4, batch_size: int = 256):
     before anything downstream. The pool is capped below the CPU count so
     the upstream read task always has a slot (an actor pool sized == CPUs
     deadlocks the streaming executor — observed at num_cpus=4)."""
-    try:
-        import ray
+    from .context import actor_pool_size
 
-        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    except Exception:
-        cpus = 4
-    concurrency = min(concurrency, max(1, cpus - 1))
-    return ds.map_batches(DecodeImage, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+    return ds.map_batches(DecodeImage, batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=actor_pool_size(concurrency))
