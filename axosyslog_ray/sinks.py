@@ -54,6 +54,77 @@ def _format_lines(t: pa.Table, template) -> list[str]:
     return tpl.eval(t).tolist()
 
 
+class RoutedParquetDatasink(Datasink):
+    """file() destination: hive-partitioned parquet fan-out with the
+    per-sink counters FUSED into the write tasks.
+
+    The reference keeps per-destination processed counters as it writes
+    (lib/logwriter.c stats counters) rather than re-reading its sinks;
+    same shape here: each write task writes root/<col>=<val>/*.parquet
+    for its bundle and RETURNS its (count_cols) partial counts — bounded
+    cardinality, an Arrow C++ hash aggregate per bundle — and
+    `on_write_complete` merges the partials on the driver. One streaming
+    execution produces both the sinks and the aggregate; the alternative
+    (write, then a read-back aggregate pipeline) pays a second
+    execution's driver-side fixed cost, which is flat in CPU count and
+    caps measured scaling efficiency on short runs (BASELINE.md phase
+    decomposition).
+
+    `min_rows_per_write` makes Ray bundle at least that many rows per
+    write() call, so output files stay sized (~one file per partition
+    value per bundle) — never one tiny file per block."""
+
+    def __init__(self, root: str, partition_col: str = "route",
+                 count_cols: tuple[str, ...] = ("route", "host"),
+                 min_rows_per_file: int = 100_000):
+        self.root = root
+        self.partition_col = partition_col
+        self.count_cols = list(count_cols)
+        self._min_rows = min_rows_per_file
+        self.counts = None  # pandas (count_cols..., n) after on_write_complete
+
+    @property
+    def min_rows_per_write(self) -> int:
+        return self._min_rows
+
+    def on_write_start(self):
+        os.makedirs(self.root, exist_ok=True)
+
+    def write(self, blocks, ctx):
+        import pyarrow.compute as pc
+
+        tables = _to_tables(blocks)
+        if not tables:
+            return []
+        t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+        agg = t.select(self.count_cols).group_by(self.count_cols).aggregate([([], "count_all")])
+        part = t.column(self.partition_col)
+        for val in pc.unique(part).to_pylist():
+            sub = t.filter(pc.equal(part, val))
+            d = os.path.join(self.root, f"{self.partition_col}={val}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                sub.drop_columns([self.partition_col]),
+                os.path.join(d, f"part_{ctx.task_idx:05d}_{uuid.uuid4().hex[:8]}.parquet"),
+            )
+        cols = [agg.column(c).to_pylist() for c in (*self.count_cols, "count_all")]
+        return list(zip(*cols))
+
+    def on_write_complete(self, write_result):
+        import pandas as pd
+
+        rows = [r for ret in write_result.write_returns for r in (ret or [])]
+        df = pd.DataFrame(rows, columns=[*self.count_cols, "n"])
+        # dropna=False: null group keys are real sinks (e.g. messages with
+        # no host) — pandas' default silently drops them, Arrow's doesn't
+        self.counts = (
+            df.groupby(self.count_cols, as_index=False, dropna=False)["n"].sum() if len(df) else df
+        )
+
+    def get_name(self):
+        return f"RoutedParquet({self.root})"
+
+
 class ProgramDatasink(Datasink):
     """program() destination: each write task spawns the child command
     ONCE (afprog.c keeps one child per writer) and streams formatted
@@ -73,11 +144,18 @@ class ProgramDatasink(Datasink):
                                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         n = 0
         try:
-            for t in _to_tables(blocks):
-                payload = ("\n".join(_format_lines(t, self.template)) + "\n").encode()
-                proc.stdin.write(payload)
-                n += t.num_rows
-            proc.stdin.close()
+            # A child that dies mid-stream surfaces as BrokenPipeError on
+            # write/close — that IS the failure signal (afprog.c treats a
+            # dead child as destination error); report its exit status
+            # instead of the raw pipe error.
+            try:
+                for t in _to_tables(blocks):
+                    payload = ("\n".join(_format_lines(t, self.template)) + "\n").encode()
+                    proc.stdin.write(payload)
+                    n += t.num_rows
+                proc.stdin.close()
+            except BrokenPipeError:
+                pass
             rc = proc.wait(timeout=60)
         except Exception:
             proc.kill()

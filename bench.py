@@ -78,7 +78,6 @@ def run_headline(pages_dir: str, out_dir: str) -> dict:
 
     import ray.data as rd
 
-    from axosyslog_ray.aggregate import pre_aggregated_count
     from axosyslog_ray.pipelines.flagship import flagship_routed
 
     files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
@@ -92,25 +91,23 @@ def run_headline(pages_dir: str, out_dir: str) -> dict:
     ds = rd.read_parquet(files, columns=["url", "warc_ts", "text", "lang"])
     routed = flagship_routed(ds)
     t_w = time.time()
-    # min_rows_per_file: without it each write task emits one ~300KB file
-    # per input block per route (896 files for a 280MB sink) — bad file
-    # sizing for ANY downstream reader and ~2s of flat metadata/scheduling
-    # cost in the read-back aggregate. Scaled with corpus size so the
-    # coalesce never throttles write parallelism (sink_min_rows_per_file).
-    routed.write_parquet(out_dir, partition_cols=["route"],
-                         min_rows_per_file=sink_min_rows_per_file(routed_rows))
+    # One streaming execution produces BOTH the partitioned sinks and the
+    # (route, host) aggregate: RoutedParquetDatasink write tasks return
+    # their partial counts (Arrow hash aggregate per bundle, bounded
+    # cardinality) and the driver merges them — the reference's
+    # count-as-you-write stats counters (lib/logwriter.c), and no second
+    # read-back pipeline execution (its ~2s driver fixed cost is flat in
+    # CPU count and capped measured scaling efficiency — BASELINE.md).
+    # min_rows_per_file keeps sink files sized (not one per block/route).
+    from axosyslog_ray.sinks import RoutedParquetDatasink
+
+    sink = RoutedParquetDatasink(out_dir, partition_col="route",
+                                 count_cols=("route", "host"),
+                                 min_rows_per_file=sink_min_rows_per_file(routed_rows))
+    routed.write_datasink(sink)
     if os.environ.get("BENCH_DEBUG"):
-        print(f"# write phase: {time.time() - t_w:.1f}s", file=sys.stderr)
-        t_a = time.time()
-    # aggregate over the written sinks with the read pruned to the two key
-    # columns (route is a partition dir, host one parquet column)
-    agg = pre_aggregated_count(
-        rd.read_parquet(out_dir, columns=["route", "host"]), ["route", "host"], alias="n",
-        final="driver",  # route x host cardinality is bounded (~4k keys)
-    )
-    sink_counts = agg.groupby("route")["n"].sum().to_dict()
-    if os.environ.get("BENCH_DEBUG"):
-        print(f"# agg phase: {time.time() - t_a:.1f}s", file=sys.stderr)
+        print(f"# write+agg phase: {time.time() - t_w:.1f}s", file=sys.stderr)
+    sink_counts = sink.counts.groupby("route")["n"].sum().to_dict()
     return {"sink_counts": {k: int(v) for k, v in sink_counts.items()}}
 
 
@@ -256,6 +253,7 @@ def scaling() -> None:
         r_lo, r_hi = one(lo), one(hi)
         pairs.append((r_lo["value"] / (4 * r_hi["value"]), r_lo, r_hi))
     pairs.sort(key=lambda p: p[0])
+    all_ratios = [round(p[0], 3) for p in pairs]
     _, med_lo, med_hi = pairs[len(pairs) // 2]
     results = {lo: med_lo, hi: med_hi}
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
@@ -271,6 +269,7 @@ def scaling() -> None:
                 f"rows_per_sec_{lo}": thr_lo,
                 f"rows_per_sec_{hi}": thr_hi,
                 "scaling_efficiency": round(eff, 3),
+                "pair_ratios": all_ratios,  # per-rep spread — this VM drifts ±20-30% (BASELINE.md)
                 "pass": eff >= 0.8,
                 "sink_counts_match": results[lo]["headline"]["sink_counts"] == results[hi]["headline"]["sink_counts"],
             }

@@ -112,3 +112,37 @@ def test_kafka_sink_partitions_by_key_template():
 def test_kafka_default_factory_is_honest():
     with pytest.raises(NotImplementedError, match="kafka client"):
         KafkaDatasink("t").write([pa.table({"v": [1]})], type("C", (), {"task_idx": 0})())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_routed_parquet_sink_counts_match_readback(tmp_path):
+    import ray.data as rd
+
+    from axosyslog_ray.sinks import RoutedParquetDatasink
+
+    # host=None for part of one route: null group keys are real sinks and
+    # must survive the driver merge (pandas groupby drops NaN by default)
+    rows = [{"route": ["web", "auth", "errors"][i % 3],
+             "host": None if i % 3 == 0 else f"h{i % 7}",
+             "value": i} for i in range(1000)]
+    ds = rd.from_items(rows).repartition(6)
+    sink = RoutedParquetDatasink(str(tmp_path / "sinks"), partition_col="route",
+                                 count_cols=("route", "host"), min_rows_per_file=200)
+    ds.write_datasink(sink)
+
+    # fused counts == a read-back groupby over the written files
+    back = rd.read_parquet(str(tmp_path / "sinks")).to_pandas()
+    expect = back.groupby(["route", "host"], dropna=False).size().rename("n").reset_index()
+
+    def canon(df):
+        df = df.copy()
+        df["host"] = df["host"].fillna("<null>")
+        return df.sort_values(["route", "host"]).reset_index(drop=True).astype(str)
+
+    assert canon(sink.counts).equals(canon(expect))
+    assert int(sink.counts["n"].sum()) == 1000
+
+    # hive layout: partition dirs, partition column restored on read
+    dirs = sorted(os.path.basename(p) for p in glob.glob(str(tmp_path / "sinks" / "route=*")))
+    assert dirs == ["route=auth", "route=errors", "route=web"]
+    assert set(back.columns) >= {"route", "host", "value"}
