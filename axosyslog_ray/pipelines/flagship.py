@@ -257,10 +257,15 @@ def run_flagship(n_rows: int = 6000, out_dir: str | None = None, concurrency=Non
     ds = pages_dataset(n_rows, seed=seed)
     routed = flagship_routed(ds, concurrency=concurrency)
     if out_dir:
-        # size sink files sanely: one file per ~150k rows, not one tiny
-        # file per task-block-route combination (bench.py note; at 100TB
-        # the same knob targets ~256MB files)
-        routed.write_parquet(out_dir, partition_cols=["route"], min_rows_per_file=150_000)
+        # fused count-on-write sink: one streaming execution writes the
+        # hive-partitioned sinks AND returns (route, host) partials —
+        # no read-back pipeline (sinks.RoutedParquetDatasink docstring)
+        from ..sinks import RoutedParquetDatasink
+
+        sink = RoutedParquetDatasink(out_dir, partition_col="route",
+                                     count_cols=("route", "host"),
+                                     min_rows_per_file=150_000)
+        routed.write_datasink(sink)
         import ray.data as rd
 
         routed = rd.read_parquet(out_dir)
