@@ -87,16 +87,23 @@ class Decontaminator:
 
     def __init__(self, eval_grams_ref=None, eval_grams: np.ndarray | None = None,
                  n: int = 5, text_col: str = "text", id_col: str = "doc_id"):
-        if eval_grams is None:
-            import ray
-
-            eval_grams = ray.get(eval_grams_ref)
-        self.eval_grams = np.asarray(eval_grams, dtype=np.uint64)  # sorted unique
+        # resolve the broadcast ref LAZILY (first __call__): as an actor
+        # ctor that's once per actor; as a pickled task instance the
+        # driver-side object stays a tiny ref and each worker fetches the
+        # gram set zero-copy from its local object store
+        self._ref = eval_grams_ref
+        self.eval_grams = (
+            None if eval_grams is None else np.asarray(eval_grams, dtype=np.uint64)
+        )  # sorted unique
         self.n = n
         self.text_col = text_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.eval_grams is None:
+            import ray
+
+            self.eval_grams = np.asarray(ray.get(self._ref), dtype=np.uint64)
         texts = batch.column(self.text_col).to_pandas().fillna("").to_numpy(dtype=object)
         h, seg = _gram_hashes(texts, self.n)
         pos = np.searchsorted(self.eval_grams, h)
@@ -118,7 +125,17 @@ def decontaminate(ds, eval_ds, n: int = 5, text_col: str = "text",
 
     from .context import actor_pool_size
 
+    from .context import cluster_cpus
+
     ref = ray.put(build_eval_gram_set(eval_ds, n, text_col))
+    if cluster_cpus() < 2:
+        # a 1-CPU cluster can't host ANY fixed actor pool (the pool
+        # reserves the lone CPU and the read starves — context.py); the
+        # stage is read-only state, so run it as plain tasks instead —
+        # the instance pickles the broadcast ref, each worker fetches
+        # the gram set zero-copy from the object store
+        inst = Decontaminator(eval_grams_ref=ref, n=n, text_col=text_col, id_col=id_col)
+        return ds.map_batches(inst, batch_format="pyarrow")
     return ds.map_batches(
         Decontaminator,
         fn_constructor_kwargs=dict(eval_grams_ref=ref, n=n, text_col=text_col, id_col=id_col),
@@ -139,9 +156,16 @@ def hash_sample(ds, rates: dict[str, float], key_col: str = "doc_id",
                 strat_col: str = "lang", default_rate: float = 0.0):
     """Deterministic stratified sampling: keep a row iff
     md5hex4(key) < hex4(rate[stratum] * 65536). Pure per-row function —
-    no shuffle, reproducible at any partitioning/scale."""
-    thresholds = {s: format(min(int(r * 65536), 65535), "04x") for s, r in rates.items()}
-    default_thr = format(min(int(default_rate * 65536), 65535), "04x")
+    no shuffle, reproducible at any partitioning/scale. rate >= 1.0 keeps
+    EVERY row ('g' sorts above all hex strings; clamping to 'ffff' with a
+    strict < would drop the 1-in-65536 keys hashing to exactly ffff)."""
+
+    def _thr(r: float) -> str:
+        v = int(r * 65536)
+        return "g" if v >= 65536 else format(v, "04x")
+
+    thresholds = {s: _thr(r) for s, r in rates.items()}
+    default_thr = _thr(default_rate)
 
     def keep(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col).to_pandas().to_numpy()
@@ -153,13 +177,21 @@ def hash_sample(ds, rates: dict[str, float], key_col: str = "doc_id",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-def quota_head(ds, key_col: str, order_col: str, k: int, num_buckets: int | None = None):
+def quota_head(ds, key_col: str, order_col: str, k: int, num_buckets: int | None = None,
+               tiebreak_cols: list[str] | None = None):
     """Keep the first k rows per key (ascending order_col) — per-domain
     document caps. Coarse-bucket shuffle + one vectorized pandas
-    sort+groupby.head per bucket (bounded group sizes at any scale)."""
+    sort+groupby.head per bucket (bounded group sizes at any scale).
+
+    Determinism: reproducible iff (order_col, *tiebreak_cols) is unique
+    per key — pass tiebreak_cols when order_col alone has ties, otherwise
+    which tied row survives depends on block arrival order (the same
+    caveat as SQL row_number() over a non-unique ORDER BY)."""
     from .shuffle import bucketed_map_groups
 
+    order = [key_col, order_col, *(tiebreak_cols or [])]
+
     def cap(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values([key_col, order_col], kind="mergesort").groupby(key_col, sort=False).head(k)
+        return g.sort_values(order, kind="mergesort").groupby(key_col, sort=False).head(k)
 
     return bucketed_map_groups(ds, key_col, cap, num_buckets=num_buckets)

@@ -33,8 +33,6 @@ import pyarrow as pa
 
 from ..hashutil import hash_str_array
 
-_MIX = np.int64(-7046029254386353131)  # same odd mixer as dedup.minhash
-
 
 class ShingleExploder:
     """Batch stage: text -> DISTINCT shingle-hash rows (doc_id, sh, size)."""
@@ -48,7 +46,9 @@ class ShingleExploder:
         texts = batch.column(self.text_col).to_pandas().fillna("").to_numpy(dtype=object)
         ids = batch.column(self.id_col).to_numpy()
         if len(texts) == 0:
-            return pa.table({self.id_col: pa.array([], type=pa.int64()),
+            # id column keeps the INPUT's type — hardcoding int64 here
+            # would emit a conflicting schema for string-id datasets
+            return pa.table({self.id_col: pa.array([], type=batch.schema.field(self.id_col).type),
                              "sh": pa.array([], type=pa.int64()),
                              "size": pa.array([], type=pa.int64())})
         all_shingles: list[str] = []
@@ -96,9 +96,12 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5, shingle: int = 3,
     )
 
     def add_shard(b: pa.Table) -> pa.Table:
-        with np.errstate(over="ignore"):
-            key = b.column("sh").to_numpy() * _MIX
-        shard = ((key.view(np.uint64) >> np.uint64(33)) % np.uint64(num_shards)).astype(np.int64)
+        # same mixer as the minhash LSH path (band_id=0): one shingle's
+        # rows land in one shard, distinct shingles spread uniformly
+        from .minhash import shard_of
+
+        sh = b.column("sh").to_numpy()
+        shard = shard_of(np.zeros(len(sh), dtype=np.int64), sh, num_shards)
         return b.append_column("_shard", pa.array(shard))
 
     def pairs_in_shard(g: pd.DataFrame) -> pd.DataFrame:

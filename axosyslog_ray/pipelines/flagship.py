@@ -257,20 +257,23 @@ def run_flagship(n_rows: int = 6000, out_dir: str | None = None, concurrency=Non
     ds = pages_dataset(n_rows, seed=seed)
     routed = flagship_routed(ds, concurrency=concurrency)
     if out_dir:
-        # fused count-on-write sink: one streaming execution writes the
-        # hive-partitioned sinks AND returns (route, host) partials —
-        # no read-back pipeline (sinks.RoutedParquetDatasink docstring)
+        # fused count-on-write sink: ONE streaming execution writes the
+        # hive-partitioned sinks AND returns (route, host, lang) partials
+        # — both aggregates roll up from the returned partials, no
+        # read-back pipeline (sinks.RoutedParquetDatasink docstring)
         from ..sinks import RoutedParquetDatasink
 
         sink = RoutedParquetDatasink(out_dir, partition_col="route",
-                                     count_cols=("route", "host"),
+                                     count_cols=("route", "host", "lang"),
                                      min_rows_per_file=150_000)
         routed.write_datasink(sink)
-        import ray.data as rd
-
-        routed = rd.read_parquet(out_dir)
-    by_host, by_lang = flagship_aggregates(routed)
+        parts = sink.counts
+        by_host = parts.groupby(["route", "host"], as_index=False, dropna=False)["n"].sum()
+        by_lang = parts.groupby(["route", "lang"], as_index=False, dropna=False)["n"].sum()
+    else:
+        by_host, by_lang = flagship_aggregates(routed)
+        by_host, by_lang = by_host.to_pandas(), by_lang.to_pandas()
     sink_counts = (
-        by_host.to_pandas().groupby("route", as_index=False)["n"].sum().sort_values("route").reset_index(drop=True)
+        by_host.groupby("route", as_index=False)["n"].sum().sort_values("route").reset_index(drop=True)
     )
-    return sink_counts, by_lang.to_pandas().sort_values(["route", "lang"]).reset_index(drop=True)
+    return sink_counts, by_lang.sort_values(["route", "lang"]).reset_index(drop=True)

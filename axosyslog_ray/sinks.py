@@ -99,13 +99,25 @@ class RoutedParquetDatasink(Datasink):
         t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
         agg = t.select(self.count_cols).group_by(self.count_cols).aggregate([([], "count_all")])
         part = t.column(self.partition_col)
+        # deterministic filenames (task_idx + per-task write sequence, no
+        # uuid): a retried write task regenerates the SAME names and
+        # overwrites its failed attempt's partial files instead of
+        # duplicating rows beside them (Ray's FilenameProvider contract)
+        seq = self._write_seq = getattr(self, "_write_seq", -1) + 1
         for val in pc.unique(part).to_pylist():
-            sub = t.filter(pc.equal(part, val))
-            d = os.path.join(self.root, f"{self.partition_col}={val}")
+            if val is None:
+                # pc.equal(x, None) is null, never True — a null partition
+                # value needs an is_null mask and the hive null-dir name
+                # (read_parquet restores it as null)
+                sub = t.filter(pc.is_null(part))
+                d = os.path.join(self.root, f"{self.partition_col}=__HIVE_DEFAULT_PARTITION__")
+            else:
+                sub = t.filter(pc.equal(part, val))
+                d = os.path.join(self.root, f"{self.partition_col}={val}")
             os.makedirs(d, exist_ok=True)
             pq.write_table(
                 sub.drop_columns([self.partition_col]),
-                os.path.join(d, f"part_{ctx.task_idx:05d}_{uuid.uuid4().hex[:8]}.parquet"),
+                os.path.join(d, f"part_{ctx.task_idx:05d}_{seq:04d}.parquet"),
             )
         cols = [agg.column(c).to_pylist() for c in (*self.count_cols, "count_all")]
         return list(zip(*cols))
@@ -176,6 +188,8 @@ class HttpDatasink(Datasink):
     def __init__(self, url: str, template=None, batch_lines: int = 512,
                  retries: int = 3, backoff_sec: float = 0.1, transport=None,
                  headers: dict | None = None):
+        if retries < 1:
+            raise ValueError("retries is the total attempt count; must be >= 1")
         self.url = url
         self.template = template
         self.batch_lines = batch_lines
@@ -198,7 +212,8 @@ class HttpDatasink(Datasink):
                         break
                     except Exception as e:  # noqa: BLE001 — retry any transport error
                         last_err = e
-                        time.sleep(self.backoff_sec * (2**attempt))
+                        if attempt + 1 < self.retries:  # no backoff after the final attempt
+                            time.sleep(self.backoff_sec * (2**attempt))
                 if last_err is not None:
                     raise RuntimeError(f"http() POST failed after {self.retries} tries: {last_err}")
                 n_posts += 1

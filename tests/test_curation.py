@@ -84,6 +84,14 @@ class TestHashSample:
         kept = hash_sample(ds, rates={"en": 1.0}, key_col="doc_id", strat_col="lang").to_pandas()
         assert len(kept) == 0
 
+    def test_rate_one_keeps_everything(self, ray_session):
+        # 40691 is the smallest int whose md5hex4 is exactly 'ffff' — with
+        # a clamped threshold and strict <, rate=1.0 used to drop it
+        ids = [1, 2, 40691]
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "lang": ["en"] * 3}))
+        kept = hash_sample(ds, rates={"en": 1.0}, key_col="doc_id", strat_col="lang").to_pandas()
+        assert sorted(kept["doc_id"]) == ids
+
 
 class TestQuotaHead:
     def test_cap_keeps_smallest_order_keys(self, ray_session):

@@ -146,3 +146,25 @@ def test_routed_parquet_sink_counts_match_readback(tmp_path):
     dirs = sorted(os.path.basename(p) for p in glob.glob(str(tmp_path / "sinks" / "route=*")))
     assert dirs == ["route=auth", "route=errors", "route=web"]
     assert set(back.columns) >= {"route", "host", "value"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_routed_parquet_sink_null_partition_rows_written(tmp_path):
+    import ray.data as rd
+
+    from axosyslog_ray.sinks import RoutedParquetDatasink
+
+    rows = [{"route": None if i % 4 == 0 else "web", "host": f"h{i % 3}", "v": i}
+            for i in range(400)]
+    sink = RoutedParquetDatasink(str(tmp_path / "s"), partition_col="route",
+                                 count_cols=("route",), min_rows_per_file=100)
+    rd.from_items(rows).repartition(4).write_datasink(sink)
+    assert int(sink.counts["n"].sum()) == 400
+    back = rd.read_parquet(str(tmp_path / "s")).to_pandas()
+    # null-route rows land in the hive null dir — no data loss (they used
+    # to vanish: pc.equal(x, None) is never True). Readers see hive's
+    # standard null sentinel (pyarrow only maps it back to null when the
+    # reader passes an explicit null_fallback partitioning).
+    assert len(back) == 400
+    nulls = back["route"].isna() | (back["route"] == "__HIVE_DEFAULT_PARTITION__")
+    assert int(nulls.sum()) == 100
