@@ -488,7 +488,7 @@ def emb_ann_topk(sf_dir: str):
     from ..ann import ann_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = emb.filter(lambda r: r["vec_id"] == 0).to_pandas()["embedding"].iloc[0]
+    q = emb.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0]
     out = ann_topk(emb, np.asarray([q]), k=10)
     out = out.drop(columns=["query_id"])
     # 4 decimals: DuckDB computes cosine in float32, we compute in float64;
@@ -724,7 +724,7 @@ def emb_lsh_ann(sf_dir: str):
     from ..ann import lsh_ann_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = emb.filter(lambda r: r["vec_id"] == 0).to_pandas()["embedding"].iloc[0]
+    q = emb.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0]
     out = lsh_ann_topk(emb, np.asarray([q]), k=10)
     out = out.drop(columns=["query_id"])
     out["sim"] = round_half_away(out["sim"], 4)
@@ -813,7 +813,7 @@ def emb_ivf_ann(sf_dir: str):
     from ..ann import ivf_ann_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = emb.filter(lambda r: r["vec_id"] == 0).to_pandas()["embedding"].iloc[0]
+    q = emb.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0]
     out = ivf_ann_topk(emb, np.asarray([q]), k=10, nlist=16, nprobe=16)
     out = out.drop(columns=["query_id"])
     out["sim"] = round_half_away(out["sim"], 4)
@@ -1506,8 +1506,10 @@ def emb_knn_label(sf_dir: str):
     from ..ann import ann_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    # query side: tiny filtered slice (20 vectors) — never the whole corpus
-    queries_df = emb.filter(lambda r: r["vec_id"] < 20).to_pandas().sort_values("vec_id")
+    # query side: tiny filtered slice (20 vectors) — never the whole corpus;
+    # vectorized Arrow predicate (a row-lambda filter here was the slowest
+    # part of this query: per-row Python over every corpus vector)
+    queries_df = emb.filter(expr="vec_id < 20").to_pandas().sort_values("vec_id")
     qm = np.asarray(list(queries_df["embedding"]), dtype=np.float64)
     top = ann_topk(emb, qm, k=6)  # 6: self + 5 neighbors
     # label side: broadcast-sized (vec_id, label) map from a PRUNED read —
