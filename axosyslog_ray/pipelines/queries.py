@@ -591,6 +591,48 @@ ORDER BY id_a, id_b
 """
 
 
+def docs_dup_components(sf_dir: str):
+    """True near-dup clusters: n-gram Jaccard candidate pairs ->
+    distributed connected components (hash-min label propagation to the
+    FIXPOINT, dedup/components.py) — chains A~B~C collapse to one
+    cluster even when A!~C. Oracled by a recursive-CTE transitive
+    closure over the identical SQL-derived pair set."""
+    from ..dedup.components import connected_components
+    from ..dedup.ngram import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5, shingle=3
+    )
+    out = connected_components(pairs, src="id_a", dst="id_b").to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["component"] = out["component"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+DOCS_DUP_COMPONENTS_SQL = r"""
+WITH RECURSIVE
+t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+idx AS (SELECT doc_id, w, UNNEST(range(1, GREATEST(len(w) - 2, 1) + 1)) AS i FROM t),
+sh AS (SELECT DISTINCT doc_id, CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+        ELSE array_to_string(w[i:i+2], ' ') END AS s FROM idx),
+sz AS (SELECT doc_id, COUNT(*) AS size FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+          WHERE n * 1.0 / (sa.size + sb.size - n) >= 0.5),
+und AS (SELECT id_a AS node, id_b AS nbr FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT node, node AS r FROM (SELECT DISTINCT node FROM und)
+  UNION
+  SELECT u.node, reach.r FROM und u JOIN reach ON u.nbr = reach.node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(r) AS BIGINT) AS component
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
 def docs_langid(sf_dir: str):
     """Language-ID heuristic (stopword profiles, actor-pool stage).
     Oracled by an equivalent SQL formulation (list_filter membership
@@ -1626,6 +1668,7 @@ RAY_QUERIES = {
     "docs_minhash_dedup": docs_minhash_dedup,
     "docs_simhash_clusters": docs_simhash_clusters,
     "docs_jaccard_pairs": docs_jaccard_pairs,
+    "docs_dup_components": docs_dup_components,
     "docs_langid": docs_langid,
     "emb_lsh_ann": emb_lsh_ann,
     "media_decode_stats": media_decode_stats,
@@ -1691,6 +1734,7 @@ ORACLE_SQLS = {
     "events_rate_limit": EVENTS_RATE_LIMIT_SQL,
     "docs_langid": DOCS_LANGID_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
+    "docs_dup_components": DOCS_DUP_COMPONENTS_SQL,
     "docs_curation_pipeline": DOCS_CURATION_SQL,
     "emb_knn_label": EMB_KNN_LABEL_SQL,
     # golden-parquet oracle (deterministic sf-independent synthetic corpus;

@@ -1,0 +1,84 @@
+"""connected_components: true fixpoint clusters over candidate-pair graphs."""
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from axosyslog_ray.dedup.components import connected_components
+
+
+def _cc(edges_df, **kw):
+    ds = rd.from_pandas(edges_df)
+    out = connected_components(ds, **kw).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConnectedComponents:
+    def test_chain_collapses_to_one_component(self):
+        # A~B, B~C, C~D: one round of min-label (the minhash approximation)
+        # would give D label C's min, not the global min — the fixpoint must
+        e = pd.DataFrame({"id_a": [1, 2, 3], "id_b": [2, 3, 4]})
+        out = _cc(e)
+        assert list(out["node"]) == [1, 2, 3, 4]
+        assert list(out["component"]) == [1, 1, 1, 1]
+
+    def test_two_components(self):
+        e = pd.DataFrame({"id_a": [10, 11, 50], "id_b": [11, 12, 51]})
+        out = _cc(e)
+        assert dict(zip(out["node"], out["component"])) == {
+            10: 10, 11: 10, 12: 10, 50: 50, 51: 50}
+
+    def test_long_path_needs_iterations(self):
+        # path 0-1-2-...-9: diameter 9, converges only by iterating;
+        # also exercises duplicate edges + self-loops (absorbed by min)
+        n = 10
+        e = pd.DataFrame({
+            "id_a": list(range(n - 1)) + [5, 7],
+            "id_b": list(range(1, n)) + [5, 6],
+        })
+        out = _cc(e)
+        assert len(out) == n
+        assert set(out["component"]) == {0}
+
+    def test_reversed_edge_direction_is_irrelevant(self):
+        out_fwd = _cc(pd.DataFrame({"id_a": [3], "id_b": [9]}))
+        out_rev = _cc(pd.DataFrame({"id_a": [9], "id_b": [3]}))
+        pd.testing.assert_frame_equal(out_fwd, out_rev)
+
+    def test_empty_edges(self):
+        e = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64")})
+        ds = connected_components(rd.from_pandas(e))
+        assert ds.count() == 0
+        # Ray's to_pandas drops columns on 0-row datasets; the Dataset
+        # schema is the contract
+        assert ds.schema().names == ["node", "component"]
+
+    def test_max_iters_raises_instead_of_wrong_answer(self):
+        e = pd.DataFrame({"id_a": range(0, 30), "id_b": range(1, 31)})
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(rd.from_pandas(e), max_iters=2).to_pandas()
+
+    def test_random_graph_matches_networkx_free_oracle(self):
+        # pure-python union-find oracle (no external dep)
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, 60, 80)
+        b = rng.integers(0, 60, 80)
+        e = pd.DataFrame({"id_a": a, "id_b": b})
+
+        parent = list(range(61))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            parent[find(x)] = find(y)
+        touched = sorted(set(a.tolist()) | set(b.tolist()))
+        want = {v: min(u for u in touched if find(u) == find(v)) for v in touched}
+
+        out = _cc(e)
+        assert dict(zip(out["node"], out["component"])) == want
