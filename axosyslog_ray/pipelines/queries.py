@@ -549,6 +549,21 @@ def docs_minhash_dedup(sf_dir: str):
     return out
 
 
+def docs_fuzzy_dedup(sf_dir: str):
+    """Fuzzy dedup purge (dedup/fuzzy.py): MinHash LSH star edges ->
+    fixpoint connected components -> keep one representative per
+    near-dup cluster. Returns surviving doc_ids. Seeded + shard-count-
+    invariant like docs_minhash_dedup, so the oracle is a committed
+    golden parquet (disclosed regression pin); independent behavior
+    checks in tests/test_fuzzy_dedup.py (planted clusters)."""
+    from ..dedup.fuzzy import fuzzy_dedup
+
+    out = fuzzy_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    kept = out.select_columns(["doc_id"]).to_pandas()
+    kept["doc_id"] = kept["doc_id"].astype("int64")
+    return kept.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_simhash_clusters(sf_dir: str):
     """SimHash banded near-dup clusters. Non-SQL-expressible; seeded and
     deterministic, oracled by a committed golden parquet at sf0.01
@@ -1666,6 +1681,7 @@ RAY_QUERIES = {
     "emb_ann_topk": emb_ann_topk,
     "emb_near_dup": emb_near_dup,
     "docs_minhash_dedup": docs_minhash_dedup,
+    "docs_fuzzy_dedup": docs_fuzzy_dedup,
     "docs_simhash_clusters": docs_simhash_clusters,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_dup_components": docs_dup_components,
@@ -1768,6 +1784,11 @@ ORACLE_SQLS = {
     "docs_minhash_dedup": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM "
         "read_parquet('/root/repo/tests/golden/docs_minhash_dedup_sf001.parquet') "
+        "ORDER BY doc_id"
+    ),
+    "docs_fuzzy_dedup": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM "
+        "read_parquet('/root/repo/tests/golden/docs_fuzzy_dedup_sf001.parquet') "
         "ORDER BY doc_id"
     ),
     "docs_simhash_clusters": (
