@@ -648,6 +648,93 @@ FROM reach GROUP BY node ORDER BY node
 """
 
 
+def docs_url_normalize(sf_dir: str):
+    """Web-corpus URL hygiene (webtext.py): parse + canonicalize +
+    registrable domain over deterministically constructed CC-style URLs
+    (mixed-case hosts, default/explicit ports, tracking params at every
+    position, fragments, empty paths). The SQL oracle constructs the
+    SAME input and normalizes it independently with DuckDB regexps
+    (RE2-safe patterns shared with the engine — webtext.py docstring)."""
+    from ..webtext import add_url_columns
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_pandas()
+        s = b.column("source").to_pandas().astype(str)
+        m = (d % 3).to_numpy()
+        ids = d.astype(str)
+        url = np.where(
+            m == 0,
+            "HTTPS://WWW." + s + ".CO.UK:443/docs/" + ids + "?utm_source=feed&ref="
+            + (d % 7).astype(str) + "#sec",
+            np.where(
+                m == 1,
+                "http://cdn." + s + ".com:8080/p/" + ids + "?utm_medium=x",
+                "https://" + s + ".org",
+            ),
+        )
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "url": pa.array(url, type=pa.string())})
+
+    out = ds.map_batches(mk, batch_format="pyarrow").map_batches(
+        add_url_columns, batch_format="pyarrow"
+    )
+    df = out.select_columns(["doc_id", "url_norm", "url_host", "url_domain"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_URL_NORMALIZE_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN 'HTTPS://WWW.' || source || '.CO.UK:443/docs/' || doc_id
+                  || '?utm_source=feed&ref=' || (doc_id % 7) || '#sec'
+      WHEN 1 THEN 'http://cdn.' || source || '.com:8080/p/' || doc_id || '?utm_medium=x'
+      ELSE 'https://' || source || '.org'
+    END AS url
+  FROM documents),
+p AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]*:(\d+)', 1) AS port,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    CASE WHEN url LIKE '%?%' THEN '?' || regexp_extract(url, '\?([^#]*)', 1) ELSE '' END AS q
+  FROM u),
+built AS (
+  SELECT doc_id, host,
+    scheme || '://' || host
+      || CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
+                            AND NOT (scheme = 'http' AND port = '80')
+              THEN ':' || port ELSE '' END
+      || CASE WHEN path = '' THEN '/' ELSE path END || q AS n0
+  FROM p),
+scrubbed AS (
+  SELECT doc_id, host,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(n0, '[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
+          '^([^?#]*)&', '\1?'),
+        '\?#', '#'),
+      '\?$', '') AS url_norm
+  FROM built),
+dom AS (
+  SELECT doc_id, host, url_norm,
+    string_split(host, '.') AS a, len(string_split(host, '.')) AS n
+  FROM scrubbed)
+SELECT doc_id, url_norm, host AS url_host,
+  CASE WHEN n >= 3 AND a[n-1] || '.' || a[n] IN ('co.uk','org.uk','ac.uk','gov.uk',
+        'com.au','net.au','org.au','co.jp','com.br','co.in','co.nz','co.za',
+        'com.cn','com.mx','com.ar','com.tr','com.sg','com.hk')
+       THEN a[n-2] || '.' || a[n-1] || '.' || a[n]
+       WHEN n >= 2 THEN a[n-1] || '.' || a[n]
+       ELSE host END AS url_domain
+FROM dom ORDER BY doc_id
+"""
+
+
 def docs_langid(sf_dir: str):
     """Language-ID heuristic (stopword profiles, actor-pool stage).
     Oracled by an equivalent SQL formulation (list_filter membership
@@ -1686,6 +1773,7 @@ RAY_QUERIES = {
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_dup_components": docs_dup_components,
     "docs_langid": docs_langid,
+    "docs_url_normalize": docs_url_normalize,
     "emb_lsh_ann": emb_lsh_ann,
     "media_decode_stats": media_decode_stats,
     "flagship_routes": flagship_routes,
@@ -1749,6 +1837,7 @@ ORACLE_SQLS = {
     "events_suppress": EVENTS_SUPPRESS_SQL,
     "events_rate_limit": EVENTS_RATE_LIMIT_SQL,
     "docs_langid": DOCS_LANGID_SQL,
+    "docs_url_normalize": DOCS_URL_NORMALIZE_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_dup_components": DOCS_DUP_COMPONENTS_SQL,
     "docs_curation_pipeline": DOCS_CURATION_SQL,
