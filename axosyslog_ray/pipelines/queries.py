@@ -735,6 +735,58 @@ FROM dom ORDER BY doc_id
 """
 
 
+def docs_web_curation(sf_dir: str):
+    """End-to-end web curation composite over the URL layer: construct
+    CC-style URLs with planted collisions (doc_id % 150 path key),
+    normalize (webtext.py), URL-level exact dedup (min doc_id per
+    url_norm — dedup/exact.py's coarse-bucket shape), per-domain quota
+    cap (curation.quota_head). The oracle computes dedup+quota with
+    independent window functions; the URL-normalization step itself is
+    independently oracled by docs_url_normalize."""
+    from ..curation import quota_head
+    from ..dedup.exact import dedup_rows
+    from ..webtext import add_url_columns
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_pandas()
+        s = b.column("source").to_pandas().astype(str)
+        url = ("https://WWW." + s + ".CO.UK/p/" + (d % 150).astype(str)
+               + "?utm_source=x&k=" + (d % 150).astype(str))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "url": pa.array(url, type=pa.string())})
+
+    with_urls = ds.map_batches(mk, batch_format="pyarrow").map_batches(
+        add_url_columns, batch_format="pyarrow"
+    ).select_columns(["doc_id", "url_norm", "url_domain"])
+    deduped = dedup_rows(with_urls, col="url_norm", id_col="doc_id")
+    capped = quota_head(deduped.select_columns(["doc_id", "url_norm", "url_domain"]),
+                        "url_domain", "doc_id", k=5)
+    out = capped.select_columns(["doc_id", "url_norm", "url_domain"]).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_WEB_CURATION_SQL = r"""
+WITH u AS (
+  SELECT doc_id, source,
+    'https://www.' || source || '.co.uk/p/' || (doc_id % 150)
+      || '?k=' || (doc_id % 150) AS url_norm,
+    source || '.co.uk' AS url_domain
+  FROM documents),
+dedup AS (
+  SELECT doc_id, url_norm, url_domain,
+         row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) AS rn
+  FROM u),
+capped AS (
+  SELECT doc_id, url_norm, url_domain,
+         row_number() OVER (PARTITION BY url_domain ORDER BY doc_id) AS qn
+  FROM dedup WHERE rn = 1)
+SELECT doc_id, url_norm, url_domain FROM capped WHERE qn <= 5 ORDER BY doc_id
+"""
+
+
 def docs_langid(sf_dir: str):
     """Language-ID heuristic (stopword profiles, actor-pool stage).
     Oracled by an equivalent SQL formulation (list_filter membership
@@ -1774,6 +1826,7 @@ RAY_QUERIES = {
     "docs_dup_components": docs_dup_components,
     "docs_langid": docs_langid,
     "docs_url_normalize": docs_url_normalize,
+    "docs_web_curation": docs_web_curation,
     "emb_lsh_ann": emb_lsh_ann,
     "media_decode_stats": media_decode_stats,
     "flagship_routes": flagship_routes,
@@ -1838,6 +1891,7 @@ ORACLE_SQLS = {
     "events_rate_limit": EVENTS_RATE_LIMIT_SQL,
     "docs_langid": DOCS_LANGID_SQL,
     "docs_url_normalize": DOCS_URL_NORMALIZE_SQL,
+    "docs_web_curation": DOCS_WEB_CURATION_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_dup_components": DOCS_DUP_COMPONENTS_SQL,
     "docs_curation_pipeline": DOCS_CURATION_SQL,
