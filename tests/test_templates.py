@@ -155,6 +155,22 @@ def test_extended_date_macros():
     assert Template("[$C_HOUR]").eval(t).tolist() == ["[]", "[]"]
 
 
+def test_week_isoweek_reference_epoch_pins():
+    # the reference's own test_macro.c expectations (test_date_week /
+    # test_date_iso_week_testcases): epochs 1420111250 (Thu Jan 1 2015),
+    # 1451560850 (Thu Dec 31 2015), 1451647250 (Fri Jan 1 2016),
+    # 1420456850 (Mon Jan 5 2015)
+    import pandas as pd
+    import pyarrow as pa
+
+    from axosyslog_ray.functions.macros import eval_macro
+
+    ts = pd.to_datetime([1420111250, 1451560850, 1451647250, 1420456850], unit="s")
+    t = pa.table({"ts_stamp": pa.array(ts)})
+    assert eval_macro("WEEK", t).tolist()[:2] == ["00", "52"]
+    assert eval_macro("ISOWEEK", t).tolist() == ["01", "53", "53", "02"]
+
+
 def test_bsdtag_msghdr_loghost():
     import socket
 
