@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import base64
 import hashlib
+import math
 import urllib.parse
 import uuid
 
@@ -43,26 +44,48 @@ def _join(parts: list[pd.Series], sep: str = " ") -> pd.Series:
     return out.astype(object)
 
 
+def _flag(a) -> str:
+    """Scalar view of an option-flag arg (flags are template literals —
+    constant across rows; Series from the evaluator, str in direct calls)."""
+    if isinstance(a, pd.Series):
+        return str(a.iloc[0]) if len(a) else ""
+    return str(a)
+
+
 # ---- string funcs (basicfuncs/str-funcs.c) ----
+# variadic semantics per the reference: each function applies to every
+# arg; conformance pins from modules/basicfuncs/tests/test_basicfuncs.c
 
 def tf_echo(t, *args):
     return _join(list(args)) if args else pd.Series([""] * t.num_rows, dtype=object)
 
 
-def tf_length(t, a):
-    return _s(a).map(len).astype(str).astype(object)
+def tf_length(t, *args):
+    # one length per arg, space-joined (str-funcs.c tf_length)
+    if not args:
+        return pd.Series([""] * t.num_rows, dtype=object)
+    return _join([_s(a).map(len).astype(str) for a in args])
 
 
-def tf_lowercase(t, a):
-    return _s(a).str.lower().astype(object)
+def tf_lowercase(t, *args):
+    a = _join([_s(x) for x in args]) if len(args) != 1 else _s(args[0])
+    return a.str.lower().astype(object)
 
 
-def tf_uppercase(t, a):
-    return _s(a).str.upper().astype(object)
+def tf_uppercase(t, *args):
+    a = _join([_s(x) for x in args]) if len(args) != 1 else _s(args[0])
+    return a.str.upper().astype(object)
 
 
-def tf_strip(t, a):
-    return _s(a).str.strip().astype(object)
+def tf_strip(t, *args):
+    # strip each arg; results joined with ' ', EMPTY results dropped
+    # (test_basicfuncs.c:207-217)
+    if not args:
+        return pd.Series([""] * t.num_rows, dtype=object)
+    cols = [_s(a).str.strip() for a in args]
+    return pd.Series(
+        [" ".join(v for v in vals if v) for vals in zip(*cols)], dtype=object
+    )
 
 
 def _substr_one(x: str, i: int, k) -> str:
@@ -91,8 +114,37 @@ def tf_substr(t, a, off, ln=None):
     return pd.Series([_substr_one(x, i, k) for x, i, k in zip(s, o, l)], dtype=object)
 
 
-def tf_sanitize(t, a):
-    return _s(a).str.replace("/", "_", regex=False).str.replace(r"[\x00-\x1f]", "", regex=True).astype(object)
+def tf_sanitize(t, *args):
+    """$(sanitize [-r CH] [-i CHARS] [-C] name...): replace invalid
+    chars (default '/') and control chars with the replacement (default
+    '_'); -C keeps control chars; multiple names join with '/'
+    (str-funcs.c tf_sanitize; pins test_basicfuncs.c:219-226)."""
+    repl, invalid, keep_ctrl = "_", "/", False
+    rest = list(args)
+    while rest:
+        flag = _flag(rest[0])
+        if flag in ("-r", "--replacement") and len(rest) >= 2:
+            repl = _flag(rest[1])[:1] or "_"
+            rest = rest[2:]
+        elif flag in ("-i", "--invalid-chars") and len(rest) >= 2:
+            invalid = _flag(rest[1])
+            rest = rest[2:]
+        elif flag in ("-C", "--ctrl-chars"):
+            keep_ctrl = True
+            rest = rest[1:]
+        else:
+            break
+    if not rest:
+        return pd.Series([""] * t.num_rows, dtype=object)
+
+    def clean(x: str) -> str:
+        return "".join(
+            repl if (ch in invalid or (not keep_ctrl and ord(ch) < 0x20)) else ch
+            for ch in x
+        )
+
+    cols = [_s(a).map(clean) for a in rest]
+    return _join(cols, "/")
 
 
 def tf_replace_delimiter(t, old, new, a):
@@ -116,15 +168,26 @@ def tf_padding(t, a, width, fill=None):
 
 
 def tf_implode(t, sep, *args):
+    # join the elements of the (parsed, concatenated) list args
     sepv = _s(sep)
-    if len(args) == 1:  # imploding a list value
-        return pd.Series([s.join(x.split(",")) for s, x in zip(sepv, _s(args[0]))], dtype=object)
-    cols = [a.astype(str) for a in args]
-    return pd.Series([s.join(vals) for s, *vals in zip(sepv, *cols)], dtype=object)
+    return pd.Series(
+        [s.join(_parse_lists(vals)) for s, vals in zip(sepv, _rows(t, args))],
+        dtype=object,
+    )
 
 
-def tf_explode(t, sep, a):
-    return pd.Series([",".join(x.split(s)) if s else x for s, x in zip(_s(sep), _s(a))], dtype=object)
+def tf_explode(t, sep, *args):
+    # split EACH arg by the separator, concatenating the results
+    # (pins test_basicfuncs.c:494-497)
+    sepv = _s(sep)
+
+    def do(s, vals):
+        out = []
+        for v in vals:
+            out.extend(v.split(s) if s else [v])
+        return _ser_list([e for e in out if e != ""])
+
+    return pd.Series([do(s, vals) for s, vals in zip(sepv, _rows(t, args))], dtype=object)
 
 
 # ---- conditional (cond-funcs.c) ----
@@ -142,8 +205,31 @@ def tf_default(t, a, fallback):
 # ---- numeric funcs (numeric-funcs.c); sum/min/max/average fold a LIST arg ----
 
 def _binop(op):
+    """C-conformant arithmetic (numeric-funcs.c + pins
+    test_basicfuncs.c:268-292): unparsable operand or division by zero
+    -> literal 'NaN'; both-integer operands use integer arithmetic
+    (so $(/ 3 2) is 1 and 64-bit values stay exact); mixed -> float."""
+
+    def one(x: str, y: str) -> str:
+        try:
+            a, b = int(x), int(y)
+            is_int = True
+        except (TypeError, ValueError):
+            try:
+                a, b = float(x), float(y)
+                is_int = False
+            except (TypeError, ValueError):
+                return "NaN"
+        try:
+            v = op(a, b)
+        except ZeroDivisionError:
+            return "NaN"
+        if is_int:
+            return str(int(v))
+        return str(int(v)) if float(v).is_integer() else repr(float(v))
+
     def f(t, a, b):
-        return _fmt_num(op(_num(a), _num(b)))
+        return pd.Series([one(x, y) for x, y in zip(_s(a), _s(b))], dtype=object)
 
     return f
 
@@ -175,26 +261,37 @@ def _listfold(agg):
 
 def tf_round(t, a, digits=None):
     # reference $(round) uses C round(): half away from zero — Python's
-    # round() is banker's and would render $(round 2.5) as '2' (ADVICE r1)
+    # round() is banker's and would render $(round 2.5) as '2' (ADVICE r1).
+    # digits outside 0..20 -> 'NaN'; rendered with %.*f like the C printf
+    # ($(round 2 20) is '2.00000000000000000000'; test_basicfuncs.c:294-301)
     def _haz(v: float, k: int) -> float:
         f = 10.0 ** k
-        import math
-
         return math.copysign(math.floor(abs(v) * f + 0.5), v) / f
 
-    d = _num(digits).fillna(0).astype(int) if digits is not None else pd.Series([0] * t.num_rows)
-    return pd.Series(
-        ["" if pd.isna(v) else (str(int(_haz(v, k))) if k <= 0 else str(_haz(v, k))) for v, k in zip(_num(a), d)],
-        dtype=object,
-    )
+    def one(v, k) -> str:
+        if pd.isna(v):
+            return ""
+        if pd.isna(k) or not 0 <= int(k) <= 20:
+            return "NaN"
+        k = int(k)
+        return str(int(_haz(v, 0))) if k == 0 else f"{_haz(v, k):.{k}f}"
+
+    d = _num(digits) if digits is not None else pd.Series([0] * t.num_rows)
+    return pd.Series([one(v, k) for v, k in zip(_num(a), d)], dtype=object)
 
 
 # ---- filename funcs (fname-funcs.c) ----
 
 def tf_dirname(t, a):
+    # g_path_get_dirname returns '.' for a bare name (fname-funcs.c pin)
     import posixpath
 
-    return _s(a).map(posixpath.dirname).astype(object)
+    def one(x: str) -> str:
+        if x.endswith("/") and x != "/":
+            return x.rstrip("/")  # '/foo/bar/' -> '/foo/bar' (glib)
+        return posixpath.dirname(x) or "."
+
+    return _s(a).map(one).astype(object)
 
 
 def tf_basename(t, a):
@@ -206,17 +303,25 @@ def tf_basename(t, a):
 # ---- encodings (urlencode.c) ----
 
 def tf_url_encode(t, *args):
-    a = _join([_s(x) for x in args]) if len(args) > 1 else _s(args[0])
+    if not args:
+        return pd.Series([""] * t.num_rows, dtype=object)
+    a = _join([_s(x) for x in args], "") if len(args) > 1 else _s(args[0])
     return a.map(lambda x: urllib.parse.quote(x, safe="")).astype(object)
 
 
 def tf_url_decode(t, *args):
-    a = _join([_s(x) for x in args]) if len(args) > 1 else _s(args[0])
+    if not args:
+        return pd.Series([""] * t.num_rows, dtype=object)
+    a = _join([_s(x) for x in args], "") if len(args) > 1 else _s(args[0])
     return a.map(urllib.parse.unquote).astype(object)
 
 
 def tf_base64_encode(t, *args):
-    a = _join([_s(x) for x in args]) if len(args) > 1 else _s(args[0])
+    # args are CONCATENATED with no separator (urlencode.c shape;
+    # pin test_basicfuncs.c:258); zero args -> ''
+    if not args:
+        return pd.Series([""] * t.num_rows, dtype=object)
+    a = _join([_s(x) for x in args], "") if len(args) > 1 else _s(args[0])
     return a.map(lambda x: base64.b64encode(x.encode()).decode()).astype(object)
 
 
@@ -234,7 +339,9 @@ def _digest(name):
 
 
 def tf_hex_encode(t, *args):
-    a = _join([_s(x) for x in args]) if len(args) > 1 else _s(args[0])
+    if not args:
+        return pd.Series([""] * t.num_rows, dtype=object)
+    a = _join([_s(x) for x in args], "") if len(args) > 1 else _s(args[0])
     return a.map(lambda x: x.encode().hex()).astype(object)
 
 
@@ -365,62 +472,179 @@ def tf_uuid(t, *args):
     return pd.Series([str(uuid.uuid5(uuid.NAMESPACE_URL, str(i))) for i in range(t.num_rows)], dtype=object)
 
 
-# ---- list funcs (list-funcs.c) — comma-separated string-repr lists ----
+# ---- list funcs (list-funcs.c) — syslog-ng serialized string lists ----
+#
+# The reference's list model (lib/scanner/list-scanner/list_scanner.c +
+# lib/str-repr/encode.c): comma-separated, elements needing protection
+# are double-quoted with backslash escapes, EMPTY UNQUOTED elements are
+# skipped at parse ('foo,' is a 1-list), quoted "" is an explicit empty
+# element, and every list function accepts MULTIPLE args, each parsed as
+# a list fragment and concatenated. Conformance pinned to the
+# reference's own test corpus (modules/basicfuncs/tests/
+# test_basicfuncs.c:412-530) in tests/test_basicfuncs_conformance.py.
 
-def _split_list(x: str) -> list[str]:
-    return x.split(",") if x else []
+_LIST_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", '"': '"', "\\": "\\"}
+
+
+def _parse_list_one(x: str) -> list[str]:
+    items: list[str] = []
+    i, n = 0, len(x)
+    while i < n:
+        c = x[i]
+        if c == ",":
+            i += 1
+            continue
+        if c == '"':
+            j, buf = i + 1, []
+            while j < n:
+                c2 = x[j]
+                if c2 == "\\" and j + 1 < n:
+                    buf.append(_LIST_ESCAPES.get(x[j + 1], x[j + 1]))
+                    j += 2
+                    continue
+                if c2 == '"':
+                    break
+                buf.append(c2)
+                j += 1
+            items.append("".join(buf))
+            i = j + 1
+            while i < n and x[i] != ",":  # junk after closing quote
+                i += 1
+        else:
+            j = x.find(",", i)
+            if j == -1:
+                j = n
+            tok = x[i:j]
+            if tok:
+                items.append(tok)
+            i = j
+    return items
+
+
+def _parse_lists(row_vals) -> list[str]:
+    out: list[str] = []
+    for v in row_vals:
+        out.extend(_parse_list_one(v))
+    return out
+
+
+def _ser_elem(e: str) -> str:
+    if e == "" or any(ch in e for ch in ',"\\') or any(ord(ch) < 0x20 for ch in e):
+        esc = (e.replace("\\", "\\\\").replace('"', '\\"')
+                .replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r"))
+        return '"' + esc + '"'
+    return e
+
+
+def _ser_list(items: list[str]) -> str:
+    return ",".join(_ser_elem(e) for e in items)
+
+
+def _rows(t, args):
+    """Iterate per-row tuples of the (already evaluated) arg Series."""
+    cols = [_s(a) for a in args]
+    if not cols:
+        return [()] * t.num_rows
+    return list(zip(*cols))
 
 
 def tf_list_concat(t, *args):
-    cols = [_s(a) for a in args]
-    return pd.Series([",".join(v for v in vals if v != "") for vals in zip(*cols)], dtype=object)
+    return pd.Series([_ser_list(_parse_lists(vals)) for vals in _rows(t, args)], dtype=object)
 
 
-def tf_list_head(t, a):
-    return _s(a).map(lambda x: _split_list(x)[0] if x else "").astype(object)
+def tf_list_head(t, *args):
+    def do(vals):
+        l = _parse_lists(vals)
+        return l[0] if l else ""
+
+    return pd.Series([do(v) for v in _rows(t, args)], dtype=object)
 
 
-def tf_list_tail(t, a):
-    return _s(a).map(lambda x: ",".join(_split_list(x)[1:])).astype(object)
+def tf_list_tail(t, *args):
+    return pd.Series([_ser_list(_parse_lists(vals)[1:]) for vals in _rows(t, args)], dtype=object)
 
 
-def tf_list_nth(t, idx, a):
+def tf_list_nth(t, idx, *args):
     i = _num(idx).fillna(0).astype(int)
+
+    def do(l, k):
+        return l[k] if -len(l) <= k < len(l) else ""
+
     return pd.Series(
-        [(lambda l, k: l[k] if -len(l) <= k < len(l) else "")(_split_list(x), k) for x, k in zip(_s(a), i)],
+        [do(_parse_lists(vals), k) for vals, k in zip(_rows(t, args), i)], dtype=object
+    )
+
+
+def tf_list_count(t, *args):
+    return pd.Series([str(len(_parse_lists(vals))) for vals in _rows(t, args)], dtype=object)
+
+
+def tf_list_slice(t, spec, *args):
+    sp = _s(spec)
+
+    def do(vals, srange):
+        l = _parse_lists(vals)
+        a_, _, b_ = srange.partition(":")
+        lo = int(a_) if a_ else 0
+        hi = int(b_) if b_ else len(l)
+        return _ser_list(l[lo:hi])
+
+    return pd.Series([do(vals, s) for vals, s in zip(_rows(t, args), sp)], dtype=object)
+
+
+def tf_list_append(t, a=None, *items):
+    """Appends each item arg as ONE literal element (not parsed as a
+    list) — reference list-funcs.c tf_list_append."""
+    if a is None:
+        return pd.Series([""] * t.num_rows, dtype=object)
+    cols = [_s(x) for x in items]
+    return pd.Series(
+        [_ser_list(_parse_list_one(x) + list(vals)) for x, *vals in zip(_s(a), *cols)],
         dtype=object,
     )
 
 
-def tf_list_count(t, a):
-    return _s(a).map(lambda x: str(len(_split_list(x)))).astype(object)
+def tf_list_search(t, *args):
+    """$(list-search [--mode literal|prefix|substring|glob]
+    [--start-index N] needle list...) -> first matching index or ''."""
+    import fnmatch
 
+    mode, start_idx = "literal", 0
+    rest = list(args)
+    while rest:
+        flag = _flag(rest[0])
+        if flag == "--mode" and len(rest) >= 2:
+            mode = _flag(rest[1])
+            rest = rest[2:]
+        elif flag == "--start-index" and len(rest) >= 2:
+            try:
+                start_idx = int(_flag(rest[1]))
+            except ValueError:
+                start_idx = 0
+            rest = rest[2:]
+        else:
+            break
+    if not rest:
+        return pd.Series([""] * t.num_rows, dtype=object)
+    needle, lists = _s(rest[0]), rest[1:]
 
-def tf_list_slice(t, spec, a):
-    sp = _s(spec)
+    def match(e: str, nd: str) -> bool:
+        if mode == "prefix":
+            return e.startswith(nd)
+        if mode == "substring":
+            return nd in e
+        if mode == "glob":
+            return fnmatch.fnmatchcase(e, nd)
+        return e == nd
 
-    def do(x, srange):
-        l = _split_list(x)
-        a_, _, b_ = srange.partition(":")
-        lo = int(a_) if a_ else 0
-        hi = int(b_) if b_ else len(l)
-        return ",".join(l[lo:hi])
+    def do(vals, nd):
+        l = _parse_lists(vals)
+        for k in range(max(start_idx, 0), len(l)):
+            if match(l[k], nd):
+                return str(k)
+        return ""
 
-    return pd.Series([do(x, s) for x, s in zip(_s(a), sp)], dtype=object)
-
-
-def tf_list_append(t, a, *items):
-    cols = [_s(x) for x in items]
-    return pd.Series(
-        [",".join(_split_list(x) + [v for v in vals]) for x, *vals in zip(_s(a), *cols)], dtype=object
-    )
-
-
-def tf_list_search(t, needle, a):
-    nd = _s(needle)
-    return pd.Series(
-        [str(_split_list(x).index(n)) if n in _split_list(x) else "" for x, n in zip(_s(a), nd)], dtype=object
-    )
+    return pd.Series([do(vals, nd) for vals, nd in zip(_rows(t, lists), needle)], dtype=object)
 
 
 # ---- ip (ip-funcs.c) ----
@@ -628,20 +852,20 @@ def _eval_elem_template(spec: str, elems: list[str]) -> list[str]:
 def tf_list_map(t, expr, a):
     out = []
     for x in _s(a):
-        elems = _split_list(x)
-        out.append(",".join(_eval_elem_template(expr, elems)) if elems else "")
+        elems = _parse_list_one(x)
+        out.append(_ser_list(_eval_elem_template(expr, elems)) if elems else "")
     return pd.Series(out, dtype=object)
 
 
 def tf_list_filter(t, expr, a):
     out = []
     for x in _s(a):
-        elems = _split_list(x)
+        elems = _parse_list_one(x)
         if not elems:
             out.append("")
             continue
         keep = _eval_elem_template(expr, elems)
-        out.append(",".join(e for e, k in zip(elems, keep) if k in ("1", "true", "True", "yes")))
+        out.append(_ser_list([e for e, k in zip(elems, keep) if k in ("1", "true", "True", "yes")]))
     return pd.Series(out, dtype=object)
 
 
@@ -685,8 +909,8 @@ TEMPLATE_FUNCS = {
     "+": _binop(lambda a, b: a + b),
     "-": _binop(lambda a, b: a - b),
     "*": _binop(lambda a, b: a * b),
-    "/": _binop(lambda a, b: (a / b).where(b != 0)),
-    "%": _binop(lambda a, b: (a % b).where(b != 0)),
+    "/": _binop(lambda a, b: a / b),
+    "%": _binop(lambda a, b: math.fmod(a, b) if isinstance(a, float) or isinstance(b, float) else a % b),
     "sum": _listfold(sum),
     "min": _listfold(min),
     "max": _listfold(max),

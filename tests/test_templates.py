@@ -87,7 +87,9 @@ def test_digests_and_encodings():
     t = _msg_table()
     assert Template("$(sha256 $HOST)").eval(t).tolist()[0] == hashlib.sha256(b"myhost").hexdigest()
     assert Template("$(sha1 x 8)").eval(t).tolist()[0] == hashlib.sha1(b"x").hexdigest()[:8]
-    assert Template("$(url-encode a b/c)").eval(t).tolist()[0] == "a%20b%2Fc"
+    # reference urlencode.c:24-37 concatenates args with NO separator
+    assert Template("$(url-encode a b/c)").eval(t).tolist()[0] == "ab%2Fc"
+    assert Template("$(url-encode 'a b/c')").eval(t).tolist()[0] == "a%20b%2Fc"
 
 
 def test_ipv4_to_int():
