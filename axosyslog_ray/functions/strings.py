@@ -483,41 +483,68 @@ def tf_uuid(t, *args):
 # reference's own test corpus (modules/basicfuncs/tests/
 # test_basicfuncs.c:412-530) in tests/test_basicfuncs_conformance.py.
 
-_LIST_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", '"': '"', "\\": "\\"}
+_LIST_ESCAPES = {"b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t", "\\": "\\"}
+
+
+def _decode_elem(x: str, i: int) -> tuple[str, int, bool]:
+    """Decode ONE element starting at i — a faithful port of the
+    reference's str-repr decoder (lib/str-repr/decode.c _decode state
+    machine, delimiter ','): single- OR double-quoted elements with
+    backslash escapes (unknown escapes keep the backslash; \\<quote>
+    drops it), junk after a closing quote or an unterminated quote
+    fails the decode and the RAW slice (through any consumed delimiter)
+    is the element — 'prefer incorrectly formatted data to no data'.
+    Returns (value, next_index, is_quoted_empty_ok)."""
+    n = len(x)
+    start = i
+    c = x[i]
+    if c not in "\"'":
+        j = x.find(",", i)
+        if j == -1:
+            return x[i:], n, False
+        return x[i:j], j + 1, False
+    quote = c
+    buf: list[str] = []
+    j = i + 1
+    while j < n:
+        c2 = x[j]
+        if c2 == "\\" and quote == '"':
+            if j + 1 >= n:
+                break  # dangling backslash -> unterminated
+            nxt = x[j + 1]
+            if nxt in _LIST_ESCAPES:
+                buf.append(_LIST_ESCAPES[nxt])
+            elif nxt == quote:
+                buf.append(quote)
+            else:
+                buf.append("\\" + nxt)
+            j += 2
+            continue
+        if c2 == quote:
+            # closing quote: next must be delimiter or end
+            if j + 1 >= n:
+                return "".join(buf), n, True
+            if x[j + 1] == ",":
+                return "".join(buf), j + 2, True
+            # junk after closing quote -> failure: raw through delimiter
+            k = x.find(",", j + 1)
+            end = n if k == -1 else k + 1
+            return x[start:end], end, False
+        buf.append(c2)
+        j += 1
+    # unterminated quote -> raw rest of the input
+    return x[start:], n, False
 
 
 def _parse_list_one(x: str) -> list[str]:
     items: list[str] = []
     i, n = 0, len(x)
     while i < n:
-        c = x[i]
-        if c == ",":
+        if x[i] == ",":  # unquoted empty element: skipped
             i += 1
             continue
-        if c == '"':
-            j, buf = i + 1, []
-            while j < n:
-                c2 = x[j]
-                if c2 == "\\" and j + 1 < n:
-                    buf.append(_LIST_ESCAPES.get(x[j + 1], x[j + 1]))
-                    j += 2
-                    continue
-                if c2 == '"':
-                    break
-                buf.append(c2)
-                j += 1
-            items.append("".join(buf))
-            i = j + 1
-            while i < n and x[i] != ",":  # junk after closing quote
-                i += 1
-        else:
-            j = x.find(",", i)
-            if j == -1:
-                j = n
-            tok = x[i:j]
-            if tok:
-                items.append(tok)
-            i = j
+        val, i, _quoted = _decode_elem(x, i)
+        items.append(val)
     return items
 
 
