@@ -127,37 +127,173 @@ def message(pattern, kind="pcre"):
     return Match(pattern, "MESSAGE", kind)
 
 
+_STRINGISH = {"string", "json", "list", "bytes", "protobuf"}
+_TRIVIAL_REF = re.compile(r"^\$\{?([A-Za-z0-9_.]+)\}?$")
+
+# Arrow dtype -> LM_VT-style label for auto-typed operands
+def _arrow_vt(typ: pa.DataType) -> str:
+    if pa.types.is_integer(typ):
+        return "integer"
+    if pa.types.is_floating(typ):
+        return "double"
+    if pa.types.is_boolean(typ):
+        return "boolean"
+    if pa.types.is_timestamp(typ) or pa.types.is_date(typ):
+        return "datetime"
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        return "list"
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return "bytes"
+    if pa.types.is_struct(typ) or pa.types.is_map(typ):
+        return "json"
+    return "string"
+
+
+def _to_number(vals: pd.Series, vt: str) -> np.ndarray:
+    """filter-cmp.c _convert_to_number (JavaScript-style): strings/ints/
+    doubles parse or become NaN; objects/bytes are NaN; null is 0;
+    boolean casts 0/1; datetime is epoch milliseconds."""
+    n = len(vals)
+    if vt in ("string", "integer", "double"):
+        return pd.to_numeric(vals, errors="coerce").to_numpy(dtype=np.float64)
+    if vt in ("json", "list", "bytes", "protobuf"):
+        return np.full(n, np.nan)
+    if vt == "null":
+        return np.zeros(n)
+    if vt == "boolean":
+        truthy = vals.astype(str).str.lower().isin(["true", "yes", "on", "1"])
+        return truthy.to_numpy().astype(np.float64)
+    if vt == "datetime":
+        secs = pd.to_numeric(vals, errors="coerce").fillna(0.0)
+        return np.round(secs.to_numpy(dtype=np.float64) * 1000.0)
+    return np.full(n, np.nan)
+
+
 class Cmp(FilterExpr):
-    """Template-vs-template comparison (reference lib/filter/filter-cmp.c:42-210).
+    """Template-vs-template comparison — a faithful port of the
+    reference's decision procedure (lib/filter/filter-cmp.c:42-235):
 
-    mode 'numeric' parses both sides as numbers (NaN compares False),
-    'string' compares bytes, 'type-aware' tries numeric then falls back to
-    string (the 4.0 semantics)."""
+    mode 'type-aware' (4.0 semantics, conformance pinned to the
+    reference's lib/filter/tests/test_filters_fop_cmp.c in
+    tests/test_fop_cmp_conformance.py):
+      1. same type and string-ish (string/json/list/bytes) -> byte compare;
+      2. null on either side: == is type-equality, != its negation,
+         ordering ops fall through with null converted to 0;
+      3. otherwise JS-style numeric conversion; NaN on either side makes
+         every comparison FALSE except != (always TRUE).
+    Ops '===' / '!==' add the type-equality gate
+    (_evaluate_type_and_value_comparison).
 
-    OPS = {"==": "eq", "!=": "ne", "<": "lt", "<=": "le", ">": "gt", ">=": "ge"}
+    mode 'string' compares bytes. mode 'numeric' parses both sides as
+    doubles (NaN compares False) — a DOCUMENTED divergence: the
+    reference's numeric mode is C atoi() (integer prefix, 'alma' == 0);
+    double parsing is what the engine's SQL oracles pin and what a user
+    comparing '$value' > '100.5' actually wants.
 
-    def __init__(self, left: str, op: str, right: str, mode: str = "type-aware"):
+    Operand types for 'type-aware' default to 'auto': a trivial '$name'
+    template takes the referenced column's Arrow type (per-row nulls
+    become the NULL type; a missing column is NULL, matching "a
+    non-existing macro equals null"); *_NUM macros and PRI are integers;
+    literals and composite templates are strings, like the reference's
+    template evaluator. Pass ltype/rtype to override."""
+
+    OPS = {"==": "eq", "!=": "ne", "<": "lt", "<=": "le", ">": "gt", ">=": "ge",
+           "===": "eq", "!==": "ne"}
+
+    def __init__(self, left: str, op: str, right: str, mode: str = "type-aware",
+                 ltype: str = "auto", rtype: str = "auto"):
+        if op not in self.OPS:
+            raise ValueError(f"unknown comparison op {op!r}")
         self.l, self.r = Template(left), Template(right)
+        self.lspec, self.rspec = str(left), str(right)
         self.op, self.mode = op, mode
+        self.ltype, self.rtype = ltype, rtype
+
+    def _operand(self, spec: str, declared: str, table: pa.Table):
+        """(values Series, type label, per-row null mask)."""
+        tpl = self.l if spec == self.lspec else self.r
+        vals = tpl.eval(table)
+        n = len(vals)
+        if declared != "auto":
+            return vals, declared, np.zeros(n, dtype=bool)
+        m = _TRIVIAL_REF.match(spec)
+        if not m:
+            return vals, "string", np.zeros(n, dtype=bool)
+        name = m.group(1)
+        if name in table.column_names:
+            col = table.column(name)
+            return vals, _arrow_vt(col.type), col.is_null().to_numpy(zero_copy_only=False)
+        if name.endswith("_NUM") or name == "PRI":
+            return vals, "integer", np.zeros(n, dtype=bool)
+        from .functions.macros import eval_macro
+
+        if eval_macro(name, table) is not None:
+            return vals, "string", np.zeros(n, dtype=bool)
+        return vals, "null", np.ones(n, dtype=bool)
 
     def _cmp(self, a: pd.Series, b: pd.Series) -> np.ndarray:
         import operator
 
         opf = getattr(operator, self.OPS[self.op])
-        if self.mode in ("numeric", "type-aware"):
+        if self.mode == "numeric":
             an, bn = pd.to_numeric(a, errors="coerce"), pd.to_numeric(b, errors="coerce")
             num_ok = an.notna() & bn.notna()
             num_res = pd.Series(np.zeros(len(a), dtype=bool))
             with np.errstate(invalid="ignore"):
                 num_res[num_ok] = opf(an[num_ok], bn[num_ok])
-            if self.mode == "numeric":
-                return (num_res & num_ok).to_numpy()
-            str_res = opf(a.astype(str), b.astype(str))
-            return np.where(num_ok.to_numpy(), num_res.to_numpy(), str_res.to_numpy())
+            return (num_res & num_ok).to_numpy()
         return opf(a.astype(str), b.astype(str)).to_numpy()
 
     def mask(self, table):
-        return self._cmp(self.l.eval(table), self.r.eval(table))
+        if self.mode != "type-aware":
+            return self._cmp(self.l.eval(table), self.r.eval(table))
+        import operator
+
+        opf = getattr(operator, self.OPS[self.op])
+        av, at, anull = self._operand(self.lspec, self.ltype, table)
+        bv, bt, bnull = self._operand(self.rspec, self.rtype, table)
+        n = len(av)
+        lt = np.where(anull, "null", at)
+        rt = np.where(bnull, "null", bt)
+        out = np.zeros(n, dtype=bool)
+
+        types_match = lt == rt
+
+        # 1) same string-ish type -> byte compare
+        stringish = types_match & np.isin(lt, list(_STRINGISH))
+        if stringish.any():
+            out = np.where(stringish, opf(av.astype(str), bv.astype(str)).to_numpy(), out)
+
+        # 2) null on either side, == / != only
+        nullish = ((lt == "null") | (rt == "null")) & ~stringish
+        if self.op in ("==", "==="):
+            out = np.where(nullish, types_match, out)
+        elif self.op in ("!=", "!=="):
+            out = np.where(nullish, out | ~types_match, out)
+        else:
+            nullish = np.zeros(n, dtype=bool)  # ordering ops: fall through, null -> 0
+
+        # 3) numeric conversion for the rest
+        rest = ~stringish & ~nullish
+        if rest.any():
+            an = np.where(lt == "null", 0.0, _to_number(av, at))
+            bn = np.where(rt == "null", 0.0, _to_number(bv, bt))
+            nan = np.isnan(an) | np.isnan(bn)
+            with np.errstate(invalid="ignore"):
+                num = opf(an, bn)
+            if self.op in ("!=", "!=="):
+                num = np.where(nan, True, num)
+            else:
+                num = np.where(nan, False, num)
+            out = np.where(rest, num, out)
+        # ===/!== add the type-equality gate AROUND the typed evaluation
+        # (_evaluate_type_and_value_comparison): mismatching types decide
+        # immediately — '===' FALSE, '!==' TRUE
+        if self.op == "===":
+            return out & types_match
+        if self.op == "!==":
+            return out | ~types_match
+        return out
 
 
 class And(FilterExpr):
