@@ -32,7 +32,7 @@ from .strings import TEMPLATE_FUNCS
 _NAME = r"[A-Za-z0-9_.@]+"
 _TOKEN = re.compile(
     r"\$\((?P<fn>)"  # $( starts a function call (parsed by scanner)
-    r"|\$\{(?P<braced>" + _NAME + r")\}"
+    r"|\$\{(?P<braced>" + _NAME + r")(?::-(?P<default>[^}]*))?\}"
     r"|\$(?P<bare>[A-Za-z0-9_]+)"
 )
 
@@ -46,16 +46,25 @@ class Literal:
 
 
 class ValueRef:
-    def __init__(self, name: str):
+    """$NAME / ${NAME} / ${NAME:-default} — default applies when the
+    value is UNSET (missing name, or per-row null), the reference's
+    compiler.c default-value semantics; a set-but-empty value stays
+    empty."""
+
+    def __init__(self, name: str, default: str | None = None):
         self.name = name
+        self.default = default
 
     def eval(self, table: pa.Table) -> pd.Series:
         if self.name in table.column_names:
-            return table.column(self.name).to_pandas().astype("string").fillna("").astype(object)
+            col = table.column(self.name).to_pandas()
+            out = col.astype("string").astype(object)
+            fill = self.default if self.default is not None else ""
+            return out.where(col.notna(), fill)
         m = eval_macro(self.name, table)
         if m is not None:
             return m.astype(object)
-        return pd.Series([""] * table.num_rows, dtype=object)
+        return pd.Series([self.default or ""] * table.num_rows, dtype=object)
 
 
 class FuncCall:
@@ -143,6 +152,9 @@ class Template:
     def _compile(spec: str) -> list:
         elems, pos = [], 0
         while pos < len(spec):
+            if spec.startswith("${", pos) and "}" not in spec[pos:]:
+                # reference compiler.c: "'}' is missing"
+                raise ValueError(f"template: '}}' is missing: {spec!r}")
             if spec.startswith("$$", pos):
                 elems.append(Literal("$"))
                 pos += 2
@@ -164,7 +176,7 @@ class Template:
                 continue
             name = m.group("braced") or m.group("bare")
             if name:
-                elems.append(ValueRef(name))
+                elems.append(ValueRef(name, m.group("default") if m.group("braced") else None))
                 pos = m.end()
             else:  # matched '$(' via regex — handled above, defensive
                 pos += 1

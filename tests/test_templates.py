@@ -368,3 +368,24 @@ def test_format_cef_extension_and_graphite():
     assert out == ["act=blocked a\\=b", "act=ok"]
     g = format_graphite(t, ValuePairs(include=["act"]), timestamp="$recvd_unixtime")
     assert g.column("graphite_out").to_pylist() == ["act blocked a=b 100\n", "act ok 200\n"]
+
+
+def test_default_value_and_syntax_errors_reference_pins():
+    # reference lib/template/tests/test_template.c:377-410
+    import pytest
+
+    t = _msg_table()
+    assert Template("${HOST:-ures}").eval(t).tolist()[0] == "myhost"
+    assert Template("${NOPE99:-ures}").eval(t).tolist()[0] == "ures"
+    assert Template("$unbalanced_brace}").eval(t).tolist() == ["}", "}"]
+    assert Template("$}").eval(t).tolist()[0] == "$}"
+    assert Template("$unbalanced_paren)").eval(t).tolist()[0] == ")"
+    with pytest.raises(ValueError, match="is missing"):
+        Template("${unbalanced_brace")
+    with pytest.raises(ValueError, match="unterminated"):
+        Template("$(unbalanced_paren")
+    # nested echo quoting (test_template.c:388-393, 454-457)
+    assert Template("$(echo \"$(echo $HOST)\" $PID)").eval(t).tolist()[0] == "myhost 1234"
+    assert Template("$(echo '\"$(echo $(echo $HOST))\"' $PID)").eval(t).tolist()[0] == '"myhost" 1234'
+    assert Template("$(echo foo '' bar)").eval(t).tolist()[0] == "foo  bar"
+    assert Template("$(echo foo '')").eval(t).tolist()[0] == "foo "
