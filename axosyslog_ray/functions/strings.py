@@ -919,8 +919,13 @@ tf_list_map._lazy_first = True  # type: ignore[attr-defined]
 tf_list_filter._lazy_first = True  # type: ignore[attr-defined]
 
 
+from .valuepairs import tf_format_json  # noqa: E402 (template-function form)
+
+tf_format_json._lazy_all = True
+
 TEMPLATE_FUNCS = {
     "echo": tf_echo,
+    "format-json": tf_format_json,
     "length": tf_length,
     "lowercase": tf_lowercase,
     "uppercase": tf_uppercase,

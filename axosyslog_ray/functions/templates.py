@@ -80,6 +80,10 @@ class FuncCall:
             # higher-order functions ($(map expr list)): the first arg is a
             # per-element template SPEC, not a value to evaluate here
             return fn(table, self.args[0].spec, *[a.eval(table) for a in self.args[1:]])
+        if getattr(fn, "_lazy_all", False):
+            # declarative functions ($(format-json key=TPL --flag ...)):
+            # every arg is a raw spec the function parses itself
+            return fn(table, *[a.spec for a in self.args])
         return fn(table, *[a.eval(table) for a in self.args])
 
 
@@ -99,12 +103,10 @@ def _split_args(body: str) -> list[str]:
         elif c in "\"'":
             q = c
             started = True
-        elif body.startswith("$(", i):
+        elif c == "(":
             depth += 1
             buf.append(c)
             started = True
-        elif c == "(" and depth >= 0 and buf and buf[-1] == "$":
-            buf.append(c)
         elif c == ")" and depth > 0:
             depth -= 1
             buf.append(c)
@@ -132,9 +134,8 @@ def _find_call_end(s: str, start: int) -> int:
                 q = None
         elif c in "\"'":
             q = c
-        elif s.startswith("$(", i):
+        elif c == "(":
             depth += 1
-            i += 1
         elif c == ")":
             depth -= 1
             if depth == 0:

@@ -130,6 +130,183 @@ def format_json(table: pa.Table, vp: ValuePairs | None = None, out_col: str = "j
     return table.append_column(out_col, pa.array(out, type=pa.string()))
 
 
+class _RawJson:
+    __slots__ = ("text",)
+
+    def __init__(self, text: str):
+        self.text = text
+
+
+def _json_ser(v) -> str:
+    if isinstance(v, _RawJson):
+        return v.text
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            json.dumps(k, ensure_ascii=False) + ":" + _json_ser(x) for k, x in v.items()
+        ) + "}"
+    if isinstance(v, list):
+        return "[" + ",".join(_json_ser(x) for x in v) + "]"
+    return json.dumps(v, ensure_ascii=False)
+
+
+_TYPE_HINT = re.compile(
+    r"^(int32|int64|int|i32|i64|double|float|boolean|bool|null|list|literal|string)\((.*)\)$",
+    re.DOTALL,
+)
+
+
+def _apply_hint(hint: str, rendered: str):
+    """value-pairs explicit type hints (reference value-pairs.c type-hint
+    parsing feeding format-json.c typed output)."""
+    if hint in ("int32", "int64", "int", "i32", "i64"):
+        try:
+            return int(rendered.strip())
+        except ValueError:
+            return rendered
+    if hint in ("double", "float"):
+        try:
+            return float(rendered.strip())
+        except ValueError:
+            return rendered
+    if hint in ("boolean", "bool"):
+        return rendered.strip().lower() in ("true", "yes", "on", "1")
+    if hint == "null":
+        return None
+    if hint == "list":
+        from .strings import _parse_list_one
+
+        return _parse_list_one(rendered)
+    if hint == "literal":
+        return _RawJson(rendered)
+    return rendered
+
+
+def tf_format_json(t: pa.Table, *args):
+    """$(format-json key=TEMPLATE ... [--key NAME] [--exclude GLOB]
+    [--omit-empty-values] [--leave-initial-dot]
+    [--rekey GLOB --shift N --shift-levels N --add-prefix P]) — the
+    reference's template-function form (modules/json/format-json.c;
+    conformance pins tests/test_format_json_conformance.py). Keys nest
+    on '.', a leading '.' renders as '_' unless --leave-initial-dot,
+    insertion order is preserved, and explicit value-pairs type hints
+    (int32()/boolean()/null()/list()/literal()...) emit typed JSON."""
+    import fnmatch as _fn
+
+    from .templates import Template
+
+    pairs: list[tuple[str, object]] = []  # (key, rendered Series | hint tuple)
+    omit_empty = leave_dot = False
+    excludes: list[str] = []
+    rekeys: list[dict] = []  # {glob, shift, shift_levels, add_prefix}
+    i, n_rows = 0, t.num_rows
+    arglist = list(args)  # raw specs (_lazy_all)
+
+    def _tpl_series(spec: str) -> pd.Series:
+        return Template(spec).eval(t)
+
+    cur_rekey: dict | None = None
+    while i < len(arglist):
+        flag = arglist[i]
+        if flag == "--omit-empty-values":
+            omit_empty = True
+        elif flag == "--leave-initial-dot":
+            leave_dot = True
+        elif flag == "--exclude" and i + 1 < len(arglist):
+            i += 1
+            excludes.append(arglist[i])
+        elif flag in ("--rekey",) and i + 1 < len(arglist):
+            i += 1
+            cur_rekey = {"glob": arglist[i], "shift": 0, "shift_levels": 0, "add_prefix": ""}
+            rekeys.append(cur_rekey)
+        elif flag in ("--shift", "--shift-levels", "--add-prefix") and i + 1 < len(arglist):
+            i += 1
+            v = arglist[i]
+            if cur_rekey is None:
+                cur_rekey = {"glob": "*", "shift": 0, "shift_levels": 0, "add_prefix": ""}
+                rekeys.append(cur_rekey)
+            if flag == "--shift":
+                cur_rekey["shift"] = int(v)
+            elif flag == "--shift-levels":
+                cur_rekey["shift_levels"] = int(v)
+            else:
+                cur_rekey["add_prefix"] = v
+        elif flag == "--key" and i + 1 < len(arglist):
+            i += 1
+            name = arglist[i]
+            if any(ch in name for ch in "*?["):
+                # glob form: acts as a rekey selector for following flags
+                cur_rekey = {"glob": name, "shift": 0, "shift_levels": 0, "add_prefix": ""}
+                rekeys.append(cur_rekey)
+            else:
+                pairs.append((name, _tpl_series("${" + name + "}")))
+        elif flag == "--scope" and i + 1 < len(arglist):
+            i += 1
+            sc = arglist[i]
+            vp = ValuePairs(sc.split(",")[0].replace("_", "-")
+                            if sc.split(",")[0].replace("_", "-") in SCOPES else "core")
+            for c in vp.select(t):
+                pairs.append((c, t.column(c).to_pandas().astype("string").fillna("").astype(object)))
+        elif "=" in flag:
+            key, _, vspec = flag.partition("=")
+            m = _TYPE_HINT.match(vspec)
+            if m:
+                pairs.append((key, ("__hint__", m.group(1), _tpl_series(m.group(2)))))
+            else:
+                pairs.append((key, _tpl_series(vspec)))
+        else:
+            # bare arg: an NV name (like --key)
+            name = flag
+            pairs.append((name, _tpl_series("${" + name + "}")))
+        i += 1
+
+    def xform_key(k: str) -> str:
+        for rk in rekeys:
+            if _fn.fnmatchcase(k, rk["glob"]):
+                if rk["shift"]:
+                    k = k[rk["shift"]:]
+                if rk["shift_levels"]:
+                    parts = k.lstrip(".").split(".")
+                    k = ".".join(parts[rk["shift_levels"]:]) or parts[-1]
+                k = rk["add_prefix"] + k
+        if k.startswith("."):
+            if not leave_dot:
+                k = "_" + k[1:]
+            else:
+                return k  # handled by the caller's split (dot stays in label 1)
+        return k
+
+    out: list[str] = []
+    for r in range(n_rows):
+        nested: dict = {}
+        for key, val in pairs:
+            if any(_fn.fnmatchcase(key, g) for g in excludes):
+                continue
+            if isinstance(val, tuple) and val[0] == "__hint__":
+                v = _apply_hint(val[1], str(val[2].iloc[r]))
+            else:
+                v = str(val.iloc[r])
+            if omit_empty and (v == "" or v == []):
+                continue
+            k = xform_key(key)
+            if k.startswith("."):
+                tail = k[1:].split(".")
+                parts = ["." + tail[0]] + tail[1:]
+            else:
+                parts = k.split(".")
+            d = nested
+            ok = True
+            for p in parts[:-1]:
+                nxt = d.setdefault(p, {})
+                if not isinstance(nxt, dict):
+                    ok = False
+                    break
+                d = nxt
+            if ok:
+                d[parts[-1]] = v
+        out.append(_json_ser(nested))
+    return pd.Series(out, dtype=object)
+
+
 def format_flat_json(table: pa.Table, vp: ValuePairs | None = None, out_col: str = "json_out") -> pa.Table:
     """$(format-flat-json): dotted keys stay flat."""
     vp = vp or ValuePairs("everything")

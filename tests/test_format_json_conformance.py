@@ -1,0 +1,63 @@
+"""$(format-json) template-function conformance pinned to the
+reference's own test corpus (modules/json/tests/test_format_json.c) —
+key nesting, initial-dot and @ handling, insertion order, option flags,
+typed value hints."""
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from axosyslog_ray.functions.templates import Template
+from axosyslog_ray.stages.syslog import parse_syslog_table
+
+
+def _msg():
+    return parse_syslog_table(pa.table({
+        "url": ["u"],
+        "warc_ts": pa.array(pd.Series([pd.Timestamp("2026-08-17")], dtype="datetime64[us]")),
+        "text": ["<38>Aug 17 05:02:28 bzorp syslog-ng[23323]: msg"],
+    }))
+
+
+CASES = [
+    # nesting + insertion order (test_format_json.c:64-68)
+    ('$(format-json msg.text=$MSG msg.id=42 host=bzorp)',
+     '{"msg":{"text":"msg","id":"42"},"host":"bzorp"}'),
+    ('$(format-json msg.text.str=$MSG msg.text.len=42 msg.id=42 host=bzorp)',
+     '{"msg":{"text":{"str":"msg","len":"42"},"id":"42"},"host":"bzorp"}'),
+    # initial-dot -> _ ; @ never splits on its own (:70, 86-91)
+    ('$(format-json .foo=bar)', '{"_foo":"bar"}'),
+    ('$(format-json @program=${PROGRAM})', '{"@program":"syslog-ng"}'),
+    ('$(format-json @program.123=${PROGRAM})', '{"@program":{"123":"syslog-ng"}}'),
+    ('$(format-json .@program.123=${PROGRAM})', '{"_@program":{"123":"syslog-ng"}}'),
+    ('$(format-json @.program=${PROGRAM})', '{"@":{"program":"syslog-ng"}}'),
+    # --key over macros (:107-110)
+    ('$(format-json --key PID)', '{"PID":"23323"}'),
+    ('$(format-json --key HOST)', '{"HOST":"bzorp"}'),
+    ('$(format-json --key HOST --key MESSAGE)', '{"HOST":"bzorp","MESSAGE":"msg"}'),
+    # --omit-empty-values (:129)
+    ("$(format-json --omit-empty-values msg.set=value msg.unset='')",
+     '{"msg":{"set":"value"}}'),
+    # typed value hints (:140-157)
+    ('$(format-json i32=int32(1234))', '{"i32":1234}'),
+    ('$(format-json "i=ifoo(")', '{"i":"ifoo("}'),
+    ('$(format-json b=boolean(TRUE))', '{"b":true}'),
+    ('$(format-json null=null())', '{"null":null}'),
+    ('$(format-json null=null(whatever))', '{"null":null}'),
+    ('$(format-json b=literal(whatever))', '{"b":whatever}'),
+    # rekey chain (:123) and --leave-initial-dot (:92)
+    ('$(format-json .msg.text=dotted --rekey .* --shift 1 --add-prefix _)',
+     '{"_msg":{"text":"dotted"}}'),
+    ('$(format-json --leave-initial-dot .program.name=${PROGRAM})',
+     '{".program":{"name":"syslog-ng"}}'),
+]
+
+
+@pytest.mark.parametrize("tpl,want", CASES, ids=range(len(CASES)))
+def test_format_json_reference_conformance(tpl, want):
+    assert Template(tpl).eval(_msg()).tolist()[0] == want
+
+
+def test_list_hint_emits_array():
+    # test_format_json.c:152: l=list(...) -> JSON array via the list codec
+    got = Template('$(format-json l=list("value,with,a,comma"))').eval(_msg()).tolist()[0]
+    assert got == '{"l":["value","with","a","comma"]}'
