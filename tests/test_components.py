@@ -29,15 +29,17 @@ class TestConnectedComponents:
         assert dict(zip(out["node"], out["component"])) == {
             10: 10, 11: 10, 12: 10, 50: 50, 51: 50}
 
-    def test_long_path_needs_iterations(self):
+    def test_long_path_needs_iterations_distributed(self):
         # path 0-1-2-...-9: diameter 9, converges only by iterating;
-        # also exercises duplicate edges + self-loops (absorbed by min)
+        # also exercises duplicate edges + self-loops (absorbed by min).
+        # driver_threshold=0 forces the DISTRIBUTED loop (the default
+        # driver fast path is covered by the other tests)
         n = 10
         e = pd.DataFrame({
             "id_a": list(range(n - 1)) + [5, 7],
             "id_b": list(range(1, n)) + [5, 6],
         })
-        out = _cc(e)
+        out = _cc(e, driver_threshold=0)
         assert len(out) == n
         assert set(out["component"]) == {0}
 
@@ -58,7 +60,8 @@ class TestConnectedComponents:
     def test_max_iters_raises_instead_of_wrong_answer(self):
         e = pd.DataFrame({"id_a": range(0, 30), "id_b": range(1, 31)})
         with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(rd.from_pandas(e), max_iters=2).to_pandas()
+            connected_components(rd.from_pandas(e), max_iters=2,
+                                 driver_threshold=0).to_pandas()
 
     def test_random_graph_matches_networkx_free_oracle(self):
         # pure-python union-find oracle (no external dep)
@@ -82,3 +85,11 @@ class TestConnectedComponents:
 
         out = _cc(e)
         assert dict(zip(out["node"], out["component"])) == want
+
+    def test_driver_and_distributed_paths_agree(self):
+        rng = np.random.default_rng(3)
+        e = pd.DataFrame({"id_a": rng.integers(0, 40, 50),
+                          "id_b": rng.integers(0, 40, 50)})
+        fast = _cc(e)
+        slow = _cc(e, driver_threshold=0)
+        pd.testing.assert_frame_equal(fast, slow)
