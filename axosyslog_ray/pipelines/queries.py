@@ -787,6 +787,52 @@ SELECT doc_id, url_norm, url_domain FROM capped WHERE qn <= 5 ORDER BY doc_id
 """
 
 
+def docs_redact_pii(sf_dir: str):
+    """PII scrub (textstats/redact.py): emails/IPs/phones/SSNs ->
+    typed placeholders over deterministically constructed pii-laced
+    text. Oracle: DuckDB executes the IDENTICAL RE2-safe
+    regexp_replace chain (redact.pii_sql_replacements) — independent
+    regex engine, same spec (like docs_url_normalize)."""
+    from ..textstats.redact import redact_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_pandas()
+        s = b.column("source").to_pandas().astype(str)
+        ids = d.astype(str)
+        text = ("reach user" + ids + "@" + s + ".example.com or call 555-123-"
+                + (d % 10000).astype(str).str.zfill(4) + " from host 10.0."
+                + (d % 256).astype(str) + "." + ((d * 7) % 256).astype(str)
+                + " ssn 123-45-" + (d % 10000).astype(str).str.zfill(4)
+                + " plain trailing words")
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(text, type=pa.string())})
+
+    out = ds.map_batches(mk, batch_format="pyarrow").map_batches(
+        redact_pii, batch_format="pyarrow"
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _redact_sql() -> str:
+    from ..textstats.redact import pii_sql_replacements
+
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    'reach user' || doc_id || '@' || source || '.example.com or call 555-123-'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from host 10.0.'
+      || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+      || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' plain trailing words' AS text
+  FROM documents)
+SELECT doc_id, {pii_sql_replacements('text')} AS text
+FROM u ORDER BY doc_id
+"""
+
+
 def docs_langid(sf_dir: str):
     """Language-ID heuristic (stopword profiles, actor-pool stage).
     Oracled by an equivalent SQL formulation (list_filter membership
@@ -1827,6 +1873,7 @@ RAY_QUERIES = {
     "docs_langid": docs_langid,
     "docs_url_normalize": docs_url_normalize,
     "docs_web_curation": docs_web_curation,
+    "docs_redact_pii": docs_redact_pii,
     "emb_lsh_ann": emb_lsh_ann,
     "media_decode_stats": media_decode_stats,
     "flagship_routes": flagship_routes,
@@ -1892,6 +1939,7 @@ ORACLE_SQLS = {
     "docs_langid": DOCS_LANGID_SQL,
     "docs_url_normalize": DOCS_URL_NORMALIZE_SQL,
     "docs_web_curation": DOCS_WEB_CURATION_SQL,
+    "docs_redact_pii": _redact_sql(),
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_dup_components": DOCS_DUP_COMPONENTS_SQL,
     "docs_curation_pipeline": DOCS_CURATION_SQL,
