@@ -177,6 +177,29 @@ def hash_sample(ds, rates: dict[str, float], key_col: str = "doc_id",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def dedup_lines_text(texts: pd.Series, sep: str = "\n") -> pd.Series:
+    """C4-style within-document repetition removal: keep the FIRST
+    occurrence of each exact line, preserve order, rejoin. Pure per-row
+    function — shuffle-free, partitioning-independent; dict.fromkeys
+    keeps insertion order in one C-level pass per row. SQL-equivalent:
+    row_number() over (doc, line) = 1 re-aggregated by position
+    (docs_dedup_lines oracle)."""
+    return texts.astype(object).fillna("").astype(str).map(
+        lambda t: sep.join(dict.fromkeys(t.split(sep)))
+    )
+
+
+def dedup_lines(ds, text_col: str = "text", sep: str = "\n"):
+    """Batch operator form of dedup_lines_text."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        red = dedup_lines_text(batch.column(text_col).to_pandas(), sep)
+        idx = batch.column_names.index(text_col)
+        return batch.set_column(idx, text_col, pa.array(red, type=pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def quota_head(ds, key_col: str, order_col: str, k: int, num_buckets: int | None = None,
                tiebreak_cols: list[str] | None = None):
     """Keep the first k rows per key (ascending order_col) — per-domain

@@ -833,6 +833,49 @@ FROM u ORDER BY doc_id
 """
 
 
+def docs_dedup_lines(sf_dir: str):
+    """C4-style within-document repetition removal (curation.dedup_lines):
+    keep the first occurrence of each exact line, order preserved.
+    Oracle: row_number over (doc, line) = 1 re-aggregated by position."""
+    from ..curation import dedup_lines
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_pandas()
+        s = b.column("source").to_pandas().astype(str)
+        text = ("header " + s + "\nbody " + (d % 50).astype(str)
+                + "\nheader " + s + "\nunique " + d.astype(str)
+                + "\nbody " + (d % 50).astype(str))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(text, type=pa.string())})
+
+    out = dedup_lines(ds.map_batches(mk, batch_format="pyarrow")).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_DEDUP_LINES_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+    'header ' || source || chr(10) || 'body ' || (doc_id % 50) || chr(10)
+      || 'header ' || source || chr(10) || 'unique ' || doc_id || chr(10)
+      || 'body ' || (doc_id % 50) AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, chr(10))) AS line,
+         UNNEST(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM u),
+firsts AS (
+  SELECT doc_id, line, pos,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+  FROM lines)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+FROM firsts WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def docs_langid(sf_dir: str):
     """Language-ID heuristic (stopword profiles, actor-pool stage).
     Oracled by an equivalent SQL formulation (list_filter membership
@@ -1874,6 +1917,7 @@ RAY_QUERIES = {
     "docs_url_normalize": docs_url_normalize,
     "docs_web_curation": docs_web_curation,
     "docs_redact_pii": docs_redact_pii,
+    "docs_dedup_lines": docs_dedup_lines,
     "emb_lsh_ann": emb_lsh_ann,
     "media_decode_stats": media_decode_stats,
     "flagship_routes": flagship_routes,
@@ -1940,6 +1984,7 @@ ORACLE_SQLS = {
     "docs_url_normalize": DOCS_URL_NORMALIZE_SQL,
     "docs_web_curation": DOCS_WEB_CURATION_SQL,
     "docs_redact_pii": _redact_sql(),
+    "docs_dedup_lines": DOCS_DEDUP_LINES_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_dup_components": DOCS_DUP_COMPONENTS_SQL,
     "docs_curation_pipeline": DOCS_CURATION_SQL,

@@ -102,3 +102,21 @@ class TestQuotaHead:
         for s, g in out.groupby("source"):
             expected = sorted(i for i, src in rows if src == s)[:5]
             assert sorted(g["doc_id"]) == expected
+
+
+class TestDedupLines:
+    def test_keep_first_preserve_order(self):
+        import pandas as pd
+
+        from axosyslog_ray.curation import dedup_lines_text
+
+        s = pd.Series(["a\nb\na\nc\nb", "x", "", None])
+        assert dedup_lines_text(s).tolist() == ["a\nb\nc", "x", "", ""]
+
+    def test_custom_separator(self):
+        import pandas as pd
+
+        from axosyslog_ray.curation import dedup_lines_text
+
+        s = pd.Series(["p. q. p. r", "p. q. p. r"])
+        assert dedup_lines_text(s, sep=". ").tolist() == ["p. q. r"] * 2
