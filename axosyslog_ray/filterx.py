@@ -760,16 +760,93 @@ def _len(a: pd.Series) -> pd.Series:
     return a.astype("string").str.len()
 
 
-def _regexp_subst(a: pd.Series, pat: pd.Series, repl: pd.Series, glob=None) -> pd.Series:
+def _subst_repl_for_match(m: re.Match, repl: str) -> str:
+    """reference expr-regexp-subst.c
+    _build_replacement_string_with_match_groups: \\N (up to 3 digits,
+    leading zeros allowed) substitutes the group when it exists and
+    matched; an invalid/unknown ref stays LITERALLY (backslash + all
+    scanned digits)."""
+    out: list[str] = []
+    i, n = 0, len(repl)
+    while i < n:
+        c = repl[i]
+        if c == "\\" and i + 1 < n and repl[i + 1].isdigit():
+            j = i + 1
+            while j < n and repl[j].isdigit() and j - i <= 3:
+                j += 1
+            g = int(repl[i + 1 : j])
+            if 1 <= g <= m.re.groups:
+                out.append(m.group(g) or "")
+            else:
+                out.append(repl[i:j])
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _subst_one(rx: re.Pattern, repl: str, s: str, glob: bool, groups: bool) -> str:
+    """Faithful port of the reference's replace loop
+    (expr-regexp-subst.c _replace_matches:151-195), INCLUDING its
+    zero-length-match quirks: a zero-length match emits the replacement,
+    copies one source char from `pos`, and advances by one; after the
+    loop the replacement is appended once more when the LAST attempted
+    match (even a post-break rematch) was zero-length. Conformance
+    pinned to the reference's own test file in
+    tests/test_filterx_regexp_subst_conformance.py."""
+    out: list[str] = []
+    pos = 0
+    n = len(s)
+    m = rx.search(s, 0)
+    if m is None:
+        return s
+    while True:
+        rep = _subst_repl_for_match(m, repl) if groups else repl
+        out.append(s[pos:m.start()])
+        out.append(rep)
+        if m.start() == m.end():
+            if pos < n:
+                out.append(s[pos])
+            pos += 1
+        else:
+            pos = m.end()
+        m = rx.search(s, pos) if pos <= n else None
+        if m is None:
+            break
+        if not (pos < n and glob):
+            break
+    if pos < n:
+        out.append(s[pos:])
+    if m is not None and m.start() == m.end():
+        out.append(_subst_repl_for_match(m, repl) if groups else repl)
+    return "".join(out)
+
+
+def _regexp_subst(a: pd.Series, pat: pd.Series, repl: pd.Series, glob=None,
+                  ignorecase=None, groups=None, jit=None, utf8=None,
+                  newline=None) -> pd.Series:
     """reference lib/filterx/expr-regexp-subst.c: replace the FIRST match
-    unless the `global` flag is set; replacement supports \\1 group refs
-    (_build_replacement_string_with_match_groups). Vectorized via pandas
-    str.replace (compiled-regex C loop), n=1 vs n=-1 for the flag."""
+    unless the `global` flag is set; \\1 group refs honored unless
+    groups=false; ignorecase/newline/utf8 map to regex flags; jit is
+    accepted and ignored (a PCRE2 implementation detail)."""
     p = str(_arg_scalar(pat))
-    # \1 -> pandas/Python re backreference form
-    r = re.sub(r"\\(\d+)", r"\\g<\1>", str(_arg_scalar(repl)))
-    n = -1 if (glob is not None and bool(_arg_scalar(glob))) else 1
-    out = a.astype("string").str.replace(p, r, n=n, regex=True)
+    r = str(_arg_scalar(repl))
+
+    def _b(v, default=False):
+        return default if v is None else bool(_arg_scalar(v))
+
+    flags = 0
+    if _b(ignorecase):
+        flags |= re.IGNORECASE
+    if _b(newline):
+        flags |= re.MULTILINE
+    rx = re.compile(p, flags)
+    g = _b(glob)
+    grp = _b(groups, default=True)
+    out = a.astype("string").map(
+        lambda x: _subst_one(rx, r, x, g, grp) if pd.notna(x) else None
+    )
     return out.astype(object).where(~pd.isna(a), None)
 
 
