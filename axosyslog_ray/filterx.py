@@ -850,13 +850,46 @@ def _regexp_subst(a: pd.Series, pat: pd.Series, repl: pd.Series, glob=None,
     return out.astype(object).where(~pd.isna(a), None)
 
 
-def _regexp_search(a: pd.Series, pat: pd.Series) -> pd.Series:
-    """reference lib/filterx/expr-regexp-search.c (list form): the match's
-    capture groups as a list column; null when no match."""
+def _regexp_search(a: pd.Series, pat: pd.Series, keep_zero=None, list_mode=None) -> pd.Series:
+    """reference lib/filterx/expr-regexp-search.c: a DICT of the match's
+    groups by default — named groups keyed by name, unnamed by number,
+    group 0 dropped unless keep_zero=true OR the pattern has no capture
+    groups at all; unmatched optional groups are absent. list_mode=true
+    returns a list instead, where unmatched optional groups are null.
+    NO MATCH returns an empty dict/list (never null). Conformance
+    pinned to the reference's test_expr_regexp_search.c cases in
+    tests/test_filterx.py."""
     p = str(_arg_scalar(pat))
-    ex = a.astype("string").str.extract(f"({p})" if "(" not in p else p)
-    vals = ex.to_numpy(dtype=object)
-    return pd.Series([None if pd.isna(row[0]) else list(row) for row in vals], dtype=object)
+    # PCRE named-group syntax (?<name>...) -> Python (?P<name>...); the
+    # negative char after '<' keeps lookbehinds (?<=, (?<! intact
+    p = re.sub(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", r"(?P<\1>", p)
+    kz = keep_zero is not None and bool(_arg_scalar(keep_zero))
+    lm = list_mode is not None and bool(_arg_scalar(list_mode))
+    rx = re.compile(p)
+    idx_to_name = {v: k for k, v in rx.groupindex.items()}
+
+    def one(x):
+        if x is None or (np.ndim(x) == 0 and pd.isna(x)):
+            return None
+        m = rx.search(str(x))
+        if m is None:
+            return [] if lm else {}
+        n = rx.groups
+        include_zero = kz or n == 0
+        if lm:
+            out = [m.group(0)] if include_zero else []
+            out.extend(m.group(i) for i in range(1, n + 1))
+            return out
+        d = {}
+        if include_zero:
+            d["0"] = m.group(0)
+        for i in range(1, n + 1):
+            if m.group(i) is None:
+                continue  # unmatched optional group: key absent
+            d[idx_to_name.get(i, str(i))] = m.group(i)
+        return d
+
+    return a.map(one)
 
 
 def _str_replace(a: pd.Series, old: pd.Series, new: pd.Series) -> pd.Series:

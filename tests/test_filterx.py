@@ -181,9 +181,43 @@ def test_regexp_subst_group_refs():
 
 
 def test_regexp_search():
+    # reference expr-regexp-search.c semantics (test_expr_regexp_search.c):
+    # dict of groups by default; EMPTY dict on no match
     t = pa.table({"m": ["code=42 ok", "none here"]})
     out = _run(r'$g = regexp_search($m, "code=(\d+)");', t)
-    assert out.column("g").to_pylist() == [["42"], None]
+    # the no-match row is an EMPTY dict from the function; Arrow struct
+    # unification renders it with the column's keys nulled
+    assert out.column("g").to_pylist() == [{"1": "42"}, {"1": None}]
+
+
+def test_regexp_search_reference_conformance():
+    t = pa.table({"m": ["foobarbaz"]})
+
+    def run(expr):
+        return _run(expr, t).column("g").to_pylist()[0]
+
+    # unnamed -> dict "1".."3", group 0 dropped
+    assert run(r'$g = regexp_search($m, "(foo)(bar)(baz)");') == \
+        {"1": "foo", "2": "bar", "3": "baz"}
+    # keep_zero
+    assert run(r'$g = regexp_search($m, "(foo)(bar)(baz)", keep_zero=true);') == \
+        {"0": "foobarbaz", "1": "foo", "2": "bar", "3": "baz"}
+    # list mode
+    assert run(r'$g = regexp_search($m, "(foo)(bar)(baz)", keep_zero=true, list_mode=true);') == \
+        ["foobarbaz", "foo", "bar", "baz"]
+    # named + mixed
+    assert run(r'$g = regexp_search($m, "(?<first>foo)(bar)(?<third>baz)");') == \
+        {"first": "foo", "2": "bar", "third": "baz"}
+    # no-capture pattern retains group zero as the sole entry
+    assert run(r'$g = regexp_search($m, "foobarbaz");') == {"0": "foobarbaz"}
+    # no match -> empty dict
+    assert run(r'$g = regexp_search($m, "(almafa)");') == {}
+    # optional unmatched group: absent in dict mode, null in list mode
+    t2 = pa.table({"m": ["bar"]})
+    out = _run(r'$g = regexp_search($m, "(foo)?(bar)?", list_mode=true);', t2)
+    assert out.column("g").to_pylist()[0] == [None, "bar"]
+    out = _run(r'$g = regexp_search($m, "(?<f>foo)?(?<b>bar)?");', t2)
+    assert out.column("g").to_pylist()[0] == {"b": "bar"}
 
 
 def test_str_transform_functions():
