@@ -82,25 +82,43 @@ class Match(FilterExpr):
     on a field/template (reference lib/filter/filter-re.c:39-52,
     lib/logmatcher.c matchers pcre/string/glob lib/logmatcher.h:115-117)."""
 
-    def __init__(self, pattern: str, value: str = "MESSAGE", kind: str = "pcre"):
+    def __init__(self, pattern: str, value: str = "MESSAGE", kind: str = "pcre",
+                 flags: tuple = ()):
+        """kind 'string' is an EXACT full-value compare by default (the
+        reference's log_matcher_string_new with no flags,
+        lib/tests/test_matcher.c string_match pins); flags 'prefix' /
+        'substring' relax it, 'ignore-case' applies to every kind
+        (LMF_PREFIX / LMF_SUBSTRING / LMF_ICASE)."""
         self.tmpl = Template("$" + value if not value.startswith("$") else value)
         self.kind = kind
+        self.flags = set(flags)
+        self.icase = bool({"icase", "ignore-case"} & self.flags)
         self.pattern = pattern
-        self.re = re.compile(pattern) if kind == "pcre" else None
+        rx_flags = re.IGNORECASE if self.icase else 0
+        self.re = re.compile(pattern, rx_flags) if kind == "pcre" else None
         # Arrow RE2 fast path (C pass, no PyObject churn); patterns RE2
         # can't express (lookaround, backrefs) fall back to pandas re
         self._re2_pattern = None
+        _ci = "(?i)" if self.icase else ""
         if kind == "pcre":
-            self._re2_pattern = pattern
+            self._re2_pattern = _ci + pattern
         elif kind == "glob":
             glob_re = fnmatch.translate(pattern).replace(r"\Z", "$")
-            self._re2_pattern = "^(?:" + glob_re + ")"
+            self._re2_pattern = _ci + "^(?:" + glob_re + ")"
         self._re2_ok: bool | None = None
 
     def mask(self, table):
         vals = self.tmpl.eval(table)
         if self.kind == "string":
-            return (vals == self.pattern).to_numpy()
+            v = vals.astype("string")
+            p = self.pattern
+            if self.icase:
+                v, p = v.str.lower(), p.lower()
+            if "prefix" in self.flags:
+                return v.str.startswith(p).fillna(False).to_numpy(dtype=bool)
+            if "substring" in self.flags:
+                return v.str.contains(p, regex=False, na=False).to_numpy(dtype=bool)
+            return (v == p).fillna(False).to_numpy(dtype=bool)
         if self._re2_ok is not False:
             try:
                 arr = pa.array(vals.to_numpy(dtype=object), type=pa.string())

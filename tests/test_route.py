@@ -126,3 +126,35 @@ def test_router_non_final_fans_out():
 def test_route_first_labels_for_partitioned_write():
     t = _router().route_first(T)
     assert t.column("route").to_pylist() == ["sev_high", "auth", "h1_traffic", "sev_high", "other"]
+
+
+def test_match_string_flags_reference_pins():
+    # lib/tests/test_matcher.c string_match / glob_match expectations
+    import pyarrow as pa
+
+    from axosyslog_ray.route import Match
+
+    t = pa.table({"message": ["match", "árvíztűrőtükörfúrógép", "abcdef", ""]})
+
+    def m(pattern, kind="string", flags=()):
+        return Match(pattern, "MESSAGE", kind, flags=flags).mask(t).tolist()
+
+    # bare string kind is EXACT full-value compare
+    assert m("match") == [True, False, False, False]
+    assert m("valami-amivel-nem-szabadna-matchelni") == [False] * 4
+    # prefix / substring flags
+    assert m("ma", flags=("prefix",)) == [True, False, False, False]
+    assert m("tch", flags=("substring",)) == [True, False, False, False]
+    assert m("árvíz", flags=("prefix",)) == [False, True, False, False]
+    assert m("tűrő", flags=("substring",)) == [False, True, False, False]
+    # icase
+    assert m("ABCDEF", flags=("prefix", "icase")) == [False, False, True, False]
+    assert m("BCD", flags=("substring", "icase")) == [False, False, True, False]
+    # glob is a full match
+    assert m("árvíz*", kind="glob") == [False, True, False, False]
+    assert m("*fúrógép", kind="glob") == [False, True, False, False]
+    assert m("*fúró*", kind="glob") == [False, True, False, False]
+    assert m("tükör", kind="glob") == [False, False, False, False]
+    # pcre searches anywhere; icase flag
+    assert m("tűrő", kind="pcre") == [False, True, False, False]
+    assert m("BCD", kind="pcre", flags=("icase",)) == [False, False, True, False]
