@@ -181,15 +181,11 @@ def _apply_hint(hint: str, rendered: str):
     return rendered
 
 
-def tf_format_json(t: pa.Table, *args):
-    """$(format-json key=TEMPLATE ... [--key NAME] [--exclude GLOB]
-    [--omit-empty-values] [--leave-initial-dot]
-    [--rekey GLOB --shift N --shift-levels N --add-prefix P]) — the
-    reference's template-function form (modules/json/format-json.c;
-    conformance pins tests/test_format_json_conformance.py). Keys nest
-    on '.', a leading '.' renders as '_' unless --leave-initial-dot,
-    insertion order is preserved, and explicit value-pairs type hints
-    (int32()/boolean()/null()/list()/literal()...) emit typed JSON."""
+def _parse_vp_args(t: pa.Table, args):
+    """Shared declarative-arg parser for the $(format-*) template
+    functions: key=TEMPLATE pairs, --key/--exclude/--scope selection,
+    --omit-empty-values/--leave-initial-dot flags, --rekey transform
+    chains, type hints. Returns (n_rows, iter_row_pairs(r))."""
     import fnmatch as _fn
 
     from .templates import Template
@@ -275,9 +271,7 @@ def tf_format_json(t: pa.Table, *args):
                 return k  # handled by the caller's split (dot stays in label 1)
         return k
 
-    out: list[str] = []
-    for r in range(n_rows):
-        nested: dict = {}
+    def iter_row_pairs(r: int):
         for key, val in pairs:
             if any(_fn.fnmatchcase(key, g) for g in excludes):
                 continue
@@ -287,7 +281,25 @@ def tf_format_json(t: pa.Table, *args):
                 v = str(val.iloc[r])
             if omit_empty and (v == "" or v == []):
                 continue
-            k = xform_key(key)
+            yield xform_key(key), v
+
+    return n_rows, iter_row_pairs
+
+
+def tf_format_json(t: pa.Table, *args):
+    """$(format-json key=TEMPLATE ... [--key NAME] [--exclude GLOB]
+    [--omit-empty-values] [--leave-initial-dot]
+    [--rekey GLOB --shift N --shift-levels N --add-prefix P]) — the
+    reference's template-function form (modules/json/format-json.c;
+    conformance pins tests/test_format_json_conformance.py). Keys nest
+    on '.', a leading '.' renders as '_' unless --leave-initial-dot,
+    insertion order is preserved, and explicit value-pairs type hints
+    (int32()/boolean()/null()/list()/literal()...) emit typed JSON."""
+    n_rows, iter_row_pairs = _parse_vp_args(t, args)
+    out: list[str] = []
+    for r in range(n_rows):
+        nested: dict = {}
+        for k, v in iter_row_pairs(r):
             if k.startswith("."):
                 tail = k[1:].split(".")
                 parts = ["." + tail[0]] + tail[1:]
@@ -304,6 +316,35 @@ def tf_format_json(t: pa.Table, *args):
             if ok:
                 d[parts[-1]] = v
         out.append(_json_ser(nested))
+    return pd.Series(out, dtype=object)
+
+
+def tf_format_flat_json(t: pa.Table, *args):
+    """$(format-flat-json): same arg surface as $(format-json) but
+    dotted keys stay FLAT (modules/json/format-json.c flat mode)."""
+    n_rows, iter_row_pairs = _parse_vp_args(t, args)
+    out: list[str] = []
+    for r in range(n_rows):
+        d = dict(iter_row_pairs(r))
+        out.append(_json_ser(d))
+    return pd.Series(out, dtype=object)
+
+
+def tf_format_welf(t: pa.Table, *args):
+    """$(format-welf): key=value space-joined, keys SORTED, values with
+    spaces/quotes quoted (modules/kvformat/format-welf.c; pins from its
+    test corpus in tests/test_templates.py)."""
+    n_rows, iter_row_pairs = _parse_vp_args(t, args)
+
+    def quote(v) -> str:
+        v = str(v)
+        needs = any(c.isspace() or c in "\"'=," for c in v) or v == ""
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"' if needs else v
+
+    out: list[str] = []
+    for r in range(n_rows):
+        d = dict(iter_row_pairs(r))
+        out.append(" ".join(f"{k}={quote(v)}" for k, v in sorted(d.items())))
     return pd.Series(out, dtype=object)
 
 

@@ -61,3 +61,23 @@ def test_list_hint_emits_array():
     # test_format_json.c:152: l=list(...) -> JSON array via the list codec
     got = Template('$(format-json l=list("value,with,a,comma"))').eval(_msg()).tolist()[0]
     assert got == '{"l":["value","with","a","comma"]}'
+
+
+def test_format_welf_template_function():
+    # modules/kvformat/tests/test_format_welf.c pins (key=template form,
+    # quoting for spaces, alphabetical key order)
+    t = _msg()
+    assert Template("$(format-welf PROGRAM=$PROGRAM)").eval(t).tolist()[0] == \
+        "PROGRAM=syslog-ng"
+    assert Template("xxx$(format-welf PROGRAM=$PROGRAM)yyy").eval(t).tolist()[0] == \
+        "xxxPROGRAM=syslog-ngyyy"
+    assert Template("$(format-welf b=1 a=2)").eval(t).tolist()[0] == "a=2 b=1"
+    assert Template("$(format-welf k='with space')").eval(t).tolist()[0] == \
+        'k="with space"'
+
+
+def test_format_flat_json_template_function():
+    t = _msg()
+    assert Template("$(format-flat-json msg.text=$PROGRAM msg.id=42)").eval(t).tolist()[0] == \
+        '{"msg.text":"syslog-ng","msg.id":"42"}'
+    assert Template("$(format-flat-json .foo=bar)").eval(t).tolist()[0] == '{"_foo":"bar"}'
