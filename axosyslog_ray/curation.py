@@ -200,6 +200,49 @@ def dedup_lines(ds, text_col: str = "text", sep: str = "\n"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def chunk_documents(ds, max_tokens: int = 512, overlap: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split documents into token-bounded chunks with optional overlap —
+    the standard pretraining prep (context-window packing). Whitespace
+    tokens; chunk i covers tokens [i*stride, i*stride + max_tokens) with
+    stride = max_tokens - overlap. Row explode is map-only (flat_map
+    shape inside map_batches): no shuffle, chunk ids deterministic, and
+    a downstream repartition can rebalance if chunk skew matters.
+    Output: (id_col, chunk_id, text[, n_tokens])."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+
+    def explode(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pandas().fillna("").astype(str)
+        ids = b.column(id_col).to_pandas()
+        out_id, out_chunk, out_text, out_n = [], [], [], []
+        for doc, txt in zip(ids, texts):
+            toks = txt.split()
+            if not toks:
+                continue
+            i = 0
+            pos = 0
+            while pos < len(toks):
+                seg = toks[pos : pos + max_tokens]
+                out_id.append(doc)
+                out_chunk.append(i)
+                out_text.append(" ".join(seg))
+                out_n.append(len(seg))
+                if pos + max_tokens >= len(toks):
+                    break
+                pos += stride
+                i += 1
+        return pa.table({
+            id_col: pa.array(out_id, type=b.schema.field(id_col).type),
+            "chunk_id": pa.array(out_chunk, type=pa.int64()),
+            text_col: pa.array(out_text, type=pa.string()),
+            "n_tokens": pa.array(out_n, type=pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def quota_head(ds, key_col: str, order_col: str, k: int, num_buckets: int | None = None,
                tiebreak_cols: list[str] | None = None):
     """Keep the first k rows per key (ascending order_col) — per-domain

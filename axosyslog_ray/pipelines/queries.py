@@ -876,6 +876,37 @@ FROM firsts WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def docs_chunked(sf_dir: str):
+    """Context-window chunking (curation.chunk_documents): 40-token
+    windows, 10-token overlap. Oracle: generate_series over the token
+    count with 1-based list slicing."""
+    from ..curation import chunk_documents
+
+    ds = chunk_documents(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_tokens=40, overlap=10
+    )
+    out = ds.to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+DOCS_CHUNKED_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+c AS (
+  SELECT doc_id, w, n,
+         UNNEST(generate_series(0,
+           CASE WHEN n <= 40 THEN 0 ELSE CAST(ceil((n - 40) / 30.0) AS INT) END)) AS chunk_id
+  FROM t)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(w[chunk_id * 30 + 1 : least(chunk_id * 30 + 40, n)], ' ') AS text,
+       CAST(least(chunk_id * 30 + 40, n) - chunk_id * 30 AS BIGINT) AS n_tokens
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 def docs_langid(sf_dir: str):
     """Language-ID heuristic (stopword profiles, actor-pool stage).
     Oracled by an equivalent SQL formulation (list_filter membership
@@ -1918,6 +1949,7 @@ RAY_QUERIES = {
     "docs_web_curation": docs_web_curation,
     "docs_redact_pii": docs_redact_pii,
     "docs_dedup_lines": docs_dedup_lines,
+    "docs_chunked": docs_chunked,
     "emb_lsh_ann": emb_lsh_ann,
     "media_decode_stats": media_decode_stats,
     "flagship_routes": flagship_routes,
@@ -1985,6 +2017,7 @@ ORACLE_SQLS = {
     "docs_web_curation": DOCS_WEB_CURATION_SQL,
     "docs_redact_pii": _redact_sql(),
     "docs_dedup_lines": DOCS_DEDUP_LINES_SQL,
+    "docs_chunked": DOCS_CHUNKED_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_dup_components": DOCS_DUP_COMPONENTS_SQL,
     "docs_curation_pipeline": DOCS_CURATION_SQL,

@@ -120,3 +120,42 @@ class TestDedupLines:
 
         s = pd.Series(["p. q. p. r", "p. q. p. r"])
         assert dedup_lines_text(s, sep=". ").tolist() == ["p. q. r"] * 2
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from axosyslog_ray.curation import chunk_documents
+
+        toks = " ".join(str(i) for i in range(10))
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2], "text": [toks, "only four tokens here"]}))
+        out = chunk_documents(ds, max_tokens=4, overlap=1).to_pandas()
+        d1 = out[out["doc_id"] == 1].sort_values("chunk_id")
+        # stride 3: [0..3], [3..6], [6..9] — the last window reaches the
+        # final token, so no redundant tail chunk is emitted
+        assert d1["text"].tolist() == ["0 1 2 3", "3 4 5 6", "6 7 8 9"]
+        assert d1["n_tokens"].tolist() == [4, 4, 4]
+        d2 = out[out["doc_id"] == 2]
+        assert d2["text"].tolist() == ["only four tokens here"]
+
+    def test_empty_doc_skipped(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from axosyslog_ray.curation import chunk_documents
+
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["   "]}))
+        assert chunk_documents(ds, max_tokens=4).to_pandas().empty
+
+    def test_bad_overlap_raises(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from axosyslog_ray.curation import chunk_documents
+
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+        with pytest.raises(ValueError):
+            chunk_documents(ds, max_tokens=4, overlap=4)
