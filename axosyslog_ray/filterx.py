@@ -537,6 +537,92 @@ class _Ctx:
         return s
 
 
+def _fx_vt(v) -> str:
+    """Runtime type label of a FilterX value (the evaluator's Python
+    object model mapped to the reference's FILTERX_TYPE names)."""
+    if v is None or (np.ndim(v) == 0 and pd.isna(v)):
+        return "null"
+    if isinstance(v, (bool, np.bool_)):
+        return "boolean"
+    if isinstance(v, (int, np.integer)):
+        return "integer"
+    if isinstance(v, (float, np.floating)):
+        return "double"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, dict):
+        return "json"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "list"
+    return "string"
+
+
+def _fx_num(v, vt: str) -> float:
+    """expr-comparison.c _convert_filterx_object_to_generic_number:
+    null 0, boolean 0/1, numbers as-is, strings parsed (NaN on failure),
+    objects/bytes NaN."""
+    if vt == "null":
+        return 0.0
+    if vt == "boolean":
+        return 1.0 if v else 0.0
+    if vt in ("integer", "double"):
+        return float(v)
+    if vt == "string":
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return float("nan")
+    return float("nan")
+
+
+def _fx_marshal_str(v, vt: str) -> str:
+    """String marshal for string-based comparisons (_evaluate_as_string):
+    null is the empty string, booleans render lowercase."""
+    if vt == "null":
+        return ""
+    if vt == "boolean":
+        return "true" if v else "false"
+    if vt == "bytes":
+        return bytes(v).decode("utf-8", "replace")
+    return str(v)
+
+
+def _fx_cmp_typed(x, y, op: str) -> bool:
+    """expr-comparison.c _evaluate_type_aware, one row."""
+    import math
+
+    xt, yt = _fx_vt(x), _fx_vt(y)
+    if xt == yt and xt in ("string", "bytes"):
+        xs, ys = _fx_marshal_str(x, xt), _fx_marshal_str(y, yt)
+        return _fx_apply_op((xs > ys) - (xs < ys), op)
+    if xt == "null" or yt == "null":
+        if op == "==":
+            return xt == yt
+        if op == "!=":
+            return xt != yt
+        # ordering ops fall through: null converts to 0
+    xn, yn = _fx_num(x, xt), _fx_num(y, yt)
+    if math.isnan(xn) or math.isnan(yn):
+        return op == "!="
+    return _fx_apply_op((xn > yn) - (xn < yn), op)
+
+
+def _fx_apply_op(sign: int, op: str) -> bool:
+    if op == "==":
+        return sign == 0
+    if op == "!=":
+        return sign != 0
+    if op == "<":
+        return sign < 0
+    if op == "<=":
+        return sign <= 0
+    if op == ">":
+        return sign > 0
+    return sign >= 0
+
+
 def _isnull(s) -> np.ndarray:
     return pd.isna(s).to_numpy() if isinstance(s, pd.Series) else np.asarray(pd.isna(s))
 
@@ -1282,20 +1368,22 @@ class FilterX:
             return pd.Series(out, dtype=object)
         if tag == "cmpstr":
             # string-based comparison (expr-comparison.c
-            # _evaluate_as_string: both sides rendered to string, memcmp
-            # order); a null side -> false (eval error as no-verdict)
+            # _evaluate_as_string): BOTH sides marshal to strings — null
+            # is the empty string, booleans render lowercase — then
+            # memcmp order (test_expr_comparison.c string-based groups)
             op, a, b = node[1], self._eval(node[2], ctx), self._eval(node[3], ctx)
-            an, bn = _isnull(a), _isnull(b)
-            both = ~(an | bn)
-            sa = a.where(pd.isna(a), a.astype(str)) if isinstance(a, pd.Series) else a
-            sb = b.where(pd.isna(b), b.astype(str)) if isinstance(b, pd.Series) else b
-            res = np.zeros(ctx.n, dtype=bool)
-            if both.any():
-                aa = sa[both].astype("string") if isinstance(sa, pd.Series) else str(sa)
-                bb = sb[both].astype("string") if isinstance(sb, pd.Series) else str(sb)
-                r = {"eq": aa == bb, "ne": aa != bb, "lt": aa < bb,
-                     "le": aa <= bb, "gt": aa > bb, "ge": aa >= bb}[op]
-                res[both.nonzero()[0]] = np.asarray(r, dtype=bool)
+            opmap = {"eq": "==", "ne": "!=", "lt": "<", "le": "<=", "gt": ">", "ge": ">="}
+            pyop = opmap[op]
+            aarr = a.to_numpy(dtype=object) if isinstance(a, pd.Series) else np.full(ctx.n, a, dtype=object)
+            barr = b.to_numpy(dtype=object) if isinstance(b, pd.Series) else np.full(ctx.n, b, dtype=object)
+
+            def one(x, y):
+                xs = _fx_marshal_str(x, _fx_vt(x))
+                ys = _fx_marshal_str(y, _fx_vt(y))
+                return _fx_apply_op((xs > ys) - (xs < ys), pyop)
+
+            res = np.fromiter((one(aarr[i], barr[i]) for i in range(ctx.n)),
+                              dtype=bool, count=ctx.n)
             return pd.Series(res)
         if tag == "cmptav":
             # === / !== type-and-value comparison: no conversion; a type
@@ -1327,27 +1415,36 @@ class FilterX:
             eq = np.array([_tv_eq(aarr[i], barr[i]) for i in range(ctx.n)], dtype=bool)
             return pd.Series(eq if op == "===" else ~eq)
         if tag == "cmp":
+            # type-aware comparison — faithful to expr-comparison.c
+            # _evaluate_type_aware (conformance pins from
+            # test_expr_comparison.c in tests/test_filterx.py):
+            # same-type string/bytes -> byte compare; null under ==/!=
+            # is type-equality; everything else converts to numbers
+            # (null 0, bool 0/1, objects NaN) where NaN makes every
+            # comparison FALSE except != (TRUE)
             op, a, b = node[1], self._eval(node[2], ctx), self._eval(node[3], ctx)
-            an, bn = _isnull(a), _isnull(b)
-            both = ~(an | bn)
-            res = np.zeros(ctx.n, dtype=bool)
-            if both.any():
-                aa = a[both] if isinstance(a, pd.Series) else a
-                bb = b[both] if isinstance(b, pd.Series) else b
-                aa, bb = _align_types(aa, bb)
+            if (isinstance(a, pd.Series) and isinstance(b, pd.Series)
+                    and a.dtype != object and b.dtype != object):
+                # vectorized fast path: typed numeric/bool columns have
+                # uniform types — identical semantics, no per-row loop
                 if op == "==":
-                    r = aa == bb
+                    r = a == b
                 elif op == "!=":
-                    r = aa != bb
+                    r = a != b
                 elif op == "<":
-                    r = aa < bb
+                    r = a < b
                 elif op == "<=":
-                    r = aa <= bb
+                    r = a <= b
                 elif op == ">":
-                    r = aa > bb
+                    r = a > b
                 else:
-                    r = aa >= bb
-                res[both.nonzero()[0]] = np.asarray(r, dtype=bool)
+                    r = a >= b
+                return pd.Series(np.asarray(r.fillna(op == "!="), dtype=bool))
+            aarr = a.to_numpy(dtype=object) if isinstance(a, pd.Series) else np.full(ctx.n, a, dtype=object)
+            barr = b.to_numpy(dtype=object) if isinstance(b, pd.Series) else np.full(ctx.n, b, dtype=object)
+            res = np.fromiter(
+                (_fx_cmp_typed(aarr[i], barr[i], op) for i in range(ctx.n)),
+                dtype=bool, count=ctx.n)
             return pd.Series(res)
         if tag == "arith":
             op, a, b = node[1], self._eval(node[2], ctx), self._eval(node[3], ctx)

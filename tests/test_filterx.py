@@ -346,3 +346,40 @@ def test_dict_literal():
     assert out.column("j").to_pylist() == ['{"host":"h1","n":1,"tag":"x"}',
                                            '{"host":null,"n":2,"tag":"x"}']
     assert out.column("h").to_pylist() == ["h1", None]
+
+
+def test_typed_comparison_reference_conformance():
+    # lib/filterx/tests/test_expr_comparison.c type-aware / string-based /
+    # type-and-value groups, run through the language surface
+    t = pa.table({"x": [1]})
+
+    def ev(expr):
+        return FilterX(f"$out = ({expr});")(t).column("out").to_pylist()[0]
+
+    cases = [
+        # null cases (type-aware)
+        ("null == null", True), ("null != null", False),
+        ("null < null", False), ("null > null", False),
+        ("null == 3", False), ("null < 3", True), ("null != 3", True),
+        ('"foobar" == null', False), ('"foobar" != null', True),
+        ('"foobar" < null', False), ('"foobar" > null', False),
+        # string cases: numeric conversion on mixed types, NaN rules
+        ('"3.14" == 3.14', True),
+        ('"443" == 443', True), ('"443" != 443', False),
+        ('"a443" == 443', False), ('"a443" != 443', True),
+        ('"a443" < 443', False), ('"a443" > 443', False),
+        # numerical fallback
+        ("6 == 6.0", True), ('3 == "3"', True),
+        ("7 == null", False), ("0 == false", True),
+        # same-type strings compare as BYTES
+        ('"10" < "7"', True), ('"foo" > "alma"', True),
+        # string-based keywords marshal both sides (null "", bool lowercase)
+        ('"3" eq 3', True), ('"3.0" eq 3.0', True),
+        ('"3" lt 3.1', True), ('"false" lt true', True),
+        ('"3" gt null', True), ('"3" ne null', True),
+        # type-and-value (===): strict type gate first
+        ("5 === 5", True), ("5 === 5.0", False), ('5 !== "5"', True),
+        ("null === null", True), ("true === true", True),
+    ]
+    for expr, want in cases:
+        assert ev(expr) == want, expr

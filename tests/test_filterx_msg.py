@@ -399,8 +399,10 @@ def test_declare_variable():
 def test_string_comparison_keywords():
     t = _t(a=["10", "9", None], b=["9", "9", "x"])
     out = _run('$lt = $a lt $b; $eq = $a eq $b; $ge = $a ge $b;', t)
-    # "10" < "9" lexicographically
-    assert out.column("lt").to_pylist() == [True, False, False]
+    # "10" < "9" lexicographically; a null side marshals to "" (the
+    # reference's _evaluate_as_string — test_expr_comparison.c
+    # string-to-null group), so null lt "x" is TRUE
+    assert out.column("lt").to_pylist() == [True, False, True]
     assert out.column("eq").to_pylist() == [False, True, False]
     assert out.column("ge").to_pylist() == [False, True, False]
 
