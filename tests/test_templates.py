@@ -389,3 +389,18 @@ def test_default_value_and_syntax_errors_reference_pins():
     assert Template("$(echo '\"$(echo $(echo $HOST))\"' $PID)").eval(t).tolist()[0] == '"myhost" 1234'
     assert Template("$(echo foo '' bar)").eval(t).tolist()[0] == "foo  bar"
     assert Template("$(echo foo '')").eval(t).tolist()[0] == "foo "
+
+
+def test_template_compile_reference_pins():
+    # lib/template/tests/test_template_compile.c behavioral pins
+    t = _msg_table()
+    assert Template("$${VALUE_NAME}").eval(t).tolist()[0] == "${VALUE_NAME}"
+    assert Template("$$VALUE_NAME").eval(t).tolist()[0] == "$VALUE_NAME"
+    # an invalid bare name after '$' stays a literal dollar
+    assert Template("$:VALUE_NAME").eval(t).tolist()[0] == "$:VALUE_NAME"
+    assert Template("$").eval(t).tolist()[0] == "$"
+    # default values: empty and space-containing defaults
+    assert Template("${NOPE:-}").eval(t).tolist()[0] == ""
+    assert Template("${NOPE:-default value}").eval(t).tolist()[0] == "default value"
+    # macro terminated by non-identifier characters
+    assert Template("$HOST test value").eval(t).tolist()[0] == "myhost test value"
