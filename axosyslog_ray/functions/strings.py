@@ -44,6 +44,21 @@ def _join(parts: list[pd.Series], sep: str = " ") -> pd.Series:
     return out.astype(object)
 
 
+def bool_cast_first_char(v: str):
+    """reference lib/logmsg/type-hinting.c type_cast_to_boolean: the
+    FIRST character decides — T/t/1 true, F/f/0 false ("totaly true" is
+    TRUE, "fatally false" is FALSE); anything else is a cast error,
+    returned as None."""
+    if not v:
+        return None
+    c = v[0]
+    if c in "Tt1":
+        return True
+    if c in "Ff0":
+        return False
+    return None
+
+
 def _flag(a) -> str:
     """Scalar view of an option-flag arg (flags are template literals —
     constant across rows; Series from the evaluator, str in direct calls)."""

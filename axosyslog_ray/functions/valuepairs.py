@@ -169,7 +169,10 @@ def _apply_hint(hint: str, rendered: str):
         except ValueError:
             return rendered
     if hint in ("boolean", "bool"):
-        return rendered.strip().lower() in ("true", "yes", "on", "1")
+        from .strings import bool_cast_first_char
+
+        b = bool_cast_first_char(rendered.strip())
+        return rendered if b is None else b  # cast error: keep the string
     if hint == "null":
         return None
     if hint == "list":

@@ -179,8 +179,11 @@ def _to_number(vals: pd.Series, vt: str) -> np.ndarray:
     if vt == "null":
         return np.zeros(n)
     if vt == "boolean":
-        truthy = vals.astype(str).str.lower().isin(["true", "yes", "on", "1"])
-        return truthy.to_numpy().astype(np.float64)
+        from .functions.strings import bool_cast_first_char
+
+        # type_cast_to_boolean is first-char based; cast failure -> 0
+        # (filter-cmp.c _convert_to_number boolean branch)
+        return np.array([float(bool_cast_first_char(str(v)) or 0) for v in vals])
     if vt == "datetime":
         secs = pd.to_numeric(vals, errors="coerce").fillna(0.0)
         return np.round(secs.to_numpy(dtype=np.float64) * 1000.0)

@@ -404,3 +404,15 @@ def test_template_compile_reference_pins():
     assert Template("${NOPE:-default value}").eval(t).tolist()[0] == "default value"
     # macro terminated by non-identifier characters
     assert Template("$HOST test value").eval(t).tolist()[0] == "myhost test value"
+
+
+def test_boolean_cast_first_char_reference_pins():
+    # lib/logmsg/tests/test_type_hints.c test_bool_cast truth table
+    from axosyslog_ray.functions.strings import bool_cast_first_char
+
+    for v, want in [("True", True), ("true", True), ("1", True),
+                    ("totaly true", True), ("False", False), ("false", False),
+                    ("0", False), ("fatally false", False)]:
+        assert bool_cast_first_char(v) is want, v
+    assert bool_cast_first_char("booyah") is None
+    assert bool_cast_first_char("") is None
