@@ -159,8 +159,14 @@ def _apply_hint(hint: str, rendered: str):
     """value-pairs explicit type hints (reference value-pairs.c type-hint
     parsing feeding format-json.c typed output)."""
     if hint in ("int32", "int64", "int", "i32", "i64"):
+        # type-hinting.c int casts: decimal by default (leading zeros are
+        # NOT octal: "0111" is 111), 0x prefix selects hex ("0x1000" is
+        # 4096) — lib/logmsg/tests/test_type_hints.c
+        v = rendered.strip()
         try:
-            return int(rendered.strip())
+            if v[:2].lower() == "0x":
+                return int(v, 16)
+            return int(v, 10)
         except ValueError:
             return rendered
     if hint in ("double", "float"):

@@ -81,3 +81,12 @@ def test_format_flat_json_template_function():
     assert Template("$(format-flat-json msg.text=$PROGRAM msg.id=42)").eval(t).tolist()[0] == \
         '{"msg.text":"syslog-ng","msg.id":"42"}'
     assert Template("$(format-flat-json .foo=bar)").eval(t).tolist()[0] == '{"_foo":"bar"}'
+
+
+def test_int_hint_hex_and_decimal_zeros():
+    # type_cast_to_int32 pins: "0x1000" -> 4096, "0111" -> 111 (decimal,
+    # not octal), "12345a" -> cast error (string kept)
+    t = _msg()
+    assert Template("$(format-json a=int32(0x1000))").eval(t).tolist()[0] == '{"a":4096}'
+    assert Template("$(format-json a=int64(0111))").eval(t).tolist()[0] == '{"a":111}'
+    assert Template("$(format-json a=int32(12345a))").eval(t).tolist()[0] == '{"a":"12345a"}'
