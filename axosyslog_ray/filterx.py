@@ -1426,20 +1426,48 @@ class FilterX:
             if (isinstance(a, pd.Series) and isinstance(b, pd.Series)
                     and a.dtype != object and b.dtype != object):
                 # vectorized fast path: typed numeric/bool columns have
-                # uniform types — identical semantics, no per-row loop
+                # uniform types — identical semantics, no per-row loop.
+                # Nulls (NaN/NA — _fx_vt labels both "null") follow the
+                # per-row _fx_cmp_typed rules: ==/!= is type-equality,
+                # ordering ops convert null to 0.
+                anull = pd.isna(a).to_numpy()
+                bnull = pd.isna(b).to_numpy()
+                either = anull | bnull
                 if op == "==":
-                    r = a == b
+                    r = np.asarray((a == b).fillna(False), dtype=bool)
+                    if either.any():
+                        r = np.where(either, anull & bnull, r)
                 elif op == "!=":
-                    r = a != b
-                elif op == "<":
-                    r = a < b
-                elif op == "<=":
-                    r = a <= b
-                elif op == ">":
-                    r = a > b
+                    r = np.asarray((a != b).fillna(True), dtype=bool)
+                    if either.any():
+                        r = np.where(either, anull != bnull, r)
                 else:
-                    r = a >= b
-                return pd.Series(np.asarray(r.fillna(op == "!="), dtype=bool))
+                    def _fill0(s, has_null):
+                        if not has_null:
+                            return s
+                        if pd.api.types.is_datetime64_any_dtype(s):
+                            # null datetime -> epoch 0 (int64 ns compare)
+                            return pd.Series(
+                                np.where(pd.isna(s), 0,
+                                         s.to_numpy(dtype="int64", na_value=0)))
+                        return s.fillna(0)
+                    if either.any() and (
+                            pd.api.types.is_datetime64_any_dtype(a)
+                            or pd.api.types.is_datetime64_any_dtype(b)):
+                        a0, b0 = _fill0(a, True), _fill0(b, True)
+                    else:
+                        a0 = _fill0(a, either.any())
+                        b0 = _fill0(b, either.any())
+                    if op == "<":
+                        r = a0 < b0
+                    elif op == "<=":
+                        r = a0 <= b0
+                    elif op == ">":
+                        r = a0 > b0
+                    else:
+                        r = a0 >= b0
+                    r = np.asarray(r.fillna(False), dtype=bool)
+                return pd.Series(r)
             aarr = a.to_numpy(dtype=object) if isinstance(a, pd.Series) else np.full(ctx.n, a, dtype=object)
             barr = b.to_numpy(dtype=object) if isinstance(b, pd.Series) else np.full(ctx.n, b, dtype=object)
             res = np.fromiter(

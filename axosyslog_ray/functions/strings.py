@@ -132,8 +132,10 @@ def tf_substr(t, a, off, ln=None):
 def tf_sanitize(t, *args):
     """$(sanitize [-r CH] [-i CHARS] [-C] name...): replace invalid
     chars (default '/') and control chars with the replacement (default
-    '_'); -C keeps control chars; multiple names join with '/'
-    (str-funcs.c tf_sanitize; pins test_basicfuncs.c:219-226)."""
+    '_'); '-C'/'--no-ctrl-chars' keeps control chars, '-c'/'--ctrl-chars'
+    restates the replace-them default (str-funcs.c:205-230 GOptionEntry
+    table, '-C' is G_OPTION_FLAG_REVERSE); multiple names join with '/'
+    (pins test_basicfuncs.c:219-226)."""
     repl, invalid, keep_ctrl = "_", "/", False
     rest = list(args)
     while rest:
@@ -144,8 +146,11 @@ def tf_sanitize(t, *args):
         elif flag in ("-i", "--invalid-chars") and len(rest) >= 2:
             invalid = _flag(rest[1])
             rest = rest[2:]
-        elif flag in ("-C", "--ctrl-chars"):
+        elif flag in ("-C", "--no-ctrl-chars"):
             keep_ctrl = True
+            rest = rest[1:]
+        elif flag in ("-c", "--ctrl-chars"):
+            keep_ctrl = False
             rest = rest[1:]
         else:
             break
@@ -219,11 +224,26 @@ def tf_default(t, a, fallback):
 
 # ---- numeric funcs (numeric-funcs.c); sum/min/max/average fold a LIST arg ----
 
-def _binop(op):
+def _trunc_div(a: int, b: int) -> int:
+    """C int64 division: truncated toward zero (numeric-funcs.c uses
+    native C '/'), exact at any magnitude — no float round-trip."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _trunc_mod(a: int, b: int) -> int:
+    """C int64 '%': result takes the DIVIDEND's sign (truncated
+    division), unlike Python's floored modulo: $(% -7 3) is -1."""
+    return a - b * _trunc_div(a, b)
+
+
+def _binop(op, int_op=None):
     """C-conformant arithmetic (numeric-funcs.c + pins
     test_basicfuncs.c:268-292): unparsable operand or division by zero
-    -> literal 'NaN'; both-integer operands use integer arithmetic
-    (so $(/ 3 2) is 1 and 64-bit values stay exact); mixed -> float."""
+    -> literal 'NaN'; both-integer operands use integer arithmetic via
+    int_op (C truncated semantics, so $(/ 3 2) is 1, $(% -7 3) is -1,
+    and 64-bit values stay exact); mixed -> float."""
+    int_op = int_op or op
 
     def one(x: str, y: str) -> str:
         try:
@@ -236,7 +256,7 @@ def _binop(op):
             except (TypeError, ValueError):
                 return "NaN"
         try:
-            v = op(a, b)
+            v = int_op(a, b) if is_int else op(a, b)
         except ZeroDivisionError:
             return "NaN"
         if is_int:
@@ -571,11 +591,27 @@ def _parse_lists(row_vals) -> list[str]:
 
 
 def _ser_elem(e: str) -> str:
-    if e == "" or any(ch in e for ch in ',"\\') or any(ord(ch) < 0x20 for ch in e):
-        esc = (e.replace("\\", "\\\\").replace('"', '\\"')
-                .replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r"))
-        return '"' + esc + '"'
-    return e
+    """Quote one list element following str_repr_encode's quoting-needed
+    rules (lib/str-repr/encode.c:29-84): empty, apostrophe, quote,
+    space, comma, backslash or control chars force quoting; an element
+    with a quote but no apostrophe wraps in single quotes, everything
+    else double-quotes with backslash escapes (kept round-trippable
+    through _decode_elem, whose escape processing is double-quote-only)."""
+    if e == "":
+        return '""'
+    has_apos = "'" in e
+    has_quote = '"' in e
+    if not has_apos and not has_quote:
+        if not any(ch in "\b\f\n\r\t\\ ," for ch in e) and not any(
+                ord(ch) < 0x20 for ch in e):
+            return e
+    if (has_quote and not has_apos and "\\" not in e
+            and not any(ord(ch) < 0x20 for ch in e)):
+        return "'" + e + "'"
+    esc = (e.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\b", "\\b").replace("\f", "\\f")
+            .replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r"))
+    return '"' + esc + '"'
 
 
 def _ser_list(items: list[str]) -> str:
@@ -961,8 +997,8 @@ TEMPLATE_FUNCS = {
     "+": _binop(lambda a, b: a + b),
     "-": _binop(lambda a, b: a - b),
     "*": _binop(lambda a, b: a * b),
-    "/": _binop(lambda a, b: a / b),
-    "%": _binop(lambda a, b: math.fmod(a, b) if isinstance(a, float) or isinstance(b, float) else a % b),
+    "/": _binop(lambda a, b: a / b, int_op=_trunc_div),
+    "%": _binop(math.fmod, int_op=_trunc_mod),
     "sum": _listfold(sum),
     "min": _listfold(min),
     "max": _listfold(max),

@@ -185,8 +185,19 @@ def _to_number(vals: pd.Series, vt: str) -> np.ndarray:
         # (filter-cmp.c _convert_to_number boolean branch)
         return np.array([float(bool_cast_first_char(str(v)) or 0) for v in vals])
     if vt == "datetime":
-        secs = pd.to_numeric(vals, errors="coerce").fillna(0.0)
-        return np.round(secs.to_numpy(dtype=np.float64) * 1000.0)
+        # The reference's LM_VT_DATETIME values are unixtime strings that
+        # type_cast_to_datetime_msec parses; auto-typed Arrow timestamp
+        # columns render through templates as ISO strings, so fall back to
+        # pd.to_datetime for anything the numeric parse rejects
+        # (unparsable -> 0, the cast-failure default).
+        secs = pd.to_numeric(vals, errors="coerce")
+        bad = secs.isna()
+        if bad.any():
+            parsed = pd.to_datetime(vals[bad], errors="coerce", utc=True)
+            ns = np.where(parsed.notna(), parsed.to_numpy(dtype="int64", na_value=0), 0)
+            secs = secs.copy()
+            secs[bad] = ns / 1e9
+        return np.round(secs.fillna(0.0).to_numpy(dtype=np.float64) * 1000.0)
     return np.full(n, np.nan)
 
 

@@ -138,3 +138,52 @@ CASES = [
 @pytest.mark.parametrize("tpl,want", CASES, ids=range(len(CASES)))
 def test_basicfuncs_reference_conformance(tpl, want):
     assert Template(tpl).eval(_msg()).tolist()[0] == want
+
+
+class TestAdviceR3Fixes:
+    """Round-3 regressions pinned from ADVICE.md: sanitize flag
+    polarity, C-truncated integer arithmetic, str_repr_encode-style
+    list-element quoting."""
+
+    def _ev(self, tpl):
+        return Template(tpl).eval(_msg()).tolist()[0]
+
+    def test_sanitize_keep_ctrl_is_capital_c(self):
+        # str-funcs.c:205-230: -C/--no-ctrl-chars KEEPS control chars,
+        # -c/--ctrl-chars restates the replace-them default
+        assert self._ev("$(sanitize alma\x1b_bela)") == "alma__bela"
+        assert self._ev("$(sanitize -C alma\x1b_bela)") == "alma\x1b_bela"
+        assert self._ev("$(sanitize --no-ctrl-chars alma\x1b_bela)") == "alma\x1b_bela"
+        assert self._ev("$(sanitize -c alma\x1b_bela)") == "alma__bela"
+        assert self._ev("$(sanitize --ctrl-chars alma\x1b_bela)") == "alma__bela"
+
+    def test_int_modulo_truncates_toward_zero(self):
+        # C int64 %: $(% -7 3) is -1 (dividend's sign), not Python's 2
+        assert self._ev("$(% -7 3)") == "-1"
+        assert self._ev("$(% 7 -3)") == "1"
+        assert self._ev("$(% 7 3)") == "1"
+        assert self._ev("$(% -7 -3)") == "-1"
+
+    def test_int_division_truncates_and_stays_exact(self):
+        assert self._ev("$(/ -7 2)") == "-3"  # trunc, not floor (-4)
+        assert self._ev("$(/ 7 2)") == "3"
+        # above 2^53: float round-trip would lose the low bits
+        assert self._ev("$(/ 36028797018963969 3)") == "12009599006321323"
+        assert self._ev("$(% 36028797018963969 36028797018963968)") == "1"
+
+    def test_list_element_quoting_round_trip(self):
+        from axosyslog_ray.functions.strings import _parse_list_one, _ser_list
+        for elems in (["'hi'"], ['say"hi'], ["a b"], ["it's"], [""],
+                      ["a,b"], ["back\\slash"], ["tab\there"],
+                      ["""both'"quotes"""], ["plain"]):
+            assert _parse_list_one(_ser_list(elems)) == elems, elems
+
+    def test_list_quoting_matches_str_repr_encode_shapes(self):
+        from axosyslog_ray.functions.strings import _ser_elem
+        # encode.c: bare only without specials; quote-no-apostrophe wraps
+        # in single quotes; apostrophe wraps in double quotes
+        assert _ser_elem("plain") == "plain"
+        assert _ser_elem("") == '""'
+        assert _ser_elem("a b") == '"a b"'
+        assert _ser_elem("it's") == '"it\'s"'
+        assert _ser_elem('say"hi') == "'say\"hi'"

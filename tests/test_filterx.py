@@ -383,3 +383,48 @@ def test_typed_comparison_reference_conformance():
     ]
     for expr, want in cases:
         assert ev(expr) == want, expr
+
+
+class TestCmpNullFastPath:
+    """Nulls in typed (non-object) columns must follow the per-row
+    _fx_cmp_typed semantics on the vectorized fast path: null converts
+    to 0 for ordering ops, ==/!= is type-equality (expr-comparison.c
+    _evaluate_type_aware). An int64 column with nulls arrives as
+    float64 NaN, which previously took NaN-comparison semantics."""
+
+    def _mask(self, expr, **cols):
+        out = FilterX(f"if ({expr}) {{ $hit = true; }};")(_t(**cols))
+        return out.column("hit").to_pylist()
+
+    def test_null_lt_one_is_true(self):
+        # null -> 0 for ordering ops, so null < 1 holds
+        assert self._mask("$x < 1", x=pa.array([None, 0, 5], type=pa.int64())) \
+            == [True, True, None]
+
+    def test_null_gt_neg_is_true(self):
+        assert self._mask("$x > -1", x=pa.array([None, -5, 5], type=pa.int64())) \
+            == [True, None, True]
+
+    def test_null_eq_zero_is_false(self):
+        # ==/!= on null is TYPE equality: null == 0 is false, null != 0 true
+        assert self._mask("$x == 0", x=pa.array([None, 0], type=pa.int64())) \
+            == [None, True]
+        assert self._mask("$x != 0", x=pa.array([None, 0], type=pa.int64())) \
+            == [True, None]
+
+    def test_both_null_eq(self):
+        assert self._mask("$x == $y",
+                          x=pa.array([None, 1], type=pa.int64()),
+                          y=pa.array([None, None], type=pa.int64())) \
+            == [True, None]
+
+    def test_fast_path_matches_per_row_semantics(self):
+        from axosyslog_ray.filterx import _fx_cmp_typed
+        xv = [None, 0, 5, -3, None]
+        yv = [1, None, 5, -4, None]
+        xs = pa.array(xv, type=pa.int64())
+        ys = pa.array(yv, type=pa.int64())
+        for op in ("==", "!=", "<", "<=", ">", ">="):
+            fast = self._mask(f"$x {op} $y", x=xs, y=ys)
+            expect = [_fx_cmp_typed(a, b, op) or None for a, b in zip(xv, yv)]
+            assert fast == expect, op

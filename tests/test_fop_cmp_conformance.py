@@ -146,3 +146,33 @@ class TestTypeAndValue:
         assert not ev("foo", "===", "bar")
         assert not ev("123", "===", "456", ltype="integer", rtype="integer")
         assert ev("1e1", "===", "10", ltype="double", rtype="double")
+
+
+class TestAutoTypedTimestamps:
+    """Auto-typed Arrow timestamp columns render as ISO strings through
+    templates; the datetime numeric conversion must parse them (epoch
+    ms) rather than coerce to NaN-then-0 (which made every ts-vs-ts
+    ordering degenerate to 0 vs 0)."""
+
+    TT = pa.table({
+        "a": pa.array([pd.Timestamp("2026-08-17"), pd.Timestamp("2026-08-01")],
+                      type=pa.timestamp("us")),
+        "b": pa.array([pd.Timestamp("2026-08-10"), pd.Timestamp("2026-08-10")],
+                      type=pa.timestamp("us")),
+    })
+
+    def test_ordering_uses_real_values(self):
+        gt = Cmp("$a", ">", "$b").mask(self.TT)
+        lt = Cmp("$a", "<", "$b").mask(self.TT)
+        assert list(gt) == [True, False]
+        assert list(lt) == [False, True]
+
+    def test_equality_not_universally_true(self):
+        eq = Cmp("$a", "==", "$b").mask(self.TT)
+        assert list(eq) == [False, False]
+        assert list(Cmp("$a", "==", "$a").mask(self.TT)) == [True, True]
+
+    def test_ts_vs_unixtime_string(self):
+        # 2026-08-17 00:00:00 UTC == 1786924800 epoch seconds
+        assert bool(Cmp("$a", "==", "1786924800", rtype="datetime").mask(self.TT)[0])
+        assert bool(Cmp("$a", ">", "1786924799", rtype="datetime").mask(self.TT)[0])
