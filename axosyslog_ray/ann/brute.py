@@ -69,7 +69,7 @@ class CosineTopK:
 
 
 def ann_topk(ds, queries: np.ndarray, k: int = 10, vec_col: str = "embedding",
-             id_col: str = "vec_id", concurrency=4) -> pd.DataFrame:
+             id_col: str = "vec_id", concurrency=None) -> pd.DataFrame:
     """Exact global top-k per query: per-batch candidates -> driver merge of
     the tiny candidate table. Ties broken by (sim desc, id asc)."""
     cands = ds.map_batches(
@@ -93,7 +93,7 @@ def _pairs_table(lo: np.ndarray, hi: np.ndarray, s: np.ndarray) -> pa.Table:
 
 
 def near_dup_pairs(ds, threshold: float = 0.95, vec_col: str = "embedding",
-                   id_col: str = "vec_id", concurrency=4, small_corpus: bool = False,
+                   id_col: str = "vec_id", concurrency=None, small_corpus: bool = False,
                    max_chunks: int = 16):
     """Embedding-cosine near-dup: all (id_a < id_b) pairs with cosine >=
     threshold. EXACT (matches the all-pairs SQL oracle).

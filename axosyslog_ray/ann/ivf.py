@@ -91,7 +91,7 @@ class IvfScanner:
 
 def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 16, nprobe: int = 4,
                  train_sample: int = 4096, vec_col: str = "embedding",
-                 id_col: str = "vec_id", seed: int = 17, concurrency=4) -> pd.DataFrame:
+                 id_col: str = "vec_id", seed: int = 17, concurrency=None) -> pd.DataFrame:
     """Approximate top-k: driver-side bounded-sample training, one
     streamed assign+scan pass, tiny candidate merge."""
     sample_tbl = pa.concat_tables(

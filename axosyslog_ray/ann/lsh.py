@@ -112,7 +112,7 @@ class LshScanner:
 
 def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, n_bits: int = 8, n_tables: int = 4,
                  vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 11,
-                 concurrency=4) -> pd.DataFrame:
+                 concurrency=None) -> pd.DataFrame:
     """Approximate top-k: one streamed pass; each batch contributes only
     rows colliding with a query bucket. The driver merge sees the small
     candidate table, never embeddings."""

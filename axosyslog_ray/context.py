@@ -40,7 +40,7 @@ def tune_read_blocks(cpus: int | None = None) -> int:
     return n
 
 
-def actor_pool_size(requested: int) -> int:
+def actor_pool_size(requested: int | None = None) -> int:
     """Cap a fixed actor-pool size at cluster_cpus - 1.
 
     A fixed-size actor pool reserves one CPU per actor for the stage's
@@ -49,5 +49,11 @@ def actor_pool_size(requested: int) -> int:
     schedule and the pipeline deadlocks — observed as a silent hang on
     the 4-CPU pytest session the first time a `concurrency=4` class
     stage ran there. One spare CPU keeps the producer side live; on a
-    real cluster (cpus >> pool) the cap is inert."""
-    return max(1, min(requested, cluster_cpus(default=requested + 1) - 1))
+    real cluster (cpus >> pool) the cap is inert.
+
+    requested=None sizes the pool to the cluster (cpus - 1): heavy-state
+    class stages scale with the machine instead of a hardcoded cap."""
+    cpus = cluster_cpus(default=(requested or 4) + 1)
+    if requested is None:
+        return max(1, cpus - 1)
+    return max(1, min(requested, cpus - 1))

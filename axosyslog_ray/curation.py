@@ -152,13 +152,60 @@ def md5_bucket_hex4(keys: np.ndarray) -> np.ndarray:
     return np.array([hashlib.md5(str(k).encode()).hexdigest()[:4] for k in keys], dtype=object)
 
 
+_SAMPLE_SEED = 0x5A4D9C3E17B26A01
+
+
+def fast_sample_u64(keys: np.ndarray) -> np.ndarray:
+    """Vectorized uint64 sampling coordinate: splitmix64 for integer keys,
+    pandas siphash for everything else — no per-row Python, ~100x the
+    md5 loop's throughput, identical determinism properties (pure
+    per-row function of the key, stable across processes/partitions)."""
+    from .hashutil import hash_idx, hash_str_array
+
+    if np.issubdtype(np.asarray(keys).dtype, np.integer):
+        return hash_idx(np.asarray(keys), seed=_SAMPLE_SEED)
+    return hash_str_array(keys)
+
+
 def hash_sample(ds, rates: dict[str, float], key_col: str = "doc_id",
-                strat_col: str = "lang", default_rate: float = 0.0):
-    """Deterministic stratified sampling: keep a row iff
-    md5hex4(key) < hex4(rate[stratum] * 65536). Pure per-row function —
-    no shuffle, reproducible at any partitioning/scale. rate >= 1.0 keeps
-    EVERY row ('g' sorts above all hex strings; clamping to 'ffff' with a
-    strict < would drop the 1-in-65536 keys hashing to exactly ffff)."""
+                strat_col: str = "lang", default_rate: float = 0.0,
+                method: str = "fast"):
+    """Deterministic stratified sampling: keep a row iff the key's hash
+    coordinate falls under its stratum's rate threshold. Pure per-row
+    function — no shuffle, reproducible at any partitioning/scale.
+
+    method="fast" (default, the scale path): vectorized 64-bit coordinate
+    (fast_sample_u64), keep iff u64 < rate * 2^64; oracled by a committed
+    golden parquet (scripts/gen_golden_oracles.py — disclosed regression
+    pin; the md5 variant stays the independent-SQL conformance check in
+    tests/test_curation.py).
+
+    method="md5": first-4-hex-chars-of-md5 coordinate — per-row Python
+    md5, ~100x slower, but byte-reproducible by ANY SQL engine (DuckDB
+    md5()). rate >= 1.0 keeps EVERY row ('g' sorts above all hex
+    strings; clamping to 'ffff' with a strict < would drop the
+    1-in-65536 keys hashing to exactly ffff)."""
+    if method == "fast":
+        import pandas as pd
+
+        thr_map = {s: int(r * 2**64) for s, r in rates.items()}
+        default_thr = int(default_rate * 2**64)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            strata = batch.column(strat_col).to_pandas().to_numpy(dtype=object)
+            u = fast_sample_u64(keys)
+            # factorize strata (tiny cardinality) so the threshold lookup
+            # and the keep mask are pure uint64 vector ops; rate >= 1.0
+            # (threshold 2^64, unrepresentable in uint64) keeps every row
+            codes, uniq = pd.factorize(strata)
+            thrs = [thr_map.get(s, default_thr) for s in uniq]
+            thr_u = np.array([min(t, 2**64 - 1) for t in thrs], dtype=np.uint64)
+            keep_all = np.array([t >= 2**64 for t in thrs], dtype=bool)
+            mask = (u < thr_u[codes]) | keep_all[codes]
+            return batch.filter(pa.array(mask))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
 
     def _thr(r: float) -> str:
         v = int(r * 65536)

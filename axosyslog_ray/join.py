@@ -71,8 +71,12 @@ from .shuffle import key_bucket_array as _key_buckets  # shared coarse-bucket ha
 
 
 def hash_join(left, right, key: str | list[str], how: str = "inner",
-              suffixes: tuple[str, str] = ("_l", "_r"), num_buckets: int | None = None):
-    """Join two Datasets on `key` (SQL join semantics per bucket group)."""
+              suffixes: tuple[str, str] = ("_l", "_r"), num_buckets: int | None = None,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
+    """Join two Datasets on `key` (SQL join semantics per bucket group).
+    Pass left_schema/right_schema (projected Arrow schemas) when known to
+    skip the batch-peek probe, which partially executes both upstreams."""
     if how not in _ARROW_HOW:
         raise ValueError(f"how must be one of {sorted(_ARROW_HOW)}, got {how!r}")
     keys = [key] if isinstance(key, str) else list(key)
@@ -80,7 +84,8 @@ def hash_join(left, right, key: str | list[str], how: str = "inner",
         from .shuffle import default_num_buckets
 
         num_buckets = default_num_buckets()
-    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    lschema = left_schema if left_schema is not None else _arrow_schema(left)
+    rschema = right_schema if right_schema is not None else _arrow_schema(right)
     lcols = [c for c in lschema.names if c not in keys]
     rcols = [c for c in rschema.names if c not in keys]
     overlap = set(lcols) & set(rcols)
@@ -125,17 +130,27 @@ def hash_join(left, right, key: str | list[str], how: str = "inner",
 
 
 def asof_join(left, right, on: str, by: str | list[str], direction: str = "backward",
-              suffixes: tuple[str, str] = ("_l", "_r"), num_buckets: int | None = None):
+              suffixes: tuple[str, str] = ("_l", "_r"), num_buckets: int | None = None,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
     """As-of join: each LEFT row is matched to the nearest RIGHT row per
     `by` key with right.on <= left.on (backward; 'forward' >=). A custom
     operator beyond the reference (prompt custom-operators list), shaped
     like hash_join: ONE coarse-bucket shuffle co-locating each key's rows
-    from both sides, then one vectorized `pd.merge_asof` per bucket.
-    Left-join semantics (unmatched left rows keep nulls); ties on equal
-    `on` values take the right side's LAST occurrence (pandas asof
+    from both sides, then one vectorized searchsorted match per bucket
+    (rank-encode `on` across both sides, composite key_code*stride +
+    on_rank, one np.searchsorted against the sorted right side — no
+    pandas conversion, no per-key loop). Left-join semantics (unmatched
+    left rows keep nulls); ties on equal `on` values take the right
+    side's LAST occurrence backward / FIRST forward (pandas-asof
     semantics — matches DuckDB's ASOF JOIN value-wise since tied rows
     share the `on` value). Output columns: by + on + left cols + right
-    cols (overlaps suffixed)."""
+    cols (overlaps suffixed).
+
+    Pass left_schema/right_schema (the projected Arrow schemas, which
+    the caller usually knows statically) to skip the batch-peek schema
+    probe — the probe partially executes BOTH upstream pipelines, an
+    expensive extra startup when the sides are filtered reads."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be backward|forward")
     keys = [by] if isinstance(by, str) else list(by)
@@ -143,7 +158,8 @@ def asof_join(left, right, on: str, by: str | list[str], direction: str = "backw
         from .shuffle import default_num_buckets
 
         num_buckets = default_num_buckets()
-    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    lschema = left_schema if left_schema is not None else _arrow_schema(left)
+    rschema = right_schema if right_schema is not None else _arrow_schema(right)
     lcols = [c for c in lschema.names if c not in keys and c != on]
     rcols = [c for c in rschema.names if c not in keys and c != on]
     overlap = set(lcols) & set(rcols)
@@ -174,18 +190,64 @@ def asof_join(left, right, on: str, by: str | list[str], direction: str = "backw
         right.map_batches(prep("r"), batch_format="pyarrow")
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g[_SIDE_COL] == "l"][keys + [on] + l_names].sort_values(on, kind="mergesort")
-        rg = g[g[_SIDE_COL] == "r"][keys + [on] + r_names].sort_values(on, kind="mergesort")
-        if lg.empty:
-            return lg
-        if rg.empty:
-            return lg.assign(**{n: pd.NA for n in r_names})[out_order]
-        out = pd.merge_asof(lg, rg, on=on, by=keys, direction=direction,
-                            suffixes=("", "__asof_dup"))
-        return out[out_order]
+    def merge(g: pa.Table) -> pa.Table:
+        is_l = pc.equal(g.column(_SIDE_COL), pa.scalar("l")).combine_chunks()
+        lt = g.filter(is_l).select(keys + [on] + l_names)
+        rt = g.filter(pc.invert(is_l)).select(keys + [on] + r_names)
+        if lt.num_rows == 0:
+            return pa.table({n: pa.array([], type=g.schema.field(n).type)
+                             for n in out_order})
+        if rt.num_rows == 0:
+            nulls = {n: pa.nulls(lt.num_rows, g.schema.field(n).type) for n in r_names}
+            return pa.Table.from_arrays(
+                [lt.column(n) if n in lt.column_names else nulls[n] for n in out_order],
+                names=out_order)
 
-    return tagged.groupby(_BUCKET_COL).map_groups(merge, batch_format="pandas")
+        # factorize the by-key over both sides together so codes agree
+        lkeys = [lt.column(k).to_numpy(zero_copy_only=False) for k in keys]
+        rkeys = [rt.column(k).to_numpy(zero_copy_only=False) for k in keys]
+        kl = np.zeros(lt.num_rows, dtype=np.int64)
+        kr = np.zeros(rt.num_rows, dtype=np.int64)
+        for lc, rc in zip(lkeys, rkeys):
+            codes, _ = pd.factorize(np.concatenate([lc, rc]))
+            kl = kl * (codes.max() + 2) + codes[:len(lc)]
+            kr = kr * (codes.max() + 2) + codes[len(lc):]
+        if len(keys) > 1:
+            # recompact multi-key composites so kl*stride stays in int64
+            codes, _ = pd.factorize(np.concatenate([kl, kr]))
+            kl, kr = codes[:len(kl)], codes[len(kl):]
+        # rank-encode `on` across both sides: equal values share a rank,
+        # so composite int64 ordering == (key, on) lexicographic ordering
+        ol = lt.column(on).to_numpy(zero_copy_only=False)
+        orr = rt.column(on).to_numpy(zero_copy_only=False)
+        ranks = np.unique(np.concatenate([ol, orr]), return_inverse=True)[1]
+        rl, rr = ranks[:len(ol)], ranks[len(ol):]
+        stride = np.int64(ranks.max() + 2)
+        comp_l = kl.astype(np.int64) * stride + rl
+        comp_r = kr.astype(np.int64) * stride + rr
+        order = np.argsort(comp_r, kind="stable")
+        comp_r_sorted = comp_r[order]
+        if direction == "backward":
+            idx = np.searchsorted(comp_r_sorted, comp_l, side="right") - 1
+            valid = idx >= 0
+        else:
+            # forward: first right row with on >= left on for the SAME key
+            idx = np.searchsorted(comp_r_sorted, comp_l, side="left")
+            valid = idx < len(comp_r_sorted)
+        idx = np.clip(idx, 0, max(0, len(comp_r_sorted) - 1))
+        # a hit in a different key's range is not a match
+        valid &= kr[order[idx]] == kl
+        take = pa.array(np.where(valid, order[idx], -1), type=pa.int64())
+        take = pc.if_else(pa.array(valid), take, pa.nulls(len(valid), pa.int64()))
+        cols = []
+        for n in out_order:
+            if n in lt.column_names:
+                cols.append(lt.column(n))
+            else:
+                cols.append(rt.column(n).take(take))
+        return pa.Table.from_arrays(cols, names=out_order)
+
+    return tagged.groupby(_BUCKET_COL).map_groups(merge, batch_format="pyarrow")
 
 
 def range_join(left, right, key: str | list[str], on: str, lo: str, hi: str,

@@ -177,7 +177,7 @@ def gen_media_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
-def decode_images(ds, concurrency=4, batch_size: int = 256):
+def decode_images(ds, concurrency=None, batch_size: int = 256):
     """Plumbing: small batches (binary payloads), actor pool, bytes dropped
     before anything downstream. The pool is capped below the CPU count so
     the upstream read task always has a slot (an actor pool sized == CPUs

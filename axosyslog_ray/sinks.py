@@ -98,25 +98,39 @@ class RoutedParquetDatasink(Datasink):
             return []
         t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
         agg = t.select(self.count_cols).group_by(self.count_cols).aggregate([([], "count_all")])
-        part = t.column(self.partition_col)
         # deterministic filenames (task_idx + per-task write sequence, no
         # uuid): a retried write task regenerates the SAME names and
         # overwrites its failed attempt's partial files instead of
         # duplicating rows beside them (Ray's FilenameProvider contract)
         seq = self._write_seq = getattr(self, "_write_seq", -1) + 1
-        for val in pc.unique(part).to_pylist():
-            if val is None:
-                # pc.equal(x, None) is null, never True — a null partition
-                # value needs an is_null mask and the hive null-dir name
-                # (read_parquet restores it as null)
-                sub = t.filter(pc.is_null(part))
+        # ONE sort + contiguous slices per partition value — O(n log n)
+        # regardless of partition cardinality (a filter per distinct value
+        # re-scans the whole bundle each time: quadratic-ish when a user
+        # partitions by a high-cardinality column)
+        import numpy as np
+        import pandas as pd
+
+        order = pc.sort_indices(t.column(self.partition_col))
+        ts = t.take(order)
+        kn = ts.column(self.partition_col).to_numpy(zero_copy_only=False)
+        n = len(kn)
+        isnull = pd.isna(kn)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        # nulls sort together; None != None would split them row-per-row
+        change[1:] = (kn[1:] != kn[:-1]) & ~(isnull[1:] & isnull[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        body = ts.drop_columns([self.partition_col])
+        for s, e in zip(starts, ends):
+            if isnull[s]:
+                # the hive null-dir name (read_parquet restores it as null)
                 d = os.path.join(self.root, f"{self.partition_col}=__HIVE_DEFAULT_PARTITION__")
             else:
-                sub = t.filter(pc.equal(part, val))
-                d = os.path.join(self.root, f"{self.partition_col}={val}")
+                d = os.path.join(self.root, f"{self.partition_col}={kn[s]}")
             os.makedirs(d, exist_ok=True)
             pq.write_table(
-                sub.drop_columns([self.partition_col]),
+                body.slice(s, e - s),
                 os.path.join(d, f"part_{ctx.task_idx:05d}_{seq:04d}.parquet"),
             )
         cols = [agg.column(c).to_pylist() for c in (*self.count_cols, "count_all")]

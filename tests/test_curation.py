@@ -67,9 +67,11 @@ class TestHashSample:
         kept = hash_sample(ds, rates={"en": 0.5, "de": 0.1}, key_col="doc_id",
                            strat_col="lang").to_pandas()
         # per-row recheck: exact membership, not a statistical bound
-        hx = md5_bucket_hex4(kept["doc_id"].to_numpy())
-        thr = np.where(kept["lang"].to_numpy() == "en", "8000", "1999")
-        assert (hx < thr).all()
+        from axosyslog_ray.curation import fast_sample_u64
+        u = fast_sample_u64(kept["doc_id"].to_numpy())
+        thr = np.where(kept["lang"].to_numpy() == "en",
+                       np.uint64(int(0.5 * 2**64)), np.uint64(int(0.1 * 2**64)))
+        assert (u < thr).all()
         # rates land near nominal
         en_rate = (kept["lang"] == "en").sum() / (n / 2)
         de_rate = (kept["lang"] == "de").sum() / (n / 2)
@@ -91,6 +93,51 @@ class TestHashSample:
         ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "lang": ["en"] * 3}))
         kept = hash_sample(ds, rates={"en": 1.0}, key_col="doc_id", strat_col="lang").to_pandas()
         assert sorted(kept["doc_id"]) == ids
+
+    def test_md5_method_matches_duckdb(self, ray_session):
+        # the md5 variant stays the independent-SQL conformance anchor:
+        # DuckDB computes the identical coordinate and membership
+        import duckdb
+
+        n = 2000
+        df = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": np.where(np.arange(n) % 2 == 0, "en", "de"),
+        })
+        kept = hash_sample(rd.from_pandas(df), rates={"en": 0.5, "de": 0.2},
+                           key_col="doc_id", strat_col="lang",
+                           method="md5").to_pandas()
+        want = duckdb.sql("""
+            SELECT doc_id FROM df
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE lang WHEN 'en' THEN '8000' ELSE '3333' END
+            ORDER BY doc_id
+        """).df()
+        assert sorted(kept["doc_id"]) == want["doc_id"].tolist()
+
+    def test_md5_method_rate_one_keeps_ffff(self, ray_session):
+        # 40691 is the smallest int whose md5hex4 is exactly 'ffff' — with
+        # a clamped threshold and strict <, rate=1.0 used to drop it
+        ids = [1, 2, 40691]
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "lang": ["en"] * 3}))
+        kept = hash_sample(ds, rates={"en": 1.0}, key_col="doc_id",
+                           strat_col="lang", method="md5").to_pandas()
+        assert sorted(kept["doc_id"]) == ids
+
+    def test_fast_coordinate_microbench(self):
+        # the point of method="fast": >= 20x the md5 loop on one core
+        # (measured ~100x; 20x floor keeps the assert drift-proof)
+        import time
+
+        from axosyslog_ray.curation import fast_sample_u64
+
+        keys = np.arange(200_000, dtype=np.int64)
+        t0 = time.perf_counter(); fast_sample_u64(keys); t1 = time.perf_counter()
+        sub = keys[:20_000]
+        t2 = time.perf_counter(); md5_bucket_hex4(sub); t3 = time.perf_counter()
+        fast_per_row = (t1 - t0) / len(keys)
+        md5_per_row = (t3 - t2) / len(sub)
+        assert md5_per_row / fast_per_row > 20, (fast_per_row, md5_per_row)
 
 
 class TestQuotaHead:

@@ -471,3 +471,68 @@ def test_ann_stages_survive_empty_blocks():
     assert len(ann_topk(ds, q, k=3)) == 3
     assert len(lsh_ann_topk(ds, q, k=3, n_bits=4, n_tables=8)) >= 1
     assert len(ivf_ann_topk(ds, q, k=3, nlist=4, nprobe=4)) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_forward_ties_and_pandas_parity():
+    """The Arrow searchsorted merge must match pd.merge_asof row-for-row,
+    including tie handling (backward: LAST tied right row; forward:
+    FIRST) and the forward direction."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from axosyslog_ray.join import asof_join
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 300
+    left = pd.DataFrame({
+        "k": rng.integers(0, 8, n_l),
+        "ts": rng.integers(0, 50, n_l).astype("int64"),
+        "eid": np.arange(n_l, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 8, n_r),
+        "ts": rng.integers(0, 50, n_r).astype("int64"),
+        "price": rng.normal(size=n_r).round(3),
+    })
+    for direction in ("backward", "forward"):
+        got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on="ts", by="k", direction=direction,
+                        num_buckets=4).to_pandas()
+        got = got.sort_values("eid").reset_index(drop=True)
+        want = pd.merge_asof(left.sort_values("ts", kind="mergesort"),
+                             right.sort_values("ts", kind="mergesort"),
+                             on="ts", by="k", direction=direction)
+        want = want.sort_values("eid").reset_index(drop=True)
+        pd.testing.assert_series_equal(got["price"], want["price"],
+                                       check_names=False), direction
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_multikey_and_schema_arg():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from axosyslog_ray.join import asof_join
+
+    left = pd.DataFrame({
+        "a": ["x", "x", "y"], "b": [1, 2, 1],
+        "ts": [10, 20, 30], "eid": [0, 1, 2]})
+    right = pd.DataFrame({
+        "a": ["x", "x", "y"], "b": [1, 2, 1],
+        "ts": [5, 25, 30], "v": [1.0, 2.0, 3.0]})
+    lsch = pa.schema([("a", pa.string()), ("b", pa.int64()),
+                      ("ts", pa.int64()), ("eid", pa.int64())])
+    rsch = pa.schema([("a", pa.string()), ("b", pa.int64()),
+                      ("ts", pa.int64()), ("v", pa.float64())])
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="ts", by=["a", "b"],
+                    left_schema=lsch, right_schema=rsch).to_pandas()
+    out = out.sort_values("eid").reset_index(drop=True)
+    # (x,1)@10 -> 5 (1.0); (x,2)@20 -> none before 20? right (x,2)@25 -> no
+    # backward match; (y,1)@30 -> equal ts inclusive (3.0)
+    assert out["v"].tolist()[0] == 1.0
+    assert pd.isna(out["v"].iloc[1])
+    assert out["v"].tolist()[2] == 3.0

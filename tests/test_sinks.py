@@ -168,3 +168,27 @@ def test_routed_parquet_sink_null_partition_rows_written(tmp_path):
     assert len(back) == 400
     nulls = back["route"].isna() | (back["route"] == "__HIVE_DEFAULT_PARTITION__")
     assert int(nulls.sum()) == 100
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_routed_parquet_sink_high_cardinality_partitions(tmp_path):
+    """1k distinct partition values: one sort + contiguous slices per
+    value (a filter per distinct value re-scans the bundle 1000x).
+    Counts and read-back contents must survive the split."""
+    import ray.data as rd
+
+    from axosyslog_ray.sinks import RoutedParquetDatasink
+
+    n = 5000
+    rows = [{"route": f"r{i % 1000:04d}", "host": f"h{i % 7}", "v": i}
+            for i in range(n)]
+    sink = RoutedParquetDatasink(str(tmp_path / "s"), partition_col="route",
+                                 count_cols=("route",), min_rows_per_file=2500)
+    rd.from_items(rows).repartition(2).write_datasink(sink)
+    assert int(sink.counts["n"].sum()) == n
+    assert len(sink.counts) == 1000
+    assert set(sink.counts["n"]) == {5}
+    back = rd.read_parquet(str(tmp_path / "s")).to_pandas()
+    assert len(back) == n
+    assert sorted(back["v"]) == list(range(n))
+    assert back.groupby("route")["v"].count().eq(5).all()
