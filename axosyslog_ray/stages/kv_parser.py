@@ -52,6 +52,13 @@ class KvParser:
         self.promote = promote or []
         self.source_col = source_col
         self.out_col = out_col
+        # byte-level kernel (stages/kv_fast.py) needs a single-ASCII-char
+        # separator and non-greedy values; everything else keeps the
+        # regex paths
+        self.value_separator = value_separator
+        self._fast_ok = (not greedy_values and len(value_separator) == 1
+                         and ord(value_separator) < 128
+                         and value_separator not in "\"'\\\n")
 
     @staticmethod
     def _unquote(v: str) -> str:
@@ -84,6 +91,106 @@ class KvParser:
             stray = " ".join(words)
         return pairs, stray
 
+    def _call_fast(self, table: pa.Table, s: pd.Series) -> pa.Table:
+        """Byte-level vectorized scan (stages/kv_fast.py) with scalar
+        fallback for rows the kernel can't prove safe; merged output is
+        byte-identical to the regex path (cross-diffed in tests)."""
+        import pyarrow.compute as pc
+
+        from .kv_fast import UNICODE_WS_CHARS, scan_kv
+
+        n = len(s)
+        s_np = s.to_numpy(dtype=object)
+        col = pc.fill_null(table.column(self.source_col), "")
+
+        def _has(sub):  # Arrow C substring scan, not pandas' per-row loop
+            return pc.match_substring(col, sub).to_numpy(zero_copy_only=False)
+
+        has_bs = _has("\\")
+        has_dq = _has('"')
+        has_sq = _has("'")
+        has_nl = _has("\n")
+        # RE2 has no \uXXXX — the class uses literal chars
+        has_uws = pc.match_substring_regex(
+            col, f"[{UNICODE_WS_CHARS}]").to_numpy(zero_copy_only=False)
+        fallback = has_bs | has_nl | has_uws | (has_dq & has_sq)
+        sub_a = np.flatnonzero(~fallback & ~has_sq)   # quote '"' (or none)
+        sub_b = np.flatnonzero(~fallback & has_sq)    # quote "'"
+
+        post_override = type(self)._postprocess_value is not KvParser._postprocess_value
+        rows_parts: list[np.ndarray] = []
+        key_parts: list[pa.Array] = []
+        val_parts: list[pa.Array] = []
+        scalar_rows = list(np.flatnonzero(fallback))
+        for idx, qc in ((sub_a, '"'), (sub_b, "'")):
+            if not len(idx):
+                continue
+            res = scan_kv(s_np[idx], qc, self.value_separator)
+            scalar_rows.extend(idx[res.reject_rows])
+            if len(res.reject_rows):
+                keep = ~np.isin(res.pair_rows, res.reject_rows)
+                rows_parts.append(idx[res.pair_rows[keep]])
+                kidx = pa.array(np.flatnonzero(keep))
+                key_parts.append(res.keys.take(kidx))
+                val_parts.append(res.values.take(kidx))
+            else:
+                rows_parts.append(idx[res.pair_rows])
+                key_parts.append(res.keys)
+                val_parts.append(res.values)
+        if post_override and val_parts:
+            post = self._postprocess_value
+            val_parts = [
+                pa.array([post(v, False) for v in part.to_pylist()],
+                         type=pa.string())
+                for part in val_parts
+            ]
+
+        # scalar fallback rows (parse_line output is prefixed +
+        # postprocessed — strip the prefix so merge space is raw keys)
+        plen = len(self.prefix)
+        sc_rows, sc_keys, sc_vals = [], [], []
+        for r in scalar_rows:
+            for k, v in self.parse_line(s_np[r])[0]:
+                sc_rows.append(r)
+                sc_keys.append(k[plen:] if plen else k)
+                sc_vals.append(v)
+        if sc_rows:
+            rows_parts.append(np.asarray(sc_rows, dtype=np.int64))
+            key_parts.append(pa.array(sc_keys, type=pa.string()))
+            val_parts.append(pa.array(sc_vals, type=pa.string()))
+
+        if rows_parts:
+            rows_all = np.concatenate(rows_parts)
+            # each row's pairs live in exactly ONE part and are in order
+            # there — a stable sort by row restores global row order
+            perm = np.argsort(rows_all, kind="stable")
+            rows_sorted = rows_all[perm]
+            perm_arr = pa.array(perm)
+            keys_raw = pa.chunked_array(key_parts).take(perm_arr).combine_chunks()
+            vals_sorted = pa.chunked_array(val_parts).take(perm_arr).combine_chunks()
+        else:
+            rows_sorted = np.array([], dtype=np.int64)
+            keys_raw = pa.array([], type=pa.string())
+            vals_sorted = pa.array([], type=pa.string())
+        counts = np.bincount(rows_sorted, minlength=n)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        out_keys = keys_raw if not self.prefix else pc.binary_join_element_wise(
+            pa.scalar(self.prefix), keys_raw, pa.scalar(""))
+        map_arr = pa.MapArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                          out_keys, vals_sorted)
+        out = table.append_column(self.out_col, map_arr)
+        for k in self.promote:
+            sel = np.flatnonzero(pc.equal(keys_raw, pa.scalar(k)).to_numpy(
+                zero_copy_only=False))
+            col = np.full(n, None, dtype=object)
+            if len(sel):
+                # dict(pairs): LAST occurrence in a row wins — duplicate
+                # fancy-assignment indices keep the final write
+                col[rows_sorted[sel]] = np.array(
+                    vals_sorted.take(pa.array(sel)).to_pylist(), dtype=object)
+            out = out.append_column(self.prefix + k, pa.array(col, type=pa.string()))
+        return out
+
     def __call__(self, table: pa.Table) -> pa.Table:
         s = table.column(self.source_col).to_pandas().astype("string").fillna("")
         n = len(s)
@@ -100,22 +207,63 @@ class KvParser:
                     d = dict(pairs)
                     for k in self.promote:
                         promoted[k][i] = d.get(self.prefix + k)
+        elif self._fast_ok:
+            return self._call_fast(table, s)
         else:
-            # vectorized: ONE C findall pass for the whole batch; the rest
-            # is tuple assembly (no per-row regex engine invocations)
-            pair_lists = s.str.findall(self.pair_re).to_numpy()
-            prefix, unquote, post = self.prefix, self._unquote, self._postprocess_value
-            qchars = ('"', "'")
-            for i, lst in enumerate(pair_lists):
-                maps[i] = [
-                    (prefix + k,
-                     post(unquote(v), True) if v[:1] in qchars else post(v, False))
-                    for k, v in lst
-                ]
-                if self.promote and lst:
-                    d = dict(maps[i])
-                    for k in self.promote:
-                        promoted[k][i] = d.get(prefix + k)
+            # fully vectorized: ONE C extractall pass gives FLAT
+            # (row, key, value) arrays; unquote/unescape are pandas str
+            # kernels on the flat value column; the map column is built
+            # directly from offsets (MapArray.from_arrays) — no per-row
+            # list-of-tuples assembly (the r2 kv bottleneck: assembly,
+            # not regex, dominated at ~1x the scalar oracle)
+            ext = s.reset_index(drop=True).str.extractall(self.pair_re)
+            if len(ext):
+                row_idx = ext.index.get_level_values(0).to_numpy()
+                raw_keys = ext[0]
+                # extractall reports an EMPTY group match as NaN; findall
+                # kept it as '' (e.g. 'c=' -> value '')
+                v = ext[1].fillna("").astype("string")
+                first = v.str[:1]
+                was_quoted = first.isin(['"', "'"]).fillna(False).to_numpy(dtype=bool)
+                strip = was_quoted & (v.str.len() >= 2).to_numpy(dtype=bool) \
+                    & (v.str[-1:] == first).fillna(False).to_numpy(dtype=bool)
+                vals = v.to_numpy(dtype=object)
+                if strip.any():
+                    vals[strip] = (
+                        v[strip].str.slice(1, -1)
+                        .str.replace(r"\\(.)", r"\1", regex=True)
+                        .to_numpy(dtype=object))
+                if type(self)._postprocess_value is not KvParser._postprocess_value:
+                    post = self._postprocess_value
+                    vals = np.array([post(x, q) for x, q in zip(vals, was_quoted)],
+                                    dtype=object)
+                out_keys = (self.prefix + raw_keys).to_numpy(dtype=object) \
+                    if self.prefix else raw_keys.to_numpy(dtype=object)
+            else:
+                row_idx = np.array([], dtype=np.int64)
+                raw_keys = pd.Series([], dtype=object)
+                vals = np.array([], dtype=object)
+                out_keys = np.array([], dtype=object)
+            counts = np.bincount(row_idx, minlength=n)
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            map_arr = pa.MapArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(out_keys, type=pa.string()),
+                pa.array(vals, type=pa.string()),
+            )
+            for k in self.promote:
+                # dict(pairs) semantics: the LAST occurrence of a key in a
+                # row wins — numpy fancy assignment with duplicate indices
+                # keeps the last write
+                mask = (raw_keys == k).to_numpy(dtype=bool) if len(raw_keys) else \
+                    np.array([], dtype=bool)
+                promoted[k][row_idx[mask]] = vals[mask]
+            out = table.append_column(self.out_col, map_arr)
+            if self.collect_stray:
+                out = out.append_column("stray_words", pa.array(strays, type=pa.string()))
+            for k in self.promote:
+                out = out.append_column(self.prefix + k, pa.array(promoted[k], type=pa.string()))
+            return out
         out = table.append_column(self.out_col, pa.array(maps, type=pa.map_(pa.string(), pa.string())))
         if self.collect_stray:
             out = out.append_column("stray_words", pa.array(strays, type=pa.string()))
