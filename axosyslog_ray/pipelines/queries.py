@@ -1944,6 +1944,100 @@ SELECT doc_id, source FROM (
 """
 
 
+def docs_multiline(sf_dir: str):
+    """Regexp-prefix multi-line framing (sources/text.MultiLineJoiner,
+    reference lib/multi-line/regexp-multi-line.c): each doc's words are
+    a line stream; words starting with [st] begin a new message, the
+    rest continue — messages rejoined with '|'. SQL oracle: window-sum
+    of start flags + string_agg."""
+    from ..sources.text import MultiLineJoiner
+
+    joiner = MultiLineJoiner(mode="regexp", prefix_re=r"^[st]", separator="|")
+
+    def frame(b: pa.Table) -> pa.Table:
+        out_id, out_seq, out_msg, out_n = [], [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            for i, grp in enumerate(joiner._group((t or "").split(" ")), 1):
+                out_id.append(d)
+                out_seq.append(i)
+                out_msg.append("|".join(grp))
+                out_n.append(len(grp))
+        return pa.table({
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "msg_seq": pa.array(out_seq, type=pa.int64()),
+            "message": pa.array(out_msg, type=pa.string()),
+            "n_lines": pa.array(out_n, type=pa.int64()),
+        })
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        frame, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "msg_seq"]).reset_index(drop=True)
+
+
+DOCS_MULTILINE_SQL = """
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS line,
+         generate_subscripts(string_split(text, ' '), 1) AS seq
+  FROM documents
+), grp AS (
+  SELECT doc_id, seq, line,
+         SUM(CASE WHEN seq = 1 OR regexp_matches(line, '^[st]')
+             THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY seq) AS msg_seq
+  FROM lines
+)
+SELECT doc_id, CAST(msg_seq AS BIGINT) AS msg_seq,
+       string_agg(line, '|' ORDER BY seq) AS message,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM grp GROUP BY doc_id, msg_seq ORDER BY doc_id, msg_seq
+"""
+
+
+def events_smart_multiline(sf_dir: str):
+    """Smart multi-line FSM (sources/smartml.py, reference
+    lib/multi-line/smart-multi-line.c): each event renders as log lines
+    — 'error' events as a 4-line Python traceback, others as one plain
+    line — streamed per user-bucket through the FSM. Every event must
+    come back as EXACTLY one reassembled message (the SQL oracle builds
+    the expected message per event independently; any FSM over- or
+    under-join breaks row alignment and fails the hash)."""
+    from ..shuffle import bucketed_map_groups
+    from ..sources.smartml import smart_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def per_stream(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        lines: list[str] = []
+        for eid, et in zip(g["event_id"], g["event_type"]):
+            if et == "error":
+                lines += ["Traceback (most recent call last):",
+                          f'File "app_{eid}.py", line 1, in <module>',
+                          "  raise_it()",
+                          f"ValueError: event {eid}"]
+            else:
+                lines.append(f"evt {eid} {et}")
+        messages = ["\n".join(m) for m in smart_join(lines)]
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "message": messages})
+
+    out = bucketed_map_groups(ev, "user_id", per_stream, num_buckets=16).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_SMART_MULTILINE_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CASE WHEN event_type = 'error' THEN
+         'Traceback (most recent call last):' || chr(10) ||
+         'File "app_' || CAST(event_id AS VARCHAR) || '.py", line 1, in <module>' || chr(10) ||
+         '  raise_it()' || chr(10) ||
+         'ValueError: event ' || CAST(event_id AS VARCHAR)
+       ELSE 'evt ' || CAST(event_id AS VARCHAR) || ' ' || event_type END AS message
+FROM events ORDER BY event_id
+"""
+
+
 RAY_QUERIES = {
     "q1_pricing": q1_pricing,
     "customer_nation_join": customer_nation_join,
@@ -1974,6 +2068,8 @@ RAY_QUERIES = {
     "docs_redact_pii": docs_redact_pii,
     "docs_dedup_lines": docs_dedup_lines,
     "docs_chunked": docs_chunked,
+    "docs_multiline": docs_multiline,
+    "events_smart_multiline": events_smart_multiline,
     "emb_lsh_ann": emb_lsh_ann,
     "media_decode_stats": media_decode_stats,
     "flagship_routes": flagship_routes,
@@ -2042,6 +2138,8 @@ ORACLE_SQLS = {
     "docs_redact_pii": _redact_sql(),
     "docs_dedup_lines": DOCS_DEDUP_LINES_SQL,
     "docs_chunked": DOCS_CHUNKED_SQL,
+    "docs_multiline": DOCS_MULTILINE_SQL,
+    "events_smart_multiline": EVENTS_SMART_MULTILINE_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_dup_components": DOCS_DUP_COMPONENTS_SQL,
     "docs_curation_pipeline": DOCS_CURATION_SQL,

@@ -56,14 +56,32 @@ def read_log_lines(paths, recv_ts=None, **read_kwargs):
 
 
 class MultiLineJoiner:
-    """Join continuation lines inside a batch (mode 'indented' or
-    'regexp' with a prefix pattern)."""
+    """Join continuation lines inside a batch.
 
-    def __init__(self, mode: str = "indented", prefix_re: str | None = None, separator: str = "\n"):
-        if mode not in ("indented", "regexp"):
+    Modes (reference lib/multi-line/multi-line-factory.c:36-76):
+    - 'indented': whitespace-led lines continue (indented-multi-line.c)
+    - 'regexp': a line matching `prefix_re` starts a new message
+    - 'prefix-garbage': a message runs until a line containing
+      `garbage_re`; the garbage match AND the rest of that line are
+      dropped (regexp-multi-line.c:27-34 — offset = match START);
+      a `prefix_re` match mid-message also starts a new one
+    - 'prefix-suffix': same, but the suffix match itself is KEPT
+      (regexp-multi-line.c:37-44 — offset = match END)
+    - 'smart': automatic stack-trace detection via the FSM rule set
+      (sources/smartml.py; smart-multi-line.c)
+    """
+
+    MODES = ("indented", "regexp", "prefix-garbage", "prefix-suffix", "smart")
+
+    def __init__(self, mode: str = "indented", prefix_re: str | None = None,
+                 separator: str = "\n", garbage_re: str | None = None):
+        if mode not in self.MODES:
             raise ValueError(mode)
+        if mode in ("prefix-garbage", "prefix-suffix") and not garbage_re:
+            raise ValueError(f"mode {mode!r} needs garbage_re")
         self.mode = mode
         self.prefix = re.compile(prefix_re) if prefix_re else None
+        self.garbage = re.compile(garbage_re) if garbage_re else None
         self.sep = separator
 
     def _starts_new(self, line: str) -> bool:
@@ -71,8 +89,39 @@ class MultiLineJoiner:
             return not line[:1].isspace()
         return bool(self.prefix.match(line)) if self.prefix else True
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        lines = batch.column("text").to_pylist()
+    def _join_garbage(self, lines: list[str]) -> list[list[str]]:
+        """prefix-garbage / prefix-suffix accumulation
+        (regexp-multi-line.c:55-80): garbage/suffix extracts the message
+        with the line truncated at the match (start or end); a prefix
+        match on a continuation rewinds — the pending message is
+        extracted and the line re-examined as an initial line."""
+        keep_end = self.mode == "prefix-suffix"
+        out: list[list[str]] = []
+        buf: list[str] = []
+        for line in lines:
+            line = line or ""
+            m = self.garbage.search(line)
+            if m is not None:
+                cut = m.end() if keep_end else m.start()
+                buf.append(line[:cut])
+                out.append(buf)
+                buf = []
+            elif buf and self.prefix is not None and self.prefix.search(line):
+                out.append(buf)
+                buf = [line]
+            else:
+                buf.append(line)
+        if buf:
+            out.append(buf)
+        return out
+
+    def _group(self, lines: list[str]) -> list[list[str]]:
+        if self.mode == "smart":
+            from .smartml import smart_join
+
+            return smart_join(lines)
+        if self.mode in ("prefix-garbage", "prefix-suffix"):
+            return self._join_garbage(lines)
         out_rows: list[list[str]] = []
         for line in lines:
             line = line or ""
@@ -80,6 +129,11 @@ class MultiLineJoiner:
                 out_rows[-1].append(line)
             else:
                 out_rows.append([line])
+        return out_rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lines = batch.column("text").to_pylist()
+        out_rows = self._group(lines)
         joined = [self.sep.join(parts) for parts in out_rows]
         n_lines = [len(parts) for parts in out_rows]
         cols = {"text": pa.array(joined, type=pa.string()),
