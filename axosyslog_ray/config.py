@@ -1,0 +1,695 @@
+"""syslog-ng configuration front end.
+
+Compiles the reference's config language subset — source / destination /
+filter / parser / rewrite statements, `block filter` definitions, and
+`log {}` paths with junctions, channels, if/else conditionals and
+final/fallback/catchall flags (reference lib/cfg-grammar.y, expression
+layouts lib/cfg-tree.h:42-121) — into this engine's stage objects
+(route.FilterExpr trees, stages/ parsers, stages/rewrite functions), so
+a syslog-ng user can run an existing config without rewriting it as
+Python.
+
+Execution semantics follow the reference's multiplexer
+(lib/logmpx.c:97-130): every log path sees every source message; a
+non-fallback path MATCHES a message when it survives the path to its
+end; fallback paths run only on messages no sibling matched. Inside a
+junction, a `final` channel consumes the rows it matches from later
+channels, a `fallback` channel sees only rows unmatched by earlier
+channels, and the junction's output is the union of channel outputs.
+`if (EXPR) {A} else {B}` is the two-channel conditional junction
+(cfg-tree.h ENL_CONDITIONAL): EXPR+A as a final channel, B as its
+fallback.
+
+Scope: the statement/driver subset listed in _DRIVERS below; transports,
+scl blocks and @include are out of scope (COVERAGE.md §2.1). Batch
+execution: `compile_config(text).run()` processes the configured
+sources as in-memory tables (the Light-test shape); pass
+`sources={name: table}` to inject data, and read per-destination
+`processed` counts + tables from the result — the same observable the
+reference's Light suite asserts on (file destination stats counters).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .route import (And, Cmp, Facility, FilterExpr, Match, Netmask, Not, Or,
+                    Severity, TagFilter)
+
+# ---------------------------------------------------------------- tokenizer
+
+_TOKEN_RE = re.compile(r"""
+    (?P<comment>\#[^\n]*)
+  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<punct>[{}();,])
+  | (?P<ident>[^\s{}();,"']+)
+  | (?P<ws>\s+)
+""", re.VERBOSE)
+
+
+def tokenize(text: str) -> list[str]:
+    out = []
+    for m in _TOKEN_RE.finditer(text):
+        if m.lastgroup in ("comment", "ws"):
+            continue
+        out.append(m.group())
+    return out
+
+
+def _unquote(tok: str) -> str:
+    if tok[:1] in "\"'" and tok[-1:] == tok[:1] and len(tok) >= 2:
+        return re.sub(r"\\(.)", r"\1", tok[1:-1])
+    return tok
+
+
+class _Stream:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k: int = 0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        if t is None:
+            raise ConfigError("unexpected end of configuration")
+        self.i += 1
+        return t
+
+    def expect(self, tok: str):
+        t = self.next()
+        if t != tok:
+            raise ConfigError(f"expected {tok!r}, got {t!r} (token #{self.i})")
+        return t
+
+    def skip_balanced(self):
+        """Consume a balanced {...} block (for ignored statements)."""
+        self.expect("{")
+        depth = 1
+        while depth:
+            t = self.next()
+            if t == "{":
+                depth += 1
+            elif t == "}":
+                depth -= 1
+
+
+class ConfigError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------------ parser
+
+@dataclass
+class Driver:
+    """A driver/function call: name(positional... key(nested...)...)."""
+    name: str
+    args: list = field(default_factory=list)          # unquoted strings
+    kwargs: dict = field(default_factory=dict)        # key -> list of args
+
+    def kw1(self, key: str, default=None):
+        v = self.kwargs.get(key)
+        return v[0] if v else default
+
+
+def _parse_driver(s: _Stream) -> Driver:
+    name = s.next()
+    d = Driver(name)
+    if s.peek() != "(":
+        return d
+    s.next()
+    while s.peek() != ")":
+        t = s.peek()
+        if t is None:
+            raise ConfigError(f"unterminated argument list of {name}()")
+        if t == ",":
+            s.next()
+            continue
+        if s.peek(1) == "(":
+            inner = _parse_driver(s)
+            d.kwargs.setdefault(inner.name, []).extend(inner.args or [True])
+        else:
+            d.args.append(_unquote(s.next()))
+    s.expect(")")
+    return d
+
+
+_CMP_OPS = {"eq": ("==", "string"), "ne": ("!=", "string"), "lt": ("<", "string"),
+            "le": ("<=", "string"), "gt": (">", "string"), "ge": (">=", "string"),
+            "==": ("==", "type-aware"), "!=": ("!=", "type-aware"),
+            "<": ("<", "type-aware"), "<=": ("<=", "type-aware"),
+            ">": (">", "type-aware"), ">=": (">=", "type-aware"),
+            "===": ("===", "type-aware"), "!==": ("!==", "type-aware")}
+
+
+class _TrueExpr(FilterExpr):
+    def mask(self, table):
+        return np.ones(table.num_rows, dtype=bool)
+
+
+class _FilterParser:
+    """Filter expression grammar (lib/filter/filter-expr-grammar.y
+    subset): or/and/not, parens, template comparisons (eq/ne/... string,
+    ==/!=/... type-aware), builtin predicates, named-filter calls."""
+
+    def __init__(self, s: _Stream, named: dict):
+        self.s = s
+        self.named = named
+
+    def parse(self) -> FilterExpr:
+        return self._or()
+
+    def _or(self) -> FilterExpr:
+        left = self._and()
+        while self.s.peek() == "or":
+            self.s.next()
+            left = Or(left, self._and())
+        return left
+
+    def _and(self) -> FilterExpr:
+        left = self._unary()
+        while self.s.peek() == "and":
+            self.s.next()
+            left = And(left, self._unary())
+        return left
+
+    def _unary(self) -> FilterExpr:
+        t = self.s.peek()
+        if t == "not":
+            self.s.next()
+            return Not(self._unary())
+        if t == "(":
+            self.s.next()
+            e = self._or()
+            self.s.expect(")")
+            return e
+        return self._primary()
+
+    def _primary(self) -> FilterExpr:
+        t = self.s.peek()
+        if t is None:
+            raise ConfigError("expected filter expression")
+        # template comparison: "lhs" OP "rhs"
+        if self.s.peek(1) in _CMP_OPS:
+            lhs = _unquote(self.s.next())
+            op, mode = _CMP_OPS[self.s.next()]
+            rhs = _unquote(self.s.next())
+            return Cmp(lhs, op, rhs, mode=mode)
+        d = _parse_driver(self.s)
+        return self._builtin(d)
+
+    def _builtin(self, d: Driver) -> FilterExpr:
+        n = d.name
+        if n == "facility":
+            return Facility(d.args[0])
+        if n in ("level", "severity"):
+            return Severity(d.args[0])
+        if n in ("host", "program", "message"):
+            return Match(d.args[0], {"host": "HOST", "program": "PROGRAM",
+                                     "message": "MESSAGE"}[n], "pcre")
+        if n == "match":
+            return Match(d.args[0], str(d.kw1("value", "MESSAGE")), "pcre")
+        if n == "netmask":
+            return Netmask(d.args[0])
+        if n == "tags":
+            return TagFilter(d.args[0])
+        if n == "filter":
+            return self.named[d.args[0]]
+        if n in self.named:  # block filter NAME() {...} call
+            return self.named[n]
+        raise ConfigError(f"unknown filter function {n}()")
+
+
+# path elements -----------------------------------------------------------
+
+@dataclass
+class Channel:
+    elements: list
+    final: bool = False
+    fallback: bool = False
+    catchall: bool = False
+
+
+def _parse_log_elements(s: _Stream, cfg: "Config") -> list:
+    """Elements of a log {} body / junction channel body."""
+    out: list = []
+    s.expect("{")
+    while s.peek() != "}":
+        t = s.peek()
+        if t == "if":
+            out.append(_parse_conditional(s, cfg))
+        elif t == "junction":
+            s.next()
+            out.append(_parse_junction(s, cfg))
+            s.expect(";")
+        elif t == "filter" and s.peek(1) == "{":
+            s.next()
+            s.expect("{")
+            e = _FilterParser(s, cfg.filters).parse()
+            if s.peek() == ";":
+                s.next()
+            s.expect("}")
+            s.expect(";")
+            out.append(("filter", e))
+        elif t in ("parser", "rewrite") and s.peek(1) == "{":
+            kind = s.next()
+            body = _parse_driver_block(s)
+            s.expect(";")
+            out.append((kind, [cfg._compile_stage(kind, d) for d in body]))
+        elif t == "destination" and s.peek(1) == "{":
+            s.next()
+            body = _parse_driver_block(s)
+            s.expect(";")
+            name = f"_inline_dest_{len(cfg.destinations)}"
+            cfg.destinations[name] = _Destination(name, body)
+            out.append(("destination", name))
+        else:
+            d = _parse_driver(s)
+            s.expect(";")
+            if d.name == "flags":
+                out.append(("flags", d.args))
+            elif d.name in ("source", "filter", "parser", "rewrite", "destination"):
+                out.append((d.name, d.args[0]))
+            else:
+                raise ConfigError(f"unsupported log element {d.name}()")
+    s.expect("}")
+    return out
+
+
+def _parse_junction(s: _Stream, cfg: "Config") -> tuple:
+    chans: list[Channel] = []
+    s.expect("{")
+    while s.peek() != "}":
+        s.expect("channel")
+        elems = _parse_log_elements(s, cfg)
+        s.expect(";")
+        chans.append(_to_channel(elems))
+    s.expect("}")
+    return ("junction", chans)
+
+
+def _to_channel(elems: list) -> Channel:
+    flags = [f for kind, f in elems if kind == "flags"]
+    flat = [fl for fs in flags for fl in fs]
+    return Channel([e for e in elems if e[0] != "flags"],
+                   final="final" in flat, fallback="fallback" in flat,
+                   catchall="catchall" in flat)
+
+
+def _parse_conditional(s: _Stream, cfg: "Config") -> tuple:
+    """if (EXPR) {A} else {B};  |  if {A} else {B};
+    (cfg-tree.c:1289-1349 cfg_tree_compile_conditional). The simple form
+    splits on EXPR alone — the conditional-midpoint pipe isolates the
+    true body, so a drop inside A does NOT divert the row to B (it just
+    drops, leaving the outer path unmatched). The compound form has no
+    midpoint: the true channel's own filters decide, so rows its filters
+    reject DO take the else channel — that's a two-final-channel
+    junction."""
+    s.expect("if")
+    cond = None
+    if s.peek() == "(":
+        s.next()
+        cond = _FilterParser(s, cfg.filters).parse()
+        s.expect(")")
+    body = _parse_log_elements(s, cfg)
+    else_body: list = []
+    if s.peek() == "else":
+        s.next()
+        else_body = _parse_log_elements(s, cfg)
+    s.expect(";")
+    if cond is not None:
+        return ("conditional", (cond, body, else_body))
+    chans = [Channel(body, final=True), Channel(else_body, final=True)]
+    return ("junction", chans)
+
+
+def _parse_driver_block(s: _Stream) -> list[Driver]:
+    out = []
+    s.expect("{")
+    while s.peek() != "}":
+        out.append(_parse_driver(s))
+        s.expect(";")
+    s.expect("}")
+    return out
+
+
+# ---------------------------------------------------------------- compiler
+
+class _Destination:
+    def __init__(self, name: str, drivers: list[Driver]):
+        self.name = name
+        self.template = None
+        for d in drivers:
+            if d.name == "file":
+                self.template = d.kw1("template")
+        self.counts = 0
+        self.tables: list[pa.Table] = []
+
+    def write(self, table: pa.Table):
+        self.counts += table.num_rows
+        self.tables.append(table)
+
+    def rendered(self) -> list[str]:
+        """Lines the file destination would write (template applied)."""
+        from .functions.templates import Template
+
+        tpl = Template(_unquote(self.template) if self.template else "${MESSAGE}\n")
+        out: list[str] = []
+        for t in self.tables:
+            if t.num_rows:
+                out.extend(tpl.eval(t).tolist())
+        return out
+
+
+_ROW_ID = "__cfg_row_id"
+
+
+class Config:
+    def __init__(self):
+        self.sources: dict[str, list[Driver]] = {}
+        self.destinations: dict[str, _Destination] = {}
+        self.filters: dict[str, FilterExpr] = {}
+        self.parsers: dict[str, list] = {}
+        self.rewrites: dict[str, list] = {}
+        self.paths: list[Channel] = []
+
+    # -- stage compilation ------------------------------------------------
+    def _compile_stage(self, kind: str, d: Driver):
+        if kind == "parser":
+            return _compile_parser(d)
+        return _compile_rewrite(d)
+
+    # -- execution --------------------------------------------------------
+    def _source_table(self, name: str, injected: dict) -> pa.Table:
+        if name in injected:
+            t = injected[name]
+            t = pa.Table.from_pandas(t) if isinstance(t, pd.DataFrame) else t
+        else:
+            t = _build_source(self.sources[name])
+        if _ROW_ID not in t.column_names:
+            t = t.append_column(_ROW_ID, pa.array(np.arange(t.num_rows), type=pa.int64()))
+        return t
+
+    def run(self, sources: dict | None = None) -> "RunResult":
+        injected = sources or {}
+        for dst in self.destinations.values():
+            dst.counts = 0
+            dst.tables = []
+        tables: dict[str, pa.Table] = {}
+        matched: dict[str, set] = {}
+        for ch in self.paths:
+            for kind, arg in ch.elements:
+                if kind == "source" and arg not in tables:
+                    tables[arg] = self._source_table(arg, injected)
+                    matched[arg] = set()
+
+        def paths_in_order():
+            return ([c for c in self.paths if not c.fallback]
+                    + [c for c in self.paths if c.fallback])
+
+        for ch in paths_in_order():
+            src_names = [arg for kind, arg in ch.elements if kind == "source"]
+            parts = []
+            for sn in src_names:
+                t = tables[sn]
+                if ch.fallback:
+                    ids = t.column(_ROW_ID).to_numpy()
+                    keep = ~np.isin(ids, np.fromiter(matched[sn], dtype=np.int64,
+                                                     count=len(matched[sn])))
+                    t = t.filter(pa.array(keep))
+                parts.append(t)
+            if not parts:
+                continue
+            table = pa.concat_tables(parts, promote_options="permissive")
+            out = self._run_sequence(table, [e for e in ch.elements if e[0] != "source"])
+            if not ch.fallback:
+                for sn in src_names:
+                    matched[sn].update(out.column(_ROW_ID).to_pylist())
+        return RunResult(self.destinations)
+
+    def _run_sequence(self, table: pa.Table, elements: list) -> pa.Table:
+        for kind, arg in elements:
+            if table.num_rows == 0:
+                break
+            if kind == "filter":
+                expr = self.filters[arg] if isinstance(arg, str) else arg
+                table = table.filter(pa.array(expr.mask(table)))
+            elif kind == "parser":
+                stages = self.parsers[arg] if isinstance(arg, str) else arg
+                for st in stages:
+                    table = st(table)
+            elif kind == "rewrite":
+                stages = self.rewrites[arg] if isinstance(arg, str) else arg
+                for st in stages:
+                    table = st(table)
+            elif kind == "destination":
+                self.destinations[arg].write(table.drop_columns([_ROW_ID]))
+            elif kind == "junction":
+                table = self._run_junction(table, arg)
+            elif kind == "conditional":
+                cond, body, else_body = arg
+                m = pa.array(cond.mask(table))
+                t_out = self._run_sequence(table.filter(m), body)
+                f_out = self._run_sequence(table.filter(pa.compute.invert(m)),
+                                           else_body)
+                table = pa.concat_tables([t_out, f_out],
+                                         promote_options="permissive")
+                if table.num_rows:
+                    table = table.take(pa.compute.sort_indices(table.column(_ROW_ID)))
+            elif kind == "flags":
+                pass
+            else:
+                raise ConfigError(f"unknown element {kind}")
+        return table
+
+    def _run_junction(self, table: pa.Table, channels: list[Channel]) -> pa.Table:
+        """lib/logmpx.c semantics: every channel sees the rows still
+        eligible (final channels consume their matches), fallback
+        channels see only rows unmatched so far; output is the union."""
+        ids = table.column(_ROW_ID).to_numpy()
+        eligible = np.ones(len(ids), dtype=bool)
+        matched = np.zeros(len(ids), dtype=bool)
+        outs: list[pa.Table] = []
+        for ch in channels:
+            if ch.fallback:
+                inp = table.filter(pa.array(eligible & ~matched))
+            elif ch.catchall:
+                inp = table
+            else:
+                inp = table.filter(pa.array(eligible))
+            out = self._run_sequence(inp, ch.elements)
+            outs.append(out)
+            hit = np.isin(ids, out.column(_ROW_ID).to_numpy())
+            matched |= hit
+            if ch.final:
+                eligible &= ~hit
+        res = pa.concat_tables(outs, promote_options="permissive")
+        if res.num_rows:
+            order = pa.compute.sort_indices(res.column(_ROW_ID))
+            res = res.take(order)
+        return res
+
+
+class RunResult:
+    def __init__(self, destinations: dict[str, _Destination]):
+        self.destinations = destinations
+
+    def processed(self, name: str) -> int:
+        return self.destinations[name].counts
+
+    def table(self, name: str) -> pa.Table:
+        parts = self.destinations[name].tables
+        return pa.concat_tables(parts, promote_options="permissive") if parts \
+            else pa.table({})
+
+    def rendered(self, name: str) -> list[str]:
+        return self.destinations[name].rendered()
+
+
+# driver compilation ------------------------------------------------------
+
+class _ExpandMap:
+    """Expand a map column's pairs into table columns so config filters
+    and templates can address $key like the reference's name-value pairs
+    (a kv/json pair IS a message field there). Last occurrence of a key
+    in a row wins, like dict(pairs)."""
+
+    def __init__(self, stage, out_col: str):
+        self.stage = stage
+        self.out_col = out_col
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        out = self.stage(table)
+        col = out.column(self.out_col)
+        rows = col.to_pylist()
+        keys: list[str] = []
+        seen = set()
+        for row in rows:
+            for k, _v in (row or []):
+                if k not in seen:
+                    seen.add(k)
+                    keys.append(k)
+        for k in keys:
+            vals = [dict(row or {}).get(k) for row in rows]
+            if k in out.column_names:
+                out = out.set_column(out.column_names.index(k), k,
+                                     pa.array(vals, type=pa.string()))
+            else:
+                out = out.append_column(k, pa.array(vals, type=pa.string()))
+        return out.drop_columns([self.out_col])
+
+
+def _compile_parser(d: Driver):
+    if d.name == "csv-parser":
+        from .stages.csv_parser import CsvParser
+
+        return CsvParser(columns=d.kwargs.get("columns", []),
+                         delimiters=str(d.kw1("delimiters", ",")),
+                         prefix=str(d.kw1("prefix", "")))
+    if d.name == "kv-parser":
+        from .stages.kv_parser import KvParser
+
+        prefix = str(d.kw1("prefix", ""))
+        return _ExpandMap(
+            KvParser(value_separator=str(d.kw1("value-separator", "=")),
+                     prefix=prefix, out_col="__cfg_kv"), "__cfg_kv")
+    if d.name == "json-parser":
+        from .stages.json_parser import JsonParser
+
+        return JsonParser(prefix=str(d.kw1("prefix", "")))
+    raise ConfigError(f"unsupported parser driver {d.name}()")
+
+
+_FIELD_MAP = {"MESSAGE": "message", "MSG": "message", "HOST": "host",
+              "PROGRAM": "program", "PID": "pid"}
+
+
+def _field(name: str) -> str:
+    """Hard macro names map to the engine's message columns; user name-
+    value pairs pass through as-is."""
+    return _FIELD_MAP.get(name, name)
+
+
+def _compile_rewrite(d: Driver):
+    from .stages import rewrite as rw
+
+    if d.name == "set":
+        val, fld = d.args[0], _field(str(d.kw1("value", "MESSAGE")))
+        return lambda t: rw.set_value(t, fld, val)
+    if d.name == "unset":
+        fld = _field(str(d.kw1("value")))
+        return lambda t: rw.unset(t, fld)
+    if d.name == "subst":
+        pat, repl = d.args[0], d.args[1]
+        fld = _field(str(d.kw1("value", "message")))
+        # reference subst is single-replacement unless flags(global)
+        glob = "global" in (d.kwargs.get("flags") or [])
+        return lambda t: rw.subst(t, pat, repl, field=fld, global_=glob)
+    if d.name == "set-tag":
+        tag = d.args[0]
+        return lambda t: rw.set_tag(t, tag)
+    raise ConfigError(f"unsupported rewrite driver {d.name}()")
+
+
+def _build_source(drivers: list[Driver]) -> pa.Table:
+    parts = []
+    for d in drivers:
+        if d.name == "example-msg-generator":
+            n = int(d.kw1("num", 1))
+            tpl = str(d.kw1("template", "-- Generated message. --"))
+            parts.append(pa.table({
+                "message": pa.array([tpl] * n, type=pa.string()),
+                "pri": pa.array([13] * n, type=pa.int64()),
+                "host": pa.array(["localhost"] * n, type=pa.string()),
+                "program": pa.array(["example-msg-generator"] * n, type=pa.string()),
+            }))
+        elif d.name in ("file", "wildcard-file"):
+            path = d.args[0]
+            with open(path) as fh:
+                lines = [ln.rstrip("\n") for ln in fh]
+            parts.append(pa.table({"message": pa.array(lines, type=pa.string())}))
+        else:
+            raise ConfigError(f"unsupported source driver {d.name}()")
+    return pa.concat_tables(parts, promote_options="permissive")
+
+
+# ------------------------------------------------------------- entry point
+
+def compile_config(text: str) -> Config:
+    s = _Stream(tokenize(text))
+    cfg = Config()
+    while s.peek() is not None:
+        t = s.peek()
+        if t.startswith("@version"):
+            s.next()
+            # "@version: X.Y" tokenizes as '@version:' 'X.Y' or '@version' ':'...
+            if s.peek() is not None and not s.peek().isalpha():
+                while s.peek() not in (None,) and re.fullmatch(r"[\d.:]+", s.peek() or ""):
+                    s.next()
+            continue
+        if t == "options":
+            s.next()
+            s.skip_balanced()
+            s.expect(";")
+        elif t == "block":
+            s.next()
+            kind = s.next()
+            if kind != "filter":
+                raise ConfigError(f"unsupported block kind {kind!r}")
+            name = s.next()
+            if name.endswith("()"):
+                name = name[:-2]
+            else:
+                if s.peek() == "(":
+                    s.next()
+                    s.expect(")")
+            s.expect("{")
+            cfg.filters[name] = _FilterParser(s, cfg.filters).parse()
+            if s.peek() == ";":
+                s.next()
+            s.expect("}")
+            s.expect(";")
+        elif t == "source":
+            s.next()
+            name = s.next()
+            cfg.sources[name] = _parse_driver_block(s)
+            s.expect(";")
+        elif t == "destination":
+            s.next()
+            name = s.next()
+            cfg.destinations[name] = _Destination(name, _parse_driver_block(s))
+            s.expect(";")
+        elif t == "filter":
+            s.next()
+            name = s.next()
+            s.expect("{")
+            cfg.filters[name] = _FilterParser(s, cfg.filters).parse()
+            if s.peek() == ";":
+                s.next()
+            s.expect("}")
+            s.expect(";")
+        elif t == "parser":
+            s.next()
+            name = s.next()
+            cfg.parsers[name] = [_compile_parser(d) for d in _parse_driver_block(s)]
+            s.expect(";")
+        elif t == "rewrite":
+            s.next()
+            name = s.next()
+            cfg.rewrites[name] = [_compile_rewrite(d) for d in _parse_driver_block(s)]
+            s.expect(";")
+        elif t == "log":
+            s.next()
+            elems = _parse_log_elements(s, cfg)
+            s.expect(";")
+            cfg.paths.append(_to_channel(elems))
+        else:
+            raise ConfigError(f"unsupported top-level statement {t!r}")
+    return cfg

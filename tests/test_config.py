@@ -1,0 +1,240 @@
+"""Config front end (axosyslog_ray/config.py) — log-path semantics
+pinned to the reference's Light functional suite
+(tests/light/functional_tests/logpath/test_conditionals.py) plus the
+statement/driver subset."""
+import pyarrow as pa
+import pytest
+
+from axosyslog_ray.config import ConfigError, compile_config
+
+PREAMBLE = """
+@version: 4.8
+
+options { stats(level(1)); };
+
+block filter true() {
+    "1" eq "1"
+};
+
+block filter false() {
+    "0" eq "1"
+};
+
+source genmsg {
+    example-msg-generator(num(1) template("foobar"));
+};
+
+destination dest_after { file("dest-after.log" template("'${MESSAGE}'")); };
+destination dest_true { file("dest-true.log" template("'${MESSAGE}'")); };
+destination dest_false { file("dest-false.log" template("'${MESSAGE}'")); };
+destination dest_fallback { file("dest-fallback.log" template("'${MESSAGE}'")); };
+
+log {
+    source(genmsg);
+    destination(dest_fallback);
+    flags(fallback);
+};
+"""
+
+
+def run(test_config):
+    return compile_config(PREAMBLE + test_config).run()
+
+
+class TestLightConditionals:
+    """The four conditional cases of test_conditionals.py, same
+    processed-count assertions as the reference's own suite."""
+
+    def test_simple_if(self):
+        r = run("""
+log {
+    source(genmsg);
+    if (true()) {
+        destination(dest_true);
+    } else {
+        destination(dest_false);
+    };
+
+    destination(dest_after);
+};
+""")
+        assert r.processed("dest_true") == 1
+        assert r.processed("dest_false") == 0
+        assert r.processed("dest_after") == 1
+        assert r.processed("dest_fallback") == 0
+
+    def test_simple_if_negated(self):
+        r = run("""
+log {
+    source(genmsg);
+    if (false()) {
+        destination(dest_true);
+    } else {
+        destination(dest_false);
+    };
+    destination(dest_after);
+};
+""")
+        assert r.processed("dest_true") == 0
+        assert r.processed("dest_false") == 1
+        assert r.processed("dest_after") == 1
+        assert r.processed("dest_fallback") == 0
+
+    def test_simple_if_that_drops_in_all_branches(self):
+        # nothing survives the path -> the fallback path gets the message
+        r = run("""
+log {
+    source(genmsg);
+    if (true()) {
+        filter { false(); };
+        destination(dest_true);
+    } else {
+        destination(dest_false);
+    };
+    destination(dest_after);
+};
+""")
+        assert r.processed("dest_true") == 0
+        assert r.processed("dest_false") == 0
+        assert r.processed("dest_after") == 0
+        assert r.processed("dest_fallback") == 1
+
+    def test_compound_if(self):
+        r = run("""
+log {
+    source(genmsg);
+    if {
+        filter { true(); };
+        destination(dest_true);
+    } else {
+        destination(dest_false);
+    };
+    destination(dest_after);
+};
+""")
+        assert r.processed("dest_true") == 1
+        assert r.processed("dest_false") == 0
+        assert r.processed("dest_after") == 1
+        assert r.processed("dest_fallback") == 0
+
+
+class TestJunctions:
+    def test_junction_final_channels_route_by_filter(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d_err { file("e.log"); };
+destination d_rest { file("r.log"); };
+filter f_err { message("err") };
+log {
+    source(s);
+    junction {
+        channel { filter(f_err); destination(d_err); flags(final); };
+        channel { destination(d_rest); flags(fallback); };
+    };
+};
+""")
+        t = pa.table({"message": ["an err line", "ok line", "more err"],
+                      "pri": [13, 13, 13]})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d_err") == 2
+        assert r.processed("d_rest") == 1
+        assert r.table("d_rest").column("message").to_pylist() == ["ok line"]
+
+    def test_rows_continue_after_junction(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d_a { file("a.log"); };
+destination d_all { file("all.log"); };
+log {
+    source(s);
+    junction {
+        channel { filter { message("x"); }; destination(d_a); flags(final); };
+        channel { flags(fallback); };
+    };
+    destination(d_all);
+};
+""")
+        t = pa.table({"message": ["x1", "y1", "x2"], "pri": [13] * 3})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d_a") == 2
+        # both branch outputs rejoin and continue
+        assert r.processed("d_all") == 3
+
+
+class TestStages:
+    def test_parser_rewrite_filter_chain(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("out.log" template("${user}")); };
+parser p_kv { kv-parser(prefix("")); };
+rewrite r_tag { set("seen" value("status")); };
+filter f_admin { match("admin" value("user")) };
+log {
+    source(s);
+    parser(p_kv);
+    rewrite(r_tag);
+    filter(f_admin);
+    destination(d);
+};
+""")
+        t = pa.table({"message": ["user=admin action=login",
+                                  "user=bob action=login"],
+                      "pri": [13, 13]})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d") == 1
+        out = r.table("d")
+        assert out.column("user").to_pylist() == ["admin"]
+        assert out.column("status").to_pylist() == ["seen"]
+        assert r.rendered("d") == ["admin"]
+
+    def test_csv_parser_inline_in_path(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log"); };
+log {
+    source(s);
+    parser { csv-parser(columns("a", "b", "c") delimiters(",")); };
+    filter { "${b}" eq "2"; };
+    destination(d);
+};
+""")
+        t = pa.table({"message": ["1,2,3", "9,9,9"], "pri": [13, 13]})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d") == 1
+        assert r.table("d").column("a").to_pylist() == ["1"]
+
+    def test_severity_and_boolean_operators(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log"); };
+filter f { level(err) or (level(warning) and message("disk")) };
+log { source(s); filter(f); destination(d); };
+""")
+        # pri = facility*8 + severity; severity err=3, warning=4
+        t = pa.table({"message": ["boom", "disk full", "fine"],
+                      "pri": [3, 12, 14]})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d") == 2
+
+    def test_generator_source_and_templates(self):
+        r = compile_config("""
+source g { example-msg-generator(num(3) template("hi")); };
+destination d { file("o.log" template("${MESSAGE}!")); };
+log { source(g); destination(d); };
+""").run()
+        assert r.processed("d") == 3
+        assert r.rendered("d") == ["hi!"] * 3
+
+
+class TestErrors:
+    def test_unknown_statement_raises(self):
+        with pytest.raises(ConfigError):
+            compile_config("frobnicate x { };")
+
+    def test_unknown_filter_function(self):
+        with pytest.raises(ConfigError):
+            compile_config('filter f { frob("x") };')
+
+    def test_unterminated_block(self):
+        with pytest.raises(ConfigError):
+            compile_config("log { source(s);")
