@@ -153,6 +153,11 @@ def simhash_candidates(ds, bands: int = 4, max_hamming: int = 3,
         frames = [b.to_pandas() for b in labeled.iter_batches(batch_size=None, batch_format="pyarrow")]
         allp = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame({id_col: [], "bucket_min": []})
         return allp.groupby(id_col, as_index=False)["bucket_min"].min().rename(columns={"bucket_min": "cluster_id"})
-    from ray.data.aggregate import Min
+    # coarse-bucket final (see dedup.minhash: 5x the sort-aggregate)
+    from ..shuffle import bucketed_map_groups
 
-    return labeled.groupby(id_col).aggregate(Min("bucket_min", alias_name="cluster_id"))
+    def _final_min(g):
+        return (g.groupby(id_col, as_index=False)["bucket_min"].min()
+                 .rename(columns={"bucket_min": "cluster_id"}))
+
+    return bucketed_map_groups(labeled, id_col, _final_min, num_buckets=64)
