@@ -52,12 +52,14 @@ _TOKEN_RE = re.compile(r"""
 """, re.VERBOSE)
 
 
-def tokenize(text: str) -> list[str]:
+def tokenize(text: str) -> list[tuple[str, int, int]]:
+    """(token, start, end) triples — spans let block-bodied statements
+    (filterx {...}) recover their raw source text."""
     out = []
     for m in _TOKEN_RE.finditer(text):
         if m.lastgroup in ("comment", "ws"):
             continue
-        out.append(m.group())
+        out.append((m.group(), m.start(), m.end()))
     return out
 
 
@@ -68,13 +70,28 @@ def _unquote(tok: str) -> str:
 
 
 class _Stream:
-    def __init__(self, toks: list[str]):
-        self.toks = toks
+    def __init__(self, toks: list[tuple[str, int, int]], text: str = ""):
+        self.toks = [t[0] for t in toks]
+        self.spans = [(t[1], t[2]) for t in toks]
+        self.text = text
         self.i = 0
 
     def peek(self, k: int = 0):
         j = self.i + k
         return self.toks[j] if j < len(self.toks) else None
+
+    def raw_block(self) -> str:
+        """Consume a balanced {...} and return its raw source text."""
+        start_i = self.i
+        self.expect("{")
+        depth = 1
+        while depth:
+            t = self.next()
+            if t == "{":
+                depth += 1
+            elif t == "}":
+                depth -= 1
+        return self.text[self.spans[start_i][1]:self.spans[self.i - 1][0]]
 
     def next(self):
         t = self.peek()
@@ -258,6 +275,11 @@ def _parse_log_elements(s: _Stream, cfg: "Config") -> list:
             s.expect("}")
             s.expect(";")
             out.append(("filter", e))
+        elif t == "filterx" and s.peek(1) == "{":
+            s.next()
+            body = s.raw_block()
+            s.expect(";")
+            out.append(("filterx", cfg._compile_filterx(body)))
         elif t in ("parser", "rewrite") and s.peek(1) == "{":
             kind = s.next()
             body = _parse_driver_block(s)
@@ -275,7 +297,8 @@ def _parse_log_elements(s: _Stream, cfg: "Config") -> list:
             s.expect(";")
             if d.name == "flags":
                 out.append(("flags", d.args))
-            elif d.name in ("source", "filter", "parser", "rewrite", "destination"):
+            elif d.name in ("source", "filter", "parser", "rewrite",
+                            "destination", "filterx"):
                 out.append((d.name, d.args[0]))
             else:
                 raise ConfigError(f"unsupported log element {d.name}()")
@@ -373,6 +396,7 @@ _ROW_ID = "__cfg_row_id"
 
 class Config:
     def __init__(self):
+        self.filterx: dict[str, object] = {}
         self.sources: dict[str, list[Driver]] = {}
         self.destinations: dict[str, _Destination] = {}
         self.filters: dict[str, FilterExpr] = {}
@@ -381,6 +405,14 @@ class Config:
         self.paths: list[Channel] = []
 
     # -- stage compilation ------------------------------------------------
+    def _compile_filterx(self, body: str):
+        """A filterx {} block compiles through the engine's FilterX
+        language (filterx.py) — drops apply, assignments create
+        columns, like the reference's filterx log element."""
+        from .filterx import FilterX
+
+        return FilterX(body)
+
     def _compile_stage(self, kind: str, d: Driver):
         if kind == "parser":
             return _compile_parser(d)
@@ -449,6 +481,9 @@ class Config:
                 stages = self.rewrites[arg] if isinstance(arg, str) else arg
                 for st in stages:
                     table = st(table)
+            elif kind == "filterx":
+                fx = self.filterx[arg] if isinstance(arg, str) else arg
+                table = fx(table)
             elif kind == "destination":
                 self.destinations[arg].write(table.drop_columns([_ROW_ID]))
             elif kind == "junction":
@@ -623,7 +658,7 @@ def _build_source(drivers: list[Driver]) -> pa.Table:
 # ------------------------------------------------------------- entry point
 
 def compile_config(text: str) -> Config:
-    s = _Stream(tokenize(text))
+    s = _Stream(tokenize(text), text)
     cfg = Config()
     while s.peek() is not None:
         t = s.peek()
@@ -674,6 +709,11 @@ def compile_config(text: str) -> Config:
             if s.peek() == ";":
                 s.next()
             s.expect("}")
+            s.expect(";")
+        elif t == "filterx":
+            s.next()
+            name = s.next()
+            cfg.filterx[name] = cfg._compile_filterx(s.raw_block())
             s.expect(";")
         elif t == "parser":
             s.next()

@@ -238,3 +238,38 @@ class TestErrors:
     def test_unterminated_block(self):
         with pytest.raises(ConfigError):
             compile_config("log { source(s);")
+
+
+class TestFilterXBlocks:
+    def test_inline_filterx_block_in_path(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log"); };
+log {
+    source(s);
+    filterx {
+        if ($status >= 500) { $class = "err"; } else { $class = "ok"; };
+        if ($class == "err") { drop; };
+    };
+    destination(d);
+};
+""")
+        t = pa.table({"message": ["a", "b", "c"], "status": [200, 503, 404],
+                      "pri": [13] * 3})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d") == 2
+        assert r.table("d").column("class").to_pylist() == ["ok", "ok"]
+
+    def test_named_filterx_block(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log" template("${upper}")); };
+filterx fx_up {
+    $upper = upper($message);
+};
+log { source(s); filterx(fx_up); destination(d); };
+""")
+        t = pa.table({"message": ["hi", "yo"], "pri": [13, 13]})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d") == 2
+        assert r.rendered("d") == ["HI", "YO"]
