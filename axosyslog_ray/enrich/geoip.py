@@ -27,11 +27,20 @@ class GeoIP:
         db_ref=None,
         source_col: str = "src_ip",
         prefix: str = "geoip_",
+        mmdb_path: str | None = None,
     ):
         if db_ref is not None:
             import ray
 
             ranges = ray.get(db_ref)
+        if mmdb_path is not None:
+            # real MaxMind database: the reference's geoip2(database(..))
+            # shape (modules/geoip2/geoip-parser.c) — the mmdb tree is
+            # enumerated ONCE here (per actor), per-batch lookups stay
+            # the vectorized searchsorted path below
+            from .mmdb import mmdb_to_ranges
+
+            ranges = list(ranges or []) + mmdb_to_ranges(mmdb_path)
         raw = []
         for cidr, attrs in ranges or []:
             net = ipaddress.ip_network(cidr, strict=False)
