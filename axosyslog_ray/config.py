@@ -637,7 +637,13 @@ def _build_source(drivers: list[Driver]) -> pa.Table:
     parts = []
     for d in drivers:
         if d.name == "example-msg-generator":
-            n = int(d.kw1("num", 1))
+            from .functions.numbers import parse_int64_with_suffix
+
+            # config numerics parse like the reference grammar (size
+            # suffixes allowed: num(10k))
+            n = parse_int64_with_suffix(str(d.kw1("num", 1)))
+            if n is None:
+                raise ConfigError(f"invalid num() value {d.kw1('num')!r}")
             tpl = str(d.kw1("template", "-- Generated message. --"))
             parts.append(pa.table({
                 "message": pa.array([tpl] * n, type=pa.string()),
