@@ -117,10 +117,17 @@ def _obj(series: pd.Series) -> np.ndarray:
 
 
 def parse_syslog_table(
-    table: pa.Table, col: str = "text", recv_ts_col: str = "warc_ts"
+    table: pa.Table, col: str = "text", recv_ts_col: str = "warc_ts",
+    check_program: bool = False
 ) -> pa.Table:
     """Append parsed header columns to an Arrow batch (the first map_batches
-    stage of the flagship pipeline)."""
+    stage of the flagship pipeline).
+
+    check_program mirrors LP_CHECK_PROGRAM (syslog-format.c:332-373):
+    an RFC3164 program name must be [A-Za-z0-9._-()/]+ with at least one
+    letter; otherwise PROGRAM/PID stay unset, the whole tail stays in
+    the message, and the row is tagged syslog.rfc3164_invalid_program
+    (pins test_syslog_format.c rfc3164_check_program_*)."""
     n = table.num_rows
     s = table.column(col).to_pandas().astype("string").fillna("")
     recv = table.column(recv_ts_col).to_pandas() if recv_ts_col in table.column_names else pd.Series(
@@ -137,6 +144,7 @@ def parse_syslog_table(
     sdata = np.full(n, None, dtype=object)
     parsed = np.zeros(n, dtype=bool)
     fmt = np.full(n, None, dtype=object)
+    tags_col = np.full(n, None, dtype=object)
 
     arrow_text = table.column(col) if table.column(col).null_count == 0 else pa.array(
         s.to_numpy(dtype=object), type=pa.string()
@@ -216,7 +224,19 @@ def parse_syslog_table(
             rest = exo["rest"].astype("string")
             tag = _arrow_extract(rest, RE_TAG2)
             tag_ok = tag["prog"].notna().to_numpy()
-            program[rows[tag_ok]] = _obj(tag["prog"][tag["prog"].notna()])
+            if check_program and tag_ok.any():
+                progs = tag["prog"].astype("string")
+                okp = (progs.str.fullmatch(r"[A-Za-z0-9._\-()/]+").fillna(False)
+                       & progs.str.contains("[A-Za-z]", regex=True).fillna(False)
+                       ).to_numpy(dtype=bool)
+                badp = tag_ok & ~okp
+                if badp.any():
+                    # reference: invalid program -> PROGRAM/PID unset, the
+                    # full tail stays the message, tagged
+                    tag_ok = tag_ok & okp
+                    for i in rows[badp]:
+                        tags_col[i] = ["syslog.rfc3164_invalid_program"]
+            program[rows[tag_ok]] = _obj(tag["prog"][tag_ok])
             # bracket-captured pid: "" = no [pid] present -> None; "[]" -> ""
             pidb = tag["pidb"]
             pid_vals = _obj(pidb.str.slice(1, -1).where(pidb.notna() & (pidb != "")))
@@ -229,7 +249,6 @@ def parse_syslog_table(
     # `<189> program[pid]: message` parses TAG-only: no host, stamp=recv,
     # tags syslog.missing_timestamp + rfc3164_missing_header (reference
     # tests/test_syslog_format.c rfc3164_error_missing_timestamp)
-    tags_col = np.full(n, None, dtype=object)
     nots = ~parsed & s.str.match(r"^<\d{1,3}>", na=False).to_numpy()
     if nots.any():
         rest = s[nots].str.replace(r"^<\d{1,3}>\s*", "", regex=True).astype("string")
@@ -247,6 +266,20 @@ def parse_syslog_table(
             fmt[rows] = "rfc3164"
             for i in rows:
                 tags_col[i] = ["syslog.missing_timestamp", "syslog.rfc3164_missing_header"]
+
+    # ---------- invalid PRI: a '<' prefix that never closes ----------
+    # the reference accepts the line, shoves it whole into MSG and tags
+    # syslog.invalid_pri (syslog-format.c:1076-1080,
+    # test_syslog_format.c rfc3164_error_invalid_pri)
+    ipri = (~parsed & s.str.startswith("<").to_numpy(dtype=bool)
+            & ~s.str.match(r"^<\d{1,3}>", na=False).to_numpy(dtype=bool))
+    if ipri.any():
+        rows = np.flatnonzero(ipri)
+        parsed[rows] = True
+        fmt[rows] = "rfc3164"
+        ts[rows] = recv.to_numpy(dtype="datetime64[us]")[rows]
+        for i in rows:
+            tags_col[i] = ["syslog.invalid_pri"]
 
     # unparsed rows: stamp falls back to receive time (reference no-parse path)
     unp = ~parsed
@@ -279,7 +312,7 @@ def parse_syslog_table(
 # vectorized path; SURVEY.md §7.3). Never used in pipelines.
 # ---------------------------------------------------------------------------
 
-def parse_syslog_line(line: str, recv_ts) -> dict:
+def parse_syslog_line(line: str, recv_ts, check_program: bool = False) -> dict:
     recv = pd.Timestamp(recv_ts)
     out = {
         "pri": DEFAULT_PRI, "ts_stamp": None, "host": None, "program": None,
@@ -322,7 +355,12 @@ def parse_syslog_line(line: str, recv_ts) -> dict:
         out["ts_stamp"] = None if pd.isna(t) else t
         out["host"] = m.group("host")
         tm = RE_TAG.match(m.group("rest"))
-        if tm:
+        if tm and check_program and not (
+                re.fullmatch(r"[A-Za-z0-9._\-()/]+", tm.group("prog"))
+                and re.search("[A-Za-z]", tm.group("prog"))):
+            out["message"] = m.group("rest")
+            out["tags"] = ["syslog.rfc3164_invalid_program"]
+        elif tm:
             out["program"], out["pid"], out["message"] = tm.group("prog"), tm.group("pid"), tm.group("msg")
         else:
             out["message"] = m.group("rest")
@@ -338,5 +376,8 @@ def parse_syslog_line(line: str, recv_ts) -> dict:
             out["tags"] = ["syslog.missing_timestamp", "syslog.rfc3164_missing_header"]
             out["ts_stamp"] = recv
             return out
+    if line.startswith("<") and not re.match(r"^<\d{1,3}>", line):
+        out["syslog_parsed"], out["msgformat"] = True, "rfc3164"
+        out["tags"] = ["syslog.invalid_pri"]
     out["ts_stamp"] = recv
     return out

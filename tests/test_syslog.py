@@ -98,10 +98,14 @@ def test_unparsed_falls_back_whole_message():
     assert pd.Timestamp(r["ts_stamp"]) == RECV
 
 
-def test_unterminated_pri_not_parsed_as_syslog():
+def test_unterminated_pri_tagged_and_kept_whole():
+    # reference rfc3164_error_invalid_pri (test_syslog_format.c:89): the
+    # line is ACCEPTED as rfc3164, whole line in MSG, tagged
     r = _parse_one("<189 Aug 17 05:02:28 h p: m")
-    assert r["syslog_parsed"] is False
     assert r["message"] == "<189 Aug 17 05:02:28 h p: m"
+    assert r["msgformat"] == "rfc3164"
+    assert r["tags"] == ["syslog.invalid_pri"]
+    assert r["program"] is None
 
 
 def test_vectorized_matches_scalar_oracle_on_corpus():
@@ -169,3 +173,56 @@ def test_scalar_oracle_matches_vectorized_on_invalid_dates():
             assert sts is None, (line, sts)
         else:
             assert sts == vts, (line, sts, vts)
+
+
+class TestCheckProgram:
+    """LP_CHECK_PROGRAM conformance (test_syslog_format.c:105-190)."""
+
+    def _one(self, line, **kw):
+        import pyarrow as pa
+        from axosyslog_ray.stages.syslog import parse_syslog_table
+        t = pa.table({"text": [line],
+                      "warc_ts": pa.array([pd.Timestamp("2026-02-03")],
+                                          type=pa.timestamp("us"))})
+        out = parse_syslog_table(t, check_program=True, **kw)
+        return {c: out.column(c).to_pylist()[0] for c in out.column_names}
+
+    def test_valid_name_full_charset(self):
+        r = self._one("<189> Feb  3 12:34:56 host "
+                      "program_0123456789-abcdefghijklmnopqrstuvwxyz"
+                      "(ABCDEFGHIJKLMNOPQRSTUVWXYZ).valid/chars[pid]: message")
+        assert r["host"] == "host"
+        assert r["program"] == ("program_0123456789-abcdefghijklmnopqrstuvwxyz"
+                                "(ABCDEFGHIJKLMNOPQRSTUVWXYZ).valid/chars")
+        assert r["pid"] == "pid"
+        assert r["message"] == "message"
+        assert r["tags"] is None
+
+    def test_decimal_number_is_not_a_program(self):
+        r = self._one("<189> Feb  3 12:34:56 host 323235243.2354[pid]: message")
+        assert r["program"] is None and r["pid"] is None
+        assert r["message"] == "323235243.2354[pid]: message"
+        assert r["tags"] == ["syslog.rfc3164_invalid_program"]
+
+    def test_invalid_character(self):
+        r = self._one("<189> Feb  3 12:34:56 host program![pid]: message")
+        assert r["program"] is None
+        assert r["message"] == "program![pid]: message"
+        assert r["tags"] == ["syslog.rfc3164_invalid_program"]
+
+    def test_ip_address_is_not_a_program(self):
+        r = self._one("<189> Feb  3 12:34:56 host 127.0.0.1[pid]: message")
+        assert r["program"] is None
+        assert r["message"] == "127.0.0.1[pid]: message"
+        assert r["tags"] == ["syslog.rfc3164_invalid_program"]
+
+    def test_scalar_oracle_agrees(self):
+        from axosyslog_ray.stages.syslog import parse_syslog_line
+        for line in ("<189> Feb  3 12:34:56 host 127.0.0.1[pid]: message",
+                     "<189> Feb  3 12:34:56 host good[1]: m",
+                     "<189 Feb  3 12:34:56 host p: m"):
+            v = self._one(line)
+            sc = parse_syslog_line(line, pd.Timestamp("2026-02-03"),
+                                   check_program=True)
+            for k in ("program", "pid", "message", "tags", "msgformat"):
+                assert v[k] == sc[k], (line, k, v[k], sc[k])
