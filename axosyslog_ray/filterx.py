@@ -218,6 +218,7 @@ class _Parser:
             # expression as a step (lib/filterx/expr-compound.c)
             return ("exprstmt", self.expr())
         if k in ("field", "name") and v not in _KEYWORDS:
+            start_i = self.i
             self.next()
             # subscript / attr lval: $d["k"] = e; d.k = e;
             # (lib/filterx/expr-set-subscript.c, expr-setattr; a dotted
@@ -239,6 +240,10 @@ class _Parser:
                     # nullv set: only assign when the RHS is set
                     # (expr-assign.c _do_nullv_assign)
                     return ("setpath", (k, v), path, self.expr(), True)
+                if self.peek()[1] != "=":
+                    # e.g. `$d["k"] == 1;` — expression statement
+                    self.i = start_i
+                    return ("exprstmt", self.expr())
                 self.expect("=")
                 return ("setpath", (k, v), path, self.expr())
             if self.accept("+="):
@@ -247,8 +252,15 @@ class _Parser:
                 return ("assign", (k, v), ("arith", "+", lval, self.expr()))
             if self.accept("=??"):
                 return ("assign", (k, v), self.expr(), True)
-            self.expect("=")
-            return ("assign", (k, v), self.expr())
+            if self.peek()[1] == "=" and self.toks[self.i + 1][1] != "=":
+                self.expect("=")
+                return ("assign", (k, v), self.expr())
+            # not an assignment: a bare expression statement — rows where
+            # it evaluates falsey are FILTERED OUT ('bailing out due to a
+            # falsy expr', expr-compound.c:42-78; only assignments carry
+            # ignore_falsy_result). Re-parse the full expression.
+            self.i = start_i
+            return ("exprstmt", self.expr())
         raise SyntaxError(f"filterx: unexpected {v!r}")
 
     def if_stmt(self):
@@ -1660,13 +1672,27 @@ class FilterX:
             ctx.assigned.add(name)
             return
         if tag == "exprstmt":
-            # side-effecting call: expose the active-row mask so ctx
+            # expression statement: expose the active-row mask so ctx
             # functions (load_vars, set_pri) mutate only selected rows
             ctx.mask = mask
             try:
-                self._eval(node[1], ctx)
+                res = self._eval(node[1], ctx)
             finally:
                 ctx.mask = np.ones(ctx.n, dtype=bool)
+            # 'bailing out due to a falsy expr' (expr-compound.c:42-78):
+            # rows where the statement is falsey are filtered out.
+            # DIVERGENCE, documented: a null result counts as success
+            # here — this engine's side-effect ctx functions (set_pri,
+            # load_vars, update_metric, failure_info_*) return null
+            # series as their "no value" convention, where the reference
+            # returns a truthy object. Boolean/value falseyness bails
+            # exactly like the reference.
+            if res is not None:
+                falsey = ~_truthy(res) & ~_isnull(res)
+                drop = mask & falsey
+                if drop.any():
+                    ctx.kept &= ~drop
+                    ctx.active &= ~drop
             return
         if tag == "drop":
             ctx.kept &= ~mask

@@ -428,3 +428,32 @@ class TestCmpNullFastPath:
             fast = self._mask(f"$x {op} $y", x=xs, y=ys)
             expect = [_fx_cmp_typed(a, b, op) or None for a, b in zip(xv, yv)]
             assert fast == expect, op
+
+
+class TestExpressionStatements:
+    """Bare expression statements filter on falsey results — 'bailing
+    out due to a falsy expr' (expr-compound.c:42-81; only assignments
+    carry ignore_falsy_result)."""
+
+    def test_comparison_statement_filters_rows(self):
+        out = FilterX('$x == 1;\n$y = "kept";')(_t(x=[1, 2, 1]))
+        assert out.column("x").to_pylist() == [1, 1]
+        assert out.column("y").to_pylist() == ["kept", "kept"]
+
+    def test_assignment_of_falsey_does_not_filter(self):
+        # expr-assign.c:142 ignore_falsy_result
+        out = FilterX("$y = 0; $z = false;")(_t(x=[1, 2]))
+        assert out.num_rows == 2
+
+    def test_boolean_chain_statement(self):
+        out = FilterX('$a > 1 && $b == "k";')(_t(a=[0, 5, 7], b=["k", "k", "x"]))
+        assert out.column("a").to_pylist() == [5]
+
+    def test_subscript_comparison_statement(self):
+        out = FilterX('$d["k"] == 2;')(
+            _t(d=pd.Series([{"k": 1}, {"k": 2}], dtype=object)))
+        assert out.column("d").to_pylist() == [{"k": 2}]
+
+    def test_statement_after_drop_still_applies(self):
+        out = FilterX('if ($x == 9) { drop; };\n$x < 3;')(_t(x=[1, 9, 5]))
+        assert out.column("x").to_pylist() == [1]
