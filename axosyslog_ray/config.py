@@ -532,6 +532,40 @@ class Config:
         return res
 
 
+class ConfigStage:
+    """map_batches form of a compiled config: each batch runs through
+    the log paths and the output holds one row per (row, destination)
+    delivery with a `dest` label column — the shuffle-free fan-out
+    shape (partition-write or groupby-count downstream). Path semantics
+    are per-row, so batch boundaries are safe; the compiled stage
+    (regexes, filter trees) builds once per worker via cloudpickle."""
+
+    def __init__(self, cfg: "Config", source_name: str):
+        self.cfg = cfg
+        self.source_name = source_name
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self.cfg.run(sources={self.source_name: batch})
+        parts = []
+        for name, dst in self.cfg.destinations.items():
+            for t in dst.tables:
+                parts.append(t.append_column(
+                    "dest", pa.array([name] * t.num_rows, type=pa.string())))
+        if not parts:
+            first = next(iter(self.cfg.destinations), "none")
+            return pa.table({"dest": pa.array([], type=pa.string())})
+        return pa.concat_tables(parts, promote_options="permissive")
+
+
+def run_config_on_dataset(cfg: "Config", ds, source_name: str):
+    """Execute a compiled config's log paths over a ray.data.Dataset
+    (the Ray-native path: the in-memory `run()` is the Light-test
+    shape). Returns the delivered-rows Dataset (`dest`-labelled); get
+    per-sink counts with `.groupby("dest").count()` or write with a
+    partitioned sink on `dest`."""
+    return ds.map_batches(ConfigStage(cfg, source_name), batch_format="pyarrow")
+
+
 class RunResult:
     def __init__(self, destinations: dict[str, _Destination]):
         self.destinations = destinations

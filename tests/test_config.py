@@ -273,3 +273,52 @@ log { source(s); filterx(fx_up); destination(d); };
         r = cfg.run(sources={"s": t})
         assert r.processed("d") == 2
         assert r.rendered("d") == ["HI", "YO"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRayDatasetExecution:
+    def test_config_runs_over_dataset(self):
+        import ray.data as rd
+
+        from axosyslog_ray.config import run_config_on_dataset
+
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d_err { file("e.log"); };
+destination d_rest { file("r.log"); };
+filter f_err { message("err") };
+log {
+    source(s);
+    junction {
+        channel { filter(f_err); destination(d_err); flags(final); };
+        channel { destination(d_rest); flags(fallback); };
+    };
+};
+""")
+        rows = [{"message": ("an err line" if i % 5 == 0 else f"ok {i}"),
+                 "pri": 13} for i in range(10_000)]
+        out = run_config_on_dataset(cfg, rd.from_items(rows).repartition(8), "s")
+        counts = out.groupby("dest").count().to_pandas().set_index("dest")["count()"]
+        assert counts["d_err"] == 2000
+        assert counts["d_rest"] == 8000
+
+    def test_filterx_config_over_dataset(self):
+        import ray.data as rd
+
+        from axosyslog_ray.config import run_config_on_dataset
+
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log"); };
+log {
+    source(s);
+    filterx { $sev = $status >= 500 ? "err" : "ok"; $sev == "err"; };
+    destination(d);
+};
+""")
+        rows = [{"message": f"m{i}", "status": 503 if i % 4 == 0 else 200,
+                 "pri": 13} for i in range(4000)]
+        out = run_config_on_dataset(cfg, rd.from_items(rows).repartition(4), "s")
+        df = out.to_pandas()
+        assert len(df) == 1000
+        assert (df["sev"] == "err").all()
