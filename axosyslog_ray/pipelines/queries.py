@@ -2038,6 +2038,56 @@ FROM events ORDER BY event_id
 """
 
 
+def docs_gopher_quality(sf_dir: str):
+    """Gopher quality rules over the documents table (textstats.analysis
+    .gopher_quality — published Rae et al. 2021 heuristics): per-doc
+    component metrics + verdict; thresholds tuned to this corpus's short
+    synthetic docs so both verdicts appear."""
+    from ..textstats.analysis import gopher_quality
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: gopher_quality(b, min_words=20, min_mean_word_len=3.0,
+                                 max_mean_word_len=6.0, min_stop_hits=1),
+        batch_format="pyarrow").drop_columns(["text"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_GOPHER_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+         length(text) - length(replace(text, '#', '')) AS hashes,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS ells
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(len(words) AS DOUBLE) AS nw,
+         GREATEST(len(words), 1) AS nz,
+         COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS chars,
+         hashes, ells,
+         COALESCE(list_sum(list_transform(words,
+             x -> CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END)), 0) AS alpha,
+         COALESCE(list_sum(list_transform(['the','be','to','of','and','that','have','with'],
+             sw -> CASE WHEN list_contains(words, sw) THEN 1 ELSE 0 END)), 0) AS stop_hits
+  FROM w
+)
+SELECT doc_id,
+       n_words,
+       ROUND(CAST(chars AS DOUBLE) / nz, 4) AS mean_word_len,
+       ROUND(CAST(hashes + ells AS DOUBLE) / nz, 4) AS symbol_word_ratio,
+       ROUND(CAST(alpha AS DOUBLE) / nz, 4) AS alpha_word_ratio,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       (n_words >= 20 AND n_words <= 100000
+        AND CAST(chars AS DOUBLE) / nz >= 3.0 AND CAST(chars AS DOUBLE) / nz <= 6.0
+        AND CAST(hashes + ells AS DOUBLE) / nz <= 0.1
+        AND CAST(alpha AS DOUBLE) / nz >= 0.8
+        AND stop_hits >= 1) AS gopher_pass
+FROM m ORDER BY doc_id
+"""
+
+
 RAY_QUERIES = {
     "q1_pricing": q1_pricing,
     "customer_nation_join": customer_nation_join,
@@ -2069,6 +2119,7 @@ RAY_QUERIES = {
     "docs_dedup_lines": docs_dedup_lines,
     "docs_chunked": docs_chunked,
     "docs_multiline": docs_multiline,
+    "docs_gopher_quality": docs_gopher_quality,
     "events_smart_multiline": events_smart_multiline,
     "emb_lsh_ann": emb_lsh_ann,
     "media_decode_stats": media_decode_stats,
@@ -2139,6 +2190,7 @@ ORACLE_SQLS = {
     "docs_dedup_lines": DOCS_DEDUP_LINES_SQL,
     "docs_chunked": DOCS_CHUNKED_SQL,
     "docs_multiline": DOCS_MULTILINE_SQL,
+    "docs_gopher_quality": DOCS_GOPHER_SQL,
     "events_smart_multiline": EVENTS_SMART_MULTILINE_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_dup_components": DOCS_DUP_COMPONENTS_SQL,

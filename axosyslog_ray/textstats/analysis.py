@@ -163,3 +163,62 @@ class LangId:
         lang_arr = np.array(self.langs, dtype=object)[best_j]
         preds = np.where((counts > 0) & (best_score > 0.02), lang_arr, "und")
         return batch.append_column(self.out_col, pa.array(preds, type=pa.string()))
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(batch: pa.Table, text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_word_ratio: float = 0.1,
+                   min_alpha_word_ratio: float = 0.8,
+                   min_stop_hits: int = 2) -> pa.Table:
+    """Gopher document-quality rules (Rae et al. 2021, table A1 — the
+    published web-corpus repetition/format heuristics): word-count
+    bounds, mean-word-length band, symbol-to-word ratio ('#' and '...'),
+    alphabetic-word ratio, and >= min_stop_hits of the 8 canonical stop
+    words. Appends the component metrics plus a `gopher_pass` verdict —
+    map-only, shuffle-free, SQL-reproducible (docs_gopher_quality)."""
+    s = batch.column(text_col).to_pandas().fillna("").astype(str)
+    toks = s.str.split()
+    n_words = toks.map(len).to_numpy(dtype=np.int64)
+    nz = np.maximum(n_words, 1)
+    mean_wl = toks.map(lambda t: float(sum(len(w) for w in t)) / len(t) if t else 0.0) \
+        .to_numpy(dtype=np.float64)
+    hashes = s.str.count("#", ).to_numpy(dtype=np.float64)
+    # non-overlapping '...' occurrences, the C-style count DuckDB can
+    # reproduce: (len - len(replace(text, '...', ''))) / 3
+    ell = ((s.str.len() - s.str.replace("...", "", regex=False).str.len()) // 3) \
+        .to_numpy(dtype=np.float64)
+    sym_ratio = (hashes + ell) / nz
+    alpha = toks.map(lambda t: sum(1 for w in t if re.search("[A-Za-z]", w))) \
+        .to_numpy(dtype=np.int64)
+    alpha_ratio = alpha / nz
+    stop_hits = toks.map(
+        lambda t: sum(1 for sw in GOPHER_STOPWORDS if sw in t)
+    ).to_numpy(dtype=np.int64)
+    passes = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_word_ratio)
+        & (alpha_ratio >= min_alpha_word_ratio)
+        & (stop_hits >= min_stop_hits)
+    )
+    def _round4(x: np.ndarray) -> np.ndarray:
+        # round-half-AWAY like SQL ROUND(); np.round is half-to-even and
+        # diverges on exact ties (4.40625 -> 4.4062 vs DuckDB's 4.4063)
+        return np.floor(x * 10_000 + 0.5) / 10_000
+
+    out = batch
+    for name, arr, typ in (
+        ("n_words", n_words, pa.int64()),
+        ("mean_word_len", _round4(mean_wl), pa.float64()),
+        ("symbol_word_ratio", _round4(sym_ratio), pa.float64()),
+        ("alpha_word_ratio", _round4(alpha_ratio), pa.float64()),
+        ("stop_hits", stop_hits, pa.int64()),
+        ("gopher_pass", passes, pa.bool_()),
+    ):
+        out = out.append_column(name, pa.array(arr, type=typ))
+    return out

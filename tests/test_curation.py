@@ -209,3 +209,49 @@ class TestChunkDocuments:
         ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
         with pytest.raises(ValueError):
             chunk_documents(ds, max_tokens=4, overlap=4)
+
+
+class TestGopherQuality:
+    def _run(self, texts, **kw):
+        import pyarrow as pa
+
+        from axosyslog_ray.textstats.analysis import gopher_quality
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        out = gopher_quality(t, **kw)
+        return out.to_pandas()
+
+    def test_word_count_bounds(self):
+        long_doc = "the quick brown fox jumps over dogs " * 10
+        df = self._run(["too short", long_doc], min_words=20, min_stop_hits=1)
+        assert df["gopher_pass"].tolist() == [False, True]
+        assert df["n_words"].tolist() == [2, 70]
+
+    def test_symbol_ratio_rejects_hash_spam(self):
+        spam = "the word ### and more ### of hash ### stuff " * 5
+        clean = "the word and more of clean stuff here today " * 5
+        df = self._run([spam, clean], min_words=10)
+        assert df["gopher_pass"].tolist() == [False, True]
+
+    def test_ellipsis_counts_non_overlapping(self):
+        df = self._run(["with some dots ...... here"], min_words=1,
+                       min_stop_hits=0)
+        # 6 dots = 2 non-overlapping '...' over 5 words
+        assert df["symbol_word_ratio"].iloc[0] == 0.4
+
+    def test_alpha_word_ratio(self):
+        nums = "the 1 2 3 4 5 6 7 8 9"
+        df = self._run([nums], min_words=1, min_stop_hits=0,
+                       min_mean_word_len=0.0)
+        assert df["alpha_word_ratio"].iloc[0] == 0.1
+        assert not df["gopher_pass"].iloc[0]
+
+    def test_stop_hits(self):
+        df = self._run(["the cat sat with all of them quite happily today"],
+                       min_words=5, min_mean_word_len=3.0, max_mean_word_len=10.0)
+        assert df["stop_hits"].iloc[0] == 3  # the, with, of
+        assert df["gopher_pass"].iloc[0]
+
+    def test_empty_text(self):
+        df = self._run([""], min_words=1)
+        assert not df["gopher_pass"].iloc[0]
+        assert df["n_words"].iloc[0] == 0
