@@ -8,3 +8,4 @@ scale path. Also embedding-cosine near-duplicate pairing.
 from .brute import CosineTopK, ann_topk, near_dup_pairs  # noqa: F401
 from .lsh import lsh_ann_topk  # noqa: F401
 from .ivf import ivf_ann_topk, train_centroids  # noqa: F401
+from .pq import pq_ann_topk, train_pq, encode_pq  # noqa: F401

@@ -1150,6 +1150,24 @@ def emb_ivf_ann(sf_dir: str):
     return out
 
 
+def emb_pq_ann(sf_dir: str):
+    """Product-quantization ANN (ann/pq.py — Jegou et al. 2011): bounded
+    driver-side codebook training, one streamed encode+ADC-scan pass,
+    driver merge of tiny candidates. Seeded + deterministic; the ADC
+    distances are approximations by construction, so the oracle is a
+    committed golden parquet (scripts/gen_golden_oracles.py — disclosed
+    regression pin); recall + exactness properties are independently
+    tested in tests/test_dedup_ann.py::TestPqAnn."""
+    from ..ann import pq_ann_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = emb.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0]
+    out = pq_ann_topk(emb, np.asarray([q]), k=10, m=8, train_sample=2048)
+    out = out.drop(columns=["query_id"])
+    out["sim"] = round_half_away(out["sim"], 4)
+    return out
+
+
 def media_decode_stats(sf_dir: str):
     """Multimodal plumbing: synthetic media corpus -> actor-pool decode
     (stubbed kernel) -> per-type size stats. The corpus and the fake
@@ -2120,6 +2138,7 @@ RAY_QUERIES = {
     "docs_chunked": docs_chunked,
     "docs_multiline": docs_multiline,
     "docs_gopher_quality": docs_gopher_quality,
+    "emb_pq_ann": emb_pq_ann,
     "events_smart_multiline": events_smart_multiline,
     "emb_lsh_ann": emb_lsh_ann,
     "media_decode_stats": media_decode_stats,
@@ -2191,6 +2210,10 @@ ORACLE_SQLS = {
     "docs_chunked": DOCS_CHUNKED_SQL,
     "docs_multiline": DOCS_MULTILINE_SQL,
     "docs_gopher_quality": DOCS_GOPHER_SQL,
+    "emb_pq_ann": (
+        "SELECT rank, vec_id, sim FROM "
+        "read_parquet('/root/repo/tests/golden/emb_pq_ann_sf001.parquet') "
+        "ORDER BY rank"),
     "events_smart_multiline": EVENTS_SMART_MULTILINE_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_SQL,
     "docs_dup_components": DOCS_DUP_COMPONENTS_SQL,

@@ -370,3 +370,79 @@ def test_ngram_jaccard_max_freq_cap_drops_stop_shingles(ray_session):
     o = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.1, shingle=3,
                             max_shingle_freq=1, num_shards=4).to_pandas()
     assert len(o) == 0
+
+
+class TestPqAnn:
+    def _emb_ds(self, n=400, d=16, seed=3):
+        import ray.data as rd
+
+        rng = np.random.default_rng(seed)
+        vecs = rng.normal(size=(n, d))
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(vecs)),
+        })), vecs
+
+    def test_recall_floor_vs_brute_force(self, ray_session):
+        from axosyslog_ray.ann import ann_topk, pq_ann_topk
+
+        ds, vecs = self._emb_ds()
+        q = vecs[:5]
+        exact = ann_topk(ds, q, k=10)
+        approx = pq_ann_topk(ds, q, k=10, m=8, train_sample=400)
+        hits = 0
+        for qi in range(5):
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            a = set(approx[approx["query_id"] == qi]["vec_id"])
+            hits += len(e & a)
+        # PQ with m=8 on 16-dim noise: well above chance, floor at 40%
+        assert hits / 50 >= 0.4, hits
+
+    def test_exact_when_codebook_covers_subvectors(self, ray_session):
+        # every distinct sub-vector is a codeword -> ADC distances are
+        # EXACT -> PQ equals brute force, rank for rank
+        from axosyslog_ray.ann import ann_topk, pq_ann_topk
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(4, 8))  # 4 distinct 8-dim sub-vectors
+        n = 200
+        left = base[rng.integers(0, 4, n)]
+        right = base[rng.integers(0, 4, n)]
+        vecs = np.hstack([left, right])
+        vecs += rng.normal(scale=1e-12, size=vecs.shape)  # break exact ties? no: keep identical
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(np.hstack([left, right]))),
+        }))
+        import ray.data as rd2  # noqa: F401 (ds built below)
+        q = np.hstack([base[[0, 2]], base[[1, 3]]])
+        exact = ann_topk(ds, q, k=8)
+        approx = pq_ann_topk(ds, q, k=8, m=2, n_codes=256, train_sample=200)
+        for qi in range(2):
+            e = exact[exact["query_id"] == qi].reset_index(drop=True)
+            a = approx[approx["query_id"] == qi].reset_index(drop=True)
+            # only 16 distinct vectors exist -> huge tie groups; fp noise
+            # between cos and 1-L2^2/2 reorders ties, so compare the
+            # similarity MULTISET, not tie-broken ids
+            assert np.allclose(np.sort(e["sim"]), np.sort(a["sim"]), atol=1e-9)
+
+    def test_codes_are_bytes(self):
+        from axosyslog_ray.ann.pq import encode_pq, train_pq
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(300, 16))
+        books = train_pq(x, m=4, k=16)
+        from axosyslog_ray.ann.brute import _norm
+        codes = encode_pq(_norm(x), books)
+        assert codes.shape == (300, 4) and codes.dtype == np.uint8
+        assert codes.max() < 16
+
+    def test_deterministic_given_seed(self, ray_session):
+        from axosyslog_ray.ann import pq_ann_topk
+
+        ds, vecs = self._emb_ds()
+        a = pq_ann_topk(ds, vecs[:3], k=5, train_sample=400)
+        b = pq_ann_topk(ds, vecs[:3], k=5, train_sample=400)
+        pd.testing.assert_frame_equal(a, b)
