@@ -200,11 +200,20 @@ class PageGen:
 
 
 def pages_dataset(n_rows: int, seed: int = 42, html_pad: int = 256, blocks: int | None = None):
-    """Distributed deterministic pages dataset (lazy)."""
+    """Distributed deterministic pages dataset (lazy).
+
+    Default block count is 2 per cluster CPU — ray.data.range's own
+    default (read_op_min_num_blocks=200) shreds small corpora into
+    ~3k-row blocks whose per-task scheduling overhead dominates the
+    fused parse (measured 5.7 s vs 1.5 s on the 600k-row headline)."""
     import ray.data as rd
 
-    ds = rd.range(n_rows, override_num_blocks=blocks) if blocks else rd.range(n_rows)
-    return ds.map_batches(PageGen(seed, html_pad), batch_format="pyarrow", batch_size=65536)
+    if blocks is None:
+        from .context import cluster_cpus
+
+        blocks = max(1, min(n_rows, 2 * cluster_cpus(default=8)))
+    return rd.range(n_rows, override_num_blocks=blocks).map_batches(
+        PageGen(seed, html_pad), batch_format="pyarrow", batch_size=65536)
 
 
 def gen_pages_table(n_rows: int, seed: int = 42, html_pad: int = 256) -> pa.Table:
