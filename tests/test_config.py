@@ -322,3 +322,42 @@ log {
         df = out.to_pandas()
         assert len(df) == 1000
         assert (df["sev"] == "err").all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_run_config_cli_over_parquet(tmp_path):
+    """python -m axosyslog_ray.run_config end-to-end: conf + parquet in,
+    hive-partitioned dests + counts out."""
+    import pandas as pd
+
+    from axosyslog_ray.run_config import main
+
+    conf = tmp_path / "app.conf"
+    conf.write_text("""
+source s { example-msg-generator(num(1)); };
+destination d_err { file("e.log"); };
+destination d_rest { file("r.log"); };
+log {
+    source(s);
+    junction {
+        channel { filter { message("err"); }; destination(d_err); flags(final); };
+        channel { destination(d_rest); flags(fallback); };
+    };
+};
+""")
+    n = 3000
+    df = pd.DataFrame({
+        "line": [("boom err" if i % 3 == 0 else f"fine {i}") for i in range(n)],
+        "pri": [13] * n,
+    })
+    inp = tmp_path / "in.parquet"
+    df.to_parquet(inp, index=False)
+    out_dir = tmp_path / "out"
+    res = main(["--config", str(conf), "--source", "s",
+                "--input", str(inp), "--output", str(out_dir),
+                "--text-col", "line"])
+    assert res["processed"] == {"d_err": 1000, "d_rest": 2000}
+    import ray.data as rd
+    back = rd.read_parquet(str(out_dir)).to_pandas()
+    assert len(back) == n
+    assert (back[back["dest"] == "d_err"]["message"].str.contains("err")).all()
