@@ -31,6 +31,19 @@ def round_half_away(s: pd.Series, digits: int = 2) -> pd.Series:
 _BLOCKS_TUNED = False
 
 
+def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """Driver-side bounded fetch of ONE query vector via a direct
+    parquet predicate read — a Ray pipeline execution just to pull one
+    row cost ~2 s of fixed startup per emb_* query at bench scale (and
+    re-executed the filtered read the scan then runs again)."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "==", vec_id)])
+    return np.asarray(t.column("embedding").to_pylist()[0], dtype=np.float64)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
@@ -488,7 +501,7 @@ def emb_ann_topk(sf_dir: str):
     from ..ann import ann_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = emb.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0]
+    q = _query_vec(sf_dir)
     out = ann_topk(emb, np.asarray([q]), k=10)
     out = out.drop(columns=["query_id"])
     # 4 decimals: DuckDB computes cosine in float32, we compute in float64;
@@ -1043,7 +1056,7 @@ def emb_lsh_ann(sf_dir: str):
     from ..ann import lsh_ann_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = emb.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0]
+    q = _query_vec(sf_dir)
     out = lsh_ann_topk(emb, np.asarray([q]), k=10)
     out = out.drop(columns=["query_id"])
     out["sim"] = round_half_away(out["sim"], 4)
@@ -1143,7 +1156,7 @@ def emb_ivf_ann(sf_dir: str):
     from ..ann import ivf_ann_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = emb.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0]
+    q = _query_vec(sf_dir)
     out = ivf_ann_topk(emb, np.asarray([q]), k=10, nlist=16, nprobe=16)
     out = out.drop(columns=["query_id"])
     out["sim"] = round_half_away(out["sim"], 4)
@@ -1161,7 +1174,7 @@ def emb_pq_ann(sf_dir: str):
     from ..ann import pq_ann_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = emb.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0]
+    q = _query_vec(sf_dir)
     out = pq_ann_topk(emb, np.asarray([q]), k=10, m=8, train_sample=2048)
     out = out.drop(columns=["query_id"])
     out["sim"] = round_half_away(out["sim"], 4)
