@@ -66,9 +66,10 @@ def load_ruleset_xml(source: str) -> tuple[list[PdbRule], list[PdbExample]]:
     `source` is a filesystem path or a literal XML string.
 
     Divergences (documented): a rule is expanded to one PdbRule per
-    (program pattern x message pattern); program patterns containing
-    @WILDCARD@ syntax fall back to match-any (program=None) — the
-    reference matches programs through the radix too."""
+    (program pattern x message pattern). Program patterns containing
+    @PARSER@ syntax match through the pattern grammar with their
+    captures merged into the rule values (reference test_patterndb.c
+    match_in_program / test_program_template)."""
     import xml.etree.ElementTree as ET
 
     root = ET.fromstring(source) if source.lstrip().startswith("<") else ET.parse(source).getroot()
@@ -79,7 +80,7 @@ def load_ruleset_xml(source: str) -> tuple[list[PdbRule], list[PdbExample]]:
     for ruleset in root.findall("ruleset"):
         programs = [p.text or "" for p in ruleset.findall("./patterns/pattern")]
         programs += [p.text or "" for p in ruleset.findall("./pattern")]  # bare form
-        programs = [None if "@" in p else p for p in programs] or [None]
+        programs = programs or [None]
         for rule in ruleset.findall("./rules/rule"):
             rule_id = rule.get("id") or rule.get("name") or f"rule{len(rules)}"
             rule_class = rule.get("class", "system")
@@ -88,9 +89,13 @@ def load_ruleset_xml(source: str) -> tuple[list[PdbRule], list[PdbExample]]:
             patterns = [p.text or "" for p in rule.findall("./patterns/pattern")]
             patterns += [p.text or "" for p in rule.findall("./pattern")]
             for prog in dict.fromkeys(programs):
+                is_pat = prog is not None and "@" in prog
                 for pat in patterns:
-                    rules.append(PdbRule(rule_id=rule_id, pattern=pat, program=prog,
-                                         rule_class=rule_class, tags=tags, values=values))
+                    rules.append(PdbRule(
+                        rule_id=rule_id, pattern=pat,
+                        program=None if is_pat else prog,
+                        program_pattern=prog if is_pat else None,
+                        rule_class=rule_class, tags=tags, values=values))
             for ex in rule.findall("./examples/example"):
                 tm = ex.find("test_message")
                 if tm is None:

@@ -96,6 +96,11 @@ class PdbRule:
     rule_class: str = "system"
     tags: list[str] = field(default_factory=list)
     values: dict[str, str] = field(default_factory=dict)  # static extra values
+    # ruleset <pattern> with @PARSER@ syntax: the PROGRAM is matched
+    # through the radix grammar and its captures merge into the values
+    # (reference test_patterndb.c match_in_program) — exclusive with
+    # `program`
+    program_pattern: str | None = None
 
 
 # a small bundled ruleset matching the synthetic corpus (FIXTURES.md §3);
@@ -144,8 +149,15 @@ class PatternDB:
         self.compiled = [(r, compile_pattern(r.pattern)) for r in self.rules]
         self.source_col = source_col
         self.program_col = program_col
+        self._prog_rx = {
+            r.program_pattern: compile_pattern(r.program_pattern)
+            for r in self.rules if r.program_pattern is not None
+        }
+        self._prog_memo: dict = {}
         self.value_names = sorted(
-            {n for _, rx in self.compiled for n in rx.groupindex} | {n for r in self.rules for n in r.values}
+            {n for _, rx in self.compiled for n in rx.groupindex}
+            | {n for r in self.rules for n in r.values}
+            | {n for rx in self._prog_rx.values() for n in rx.groupindex}
         )
         if selection == "radix":
             from .radix import RadixTree
@@ -160,6 +172,36 @@ class PatternDB:
                 re.compile(rx.pattern[: -1], re.S) if rx.pattern.endswith("$") else rx
                 for _, rx in self.compiled
             ]
+
+
+    def _prog_gate(self, rule: PdbRule, prog: pd.Series):
+        """Per-rule program candidacy: (bool mask, program-extracted
+        pairs per row or None). Program-pattern matching is memoized per
+        DISTINCT program value in the batch (tiny cardinality)."""
+        n = len(prog)
+        if rule.program_pattern is None:
+            if rule.program is not None:
+                return (prog == rule.program).fillna(False).to_numpy(), None
+            return np.ones(n, dtype=bool), None
+        rx = self._prog_rx[rule.program_pattern]
+        key = rule.program_pattern
+        codes, uniq = pd.factorize(prog.to_numpy(dtype=object))
+        per_uniq = []
+        for u in uniq:
+            m = rx.match(u) if isinstance(u, str) else None
+            per_uniq.append(
+                [(k, v) for k, v in m.groupdict().items() if v is not None]
+                if m else None)
+        mask = np.array([c >= 0 and per_uniq[c] is not None for c in codes],
+                        dtype=bool)
+        return mask, (codes, per_uniq)
+
+    def _prog_pairs(self, gate_vals, i: int) -> list:
+        if gate_vals is None:
+            return []
+        codes, per_uniq = gate_vals
+        v = per_uniq[codes[int(i)]]
+        return list(v) if v else []
 
     def _rule_extract(self, rule_idx: int, rx: re.Pattern, sub_arrow: pa.Array):
         """Match+extract one rule over the candidate rows: Arrow RE2 (one C
@@ -253,10 +295,11 @@ class PatternDB:
         hit_count = np.zeros(n, dtype=np.int16)
         first_hit = np.full(n, -1, dtype=np.int32)
         infos: list = []
+        gates: list = []
         for rule_idx, (rule, rx) in enumerate(self.compiled):
-            cand = msg_valid.copy()
-            if rule.program is not None:
-                cand &= (prog == rule.program).fillna(False).to_numpy()
+            gate_mask, gate_vals = self._prog_gate(rule, prog)
+            gates.append(gate_vals)
+            cand = msg_valid & gate_mask
             if not cand.any():
                 infos.append(None)
                 continue
@@ -309,9 +352,8 @@ class PatternDB:
         if zero.any():
             partial_cand = np.zeros(n, dtype=bool)
             for rule_idx, (rule, _rx) in enumerate(self.compiled):
-                cand = zero.copy()
-                if rule.program is not None:
-                    cand &= (prog == rule.program).fillna(False).to_numpy()
+                gate_mask, _gv = self._prog_gate(rule, prog)
+                cand = zero & gate_mask
                 if not cand.any():
                     continue
                 cand_idx = np.flatnonzero(cand & ~partial_cand)
@@ -350,7 +392,7 @@ class PatternDB:
             for i in won:
                 rule_col[i] = rule.rule_id
                 class_col[i] = rule.rule_class
-                pairs = list(static_items)
+                pairs = list(static_items) + self._prog_pairs(gates[rule_idx], i)
                 k = pos[int(i)]
                 for nm in names:
                     v = cols[nm][k]
@@ -397,9 +439,8 @@ class PatternDB:
         )
         unmatched = np.ones(n, dtype=bool)
         for rule_idx, (rule, rx) in enumerate(self.compiled):
-            cand = unmatched & msg_valid
-            if rule.program is not None:
-                cand &= (prog == rule.program).fillna(False).to_numpy()
+            gate_mask, gate_vals = self._prog_gate(rule, prog)
+            cand = unmatched & msg_valid & gate_mask
             if not cand.any():
                 continue
             cand_idx = np.flatnonzero(cand)
@@ -415,7 +456,7 @@ class PatternDB:
             static_items = list(rule.values.items())
             rule_tags = sorted(set(rule.tags)) if rule.tags else None
             for k, i in enumerate(rows):
-                pairs = list(static_items)
+                pairs = list(static_items) + self._prog_pairs(gate_vals, i)
                 for nm in names:
                     v = cols[nm][k]
                     if v is not None:

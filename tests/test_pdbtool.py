@@ -243,3 +243,90 @@ def test_radix_program_specificity():
     })
     got = PatternDB(rules, selection="radix")(t).column("pdb_rule").to_pylist()
     assert got == ["mine", "any"]
+
+
+class TestReferencePatternEdgeCases:
+    """Pins from the reference's own corpus
+    (modules/correlation/tests/test_patterndb.c:766-866 + .h fixtures)."""
+
+    def _db(self, xml, selection="ordered"):
+        from axosyslog_ray.pdbtool import load_ruleset_xml
+        from axosyslog_ray.stages.patterndb import PatternDB
+
+        rules, _ = load_ruleset_xml(xml)
+        return PatternDB(rules, selection=selection)
+
+    def _one(self, db, message, program):
+        from axosyslog_ray.pdbtool import match_one
+
+        return match_one(db, message, program)
+
+    OPTSET_XML = """
+<patterndb version='6' pub_date='2010-02-22'>
+ <ruleset name='rails' id='8db0c6d8'>
+  <patterns><pattern>prog1</pattern></patterns>
+  <rules>
+   <rule id='8e8384e8' provider='test' class='system'>
+    <patterns><pattern>@QSTRING:id:[]@@OPTIONALSET:s: @</pattern></patterns>
+   </rule>
+  </rules>
+ </ruleset>
+</patterndb>"""
+
+    def test_optionalset_at_end_of_pattern(self):
+        # test_patterndb.c:817: OPTIONALSET as the LAST parser matches
+        # zero chars at end-of-input; with a trailing space it consumes it
+        uid = "dcef7d1c-6b79-48c6-a1ac-39cdc9bff966"
+        for sel in ("ordered", "radix"):
+            db = self._db(self.OPTSET_XML, selection=sel)
+            r = self._one(db, f"[{uid}] ", "prog1")
+            assert r["rule"] == "8e8384e8" and r["values"]["id"] == uid
+            assert r["values"]["s"] == " ", sel
+            r = self._one(db, f"[{uid}]", "prog1")
+            assert r["rule"] == "8e8384e8" and r["values"]["s"] == "", sel
+
+    def test_set_at_end_of_input_does_not_match_zero_chars(self):
+        # test_patterndb.c:850: @SET@ needs >= 1 char
+        xml = """
+<patterndb version='6'><ruleset name='s' id='1'>
+  <patterns><pattern>prog1</pattern></patterns>
+  <rules><rule id='r1' provider='t' class='system'>
+    <patterns><pattern>prefix@SET:s: @</pattern></patterns>
+  </rule></rules>
+</ruleset></patterndb>"""
+        for sel in ("ordered", "radix"):
+            db = self._db(xml, selection=sel)
+            assert self._one(db, "prefix", "prog1")["rule"] is None, sel
+            r = self._one(db, "prefix ", "prog1")
+            assert r["rule"] == "r1" and r["values"]["s"] == " ", sel
+
+    def test_match_in_program(self):
+        # test_patterndb.c:766: the ruleset <pattern> matches the
+        # PROGRAM through the pattern grammar; captures merge into values
+        xml = """
+<patterndb version='6'><ruleset name='p' id='2'>
+  <patterns><pattern>sshd @NUMBER:num@</pattern></patterns>
+  <rules><rule id='r2' provider='t' class='system'>
+    <patterns><pattern>almafa</pattern></patterns>
+  </rule></rules>
+</ruleset></patterndb>"""
+        for sel in ("ordered", "radix"):
+            db = self._db(xml, selection=sel)
+            r = self._one(db, "almafa", "sshd 5")
+            assert r["rule"] == "r2" and r["values"]["num"] == "5", sel
+            # non-matching program -> no classification
+            assert self._one(db, "almafa", "crond 5")["rule"] is None, sel
+
+    def test_program_template_style_extraction(self):
+        # test_patterndb.c:780 test_program_template: program captures
+        # AND message captures both land in values
+        xml = """
+<patterndb version='6'><ruleset name='p' id='3'>
+  <patterns><pattern>sshd @NUMBER:num@</pattern></patterns>
+  <rules><rule id='r3' provider='t' class='system'>
+    <patterns><pattern>almafa @ESTRING:str:@</pattern></patterns>
+  </rule></rules>
+</ruleset></patterndb>"""
+        db = self._db(xml)
+        r = self._one(db, "almafa kortefa", "sshd 5")
+        assert r["values"] == {"num": "5", "str": "kortefa"}
