@@ -82,9 +82,29 @@ def fuzzy_dedup(ds, num_perm: int = 64, bands: int = 16, shingle: int = 3,
         lambda b: pa.table({id_col: b.column("node"),
                             _DROP: pa.array(np.ones(b.num_rows, dtype=np.int8))}),
         batch_format="pyarrow",
-    ).materialize()  # bounded: one row per dropped duplicate
-    if drops.count() == 0:
+    ).materialize()  # one row per dropped duplicate
+    n_drops = drops.count()
+    if n_drops == 0:
         return ds
+    if n_drops <= 5_000_000:
+        # bounded drop set: broadcast anti-join — the id array rides the
+        # object store once and every batch filters with one is_in; no
+        # corpus shuffle at all (same 5M bound as the components
+        # driver solve)
+        import ray
+
+        drop_ids = pa.concat_tables(
+            drops.select_columns([id_col]).iter_batches(batch_size=None,
+                                                        batch_format="pyarrow"),
+            promote_options="permissive").column(id_col).combine_chunks()
+        ref = ray.put(drop_ids)
+
+        def keep(b: pa.Table) -> pa.Table:
+            ids = ray.get(ref)
+            return b.filter(pc.invert(pc.is_in(b.column(id_col), value_set=ids)))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+    # unbounded duplicate volume (web-scale): co-locating shuffle anti-join
     joined = hash_join(ds, drops, key=id_col, how="left", num_buckets=num_buckets)
     return joined.map_batches(
         lambda b: b.filter(pc.is_null(b.column(_DROP))).drop_columns([_DROP]),
