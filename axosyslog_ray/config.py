@@ -275,6 +275,15 @@ def _parse_log_elements(s: _Stream, cfg: "Config") -> list:
             s.expect("}")
             s.expect(";")
             out.append(("filter", e))
+        elif t == "log" and s.peek(1) == "{":
+            # embedded log path (cfg-tree: sequence-embedded branches);
+            # consecutive embedded paths form one junction — a final
+            # sibling consumes its matches from later siblings
+            # (Light suite test_flags_final.py)
+            s.next()
+            inner = _parse_log_elements(s, cfg)
+            s.expect(";")
+            out.append(("embedded", _to_channel(inner)))
         elif t == "filterx" and s.peek(1) == "{":
             s.next()
             body = s.raw_block()
@@ -323,7 +332,7 @@ def _to_channel(elems: list) -> Channel:
     flat = [fl for fs in flags for fl in fs]
     return Channel([e for e in elems if e[0] != "flags"],
                    final="final" in flat, fallback="fallback" in flat,
-                   catchall="catchall" in flat)
+                   catchall="catchall" in flat or "catch-all" in flat)
 
 
 def _parse_conditional(s: _Stream, cfg: "Config") -> tuple:
@@ -436,11 +445,18 @@ class Config:
             dst.tables = []
         tables: dict[str, pa.Table] = {}
         matched: dict[str, set] = {}
+        consumed: dict[str, set] = {}
         for ch in self.paths:
             for kind, arg in ch.elements:
                 if kind == "source" and arg not in tables:
                     tables[arg] = self._source_table(arg, injected)
                     matched[arg] = set()
+                    consumed[arg] = set()
+        for name in injected:
+            if name not in tables:
+                tables[name] = self._source_table(name, injected)
+                matched[name] = set()
+                consumed[name] = set()
 
         def paths_in_order():
             return ([c for c in self.paths if not c.fallback]
@@ -448,28 +464,55 @@ class Config:
 
         for ch in paths_in_order():
             src_names = [arg for kind, arg in ch.elements if kind == "source"]
+            if ch.catchall:
+                # flags(catch-all) re-attaches EVERY source
+                # (Light suite test_flags_catch_all.py)
+                src_names = list(tables)
             parts = []
             for sn in src_names:
                 t = tables[sn]
+                drop: set = set()
                 if ch.fallback:
+                    drop = matched[sn] | consumed[sn]
+                elif consumed[sn]:
+                    drop = consumed[sn]
+                if drop:
                     ids = t.column(_ROW_ID).to_numpy()
-                    keep = ~np.isin(ids, np.fromiter(matched[sn], dtype=np.int64,
-                                                     count=len(matched[sn])))
+                    keep = ~np.isin(ids, np.fromiter(drop, dtype=np.int64,
+                                                     count=len(drop)))
                     t = t.filter(pa.array(keep))
                 parts.append(t)
             if not parts:
                 continue
             table = pa.concat_tables(parts, promote_options="permissive")
             out = self._run_sequence(table, [e for e in ch.elements if e[0] != "source"])
+            out_ids = out.column(_ROW_ID).to_pylist()
             if not ch.fallback:
                 for sn in src_names:
-                    matched[sn].update(out.column(_ROW_ID).to_pylist())
+                    matched[sn].update(out_ids)
+                    if ch.final:
+                        # flags(final): consume matched rows from
+                        # SUBSEQUENT top-level paths of the same source
+                        consumed[sn].update(out_ids)
         return RunResult(self.destinations)
 
     def _run_sequence(self, table: pa.Table, elements: list) -> pa.Table:
+        # group CONSECUTIVE embedded log paths into one junction
+        grouped: list = []
         for kind, arg in elements:
+            if kind == "embedded":
+                if grouped and grouped[-1][0] == "junction_embedded":
+                    grouped[-1][1].append(arg)
+                else:
+                    grouped.append(("junction_embedded", [arg]))
+            else:
+                grouped.append((kind, arg))
+        for kind, arg in grouped:
             if table.num_rows == 0:
                 break
+            if kind == "junction_embedded":
+                table = self._run_junction(table, arg)
+                continue
             if kind == "filter":
                 expr = self.filters[arg] if isinstance(arg, str) else arg
                 table = table.filter(pa.array(expr.mask(table)))

@@ -361,3 +361,80 @@ log {
     back = rd.read_parquet(str(out_dir)).to_pandas()
     assert len(back) == n
     assert (back[back["dest"] == "d_err"]["message"].str.contains("err")).all()
+
+
+class TestLightLogpathFlags:
+    """Embedded log paths and top-level flags, pinned to the Light
+    suite's logpath cases (test_flags_final.py, test_flags_catch_all.py,
+    test_multiple_embedded_logpaths.py)."""
+
+    def test_embedded_final_consumes_from_sibling(self):
+        # test_flags_final.py: inner path 1 filters host-A with
+        # flags(final); inner path 2 gets only what 1 didn't match
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d1 { file("o1.log"); };
+destination d2 { file("o2.log"); };
+filter f_a { host("host-A") };
+log {
+    source(s);
+    log { filter(f_a); destination(d1); flags(final); };
+    log { destination(d2); };
+};
+""")
+        t = pa.table({"message": ["m1", "m2"], "host": ["host-A", "host-B"],
+                      "pri": [13, 13]})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d1") == 1
+        assert r.table("d1").column("host").to_pylist() == ["host-A"]
+        assert r.processed("d2") == 1
+        assert r.table("d2").column("host").to_pylist() == ["host-B"]
+
+    def test_embedded_without_final_both_deliver(self):
+        # test_multiple_embedded_logpaths.py: no flags -> every embedded
+        # path sees every message
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d1 { file("o1.log"); };
+destination d2 { file("o2.log"); };
+log {
+    source(s);
+    log { destination(d1); };
+    log { destination(d2); };
+};
+""")
+        t = pa.table({"message": ["m1", "m2"], "pri": [13, 13]})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d1") == 2 and r.processed("d2") == 2
+
+    def test_catch_all_path_sees_all_sources(self):
+        # test_flags_catch_all.py: a catch-all path needs no source()
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d1 { file("o1.log"); };
+destination d_all { file("all.log"); };
+log {
+    source(s);
+    log { destination(d1); };
+};
+log { destination(d_all); flags(catch-all); };
+""")
+        t = pa.table({"message": ["m1", "m2", "m3"], "pri": [13] * 3})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d1") == 3
+        assert r.processed("d_all") == 3
+
+    def test_top_level_final_consumes_for_later_paths(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d1 { file("o1.log"); };
+destination d2 { file("o2.log"); };
+filter f_x { message("x") };
+log { source(s); filter(f_x); destination(d1); flags(final); };
+log { source(s); destination(d2); };
+""")
+        t = pa.table({"message": ["x1", "y1", "x2"], "pri": [13] * 3})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d1") == 2
+        assert r.processed("d2") == 1
+        assert r.table("d2").column("message").to_pylist() == ["y1"]
