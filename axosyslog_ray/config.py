@@ -63,9 +63,27 @@ def tokenize(text: str) -> list[tuple[str, int, int]]:
     return out
 
 
+_STR_ESCAPES = {"a": "\a", "n": "\n", "r": "\r", "t": "\t", "v": "\v"}
+_ESC_RE = re.compile(r"\\(x[0-9a-fA-F]{1,2}|o[0-7]{1,3}|.)", re.S)
+
+
 def _unquote(tok: str) -> str:
-    if tok[:1] in "\"'" and tok[-1:] == tok[:1] and len(tok) >= 2:
-        return re.sub(r"\\(.)", r"\1", tok[1:-1])
+    """cfg-lex.l string semantics: double-quoted strings process
+    backslash escapes (\\n \\r \\t \\a \\v, \\xHH, \\oOOO, \\<other> ->
+    the char itself — cfg-lex.l:377-384); single-quoted (qstring)
+    strings are LITERAL, backslashes included."""
+    if tok[:1] == "'" and tok[-1:] == "'" and len(tok) >= 2:
+        return tok[1:-1]
+    if tok[:1] == '"' and tok[-1:] == '"' and len(tok) >= 2:
+        def one(m: re.Match) -> str:
+            e = m.group(1)
+            if e[0] == "x" and len(e) > 1:
+                return chr(int(e[1:], 16))
+            if e[0] == "o" and len(e) > 1:
+                return chr(int(e[1:], 8))
+            return _STR_ESCAPES.get(e, e)
+
+        return _ESC_RE.sub(one, tok[1:-1])
     return tok
 
 

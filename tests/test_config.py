@@ -438,3 +438,37 @@ log { source(s); destination(d2); };
         assert r.processed("d1") == 2
         assert r.processed("d2") == 1
         assert r.table("d2").column("message").to_pylist() == ["y1"]
+
+
+class TestLexerStringSemantics:
+    def test_double_quoted_escapes(self):
+        # cfg-lex.l:377-384: \n \t \xHH \oOOO process; \<other> -> char
+        from axosyslog_ray.config import _unquote
+
+        assert _unquote(r'"a\nb"') == "a\nb"
+        assert _unquote(r'"a\tb"') == "a\tb"
+        assert _unquote(r'"\x41\o101"') == "AA"
+        assert _unquote(r'"a\qb"') == "aqb"
+        assert _unquote(r'"say \"hi\""') == 'say "hi"'
+
+    def test_single_quoted_is_literal(self):
+        # qstring: no escape processing at all
+        from axosyslog_ray.config import _unquote
+
+        assert _unquote(r"'a\nb'") == r"a\nb"
+        assert _unquote(r"'back\\slash'") == "back\\\\slash"
+
+    def test_escapes_flow_into_stages(self):
+        cfg = compile_config(r"""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log"); };
+log {
+    source(s);
+    parser { csv-parser(columns("a", "b") delimiters("\t")); };
+    destination(d);
+};
+""")
+        t = pa.table({"message": ["x\ty"], "pri": [13]})
+        r = cfg.run(sources={"s": t})
+        assert r.table("d").column("a").to_pylist() == ["x"]
+        assert r.table("d").column("b").to_pylist() == ["y"]
