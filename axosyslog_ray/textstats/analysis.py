@@ -185,20 +185,43 @@ def gopher_quality(batch: pa.Table, text_col: str = "text",
     toks = s.str.split()
     n_words = toks.map(len).to_numpy(dtype=np.int64)
     nz = np.maximum(n_words, 1)
-    mean_wl = toks.map(lambda t: float(sum(len(w) for w in t)) / len(t) if t else 0.0) \
-        .to_numpy(dtype=np.float64)
+    # flat word array + per-doc reduceat: the word-level metrics run as
+    # C kernels over ONE flat Series instead of a Python loop per doc
+    from itertools import chain
+
+    flat = pd.Series(list(chain.from_iterable(toks)), dtype=object)
+    seg = np.zeros(len(s), dtype=np.int64)
+    np.cumsum(n_words[:-1], out=seg[1:])
+    total = len(flat)
+
+    def _per_doc_sum(vals: np.ndarray) -> np.ndarray:
+        if total == 0:
+            return np.zeros(len(s), dtype=np.int64)
+        out = np.add.reduceat(vals, np.minimum(seg, max(total - 1, 0)))
+        out[n_words == 0] = 0
+        return out
+
+    wlen = flat.str.len().to_numpy(dtype=np.int64) if total else np.array([], np.int64)
+    mean_wl = _per_doc_sum(wlen) / nz
     hashes = s.str.count("#", ).to_numpy(dtype=np.float64)
     # non-overlapping '...' occurrences, the C-style count DuckDB can
     # reproduce: (len - len(replace(text, '...', ''))) / 3
     ell = ((s.str.len() - s.str.replace("...", "", regex=False).str.len()) // 3) \
         .to_numpy(dtype=np.float64)
     sym_ratio = (hashes + ell) / nz
-    alpha = toks.map(lambda t: sum(1 for w in t if re.search("[A-Za-z]", w))) \
-        .to_numpy(dtype=np.int64)
-    alpha_ratio = alpha / nz
-    stop_hits = toks.map(
-        lambda t: sum(1 for sw in GOPHER_STOPWORDS if sw in t)
-    ).to_numpy(dtype=np.int64)
+    has_alpha = (flat.str.contains("[A-Za-z]", regex=True).to_numpy(dtype=np.int64)
+                 if total else np.array([], np.int64))
+    alpha_ratio = _per_doc_sum(has_alpha) / nz
+    is_stop = (flat.isin(GOPHER_STOPWORDS).to_numpy() if total
+               else np.array([], bool))
+    stop_hits = np.zeros(len(s), dtype=np.int64)
+    if total:
+        # number of DISTINCT canonical stop words present per doc
+        doc_of = np.repeat(np.arange(len(s)), n_words)
+        for j, sw in enumerate(GOPHER_STOPWORDS):
+            m = is_stop & (flat.to_numpy(dtype=object) == sw)
+            if m.any():
+                stop_hits += np.bincount(doc_of[m], minlength=len(s)).astype(bool)
     passes = (
         (n_words >= min_words) & (n_words <= max_words)
         & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
