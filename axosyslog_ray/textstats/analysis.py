@@ -47,10 +47,30 @@ def quality_features(batch: pa.Table, text_col: str = "text", stop_lang: str = "
     s = batch.column(text_col).to_pandas().fillna("")
     n_chars = s.str.len().astype("float64")
     toks = s.str.split()
-    n_tok = toks.map(len).clip(lower=1)
-    mean_word_len = toks.map(lambda t: float(np.mean([len(w) for w in t])) if t else 0.0)
+    n_words = toks.map(len).to_numpy(dtype=np.int64)
+    nz = np.maximum(n_words, 1)
+    # flat word array + reduceat: word metrics as C kernels, no per-doc
+    # Python loops (same shape as gopher_quality below)
+    from itertools import chain
+
+    flat = pd.Series(list(chain.from_iterable(toks)), dtype=object)
+    total = len(flat)
+    seg = np.zeros(len(s), dtype=np.int64)
+    np.cumsum(n_words[:-1], out=seg[1:])
+
+    def _per_doc_sum(vals: np.ndarray) -> np.ndarray:
+        if total == 0:
+            return np.zeros(len(s), dtype=np.float64)
+        out = np.add.reduceat(vals, np.minimum(seg, max(total - 1, 0))).astype(np.float64)
+        out[n_words == 0] = 0.0
+        return out
+
+    wlen = flat.str.len().to_numpy(dtype=np.int64) if total else np.array([], np.int64)
+    mean_word_len = pd.Series(_per_doc_sum(wlen) / nz)
     stop = STOPWORDS[stop_lang]
-    stop_ratio = toks.map(lambda t: sum(w.lower() in stop for w in t) / max(1, len(t)))
+    is_stop = (flat.str.lower().isin(stop).to_numpy(dtype=np.int64)
+               if total else np.array([], np.int64))
+    stop_ratio = pd.Series(_per_doc_sum(is_stop) / nz)
     punct_ratio = s.str.count(r"[^\w\s]").astype("float64") / n_chars.clip(lower=1)
     upper_ratio = s.str.count(r"[A-Z]").astype("float64") / n_chars.clip(lower=1)
     out = batch
