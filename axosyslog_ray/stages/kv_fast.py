@@ -191,9 +191,14 @@ def scan_kv(rows: np.ndarray, quote: str, value_sep: str) -> KvScanResult:
     # first alnum at/after key_lo (all bytes in [key_lo, first_eq) are
     # allowed, i.e. alnum or ._-)
     alnum_pos = np.flatnonzero(_ALNUM[arr])
-    ai = np.searchsorted(alnum_pos, key_lo, side="left")
-    has_al = ai < len(alnum_pos)
-    key_start = np.where(has_al, alnum_pos[np.minimum(ai, len(alnum_pos) - 1)], 0)
+    if len(alnum_pos) == 0:
+        # no alphanumeric byte anywhere -> no valid key can exist
+        has_al = np.zeros(len(tok_start), dtype=bool)
+        key_start = np.zeros(len(tok_start), dtype=np.int64)
+    else:
+        ai = np.searchsorted(alnum_pos, key_lo, side="left")
+        has_al = ai < len(alnum_pos)
+        key_start = np.where(has_al, alnum_pos[np.minimum(ai, len(alnum_pos) - 1)], 0)
     key_ok = has_eq & has_al & (key_start < first_eq)
 
     # a token with separators but no valid key may hide a later pair the

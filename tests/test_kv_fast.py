@@ -124,3 +124,25 @@ def test_steady_state_speedup_floor():
         p.parse_line(x)
     scalar = time.perf_counter() - t0
     assert scalar / best > 1.5, (best, scalar)
+
+
+def test_hypothesis_random_lines_match_scalar():
+    """Property: for ANY input line, the batch path equals the scalar
+    regex oracle (the kernel falls back whenever it cannot prove
+    equivalence)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list("ab=\"' ,\\\t#.x1-_\né "))
+    lines_strategy = st.lists(st.text(alphabet, max_size=40), min_size=1, max_size=20)
+
+    @settings(max_examples=150, deadline=None)
+    @given(lines_strategy)
+    def prop(lines):
+        p = KvParser()
+        t = pa.table({"message": pa.array(lines, type=pa.string())})
+        got = [[tuple(kv) for kv in row] for row in p(t).column("kv").to_pylist()]
+        want = [p.parse_line(x or "")[0] for x in lines]
+        assert got == want
+
+    prop()
