@@ -694,6 +694,30 @@ def _compile_parser(d: Driver):
         from .stages.json_parser import JsonParser
 
         return JsonParser(prefix=str(d.kw1("prefix", "")))
+    if d.name == "db-parser":
+        from .pdbtool import load_ruleset
+        from .stages.patterndb import PatternDB
+
+        path = d.kw1("file")
+        if not path:
+            raise ConfigError("db-parser() needs file(\"ruleset.pdb\")")
+        rules, _ = load_ruleset(str(path))
+        return PatternDB(rules, selection="radix")
+    if d.name == "date-parser":
+        from .stages.date_parser import DateParser
+
+        fmts = d.kwargs.get("format") or ["%Y-%m-%dT%H:%M:%S%z"]
+        return DateParser([str(f) for f in fmts],
+                          source_col=_field(str(d.kw1("template", "MESSAGE"))
+                                            .lstrip("$").strip("{}")),
+                          time_zone=d.kw1("time-zone"))
+    if d.name == "geoip2":
+        from .enrich.geoip import GeoIP
+
+        src_tpl = d.args[0] if d.args else "$src_ip"
+        return GeoIP(mmdb_path=str(d.kw1("database")) if d.kw1("database") else None,
+                     source_col=_field(str(src_tpl).lstrip("$").strip("{}")),
+                     prefix=str(d.kw1("prefix", "geoip_")).lstrip(".").replace(".", "_") or "geoip_")
     raise ConfigError(f"unsupported parser driver {d.name}()")
 
 

@@ -472,3 +472,46 @@ log {
         r = cfg.run(sources={"s": t})
         assert r.table("d").column("a").to_pylist() == ["x"]
         assert r.table("d").column("b").to_pylist() == ["y"]
+
+
+class TestMoreParserDrivers:
+    def test_db_parser_driver(self, tmp_path):
+        pdb = tmp_path / "rules.pdb"
+        pdb.write_text("""
+<patterndb version='6'><ruleset name='s' id='1'>
+  <rules><rule id='r-login' provider='t' class='system'>
+    <patterns><pattern>login user @ESTRING:user: @ok</pattern></patterns>
+    <tags><tag>auth</tag></tags>
+  </rule></rules>
+</ruleset></patterndb>""")
+        cfg = compile_config(f"""
+source s {{ example-msg-generator(num(1)); }};
+destination d {{ file("o.log"); }};
+parser p_db {{ db-parser(file("{pdb}")); }};
+filter f_auth {{ tags("auth") }};
+log {{ source(s); parser(p_db); filter(f_auth); destination(d); }};
+""")
+        t = pa.table({"message": ["login user alice ok", "something else"],
+                      "pri": [13, 13]})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d") == 1
+        out = r.table("d")
+        assert out.column("pdb_rule").to_pylist() == ["r-login"]
+        assert dict(out.column("pdb_values").to_pylist()[0])["user"] == "alice"
+
+    def test_geoip2_driver_with_mmdb(self, tmp_path):
+        from axosyslog_ray.enrich.mmdb_write import write_mmdb
+
+        db = str(tmp_path / "geo.mmdb")
+        write_mmdb(db, [("10.0.0.0/8", {"country": {"iso_code": "US"}})])
+        cfg = compile_config(f"""
+source s {{ example-msg-generator(num(1)); }};
+destination d {{ file("o.log"); }};
+parser p_geo {{ geoip2("$src_ip" database("{db}") prefix("geo_")); }};
+log {{ source(s); parser(p_geo); destination(d); }};
+""")
+        t = pa.table({"message": ["m1", "m2"], "src_ip": ["10.1.2.3", "8.8.8.8"],
+                      "pri": [13, 13]})
+        r = cfg.run(sources={"s": t})
+        col = r.table("d").column("geo_country.iso_code").to_pylist()
+        assert col == ["US", None]
