@@ -1131,8 +1131,11 @@ def lineitem_range_join(sf_dir: str):
         lambda b: b.append_column(
             "o_deadline", pc.add(b.column("o_orderdate"), pa.scalar(7776000000000, pa.duration("us")))),
         batch_format="pyarrow")
+    # 64 buckets: bench-scale tables pay ~4x their useful work in
+    # per-partition shuffle fixed cost at the 8xCPU default (see the
+    # asof-join sizing note); raise for production-scale inputs
     joined = range_join(li, orders, key="o_orderkey", on="l_shipdate",
-                        lo="o_orderdate", hi="o_deadline")
+                        lo="o_orderdate", hi="o_deadline", num_buckets=64)
     out = pre_aggregated_count(joined, ["l_linestatus"], alias="n", final="driver")
     out["n"] = out["n"].astype("int64")
     return out.sort_values("l_linestatus").reset_index(drop=True)
@@ -1867,10 +1870,15 @@ def emb_knn_label(sf_dir: str):
     from ..ann import ann_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    # query side: tiny filtered slice (20 vectors) — never the whole corpus;
-    # vectorized Arrow predicate (a row-lambda filter here was the slowest
-    # part of this query: per-row Python over every corpus vector)
-    queries_df = emb.filter(expr="vec_id < 20").to_pandas().sort_values("vec_id")
+    # query side: bounded direct parquet predicate read of the 20 query
+    # rows (a Ray pipeline execution to pull 20 rows cost ~2 s of fixed
+    # startup — see _query_vec)
+    import pyarrow.parquet as pq_
+
+    queries_df = pq_.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 20)]).to_pandas().sort_values("vec_id")
     qm = np.asarray(list(queries_df["embedding"]), dtype=np.float64)
     top = ann_topk(emb, qm, k=6)  # 6: self + 5 neighbors
     # label side: only the BOUNDED id set the answer needs (neighbors +
