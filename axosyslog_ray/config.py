@@ -254,7 +254,15 @@ class _FilterParser:
         if n == "netmask":
             return Netmask(d.args[0])
         if n == "tags":
-            return TagFilter(d.args[0])
+            return TagFilter(*d.args)
+        if n == "in-list":
+            # in-list("/path", value("FIELD")): newline file -> set
+            # membership (lib/filter/filter-in-list.c)
+            from .route import InList
+
+            with open(d.args[0]) as fh:
+                values = [ln.rstrip("\n") for ln in fh if ln.strip()]
+            return InList(values, field=_field(str(d.kw1("value", "HOST"))))
         if n == "filter":
             return self.named[d.args[0]]
         if n in self.named:  # block filter NAME() {...} call
@@ -749,6 +757,29 @@ def _compile_rewrite(d: Driver):
     if d.name == "set-tag":
         tag = d.args[0]
         return lambda t: rw.set_tag(t, tag)
+    if d.name == "clear-tag":
+        tag = d.args[0]
+        return lambda t: rw.clear_tag(t, tag)
+    if d.name == "rename":
+        a, b = _field(d.args[0]), _field(d.args[1])
+        return lambda t: rw.rename(t, a, b)
+    if d.name == "groupset":
+        val = d.args[0]
+        globs = [str(g) for g in (d.kwargs.get("values") or [])]
+        def _gs(t, val=val, globs=globs):
+            for g in globs:
+                t = rw.groupset(t, val, g)
+            return t
+        return _gs
+    if d.name == "set-pri":
+        tpl = d.args[0]
+        return lambda t: rw.set_pri(t, tpl)
+    if d.name == "set-severity":
+        tpl = d.args[0]
+        return lambda t: rw.set_severity(t, tpl)
+    if d.name == "set-facility":
+        tpl = d.args[0]
+        return lambda t: rw.set_facility(t, tpl)
     raise ConfigError(f"unsupported rewrite driver {d.name}()")
 
 

@@ -515,3 +515,37 @@ log {{ source(s); parser(p_geo); destination(d); }};
         r = cfg.run(sources={"s": t})
         col = r.table("d").column("geo_country.iso_code").to_pylist()
         assert col == ["US", None]
+
+
+class TestMoreFilterAndRewriteDrivers:
+    def test_in_list_filter(self, tmp_path):
+        lst = tmp_path / "hosts.txt"
+        lst.write_text("web1\nweb2\n")
+        cfg = compile_config(f"""
+source s {{ example-msg-generator(num(1)); }};
+destination d {{ file("o.log"); }};
+filter f {{ in-list("{lst}", value("host")) }};
+log {{ source(s); filter(f); destination(d); }};
+""")
+        t = pa.table({"message": ["a", "b", "c"],
+                      "host": ["web1", "db1", "web2"], "pri": [13] * 3})
+        r = cfg.run(sources={"s": t})
+        assert r.table("d").column("host").to_pylist() == ["web1", "web2"]
+
+    def test_rename_and_set_severity(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log"); };
+rewrite r {
+    rename("src", "origin");
+    set-severity("err");
+};
+log { source(s); rewrite(r); destination(d); };
+""")
+        t = pa.table({"message": ["m"], "src": ["x"], "pri": [13]})
+        r = cfg.run(sources={"s": t})
+        out = r.table("d")
+        assert out.column("origin").to_pylist() == ["x"]
+        assert "src" not in out.column_names
+        # severity err = 3: pri = 8*facility(1) + 3 = 11
+        assert out.column("pri").to_pylist() == [11]
