@@ -20,8 +20,10 @@ channels, and the junction's output is the union of channel outputs.
 (cfg-tree.h ENL_CONDITIONAL): EXPR+A as a final channel, B as its
 fallback.
 
-Scope: the statement/driver subset listed in _DRIVERS below; transports,
-scl blocks and @include are out of scope (COVERAGE.md §2.1). Batch
+Scope: the statements and drivers compiled below (sources, sinks,
+csv/kv/json/db/date/geoip2 parsers, the rewrite family, filter
+predicates, filterx blocks); transports, SCL blocks and @include are
+out of scope (COVERAGE.md §2.1). Batch
 execution: `compile_config(text).run()` processes the configured
 sources as in-memory tables (the Light-test shape); pass
 `sources={name: table}` to inject data, and read per-destination
@@ -182,11 +184,6 @@ _CMP_OPS = {"eq": ("==", "string"), "ne": ("!=", "string"), "lt": ("<", "string"
             "<": ("<", "type-aware"), "<=": ("<=", "type-aware"),
             ">": (">", "type-aware"), ">=": (">=", "type-aware"),
             "===": ("===", "type-aware"), "!==": ("!==", "type-aware")}
-
-
-class _TrueExpr(FilterExpr):
-    def mask(self, table):
-        return np.ones(table.num_rows, dtype=bool)
 
 
 class _FilterParser:
