@@ -40,6 +40,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .config_prep import preprocess_config
+from .config_prep import unquote as _prep_unquote
 from .route import (And, Cmp, Facility, FilterExpr, Match, Netmask, Not, Or,
                     Severity, TagFilter)
 
@@ -65,28 +67,7 @@ def tokenize(text: str) -> list[tuple[str, int, int]]:
     return out
 
 
-_STR_ESCAPES = {"a": "\a", "n": "\n", "r": "\r", "t": "\t", "v": "\v"}
-_ESC_RE = re.compile(r"\\(x[0-9a-fA-F]{1,2}|o[0-7]{1,3}|.)", re.S)
-
-
-def _unquote(tok: str) -> str:
-    """cfg-lex.l string semantics: double-quoted strings process
-    backslash escapes (\\n \\r \\t \\a \\v, \\xHH, \\oOOO, \\<other> ->
-    the char itself — cfg-lex.l:377-384); single-quoted (qstring)
-    strings are LITERAL, backslashes included."""
-    if tok[:1] == "'" and tok[-1:] == "'" and len(tok) >= 2:
-        return tok[1:-1]
-    if tok[:1] == '"' and tok[-1:] == '"' and len(tok) >= 2:
-        def one(m: re.Match) -> str:
-            e = m.group(1)
-            if e[0] == "x" and len(e) > 1:
-                return chr(int(e[1:], 16))
-            if e[0] == "o" and len(e) > 1:
-                return chr(int(e[1:], 8))
-            return _STR_ESCAPES.get(e, e)
-
-        return _ESC_RE.sub(one, tok[1:-1])
-    return tok
+_unquote = _prep_unquote
 
 
 class _Stream:
@@ -186,6 +167,15 @@ _CMP_OPS = {"eq": ("==", "string"), "ne": ("!=", "string"), "lt": ("<", "string"
             "===": ("===", "type-aware"), "!==": ("!==", "type-aware")}
 
 
+def _or_chain(terms: list[FilterExpr]) -> FilterExpr:
+    if not terms:
+        raise ConfigError("filter function needs at least one argument")
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = Or(expr, t)
+    return expr
+
+
 class _FilterParser:
     """Filter expression grammar (lib/filter/filter-expr-grammar.y
     subset): or/and/not, parens, template comparisons (eq/ne/... string,
@@ -240,9 +230,17 @@ class _FilterParser:
     def _builtin(self, d: Driver) -> FilterExpr:
         n = d.name
         if n == "facility":
-            return Facility(d.args[0])
+            # facility(f1, f2, ...) ORs the named facilities
+            # (lib/filter/filter-pri.c facility bits)
+            return _or_chain([Facility(a) for a in d.args])
         if n in ("level", "severity"):
-            return Severity(d.args[0])
+            # level(err..emerg) ranges and level(err, crit) lists
+            # (cfg-grammar.y filter_fac_list / filter_level_list)
+            terms = []
+            for a in d.args:
+                lo, dots, hi = str(a).partition("..")
+                terms.append(Severity(lo, hi) if dots else Severity(a))
+            return _or_chain(terms)
         if n in ("host", "program", "message"):
             return Match(d.args[0], {"host": "HOST", "program": "PROGRAM",
                                      "message": "MESSAGE"}[n], "pcre")
@@ -435,6 +433,8 @@ class Config:
         self.parsers: dict[str, list] = {}
         self.rewrites: dict[str, list] = {}
         self.paths: list[Channel] = []
+        self.version = None           # packed (major << 8) | minor
+        self.defines = None           # CfgArgs after preprocessing
 
     # -- stage compilation ------------------------------------------------
     def _compile_filterx(self, body: str):
@@ -810,18 +810,23 @@ def _build_source(drivers: list[Driver]) -> pa.Table:
 
 # ------------------------------------------------------------- entry point
 
-def compile_config(text: str) -> Config:
+def compile_config(text: str, *, include_path: str | None = None,
+                   defines: dict | None = None,
+                   env: dict | None = None) -> Config:
+    """Compile config text. Pragmas (@version/@define/@include/...) and
+    backtick references are expanded first (config_prep, the
+    cfg-lexer-subst.c / pragma-grammar.ym layer); `defines` is the
+    command-line -D equivalent and `include_path` extends @include's
+    search path."""
+    prep = preprocess_config(text, include_path=include_path,
+                             defines=defines, env=env)
+    text = prep.text
     s = _Stream(tokenize(text), text)
     cfg = Config()
+    cfg.version = prep.version
+    cfg.defines = prep.defines
     while s.peek() is not None:
         t = s.peek()
-        if t.startswith("@version"):
-            s.next()
-            # "@version: X.Y" tokenizes as '@version:' 'X.Y' or '@version' ':'...
-            if s.peek() is not None and not s.peek().isalpha():
-                while s.peek() not in (None,) and re.fullmatch(r"[\d.:]+", s.peek() or ""):
-                    s.next()
-            continue
         if t == "options":
             s.next()
             s.skip_balanced()
