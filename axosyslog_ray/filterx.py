@@ -648,6 +648,63 @@ def _truthy(s: pd.Series) -> np.ndarray:
     return out
 
 
+def _first_nonnull(s: pd.Series):
+    for v in s:
+        if v is None:
+            continue
+        if np.ndim(v) == 0 and pd.isna(v):
+            continue
+        return v
+    return None
+
+
+def _plus_typed(a, b):
+    """Typed '+' branches beyond string/number (expr-plus dispatch is
+    lhs-type-directed; pinned by lib/filterx/tests/test_expr_plus.c):
+    datetime + integer adds microseconds, datetime + double adds
+    seconds (object-datetime.c:284-311 _add); list + list concatenates,
+    dict + dict merges. datetime + datetime raises like the reference's
+    NULL eval result. Returns None when the generic string/number path
+    should handle the operands."""
+    a_dt = isinstance(a, pd.Series) and pd.api.types.is_datetime64_any_dtype(a)
+    b_dt = isinstance(b, pd.Series) and pd.api.types.is_datetime64_any_dtype(b)
+    if a_dt or b_dt:
+        if a_dt and b_dt:
+            raise TypeError(
+                "filterx '+': datetime + datetime is not supported "
+                "(object-datetime.c _add)")
+        dt, other = (a, b) if a_dt else (b, a)
+        num = pd.to_numeric(other, errors="coerce")
+        is_double = (isinstance(other, pd.Series)
+                     and pd.api.types.is_float_dtype(other)) \
+            or isinstance(other, float)
+        usec = num * 1_000_000 if is_double else num
+        return dt + pd.to_timedelta(usec, unit="us", errors="coerce")
+    if isinstance(a, pd.Series) and a.dtype == object \
+            and isinstance(b, pd.Series) and b.dtype == object:
+        fa, fb = _first_nonnull(a), _first_nonnull(b)
+        # Arrow list columns reach pandas as numpy arrays
+        is_list = lambda v: isinstance(v, (list, np.ndarray))  # noqa: E731
+        if is_list(fa) or is_list(fb):
+            if not (is_list(fa) and is_list(fb)):
+                raise TypeError("filterx '+': list + non-list")
+
+            def cat(x, y):
+                if x is None and y is None:
+                    return None
+                return (list(x) if x is not None else []) \
+                    + (list(y) if y is not None else [])
+            return pd.Series([cat(x, y) for x, y in zip(a, b)], dtype=object)
+        if isinstance(fa, dict) or isinstance(fb, dict):
+            if not (isinstance(fa, dict) and isinstance(fb, dict)):
+                raise TypeError("filterx '+': dict + non-dict")
+            return pd.Series(
+                [{**(x or {}), **(y or {})}
+                 if not (x is None and y is None) else None
+                 for x, y in zip(a, b)], dtype=object)
+    return None
+
+
 def _arg_scalar(b: pd.Series):
     """A literal argument evaluates to a constant Series; take its value.
     (The reference str funcs take literal needles: func-str.c usage.)"""
@@ -1488,6 +1545,10 @@ class FilterX:
             return pd.Series(res)
         if tag == "arith":
             op, a, b = node[1], self._eval(node[2], ctx), self._eval(node[3], ctx)
+            if op == "+":
+                r = _plus_typed(a, b)
+                if r is not None:
+                    return r
             if op == "+" and (a.dtype == object or b.dtype == object):
                 # string concat when either side HOLDS strings (reference
                 # expr-plus is type-directed: a string operand means

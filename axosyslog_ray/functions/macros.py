@@ -280,6 +280,23 @@ MACROS["TAG"] = lambda t: (
 )
 # $_ is an alias of $CONTEXT_ID (macros.c:220)
 MACROS["_"] = MACROS["CONTEXT_ID"]
+
+
+def _asterisk(t: pa.Table) -> pd.Series:
+    """$* — the matches serialized as a str-repr list
+    (lib/logmsg/logmsg.c:1151 log_msg_format_matches; matches[0] here
+    is $1, the set-matches layout)."""
+    from .strings import _ser_list
+
+    if "matches" not in t.column_names:
+        return pd.Series([""] * t.num_rows, dtype=object)
+    lst = t.column("matches").to_pandas()
+    return pd.Series(
+        [_ser_list([e if e is not None else "" for e in v])
+         if v is not None else "" for v in lst], dtype=object)
+
+
+MACROS["*"] = _asterisk
 # transport-address macros (macros.c:595-712): optional columns in the
 # batch data model with the reference's fallback values; PEERIP/PEERPORT
 # fall through to SOURCEIP/SOURCEPORT when unset (macros.c:603-612,676)

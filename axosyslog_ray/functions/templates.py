@@ -19,8 +19,6 @@ parallelize()-style keyed repartition.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -29,12 +27,9 @@ from ..hashutil import hash_str_array
 from .macros import eval_macro
 from .strings import TEMPLATE_FUNCS
 
-_NAME = r"[A-Za-z0-9_.@]+"
-_TOKEN = re.compile(
-    r"\$\((?P<fn>)"  # $( starts a function call (parsed by scanner)
-    r"|\$\{(?P<braced>" + _NAME + r")(?::-(?P<default>[^}]*))?\}"
-    r"|\$(?P<bare>[A-Za-z0-9_]+)"
-)
+class TemplateCompileError(ValueError):
+    """Compile failure with the reference's message text
+    (log_template_compiler_fill_compile_error, compiler.c:195-199)."""
 
 
 class Literal:
@@ -49,11 +44,16 @@ class ValueRef:
     """$NAME / ${NAME} / ${NAME:-default} — default applies when the
     value is UNSET (missing name, or per-row null), the reference's
     compiler.c default-value semantics; a set-but-empty value stays
-    empty."""
+    empty. `msg_ref` records a ${NAME}@N correlation-stack reference
+    (compiler.c parse_msg_ref); the batch engine evaluates over the
+    current message only. All-digit names read the `matches` list
+    column ($1 = matches[0], the set-matches layout)."""
 
-    def __init__(self, name: str, default: str | None = None):
+    def __init__(self, name: str, default: str | None = None,
+                 msg_ref: int = 0):
         self.name = name
         self.default = default
+        self.msg_ref = msg_ref
 
     def eval(self, table: pa.Table) -> pd.Series:
         if self.name in table.column_names:
@@ -61,6 +61,17 @@ class ValueRef:
             out = col.astype("string").astype(object)
             fill = self.default if self.default is not None else ""
             return out.where(col.notna(), fill)
+        if (self.name.isdigit() and self.name.isascii()
+                and "matches" in table.column_names):
+            idx = int(self.name) - 1
+            fill = self.default if self.default is not None else ""
+            if idx < 0:  # $0 (the whole match) is not stored
+                return pd.Series([fill] * table.num_rows, dtype=object)
+            lst = table.column("matches").to_pandas()
+            return pd.Series(
+                [v[idx] if (v is not None and idx < len(v)
+                            and v[idx] is not None) else fill
+                 for v in lst], dtype=object)
         m = eval_macro(self.name, table)
         if m is not None:
             return m.astype(object)
@@ -68,9 +79,10 @@ class ValueRef:
 
 
 class FuncCall:
-    def __init__(self, name: str, args: list):
+    def __init__(self, name: str, args: list, msg_ref: int = 0):
         self.name = name
         self.args = args  # list of compiled Templates
+        self.msg_ref = msg_ref
 
     def eval(self, table: pa.Table) -> pd.Series:
         fn = TEMPLATE_FUNCS.get(self.name)
@@ -87,101 +99,212 @@ class FuncCall:
         return fn(table, *[a.eval(table) for a in self.args])
 
 
-def _split_args(body: str) -> list[str]:
-    """Split $(fn arg1 arg2...) body on spaces, honoring nested $() and
-    quotes. An empty quoted argument ('' or \"\") is a REAL empty-string
-    arg, not a separator artifact — tracked via `started`."""
-    args, buf, depth, i, q = [], [], 0, 0, None
-    started = False  # an arg is open even if its buffer is empty ("")
-    while i < len(body):
-        c = body[i]
-        if q:
-            if c == q:
-                q = None
-            else:
-                buf.append(c)
-        elif c in "\"'":
-            q = c
-            started = True
-        elif c == "(":
-            depth += 1
-            buf.append(c)
-            started = True
-        elif c == ")" and depth > 0:
-            depth -= 1
-            buf.append(c)
-        elif c == " " and depth == 0:
-            if started or buf:
-                args.append("".join(buf))
-                buf = []
-                started = False
+def _is_macro_name(c: str) -> bool:
+    """compiler.c is_macro_name: [A-Za-z0-9_]."""
+    return ("A" <= c <= "Z") or ("a" <= c <= "z") or ("0" <= c <= "9") \
+        or c == "_"
+
+
+class _Compiler:
+    """Faithful port of the reference template scanner
+    (lib/template/compiler.c log_template_compiler_*): a cursor walk
+    producing Literal / ValueRef / FuncCall elements. Literal text is
+    emitted as standalone Literal elements rather than being attached
+    to the next reference element — evaluation-equivalent. `version`
+    is the packed config version; pre-3.5 configs treat backslash as
+    an escape character at the top level (process_token)."""
+
+    VERSION_3_5 = 0x0305
+
+    def __init__(self, spec: str, version: int | None = None):
+        self.s = spec
+        self.i = 0
+        self.version = version
+        self.text: list[str] = []   # pending literal chars
+        self.elems: list = []
+        self.msg_ref = 0
+
+    def compile(self) -> list:
+        while self.i < len(self.s):
+            self._process_token()
+        self._flush_text()
+        return self.elems
+
+    def _flush_text(self):
+        if self.text:
+            self.elems.append(Literal("".join(self.text)))
+            self.text = []
+
+    def _error(self, info: str, pos: int):
+        raise TemplateCompileError(f"{info}, error_pos='{pos}'")
+
+    def _process_token(self):
+        self.msg_ref = 0
+        c = self.s[self.i]
+        if c == "$":
+            self._process_value()
+            return
+        if c == "\\" and self.version is not None \
+                and self.version < self.VERSION_3_5:
+            # pre-3.5 escaping: the backslash quotes the next character
+            self.i += 1
+            if self.i >= len(self.s):
+                return
+        self.text.append(self.s[self.i])
+        self.i += 1
+
+    def _process_value(self):
+        self.i += 1
+        p = self.s[self.i] if self.i < len(self.s) else ""
+        if p == "{":
+            self._process_braced()
+        elif p == "(":
+            self._process_function()
+        elif p and _is_macro_name(p):
+            self._process_unbraced()
+        elif p == "*":
+            self.i += 1
+            self._flush_text()
+            self.elems.append(ValueRef("*"))
         else:
-            buf.append(c)
-            started = True
-        i += 1
-    if started or buf:
-        args.append("".join(buf))
-    return args
+            # escaped/literal dollar: '$$x' -> '$x', '$:' -> '$:', '$' at
+            # end -> '$'
+            if p != "$":
+                self.text.append("$")
+            if p:
+                self.text.append(p)
+                self.i += 1
 
+    def _parse_msg_ref(self):
+        """${NAME}@N correlation-stack index (compiler.c parse_msg_ref);
+        stored as N+1, 0 = no reference. '@@' collapses to a literal
+        '@'; '@<non-digit>' stays literal. The multi-digit accumulator
+        reproduces the reference's `msg_ref += msg_ref * 10 + d` quirk
+        byte-for-byte."""
+        self.msg_ref = 0
+        if self.i < len(self.s) and self.s[self.i] == "@":
+            self.i += 1
+            nxt = self.s[self.i] if self.i < len(self.s) else ""
+            if nxt.isdigit() and nxt.isascii():
+                while self.i < len(self.s) and self.s[self.i].isdigit() \
+                        and self.s[self.i].isascii():
+                    self.msg_ref += self.msg_ref * 10 + int(self.s[self.i])
+                    self.i += 1
+                self.msg_ref += 1
+            else:
+                if nxt != "@":
+                    self.i -= 1  # keep the '@' literal
+                self.msg_ref = 0
 
-def _find_call_end(s: str, start: int) -> int:
-    """start points just after '$('; return index of the matching ')'."""
-    depth, i, q = 1, start, None
-    while i < len(s):
-        c = s[i]
-        if q:
-            if c == q:
-                q = None
-        elif c in "\"'":
-            q = c
-        elif c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-            if depth == 0:
-                return i
-        i += 1
-    raise ValueError(f"unterminated $( in template: {s!r}")
+    def _process_braced(self):
+        # log_template_compiler_process_braced_template
+        self.i += 1
+        start = self.i
+        end = self.s.find("}", self.i)
+        if end < 0:
+            self._error("Invalid macro, '}' is missing", len(self.s))
+        self.i = end + 1
+        default = None
+        colon = self.s.find(":", start, end)
+        if colon >= 0:
+            name = self.s[start:colon]
+            if colon + 1 >= end or self.s[colon + 1] != "-":
+                self._error("Unknown substitution function", colon + 1)
+            default = self.s[colon + 2:end]
+        else:
+            name = self.s[start:end]
+        self._parse_msg_ref()
+        self._flush_text()
+        self.elems.append(ValueRef(name, default, msg_ref=self.msg_ref))
+
+    def _process_unbraced(self):
+        start = self.i
+        self.i += 1
+        while self.i < len(self.s) and _is_macro_name(self.s[self.i]):
+            self.i += 1
+        self._flush_text()
+        self.elems.append(ValueRef(self.s[start:self.i]))
+
+    def _add_quoted_string(self, top_level: bool, buf: list[str]) -> bool:
+        # log_template_compiler_add_quoted_string: top-level quotes are
+        # stripped, quotes nested in parens are preserved
+        quote = self.s[self.i]
+        end = self.s.find(quote, self.i + 1)
+        if end < 0:
+            return False
+        if top_level:
+            buf.append(self.s[self.i + 1:end])
+        else:
+            buf.append(self.s[self.i:end + 1])
+        self.i = end + 1
+        return True
+
+    def _process_arg_list(self) -> tuple[list[str], bool]:
+        # log_template_compiler_process_arg_list: backslash quotes the
+        # next char, parens nest, top-level whitespace separates args
+        out: list[str] = []
+        buf: list[str] = []
+        has_value = False
+        parens = 1
+        self.i += 1
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+        while self.i < len(self.s):
+            c = self.s[self.i]
+            if c == "\\":
+                self.i += 1
+                if self.i >= len(self.s):
+                    break
+            elif c == "(":
+                parens += 1
+            elif c == ")":
+                parens -= 1
+                if parens == 0:
+                    break
+            elif c in "\"'":
+                if not self._add_quoted_string(parens == 1, buf):
+                    return out, False
+                has_value = True
+                continue
+            elif parens == 1 and c.isspace():
+                out.append("".join(buf))
+                buf = []
+                has_value = False
+                while self.i < len(self.s) and self.s[self.i].isspace():
+                    self.i += 1
+                continue
+            buf.append(self.s[self.i])
+            self.i += 1
+            has_value = True
+        if has_value:
+            out.append("".join(buf))
+        ok = self.i < len(self.s) and self.s[self.i] == ")"
+        return out, ok
+
+    def _process_function(self):
+        # log_template_compiler_process_template_function
+        args, ok = self._process_arg_list()
+        if not ok:
+            self._error("Invalid template function reference, missing "
+                        "function name or imbalanced '('", self.i)
+        self.i += 1  # the ')'
+        self._parse_msg_ref()
+        if not args:
+            return  # $() compiles to nothing (add_func_elem argc==0)
+        name = args[0]
+        if name not in TEMPLATE_FUNCS:
+            raise TemplateCompileError(
+                f'Unknown template function "{name}"')
+        self._flush_text()
+        self.elems.append(FuncCall(
+            name, [Template(a, version=self.version) for a in args[1:]],
+            msg_ref=self.msg_ref))
 
 
 class Template:
-    def __init__(self, spec: str):
+    def __init__(self, spec: str, version: int | None = None):
         self.spec = spec
-        self.elems = self._compile(spec)
-
-    @staticmethod
-    def _compile(spec: str) -> list:
-        elems, pos = [], 0
-        while pos < len(spec):
-            if spec.startswith("${", pos) and "}" not in spec[pos:]:
-                # reference compiler.c: "'}' is missing"
-                raise ValueError(f"template: '}}' is missing: {spec!r}")
-            if spec.startswith("$$", pos):
-                elems.append(Literal("$"))
-                pos += 2
-                continue
-            if spec.startswith("$(", pos):
-                end = _find_call_end(spec, pos + 2)
-                body = spec[pos + 2 : end]
-                parts = _split_args(body)
-                if not parts:
-                    raise ValueError("empty $()")
-                elems.append(FuncCall(parts[0], [Template(p) for p in parts[1:]]))
-                pos = end + 1
-                continue
-            m = _TOKEN.search(spec, pos)
-            if not m or m.start() > pos:
-                nxt = m.start() if m else len(spec)
-                elems.append(Literal(spec[pos:nxt]))
-                pos = nxt
-                continue
-            name = m.group("braced") or m.group("bare")
-            if name:
-                elems.append(ValueRef(name, m.group("default") if m.group("braced") else None))
-                pos = m.end()
-            else:  # matched '$(' via regex — handled above, defensive
-                pos += 1
-        return elems
+        self.elems = _Compiler(spec, version).compile()
 
     def eval(self, table: pa.Table) -> pd.Series:
         if not self.elems:
@@ -196,6 +319,19 @@ class Template:
 
     def eval_arrow(self, table: pa.Table) -> pa.Array:
         return pa.array(self.eval(table).to_numpy(dtype=object), type=pa.string())
+
+
+def compile_template_checked(spec: str, version: int | None = None):
+    """log_template_compile's error contract (templates.c / compiler.c):
+    returns (template, error_message). On a compile error the template
+    still renders — as the literal 'error in template: <spec>'."""
+    try:
+        return Template(spec, version=version), None
+    except TemplateCompileError as e:
+        t = Template.__new__(Template)
+        t.spec = spec
+        t.elems = [Literal(f"error in template: {spec}")]
+        return t, str(e)
 
 
 def template_hash(spec: str, table: pa.Table, num_partitions: int | None = None) -> np.ndarray:

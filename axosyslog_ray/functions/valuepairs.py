@@ -162,17 +162,21 @@ def _apply_hint(hint: str, rendered: str):
         # type-hinting.c int casts: decimal by default (leading zeros are
         # NOT octal: "0111" is 111), 0x prefix selects hex ("0x1000" is
         # 4096) — lib/logmsg/tests/test_type_hints.c
-        v = rendered.strip()
+        from .type_hints import (InvalidCastError, type_cast_to_int32,
+                                 type_cast_to_int64)
+
+        cast = type_cast_to_int32 if hint in ("int32", "i32") \
+            else type_cast_to_int64
         try:
-            if v[:2].lower() == "0x":
-                return int(v, 16)
-            return int(v, 10)
-        except ValueError:
+            return cast(rendered)
+        except InvalidCastError:
             return rendered
     if hint in ("double", "float"):
+        from .type_hints import InvalidCastError, type_cast_to_double
+
         try:
-            return float(rendered.strip())
-        except ValueError:
+            return type_cast_to_double(rendered)
+        except InvalidCastError:
             return rendered
     if hint in ("boolean", "bool"):
         from .strings import bool_cast_first_char

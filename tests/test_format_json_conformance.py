@@ -58,9 +58,17 @@ def test_format_json_reference_conformance(tpl, want):
 
 
 def test_list_hint_emits_array():
-    # test_format_json.c:152: l=list(...) -> JSON array via the list codec
-    got = Template('$(format-json l=list("value,with,a,comma"))').eval(_msg()).tolist()[0]
+    # test_format_json.c:152: l=list($comma_value) -> JSON array via the
+    # list codec; the reference sets comma_value to a raw (unquoted)
+    # comma-separated value
+    t = _msg().append_column(
+        "comma_value", pa.array(["value,with,a,comma"]))
+    got = Template('$(format-json l=list($comma_value))').eval(t).tolist()[0]
     assert got == '{"l":["value","with","a","comma"]}'
+    # a QUOTED literal inside list() stays one quoted str-repr element
+    # (compiler.c preserves quotes nested in parens)
+    got = Template('$(format-json l=list("value,with,a,comma"))').eval(t).tolist()[0]
+    assert got == '{"l":["value,with,a,comma"]}'
 
 
 def test_format_welf_template_function():

@@ -249,8 +249,9 @@ def test_empty_quoted_arg_preserved():
     # making 3-arg functions crash with a missing positional)
     assert Template("$(if $(echo 1) '' fb)").eval(t).tolist() == ["", ""]
     assert Template("$(if $(echo '') yes '')").eval(t).tolist() == ["", ""]
-    from axosyslog_ray.functions.templates import _split_args
-    assert _split_args("default '' fallback") == ["default", "", "fallback"]
+    # structural check: '' compiles to a real empty-template argument
+    fc = Template("$(echo default '' fallback)").elems[0]
+    assert [a.spec for a in fc.args] == ["default", "", "fallback"]
 
 
 # the complete macro-name table from the reference (lib/template/macros.c
@@ -382,7 +383,7 @@ def test_default_value_and_syntax_errors_reference_pins():
     assert Template("$unbalanced_paren)").eval(t).tolist()[0] == ")"
     with pytest.raises(ValueError, match="is missing"):
         Template("${unbalanced_brace")
-    with pytest.raises(ValueError, match="unterminated"):
+    with pytest.raises(ValueError, match="imbalanced"):
         Template("$(unbalanced_paren")
     # nested echo quoting (test_template.c:388-393, 454-457)
     assert Template("$(echo \"$(echo $HOST)\" $PID)").eval(t).tolist()[0] == "myhost 1234"
