@@ -792,16 +792,77 @@ def _keys(a: pd.Series) -> pd.Series:
         [list(v.keys()) if isinstance(v, dict) else None for v in a], dtype=object)
 
 
-def _unset_empties(a: pd.Series) -> pd.Series:
-    """lib/filterx/func-unset-empties.c defaults: remove null/""/[]/{}
-    members of a dict (one level)."""
-    def clean(v):
-        if not isinstance(v, dict):
-            return v
-        return {k: x for k, x in v.items()
-                if x is not None and x != "" and x != [] and x != {}}
+def _unset_empties(a: pd.Series, recursive=None, targets=None,
+                   replacement=None, ignorecase=None) -> pd.Series:
+    """lib/filterx/func-unset-empties.c: remove (or substitute with
+    `replacement`) matching members of dicts and lists. Defaults match
+    null / "" / [] / {} and recurse; an explicit `targets` list RESETS
+    the defaults and enables only the listed shapes — null, "", [], {}
+    and non-empty strings compared against values (case-insensitively
+    when ignorecase=true; default false). Cleaning is bottom-up: a
+    child emptied by the recursion is re-tested by its parent (pinned
+    by lib/filterx/tests/test_func_unset_empties.c)."""
+    rec = True if recursive is None else bool(_arg_scalar(recursive))
+    ic = False if ignorecase is None else bool(_arg_scalar(ignorecase))
+    repl_given = replacement is not None
+    repl = _arg_scalar(replacement) if repl_given else None
+    tgt = _arg_scalar(targets) if targets is not None else None
 
-    return pd.Series([clean(v) for v in a], dtype=object)
+    if tgt is None:
+        want_null = want_estr = want_elist = want_edict = True
+        strs: set = set()
+    else:
+        tgt = list(tgt)
+        want_null = any(t is None for t in tgt)
+        want_estr = any(t == "" for t in tgt if isinstance(t, str))
+        want_elist = any(isinstance(t, (list, np.ndarray)) and len(t) == 0
+                         for t in tgt)
+        want_edict = any(isinstance(t, dict) and not t for t in tgt)
+        strs = {t for t in tgt if isinstance(t, str) and t != ""}
+        if ic:
+            strs = {s.lower() for s in strs}
+
+    def should_unset(v) -> bool:
+        if v is None or (np.ndim(v) == 0 and pd.isna(v)):
+            return want_null
+        if isinstance(v, str):
+            if v == "":
+                return want_estr
+            return (v.lower() if ic else v) in strs
+        if isinstance(v, (list, np.ndarray)):
+            return want_elist and len(v) == 0
+        if isinstance(v, dict):
+            return want_edict and not v
+        return False
+
+    def walk(v):
+        if isinstance(v, dict):
+            out = {}
+            for k, x in v.items():
+                if rec and isinstance(x, (dict, list, np.ndarray)):
+                    x = walk(x)
+                if should_unset(x):
+                    if repl_given:
+                        out[k] = repl
+                else:
+                    out[k] = x
+            return out
+        if isinstance(v, (list, np.ndarray)):
+            out = []
+            for x in v:
+                if rec and isinstance(x, (dict, list, np.ndarray)):
+                    x = walk(x)
+                if should_unset(x):
+                    if repl_given:
+                        out.append(repl)
+                else:
+                    out.append(x)
+            return out
+        return v
+
+    return pd.Series(
+        [walk(v) if isinstance(v, (dict, list, np.ndarray)) else v
+         for v in a], dtype=object)
 
 
 def _to_dt(a: pd.Series) -> pd.Series:

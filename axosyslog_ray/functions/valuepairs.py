@@ -78,6 +78,205 @@ class ValuePairs:
         return self.add_prefix + out
 
 
+# ------------------------------------------------- reference scope model
+#
+# The ValuePairs class above is the engine's Ray-native projection
+# (columns ARE the value set). value_pairs_foreach below is the
+# reference-faithful model (lib/value-pairs/value-pairs.c): scopes are a
+# bitfield, macro sets merge by scope, nv pairs classify as plain /
+# dotted / SDATA, empty values are skipped, glob patterns include
+# macros or exclude scope members, and explicitly added pairs bypass
+# the excludes. Pinned by tests/test_value_pairs_conformance.py.
+
+_VPS_NV_PAIRS = 0x01
+_VPS_DOT_NV_PAIRS = 0x02
+_VPS_RFC3164 = 0x04
+_VPS_RFC5424 = 0x08
+_VPS_ALL_MACROS = 0x10
+_VPS_SELECTED_MACROS = 0x20
+_VPS_SDATA = 0x40
+_VPS_EVERYTHING = 0x7F
+
+SCOPE_BITS = {
+    "nv-pairs": _VPS_NV_PAIRS,
+    "dot-nv-pairs": _VPS_DOT_NV_PAIRS,
+    "all-nv-pairs": _VPS_NV_PAIRS | _VPS_DOT_NV_PAIRS,
+    "rfc3164": _VPS_RFC3164,
+    "core": _VPS_RFC3164,
+    "base": _VPS_RFC3164,
+    "rfc5424": _VPS_RFC5424,
+    "syslog-proto": _VPS_RFC5424,
+    "all-macros": _VPS_ALL_MACROS,
+    "selected-macros": _VPS_SELECTED_MACROS,
+    "sdata": _VPS_SDATA,
+    "everything": _VPS_EVERYTHING,
+}
+
+# builtin macro sets (value-pairs.c:94-119 rfc3164[] / rfc5424[] /
+# selected_macros[])
+_RFC3164_SET = ["FACILITY", "PRIORITY", "HOST", "PROGRAM", "PID",
+                "MESSAGE", "DATE"]
+_RFC5424_SET = ["MSGID"]
+_SELECTED_MACROS_SET = ["TAGS", "SOURCEIP", "SEQNUM"]
+
+# engine columns that correspond to the reference's BUILTIN nv handles
+# (they participate in the nv-pairs scope under their LM_V_* names)
+_BUILTIN_NV = {"host": "HOST", "program": "PROGRAM", "pid": "PID",
+               "msgid": "MSGID", "message": "MESSAGE",
+               "msgformat": "MSGFORMAT"}
+# engine columns that are message STRUCTURE (fields / macro sources),
+# not name-value pairs
+_STRUCTURAL_COLS = {"pri", "ts_stamp", "ts_recvd", "proc_ts", "warc_ts",
+                    "tags", "sdata", "syslog_parsed", "matches", "text",
+                    "seqnum"}
+
+
+def _compile_patterns(patterns) -> list[tuple]:
+    """[(glob, include_bool)] in declaration order — last match wins
+    (vp_pattern_spec_eval loop)."""
+    return [(re.compile(fnmatch.translate(g)), inc)
+            for g, inc in (patterns or [])]
+
+
+def _pattern_verdict(compiled, name: str, default: bool) -> bool:
+    inc = default
+    for rx, is_inc in compiled:
+        if rx.match(name):
+            inc = is_inc
+    return inc
+
+
+def _apply_transforms(name: str, transforms) -> str:
+    """Ordered transform chain (value-pairs/transforms.c): each entry is
+    ('add_prefix', P) | ('shift', N) | ('shift_levels', N) |
+    ('replace_prefix', (OLD, NEW)), applied in declaration order."""
+    for kind, arg in (transforms or []):
+        if kind == "add_prefix":
+            name = arg + name
+        elif kind == "shift":
+            name = name[arg:]
+        elif kind == "shift_levels":
+            parts = name.lstrip(".").split(".")
+            name = ".".join(parts[arg:]) or parts[-1]
+        elif kind == "replace_prefix":
+            old, new = arg
+            if name.startswith(old):
+                name = new + name[len(old):]
+    return name
+
+
+def _iter_nv_pairs(table: pa.Table):
+    """Yield (name, values_list, kind) for every message nv pair in the
+    table: builtin columns under their LM_V_* names, user columns
+    as-is, and the sdata map exploded to .SDATA.<id>.<param> entries.
+    kind is 'plain' | 'dot' | 'sdata'."""
+    for c in table.column_names:
+        if c in _STRUCTURAL_COLS:
+            continue
+        name = _BUILTIN_NV.get(c, c)
+        kind = "dot" if name.startswith(".") else "plain"
+        yield name, table.column(c).to_pylist(), kind
+    if "sdata" in table.column_names:
+        sd = table.column("sdata").to_pylist()
+        names: dict[str, list] = {}
+        for i, entries in enumerate(sd):
+            for k, v in (entries or []):
+                key = ".SDATA." + k
+                if key not in names:
+                    names[key] = [None] * table.num_rows
+                names[key][i] = v
+        for name in names:
+            yield name, names[name], "sdata"
+
+
+def value_pairs_foreach(table: pa.Table, scope: str = "core",
+                        patterns=None, pairs=None, transforms=None,
+                        omit_empty: bool = True):
+    """The reference's value_pairs_foreach_sorted over an Arrow batch:
+    returns one name->string dict per row, keys sorted. `scope` is a
+    comma/space list of scope names; `patterns` is an ordered
+    [(glob, include)] list — include patterns pull matching MACROS into
+    the set, exclude patterns drop scope members; `pairs` maps explicit
+    output names to template specs (never excluded); `transforms` is an
+    ordered rekey chain. Empty values are skipped
+    (vp_merge_builtins sb->len == 0)."""
+    from .macros import MACROS, eval_macro
+    from .templates import Template
+
+    scopes = 0
+    for name in re.split(r"[,\s]+", scope.strip()):
+        if not name:
+            continue
+        bit = SCOPE_BITS.get(name.replace("_", "-"))
+        if bit is None:
+            raise ValueError(f"unknown value-pairs scope {name!r}")
+        scopes |= bit
+    compiled = _compile_patterns(patterns)
+    n = table.num_rows
+    rows: list[dict] = [{} for _ in range(n)]
+
+    def insert(name: str, values):
+        out = _apply_transforms(name, transforms)
+        for i, v in enumerate(values):
+            if v is None:
+                continue
+            s = v if isinstance(v, str) else _cell_to_str(v)
+            if s is None or (omit_empty and s == ""):
+                continue
+            rows[i][out] = s
+
+    # 1. the nv-pair walk (value_pairs_foreach_sorted's
+    #    log_msg_values_foreach pass)
+    if scopes & (_VPS_NV_PAIRS | _VPS_DOT_NV_PAIRS | _VPS_SDATA
+                 | _VPS_RFC5424) or compiled:
+        for name, values, kind in _iter_nv_pairs(table):
+            # SDATA names start with '.', so they are dot-nv-pairs too
+            # (vp_msg_nvpairs_foreach's name[0] == '.' check)
+            inc = (kind in ("dot", "sdata")
+                   and bool(scopes & _VPS_DOT_NV_PAIRS)) \
+                or (kind == "plain" and bool(scopes & _VPS_NV_PAIRS)) \
+                or (kind == "sdata"
+                    and bool(scopes & (_VPS_SDATA | _VPS_RFC5424)))
+            inc = _pattern_verdict(compiled, name, inc)
+            if inc:
+                insert(name, values)
+
+    # 2. merge the builtin macro sets (vp_update_builtin_list_of_values)
+    macro_names: list[str] = []
+    if compiled:
+        # include patterns pull matching macros in (vp_merge_macros:
+        # default NOT included)
+        macro_names += [m for m in MACROS
+                        if _pattern_verdict(compiled, m, False)]
+    sets: list[list[str]] = []
+    if scopes & (_VPS_RFC3164 | _VPS_RFC5424 | _VPS_SELECTED_MACROS):
+        sets.append(_RFC3164_SET)
+    if scopes & _VPS_RFC5424:
+        sets.append(_RFC5424_SET)
+    if scopes & _VPS_SELECTED_MACROS:
+        sets.append(_SELECTED_MACROS_SET)
+    if scopes & _VPS_ALL_MACROS:
+        sets.append(sorted(MACROS))
+    for s in sets:
+        macro_names += [m for m in s
+                        if _pattern_verdict(compiled, m, True)]
+    seen = set()
+    for m in macro_names:
+        if m in seen:
+            continue
+        seen.add(m)
+        vals = eval_macro(m, table)
+        if vals is not None:
+            insert(m, list(vals))
+
+    # 3. explicit pairs — excludes do NOT apply (vp_pairs_foreach)
+    for name, spec in (pairs or {}).items():
+        vals = Template(spec).eval(table)
+        insert(name, list(vals))
+
+    return [dict(sorted(r.items())) for r in rows]
+
+
 def _cell_to_str(v) -> str | None:
     if v is None or (isinstance(v, float) and v != v):
         return None
@@ -250,11 +449,13 @@ def _parse_vp_args(t: pa.Table, args):
                 pairs.append((name, _tpl_series("${" + name + "}")))
         elif flag == "--scope" and i + 1 < len(arglist):
             i += 1
-            sc = arglist[i]
-            vp = ValuePairs(sc.split(",")[0].replace("_", "-")
-                            if sc.split(",")[0].replace("_", "-") in SCOPES else "core")
-            for c in vp.select(t):
-                pairs.append((c, t.column(c).to_pandas().astype("string").fillna("").astype(object)))
+            # reference scope semantics: macro sets + nv classification
+            # (value_pairs_foreach); keys arrive pre-stringified per row
+            scope_rows = value_pairs_foreach(t, arglist[i])
+            names = sorted({k for r in scope_rows for k in r})
+            for name in names:
+                pairs.append((name, pd.Series(
+                    [r.get(name, "") for r in scope_rows], dtype=object)))
         elif "=" in flag:
             key, _, vspec = flag.partition("=")
             m = _TYPE_HINT.match(vspec)
