@@ -2127,7 +2127,69 @@ FROM m ORDER BY doc_id
 """
 
 
+_CONFIG_PIPELINE_CONF = """\
+@version: 4.8
+@define hi_sev err
+
+block filter b_hot { severity(`hi_sev`..emerg); };
+
+source s_ev { internal(); };
+destination d_hot { file("hot"); };
+destination d_tx { file("tx"); };
+destination d_other { file("other"); };
+
+log {
+  source(s_ev);
+  junction {
+    channel { filter { b_hot() }; destination(d_hot); flags(final); };
+    channel { filter { program("^(signup|purchase)$"); }; destination(d_tx); flags(final); };
+    channel { destination(d_other); flags(fallback); };
+  };
+};
+"""
+
+
+def events_config_pipeline(sf_dir: str):
+    """The config front end end-to-end: a syslog-ng .conf — pragmas,
+    @define + backtick substitution (lib/cfg-lexer-subst.c), a block
+    filter, a junction with final/fallback channels (lib/cfg-grammar.y,
+    lib/logmpx.c:97-130) — compiled by config.compile_config and
+    executed over the events table as a Ray Dataset stage; delivered
+    counts per destination."""
+    from ..aggregate import pre_aggregated_count
+    from ..config import compile_config, run_config_on_dataset
+
+    cfg = compile_config(_CONFIG_PIPELINE_CONF)
+
+    def derive(b: pa.Table) -> pa.Table:
+        pri = (b.column("event_id").to_numpy() % 192).astype(np.uint16)
+        return pa.table({
+            "pri": pa.array(pri, type=pa.uint16()),
+            "program": b.column("event_type"),
+            "message": b.column("event_type"),
+        })
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"]).map_batches(
+        derive, batch_format="pyarrow")
+    out = run_config_on_dataset(cfg, ds, "s_ev").map_batches(
+        lambda b: b.select(["dest"]), batch_format="pyarrow")
+    res = pre_aggregated_count(out, ["dest"], alias="n").to_pandas()
+    res["n"] = res["n"].astype("int64")
+    return res
+
+
+EVENTS_CONFIG_PIPELINE_SQL = """
+SELECT dest, COUNT(*) AS n FROM (
+  SELECT CASE WHEN (event_id % 192) % 8 <= 3 THEN 'd_hot'
+              WHEN event_type IN ('signup', 'purchase') THEN 'd_tx'
+              ELSE 'd_other' END AS dest
+  FROM events) t
+GROUP BY dest ORDER BY dest
+"""
+
+
 RAY_QUERIES = {
+    "events_config_pipeline": events_config_pipeline,
     "q1_pricing": q1_pricing,
     "customer_nation_join": customer_nation_join,
     "docs_topk": docs_topk,
@@ -2194,6 +2256,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "events_config_pipeline": EVENTS_CONFIG_PIPELINE_SQL,
     "q1_pricing": Q1_SQL,
     "customer_nation_join": CUSTOMER_NATION_SQL,
     "docs_topk": DOCS_TOPK_SQL,
