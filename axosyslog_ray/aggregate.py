@@ -111,20 +111,78 @@ def pre_aggregated_count(ds, keys: list[str], alias: str = "n", final: str = "sh
     return agg.map_batches(_restore_nulls(keys), batch_format="pyarrow")
 
 
-def metrics_probe(ds, key_templates: dict[str, str], alias: str = "n"):
+# metrics-probe() defaults (metrics-probe.c _init_default:
+# classified_events_total with app/host/program/source labels)
+METRICS_PROBE_DEFAULT_KEY = "classified_events_total"
+METRICS_PROBE_DEFAULT_LABELS = {
+    "app": "${APP}", "host": "${HOST}",
+    "program": "${PROGRAM}", "source": "${SOURCE}",
+}
+
+
+def metrics_probe(ds, key_templates: dict[str, str] | None = None,
+                  alias: str = "n", *, key: str | None = None,
+                  increment: str | None = None,
+                  vp_patterns: list | None = None):
     """metrics-probe(): counter keyed by template-evaluated labels
-    (reference metrics-probe.c:93-110). Labels are computed per batch,
-    then two-phase counted."""
+    (reference metrics-probe.c:93-110, pinned by
+    tests/test_metrics_probe_conformance.py). With no arguments the
+    default probe counts classified_events_total by
+    app/host/program/source. `increment` is a per-row template added
+    instead of 1 (metrics_probe_set_increment_template); `vp_patterns`
+    adds dynamic labels from matching nv pairs (the value-pairs glob
+    form), serialized into a `labels` group column. Custom labels
+    without a key fail like the reference's init does."""
+    from ray.data.aggregate import Sum
+
     from .functions.templates import Template
 
+    if key_templates is None and key is None:
+        key = METRICS_PROBE_DEFAULT_KEY
+        key_templates = METRICS_PROBE_DEFAULT_LABELS
+    elif key is None and alias:
+        key = alias  # legacy call shape: labels + output alias
+    if key_templates and not key:
+        raise ValueError(
+            "metrics-probe: custom labels need an explicit key() "
+            "(metrics-probe.c _init)")
+    key_templates = key_templates or {}
     compiled = {name: Template(spec) for name, spec in key_templates.items()}
+    inc_tpl = Template(increment) if increment else None
 
     def label(batch: pa.Table) -> pa.Table:
-        cols = {name: pa.array(t.eval(batch).to_numpy(dtype=object), type=pa.string()) for name, t in compiled.items()}
-        return pa.table(cols)
+        cols = {name: pa.array(t.eval(batch).to_numpy(dtype=object),
+                               type=pa.string())
+                for name, t in compiled.items()}
+        if vp_patterns is not None:
+            from .functions.valuepairs import value_pairs_foreach
 
+            rows = value_pairs_foreach(batch, "nv-pairs",
+                                       patterns=vp_patterns)
+            cols["labels"] = pa.array(
+                [",".join(f"{k}={v}" for k, v in r.items()) for r in rows],
+                type=pa.string())
+        if inc_tpl is not None:
+            inc = pd.to_numeric(inc_tpl.eval(batch),
+                                errors="coerce").fillna(0)
+            cols["partial_count"] = pa.array(
+                inc.to_numpy(dtype=np.int64), type=pa.int64())
+        out = pa.table(cols) if cols else pa.table(
+            {"partial_count": pa.array([1] * batch.num_rows,
+                                       type=pa.int64())})
+        return out
+
+    keys = list(key_templates.keys())
+    if vp_patterns is not None:
+        keys.append("labels")
     labeled = ds.map_batches(label, batch_format="pyarrow")
-    return pre_aggregated_count(labeled, list(key_templates.keys()), alias=alias)
+    if not keys:
+        # a label-less counter: one global sum (count when no increment)
+        return labeled.aggregate(Sum("partial_count", alias_name=alias))
+    if inc_tpl is None:
+        return pre_aggregated_count(labeled, keys, alias=alias)
+    return labeled.groupby(keys).aggregate(
+        Sum("partial_count", alias_name=alias))
 
 
 def salted(batch: pa.Table, key_col: str, num_salts: int = 16, salt_col: str = "_salt") -> pa.Table:

@@ -26,10 +26,20 @@ import pyarrow as pa
 from ..functions.templates import Template
 
 
-def parse_context_csv(text: str) -> dict[str, list[tuple[str, str]]]:
+def parse_context_csv(text: str,
+                      strict: bool = True) -> dict[str, list[tuple[str, str]]]:
+    """RFC4180 CSV of selector,name,value records (context-info-db.c
+    import; the record scanner rejects malformed rows and the whole
+    import fails — test_import_with_invalid_csv_content). CRLF endings
+    and doubled-quote escapes come with the csv module."""
     db: dict[str, list[tuple[str, str]]] = {}
     for row in csv.reader(io.StringIO(text)):
+        if not row:
+            continue
         if len(row) != 3:
+            if strict:
+                raise ValueError(
+                    f"add-contextual-data CSV: malformed record {row!r}")
             continue
         db.setdefault(row[0], []).append((row[1], row[2]))
     return db
@@ -47,13 +57,26 @@ class AddContextualData:
         selector: str = "$HOST",
         default_selector: str | None = "default",
         prefix: str = "",
+        ignore_case: bool = False,
     ):
+        """`ignore_case` matches selectors case-insensitively
+        (context_info_db_new(ignore_case), reference
+        test_ignore_case_on); `prefix` is prepended verbatim to every
+        emitted name (contextual_data_record_scanner_new prefix)."""
         if db_ref is not None:
             import ray
 
             db = ray.get(db_ref)
         if db is None:
             db = parse_context_csv(csv_text or "")
+        self.ignore_case = ignore_case
+        if ignore_case:
+            folded: dict[str, list[tuple[str, str]]] = {}
+            for k, recs in db.items():
+                folded.setdefault(k.lower(), []).extend(recs)
+            db = folded
+            if default_selector:
+                default_selector = default_selector.lower()
         self.db = db
         self.selector = Template(selector)
         self.default = db.get(default_selector, []) if default_selector else []
@@ -85,6 +108,8 @@ class AddContextualData:
 
     def __call__(self, table: pa.Table) -> pa.Table:
         sel = self.selector.eval(table)
+        if self.ignore_case:
+            sel = sel.astype(str).str.lower()
         n = table.num_rows
         out = table
         if self.all_literal:

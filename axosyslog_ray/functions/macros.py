@@ -167,7 +167,15 @@ def _passthrough(col: str):
 
 MACROS: dict = {
     "HOST": _passthrough("host"),
-    "HOST_FROM": _passthrough("host"),
+    # APP/SOURCE are nvpairs the app-parser / source drivers set; in
+    # this engine they are the app/source columns
+    "APP": _passthrough("app"),
+    "SOURCE": _passthrough("source"),
+    # the transport-derived host; falls back to $HOST when the source
+    # did not record one (macros.c M_HOST_FROM)
+    "HOST_FROM": lambda t: (_str(_col(t, "host_from"))
+                            if "host_from" in t.column_names
+                            else _passthrough("host")(t)),
     "PROGRAM": _passthrough("program"),
     "PID": _passthrough("pid"),
     "MSGID": _passthrough("msgid"),
