@@ -80,20 +80,39 @@ def _apply_fix(ts: np.ndarray, gmtoff: np.ndarray, new_off: np.ndarray,
 
 def fix_time_zone(batch: pa.Table, zone: str, ts_col: str = "ts_stamp",
                   gmtoff_col: str | None = None) -> pa.Table:
+    """Vectorized port of unix_time_fix_timezone_with_tzinfo
+    (lib/timeutils/unixtime.c:222-321): step 1 adjusts by the offset at
+    the original instant, step 2 re-adjusts when the move crossed a DST
+    transition, step 3 handles landing INSIDE the transition hour — a
+    spring-forward hit skips forward an hour, a fall-back hit keeps the
+    second 02:00 and bumps gmtoff. Pinned against
+    lib/timeutils/tests/test_unixtime.c's four DST-hour matrices."""
     gmtoff_col, ts, gmtoff = _get_cols(batch, ts_col, gmtoff_col)
     valid = ~np.isnat(ts)
-    new1 = zone_offsets_at(ts.view(np.int64), zone)
-    ts1, off1 = _apply_fix(ts, gmtoff, new1, valid)
-    # second pass: the DST rule is defined in local time — after the first
-    # adjustment the instant may sit on the other side of a transition
-    # (reference alt_gmtoff logic); re-look-up and re-adjust where changed
-    new2 = zone_offsets_at(ts1.view(np.int64), zone)
-    changed = valid & (new2 != new1)
-    if changed.any():
-        ts2, off2 = _apply_fix(ts, gmtoff, new2, changed)
-        ts1 = np.where(changed, ts2.view(np.int64), ts1.view(np.int64)).view("datetime64[ns]")
-        off1 = np.where(changed, off2, off1)
-    return _emit(batch, ts_col, gmtoff_col, ts1, off1)
+    sec = ts.view(np.int64)
+    implied = np.where(gmtoff == -1, 0, gmtoff)
+    ns = np.int64(1_000_000_000)
+
+    fixed = zone_offsets_at(sec, zone)
+    need = valid & (fixed != gmtoff)
+    sec1 = np.where(need, sec - (fixed - implied) * ns, sec)
+    off1 = np.where(need, fixed, gmtoff)
+
+    alt = zone_offsets_at(sec1, zone)
+    need2 = need & (alt != fixed)
+    sec2 = np.where(need2, sec1 - (alt - fixed) * ns, sec1)
+    off2 = np.where(need2, alt, off1)
+
+    if need2.any():
+        third = zone_offsets_at(sec2, zone)
+        in_hour = need2 & (third == fixed)
+        spring = in_hour & (alt > fixed)
+        sec2 = np.where(spring, sec2 + (alt - fixed) * ns, sec2)
+        autumn = in_hour & (alt <= fixed)
+        off2 = np.where(autumn, off2 + (fixed - alt), off2)
+
+    return _emit(batch, ts_col, gmtoff_col, sec2.view("datetime64[ns]"),
+                 off2)
 
 
 def set_time_zone(batch: pa.Table, zone: str, ts_col: str = "ts_stamp",
