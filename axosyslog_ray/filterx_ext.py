@@ -638,12 +638,22 @@ def _cast_bytes(a: pd.Series) -> pd.Series:
 
 
 def _cast_datetime(a: pd.Series) -> pd.Series:
-    """datetime(x): ISO strings and unix epoch numbers -> timestamp."""
+    """datetime(x) typecast (lib/filterx/object-datetime.c
+    _convert_unix_time_from_*, pinned by test_object_datetime.c):
+    INTEGER epoch values are MICROSECONDS, double epoch values are
+    seconds, strings parse as RFC3339. A numeric object column decides
+    by its values: integral -> usec, fractional -> seconds."""
     if pd.api.types.is_datetime64_any_dtype(a):
         return a
+    if pd.api.types.is_integer_dtype(a):
+        return pd.to_datetime(a, unit="us", errors="coerce")
+    if pd.api.types.is_float_dtype(a):
+        return pd.to_datetime(a, unit="s", errors="coerce")
     num = pd.to_numeric(a, errors="coerce")
-    if num.notna().any() and not a.astype("string").str.contains("[-:T ]", regex=True).fillna(False).any():
-        return pd.to_datetime(num, unit="s", errors="coerce")
+    if num.notna().any() and not a.astype("string").str.contains(
+            "[-:T ]", regex=True).fillna(False).any():
+        unit = "s" if (num.dropna() % 1 != 0).any() else "us"
+        return pd.to_datetime(num, unit=unit, errors="coerce")
     return pd.to_datetime(a, errors="coerce", format="mixed")
 
 

@@ -184,11 +184,17 @@ def test_casts():
 
 
 def test_datetime_cast_and_repr():
-    t = _t(iso=["2024-01-02T03:04:05", None], epoch=[1704164645, 0])
-    out = _run("$a = datetime($iso); $b = datetime($epoch);"
+    # object-datetime.c typecasts (test_object_datetime.c): INTEGER
+    # epochs are MICROSECONDS, double epochs are seconds, strings are
+    # RFC3339
+    t = _t(iso=["2024-01-02T03:04:05", None],
+           epoch_us=[1704164645000000, 0], epoch_s=[1704164645.0, 0.0])
+    out = _run("$a = datetime($iso); $b = datetime($epoch_us);"
+               "$c = datetime($epoch_s);"
                "$r = repr(datetime($iso));", t)
     assert out.column("a").to_pylist()[0].isoformat() == "2024-01-02T03:04:05"
     assert out.column("b").to_pylist()[0].isoformat() == "2024-01-02T03:04:05"
+    assert out.column("c").to_pylist()[0].isoformat() == "2024-01-02T03:04:05"
     assert out.column("r").to_pylist() == ["2024-01-02T03:04:05", None]
 
 
