@@ -261,7 +261,11 @@ class _Parser:
             # ignore_falsy_result). Re-parse the full expression.
             self.i = start_i
             return ("exprstmt", self.expr())
-        raise SyntaxError(f"filterx: unexpected {v!r}")
+        # anything else — literals (false; 0;), negations, parenthesized
+        # expressions — is a bare expression statement too: the compound
+        # accepts ANY expression as a step (expr-compound.c, pinned by
+        # test_expr_condition.c's falsey-statement-interrupts case)
+        return ("exprstmt", self.expr())
 
     def if_stmt(self):
         self.expect("if")
