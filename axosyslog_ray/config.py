@@ -694,7 +694,8 @@ def _compile_parser(d: Driver):
         prefix = str(d.kw1("prefix", ""))
         return _ExpandMap(
             KvParser(value_separator=str(d.kw1("value-separator", "=")),
-                     prefix=prefix, out_col="__cfg_kv"), "__cfg_kv")
+                     prefix=prefix, out_col="__cfg_kv",
+                     dialect="scanner"), "__cfg_kv")
     if d.name == "json-parser":
         from .stages.json_parser import JsonParser
 

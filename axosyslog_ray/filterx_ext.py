@@ -124,53 +124,34 @@ def format_csv(a: pd.Series, columns=None, delimiter=None,
 # parse_kv / format_kv
 # ---------------------------------------------------------------------------
 
-@lru_cache(maxsize=64)
-def _kv_parser(value_separator: str):
-    from .stages.kv_parser import KvParser
-
-    return KvParser(value_separator=value_separator, collect_stray=True)
-
-
 def parse_kv(a: pd.Series, value_separator=None, pair_separator=None,
              stray_words_key=None, stray_words_append_to_value=None) -> pd.Series:
     """parse_kv(msg, value_separator="=", pair_separator=", ",
-    stray_words_key=...): k=v pairs as a dict. With the default pair
-    separator the engine's kv-scanner (stages/kv_parser.py) runs; a
-    custom pair_separator switches to a plain split. Divergence: stray
-    words are DROPPED unless stray_words_key is given (the reference
-    default appends them to the previous value)."""
+    stray_words_key=..., stray_words_append_to_value=...): k=v pairs
+    as a dict, via the reference-exact kv scanner port
+    (stages/kv_scanner.py). Stray-word mode follows
+    filterx-func-parse-kv.c:103: COLLECT under stray_words_key, APPEND
+    under the flag, else DROP."""
+    from .stages.kv_scanner import kv_scan
+
     vs = str(_sc(value_separator, "="))
-    ps = _sc(pair_separator, ", ")
+    ps = str(_sc(pair_separator, ", "))
     swk = _sc(stray_words_key)
     swk = str(swk) if swk else None
+    append = bool(_sc(stray_words_append_to_value) or False)
+    mode = "collect" if swk else ("append" if append else None)
     out = []
-    if str(ps) in (", ", " ", ","):
-        p = _kv_parser(vs)
-        for v in a:
-            if _null(v):
-                out.append(None)
-                continue
-            pairs, stray = p.parse_line(str(v))
-            d = dict(pairs)
-            if swk and stray:
-                d[swk] = stray
-            out.append(d)
-    else:
-        ps = str(ps)
-        for v in a:
-            if _null(v):
-                out.append(None)
-                continue
-            d, stray = {}, []
-            for seg in str(v).split(ps):
-                if vs in seg:
-                    k, val = seg.split(vs, 1)
-                    d[k.strip()] = val
-                elif seg.strip():
-                    stray.append(seg.strip())
-            if swk and stray:
-                d[swk] = " ".join(stray)
-            out.append(d)
+    for v in a:
+        if _null(v):
+            out.append(None)
+            continue
+        pairs, stray, _q = kv_scan(str(v), value_separator=vs,
+                                   pair_separator=ps,
+                                   stray_words_mode=mode)
+        d = dict(pairs)
+        if swk:
+            d[swk] = stray
+        out.append(d)
     return pd.Series(out, dtype=object)
 
 

@@ -33,7 +33,20 @@ class KvParser:
         source_col: str = "message",
         out_col: str = "kv",
         greedy_values: bool = False,
+        dialect: str = "regex",
     ):
+        """dialect='scanner' runs the reference-exact kv-scanner state
+        machine (stages/kv_scanner.py, pinned against the scanner's own
+        270-case corpus): space-delimiter heuristics, key-space
+        trimming, quote-error raw fallbacks, ', ' pair separator. Rows
+        provably identical under both dialects (the simple `k=v k=v`
+        machine-log shape) still take the byte-level vectorized kernel;
+        only heuristic-dependent rows run the scalar scanner.
+        dialect='regex' (default) keeps the engine's simplified
+        vectorized dialect used by the existing pipelines."""
+        if dialect not in ("regex", "scanner"):
+            raise ValueError(f"unknown kv dialect {dialect!r}")
+        self.dialect = dialect
         vs = re.escape(value_separator)
         if greedy_values:
             # reference kv-scanner mode: an unquoted value runs until the
@@ -59,6 +72,21 @@ class KvParser:
         self._fast_ok = (not greedy_values and len(value_separator) == 1
                          and ord(value_separator) < 128
                          and value_separator not in "\"'\\\n")
+        if dialect == "scanner":
+            self._fast_ok = (len(value_separator) == 1
+                             and ord(value_separator) < 128
+                             and value_separator not in "\"'\\\n ")
+            # rows of this shape parse identically under the regex and
+            # scanner dialects (proof: every space-run is followed by
+            # key=, values hold none of the chars whose handling
+            # differs — quotes, backslash, comma, tab, unicode ws)
+            from .kv_fast import UNICODE_WS_CHARS
+
+            vs = re.escape(value_separator)
+            v_cls = (r"[^ \"'\\,\t\n\r\v\f\x1c-\x1f"
+                     + UNICODE_WS_CHARS + "]")
+            self._simple_re = (
+                rf"[ ]*(?:{_KEY}{vs}{v_cls}*[ ]+)*{_KEY}{vs}{v_cls}*[ ]*")
 
     @staticmethod
     def _unquote(v: str) -> str:
@@ -73,6 +101,16 @@ class KvParser:
 
     def parse_line(self, line: str) -> tuple[list[tuple[str, str]], str]:
         """Scalar path: returns ([(key, value)...], stray_words)."""
+        if self.dialect == "scanner":
+            from .kv_scanner import kv_scan
+
+            raw_pairs, stray, quoted = kv_scan(
+                line, value_separator=self.value_separator,
+                stray_words_mode="collect" if self.collect_stray else None)
+            out = [(self.prefix + k,
+                    self._postprocess_value(v, q))
+                   for (k, v), q in zip(raw_pairs, quoted)]
+            return out, stray
         pairs, spans = [], []
         for m in self.pair_re.finditer(line):
             raw = m.group(2)
@@ -114,6 +152,15 @@ class KvParser:
         has_uws = pc.match_substring_regex(
             col, f"[{UNICODE_WS_CHARS}]").to_numpy(zero_copy_only=False)
         fallback = has_bs | has_nl | has_uws | (has_dq & has_sq)
+        if self.dialect == "scanner":
+            # the kernel proves regex-dialect equivalence; in scanner
+            # dialect only rows where the two dialects provably agree
+            # (the simple guard) may take it — everything else runs the
+            # scalar scanner port
+            simple = pc.match_substring_regex(
+                col, "^(?:" + self._simple_re + ")$").to_numpy(
+                zero_copy_only=False)
+            fallback = fallback | ~simple
         sub_a = np.flatnonzero(~fallback & ~has_sq)   # quote '"' (or none)
         sub_b = np.flatnonzero(~fallback & has_sq)    # quote "'"
 
@@ -197,8 +244,11 @@ class KvParser:
         maps = np.full(n, None, dtype=object)
         strays = np.full(n, "", dtype=object)
         promoted = {k: np.full(n, None, dtype=object) for k in self.promote}
-        if self.collect_stray:
-            # stray collection needs match spans — scalar path
+        if self.collect_stray or (self.dialect == "scanner"
+                                  and not self._fast_ok):
+            # stray collection needs match spans, and the scanner
+            # dialect with an exotic separator has no vectorized
+            # equivalent — scalar path
             for i, line in enumerate(s.to_numpy()):
                 pairs, stray = self.parse_line(line)
                 maps[i] = pairs
