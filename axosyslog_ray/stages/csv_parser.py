@@ -30,7 +30,13 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-DIALECTS = ("escape-none", "escape-backslash", "escape-double-char")
+DIALECTS = ("escape-none", "escape-backslash", "escape-double-char",
+            "escape-backslash-with-sequences", "escape-unquoted-delimiter")
+
+# escape-backslash-with-sequences decode table
+# (lib/scanner/csv-scanner/csv-scanner.c:298-340): \a\n\r\t\v, \xHH,
+# \<quote>; anything else drops the backslash; \b and \f are NOT decoded
+_SEQ_ESCAPES = {"a": "\a", "n": "\n", "r": "\r", "t": "\t", "v": "\v"}
 
 
 class CsvParser:
@@ -85,6 +91,23 @@ class CsvParser:
                         body.append(line[j + 1])
                         j += 2
                         continue
+                    if self.dialect == "escape-backslash-with-sequences" \
+                            and ch == "\\" and j + 1 < n:
+                        e = line[j + 1]
+                        if e == qc:
+                            body.append(qc)
+                        elif e == "x" and j + 3 < n + 1:
+                            hx = line[j + 2:j + 4]
+                            try:
+                                body.append(chr(int(hx, 16)))
+                                j += 4
+                                continue
+                            except ValueError:
+                                body.append("x")
+                        else:
+                            body.append(_SEQ_ESCAPES.get(e, e))
+                        j += 2
+                        continue
                     if ch == qc:
                         if self.dialect == "escape-double-char" and j + 1 < n and line[j + 1] == qc:
                             body.append(qc)
@@ -102,6 +125,29 @@ class CsvParser:
                 while j < n and line[j] not in self._delim_set:
                     tok += line[j]
                     j += 1
+                i = j
+            elif self.dialect == "escape-unquoted-delimiter":
+                # csv-scanner.c CSV_SCANNER_ESCAPE_UNQUOTED_DELIMITER has
+                # two code paths: with the DEFAULT ',' delimiter a
+                # backslash escapes ANY next char (foo\' -> foo'); with
+                # custom delimiters it only escapes delimiter chars and
+                # is otherwise literal (ba\z stays ba\z) —
+                # csv-scanner.c:394-414 vs 445-470
+                body: list[str] = []
+                j = i
+                default_path = self.delimiters == ","
+                while j < n:
+                    ch = line[j]
+                    if ch == "\\" and j + 1 < n and (
+                            default_path or line[j + 1] in self._delim_set):
+                        body.append(line[j + 1])
+                        j += 2
+                        continue
+                    if ch in self._delim_set:
+                        break
+                    body.append(ch)
+                    j += 1
+                tok = "".join(body)
                 i = j
             else:
                 j = i
@@ -122,6 +168,10 @@ class CsvParser:
 
     def _assemble(self, toks: list[str]) -> list[str] | None:
         ncol = len(self.columns)
+        if ncol == 0:
+            # empty input with no expected columns is a complete scan
+            # (csv-scanner test empty_input_with_no_columns)
+            return [] if toks in ([], [""]) else None
         if len(toks) < ncol:
             return None
         if len(toks) > ncol:
@@ -162,6 +212,11 @@ class CsvParser:
             quoted = np.asarray(quoted, dtype=bool)
         else:
             quoted = np.zeros(n, dtype=bool)
+        if self.dialect in ("escape-backslash-with-sequences",
+                            "escape-unquoted-delimiter"):
+            # backslash escapes change tokenization -> scalar scanner
+            bs = pc.match_substring(src, "\\").to_numpy(zero_copy_only=False)
+            quoted = quoted | np.asarray(bs, dtype=bool)
 
         out_cols: list[np.ndarray] = []
         starts = offsets[:-1]
