@@ -59,3 +59,25 @@ def test_parallelize_keyed_colocates():
     assert out["_partition"].between(0, 3).all()
     shuffled = parallelize(rd.from_pandas(df), partitions=4, partition_key="$host").to_pandas()
     assert len(shuffled) == 100
+
+
+def test_indented_multiline_reference_conformance():
+    # lib/logproto/tests/test-indented-multiline-server.c pins through
+    # MultiLineJoiner("indented")
+    def join(lines):
+        out = MultiLineJoiner("indented")(pa.table({"text": lines}))
+        return [r["text"] for r in out.to_pylist()]
+
+    # test_proper_multiline ('newline' flushes the joined message)
+    assert join(["0", " 1=2", " 3=4", "newline"]) == \
+        ["0\n 1=2\n 3=4", "newline"]
+    # test_line_without_continuation
+    assert join(["01234567", "01234567", "newline"]) == \
+        ["01234567", "01234567", "newline"]
+    # test_input_starts_with_continuation: a leading continuation line
+    # is its own message
+    assert join([" 01234567", "01234567", "newline"]) == \
+        [" 01234567", "01234567", "newline"]
+    # test_multiline_at_eof: the trailing joined message flushes at EOF
+    assert join(["01234567", " 01234567", " end"]) == \
+        ["01234567\n 01234567\n end"]
