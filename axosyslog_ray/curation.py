@@ -308,3 +308,72 @@ def quota_head(ds, key_col: str, order_col: str, k: int, num_buckets: int | None
         return g.sort_values(order, kind="mergesort").groupby(key_col, sort=False).head(k)
 
     return bucketed_map_groups(ds, key_col, cap, num_buckets=num_buckets)
+
+
+def token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(id_col, n_tokens) per document — lower + [a-z0-9]+ run count,
+    the corpus-wide single-source-of-truth tokenization (decontaminate,
+    textstats.vocab). Map-only."""
+
+    def count(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pandas().fillna("")
+        n = texts.str.lower().str.count(r"[a-z0-9]+").astype(np.int64)
+        return pa.table({id_col: b.column(id_col),
+                         "n_tokens": pa.array(n.to_numpy())})
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+def pack_sequences(ds, window: int, text_col: str = "text", id_col: str = "doc_id",
+                   range_size: int = 4096):
+    """Greedy concat-and-chunk sequence packing: documents in id order
+    are laid end to end in token space; each doc's training sequence is
+    `seq_bin = floor(start_offset / window)` where start_offset is the
+    exclusive prefix sum of token counts. The standard pretraining
+    batch-packing step (docs stream into fixed context windows).
+
+    A global prefix sum is the textbook two-level scan tree, and that is
+    exactly what runs here:
+    1. per-doc token counts (map-only) with a coarse range key
+       `rng = id // range_size`;
+    2. per-range totals via groupby — the ROOT of the scan tree. The
+       root is corpus_size / range_size rows (one int per range): size
+       range_size so the root stays driver-bounded (at 10^12 docs,
+       range_size=10^6 leaves a 10^6-row root). The exclusive cumsum
+       over the root happens driver-side — that IS the scan-tree apex,
+       not a corpus materialization;
+    3. one shuffle co-locating each range, then a vectorized
+       within-range cumsum + the broadcast range offset.
+
+    Output: (id_col, n_tokens, seq_bin). Deterministic: pure function
+    of (id order, token counts, window)."""
+    import ray
+
+    counts = token_counts(ds, text_col, id_col)
+
+    def add_rng(b: pa.Table) -> pa.Table:
+        rng = b.column(id_col).to_numpy() // range_size
+        return b.append_column("rng", pa.array(rng.astype(np.int64)))
+
+    keyed = counts.map_batches(add_rng, batch_format="pyarrow")
+    root = keyed.groupby("rng").sum("n_tokens").to_pandas()
+    root.columns = ["rng", "total"]
+    root = root.sort_values("rng").reset_index(drop=True)
+    offsets = dict(zip(
+        root["rng"].to_numpy(),
+        np.concatenate([[0], np.cumsum(root["total"].to_numpy())[:-1]]),
+    ))
+    off_ref = ray.put(offsets)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values(id_col, kind="mergesort")
+        n = g["n_tokens"].to_numpy()
+        start = offs[int(g["rng"].iloc[0])] + np.cumsum(n) - n
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "n_tokens": n,
+            "seq_bin": (start // window).astype(np.int64),
+        })
+
+    return keyed.groupby("rng").map_groups(assign, batch_format="pandas")

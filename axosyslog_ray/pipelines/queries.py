@@ -2188,6 +2188,153 @@ GROUP BY dest ORDER BY dest
 """
 
 
+def docs_vocab_topk(sf_dir: str):
+    """Top-50 corpus vocabulary (textstats.vocab.vocab_topk): per-batch
+    word-count combiner so the shuffle exchanges vocabulary-sized data,
+    then a vocab-sized groupby sum + sort/limit."""
+    from ..textstats.vocab import vocab_topk
+
+    out = vocab_topk(_read(sf_dir, "documents", ["text"]), k=50).to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+DOCS_VOCAB_SQL = """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents)
+GROUP BY word ORDER BY cnt DESC, word LIMIT 50
+"""
+
+
+def docs_tfidf_topk(sf_dir: str):
+    """Per-doc top-3 keywords by integer tf-idf proxy (textstats.vocab
+    .tfidf_topk): distributed df aggregate + hash_join on word + bucketed
+    per-doc head — nothing vocabulary-sized on the driver."""
+    from ..textstats.vocab import tfidf_topk
+
+    out = tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=3).to_pandas()
+    for c in ("doc_id", "tf", "df", "score"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "word", "tf", "df", "score"]]
+            .sort_values(["doc_id", "score", "word"],
+                         ascending=[True, False, True]).reset_index(drop=True))
+
+
+DOCS_TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+    FROM documents)
+  GROUP BY doc_id, word),
+dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM terms GROUP BY word),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf, d.df,
+         CAST((t.tf * 1000000) // d.df AS BIGINT) AS score
+  FROM terms t JOIN dfreq d USING (word)),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, word) AS rn FROM scored)
+SELECT doc_id, word, tf, df, score
+FROM ranked WHERE rn <= 3 ORDER BY doc_id, score DESC, word
+"""
+
+
+def docs_pack_sequences(sf_dir: str):
+    """Greedy concat-and-chunk sequence packing into 64-token context
+    windows (curation.pack_sequences): two-level scan tree — per-range
+    token totals reduce to a range_size-bounded root, exclusive cumsum
+    at the root, vectorized within-range offsets. range_size=64 so the
+    test corpus actually exercises multiple ranges."""
+    from ..curation import pack_sequences
+
+    out = pack_sequences(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         window=64, range_size=64).to_pandas()
+    for c in ("doc_id", "n_tokens", "seq_bin"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_PACK_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(COALESCE(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 0)
+              AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 64 AS BIGINT)
+         AS seq_bin
+FROM c ORDER BY doc_id
+"""
+
+
+def docs_dedup_chunks(sf_dir: str):
+    """Duplicate-passage removal at 20-token chunk granularity
+    (dedup.chunks.dedup_chunks): map-only explode + ONE coarse-bucket
+    shuffle on chunk text, keep the globally-first (doc_id, chunk_id)
+    per distinct text."""
+    from ..dedup.chunks import dedup_chunks
+
+    out = dedup_chunks(_read(sf_dir, "documents", ["doc_id", "text"]),
+                       chunk_tokens=20).to_pandas()
+    for c in ("doc_id", "chunk_id", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+DOCS_DEDUP_CHUNKS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+c AS (
+  SELECT doc_id, w, n,
+         UNNEST(generate_series(0,
+           CASE WHEN n <= 20 THEN 0 ELSE CAST(ceil((n - 20) / 20.0) AS INT) END)) AS chunk_id
+  FROM t),
+ch AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         array_to_string(w[chunk_id * 20 + 1 : least(chunk_id * 20 + 20, n)], ' ') AS text,
+         CAST(least(chunk_id * 20 + 20, n) - chunk_id * 20 AS BIGINT) AS n_tokens
+  FROM c),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY text ORDER BY doc_id, chunk_id) AS rn FROM ch)
+SELECT doc_id, chunk_id, n_tokens FROM r WHERE rn = 1 ORDER BY doc_id, chunk_id
+"""
+
+
+def emb_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding column (ann.kmeans
+    .kmeans_labels, k=4, 3 iterations): assignment + integer partial
+    sums fused in one map_batches per iteration, k*(d+1)-row reduce.
+    Oracle: a generated CTE chain running the SAME quantized-integer
+    iterations in DuckDB (exact BIGINT partial sums on both sides)."""
+    from ..ann.kmeans import kmeans_labels
+
+    labels, _ = kmeans_labels(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=4, iters=3, vec_col="embedding", id_col="vec_id")
+    out = labels.to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def emb_semdedup(sf_dir: str):
+    """SemDeDup-style semantic pruning (ann.kmeans.semdedup): k-means
+    clusters, then within each cluster drop vectors with an earlier
+    neighbor above the cosine threshold. Declarative drop rule so the
+    oracle is the kmeans CTE chain + an EXISTS self-join."""
+    from ..ann.kmeans import semdedup
+
+    out = semdedup(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                   k=4, iters=3, threshold=0.45,
+                   vec_col="embedding", id_col="vec_id").to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "events_config_pipeline": events_config_pipeline,
     "q1_pricing": q1_pricing,
@@ -2253,6 +2400,12 @@ RAY_QUERIES = {
     "docs_decontaminate": docs_decontaminate,
     "docs_hash_sample": docs_hash_sample,
     "docs_source_quota": docs_source_quota,
+    "docs_vocab_topk": docs_vocab_topk,
+    "docs_tfidf_topk": docs_tfidf_topk,
+    "docs_pack_sequences": docs_pack_sequences,
+    "docs_dedup_chunks": docs_dedup_chunks,
+    "emb_kmeans": emb_kmeans,
+    "emb_semdedup": emb_semdedup,
 }
 
 ORACLE_SQLS = {
@@ -2356,4 +2509,20 @@ ORACLE_SQLS = {
         "read_parquet('/root/repo/tests/golden/flagship_routes_sf001.parquet') "
         "ORDER BY route, lang"
     ),
+    "docs_vocab_topk": DOCS_VOCAB_SQL,
+    "docs_tfidf_topk": DOCS_TFIDF_SQL,
+    "docs_pack_sequences": DOCS_PACK_SQL,
+    "docs_dedup_chunks": DOCS_DEDUP_CHUNKS_SQL,
 }
+
+
+def _register_generated_oracles():
+    """Generated-SQL oracles (CTE chains derived from the same constants
+    the Ray operators use — ann/kmeans.py builds them)."""
+    from ..ann.kmeans import kmeans_sql, semdedup_sql
+
+    ORACLE_SQLS["emb_kmeans"] = kmeans_sql(4, 3)
+    ORACLE_SQLS["emb_semdedup"] = semdedup_sql(4, 3, 0.45)
+
+
+_register_generated_oracles()

@@ -1,0 +1,150 @@
+"""Corpus vocabulary statistics: global word frequencies and tf-idf
+keyword extraction.
+
+These are corpus-analysis steps of a large-scale LLM data pipeline
+(vocabulary coverage checks, keyword indexing, filter-list mining) —
+beyond the reference's operator set, first-class per the build brief.
+
+Scale shapes:
+
+- **vocab_topk**: classic word-count with a per-batch COMBINER — each
+  batch collapses to its local (word, cnt) partials before the shuffle,
+  so the groupby exchanges vocabulary-sized data (millions of rows), not
+  corpus-sized token streams (trillions). The final sort+limit runs over
+  the vocabulary table only.
+
+- **tfidf_topk**: per-document keyword extraction. Document frequencies
+  are a corpus-wide aggregate, so the word dimension is joined back via
+  the repo's coarse-bucket hash_join (shuffle on `word`) — NOT broadcast:
+  a 100-TB corpus's vocabulary does not fit on the driver, and the join
+  keeps both sides distributed. The per-doc top-k is a second bucketed
+  shuffle on doc_id. The relevance score is the integer proxy
+  `score = (tf * 1_000_000) // df` — integer arithmetic is exactly
+  reproducible by any SQL engine (float tf*idf products differ in the
+  last ulp between engines and flip rank ties).
+
+Tokenization is lower + [a-z0-9]+ runs, the same single-source-of-truth
+rule as curation.decontaminate, chosen to be exactly expressible in the
+DuckDB oracle (regexp_extract_all(lower(text), '[a-z0-9]+')).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def _flat_tokens(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Flat token array of a batch plus per-doc segment starts."""
+    toks: list[str] = []
+    seg = np.empty(len(texts) + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        seg[i] = len(toks)
+        toks.extend(_WORD_RE.findall((t or "").lower()))
+    seg[len(texts)] = len(toks)
+    return np.array(toks, dtype=object), seg
+
+
+def _word_count_partial(batch: pa.Table, text_col: str) -> pa.Table:
+    """COMBINER: batch -> local (word, cnt) — the pre-shuffle reduction."""
+    texts = batch.column(text_col).to_pandas().to_numpy(dtype=object)
+    toks, _ = _flat_tokens(texts)
+    if not len(toks):
+        return pa.table({"word": pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
+    words, counts = np.unique(toks, return_counts=True)
+    return pa.table({"word": pa.array(words.astype(object), type=pa.string()),
+                     "cnt": pa.array(counts.astype(np.int64))})
+
+
+def vocab_topk(ds, k: int = 50, text_col: str = "text"):
+    """Top-k corpus words by total occurrences (ties: word ascending).
+
+    Returns a Dataset of (word, cnt) — combiner -> vocab-sized groupby
+    sum -> sort + limit. The only full exchange is over the vocabulary.
+    """
+    partials = ds.map_batches(
+        lambda b: _word_count_partial(b, text_col), batch_format="pyarrow")
+    totals = partials.groupby("word").sum("cnt")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["word", "cnt"])
+
+    return (totals.map_batches(rename, batch_format="pyarrow")
+            .sort(["cnt", "word"], descending=[True, False]).limit(k))
+
+
+def _doc_term_counts(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Explode a batch into unique (doc, word, tf) rows (per-doc combiner)."""
+    texts = batch.column(text_col).to_pandas().to_numpy(dtype=object)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    toks, seg = _flat_tokens(texts)
+    out_id: list = []
+    out_w: list = []
+    out_tf: list = []
+    for i in range(len(ids)):
+        part = toks[seg[i]:seg[i + 1]]
+        if not len(part):
+            continue
+        words, counts = np.unique(part, return_counts=True)
+        out_id.append(np.full(len(words), ids[i]))
+        out_w.append(words)
+        out_tf.append(counts)
+    if not out_id:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "word": pa.array([], type=pa.string()),
+                         "tf": pa.array([], type=pa.int64())})
+    return pa.table({
+        id_col: pa.array(np.concatenate(out_id).astype(np.int64)),
+        "word": pa.array(np.concatenate(out_w).astype(object), type=pa.string()),
+        "tf": pa.array(np.concatenate(out_tf).astype(np.int64)),
+    })
+
+
+def tfidf_topk(ds, k: int = 3, text_col: str = "text", id_col: str = "doc_id",
+               scale: int = 1_000_000):
+    """Per-document top-k keywords by the integer tf-idf proxy
+    `score = (tf * scale) // df` (ties: word ascending).
+
+    Returns a Dataset of (id_col, word, tf, df, score). Both the df
+    aggregate and the df join are distributed (shuffle on `word`); the
+    per-doc ranking is a bucketed shuffle on the id — nothing
+    vocabulary- or corpus-sized touches the driver.
+    """
+    from ..join import hash_join
+    from ..shuffle import bucketed_map_groups
+
+    terms = ds.map_batches(
+        lambda b: _doc_term_counts(b, text_col, id_col), batch_format="pyarrow")
+    # df: each (doc, word) row is unique, so count(*) per word == #docs
+    df = terms.groupby("word").count()
+
+    def rename_df(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["word", "df"])
+
+    df = df.map_batches(rename_df, batch_format="pyarrow")
+    terms_schema = pa.schema([(id_col, pa.int64()), ("word", pa.string()),
+                              ("tf", pa.int64())])
+    df_schema = pa.schema([("word", pa.string()), ("df", pa.int64())])
+    joined = hash_join(terms, df, key="word",
+                       left_schema=terms_schema, right_schema=df_schema)
+
+    def score(b: pa.Table) -> pa.Table:
+        tf = b.column("tf").to_numpy()
+        dfreq = b.column("df").to_numpy()
+        s = (tf * scale) // dfreq
+        return b.append_column("score", pa.array(s.astype(np.int64)))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "score", "word"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.groupby(id_col, sort=False).head(k)
+
+    return bucketed_map_groups(scored, id_col, head_k)
