@@ -586,7 +586,10 @@ def docs_simhash_clusters(sf_dir: str):
     (scripts/gen_golden_oracles.py — disclosed regression pin)."""
     from ..dedup.simhash import simhash_candidates
 
-    out = simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]), final="driver")
+    # final="shuffle" (the operator default): the per-doc min reduce runs
+    # as a distributed coarse-bucket groupby — no per-doc rows stream to
+    # the driver; only this bounded sf-test result is collected
+    out = simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
     return out.astype("int64").sort_values("doc_id").reset_index(drop=True)
 
 
