@@ -5,13 +5,14 @@ k-means is the workhorse of embedding-space curation (SemDeDup pruning,
 IVF coarse quantizers, topic balancing). The implementation is Lloyd's
 algorithm expressed Ray-Data-first:
 
-- **assignment + partial sums** run inside ONE `map_batches` pass per
-  iteration: each batch assigns its rows to the nearest centroid (one
-  integer matmul) and emits per-(cluster, dim) partial sums — k*(d+1)
-  rows per batch, a combiner, never the vectors;
-- **the reduce** is `groupby(cluster, dim).sum()` over those partials —
-  a k*(d+1)-row aggregate, driver-bounded by construction (k and d are
-  model constants, not data sizes);
+- **assignment + partial sums** run inside ONE pass per iteration: each
+  block assigns its rows to the nearest centroid (one integer matmul)
+  and accumulates a k x (d+1) partial-sum matrix — a combiner, never
+  the vectors;
+- **the reduce** is a custom `AggregateFnV2` tree combine over those
+  matrices (`Dataset.aggregate`) — k*(d+1) ints per block, merged
+  pairwise, NO all-to-all shuffle per iteration; driver-bounded by
+  construction (k and d are model constants, not data sizes);
 - centroids are tiny (k*d int64) and ship inside the stage closure.
 
 Determinism (what makes the generated-SQL oracle possible): vectors are
@@ -65,30 +66,36 @@ def _assign_ids(Xq: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)
 
 
-class _PartialSums:
-    """map_batches stage: assign + emit (cluster, dim, s) partial sums.
-    dim == -1 rows carry the cluster's row count."""
+def _make_sum_agg(cents: np.ndarray, vec_col: str):
+    """AggregateFnV2: assign + accumulate per-cluster (cnt | dim sums)
+    as ONE k x (d+1) int64 matrix. Dataset.aggregate runs this as a
+    per-block accumulate + tree combine — NO all-to-all shuffle per
+    Lloyd iteration (the previous groupby(cluster, dim).sum paid a full
+    sort-shuffle's fixed cost to reduce k*(d+1) rows)."""
+    from ray.data.aggregate import AggregateFnV2
 
-    def __init__(self, cents: np.ndarray, vec_col: str):
-        self.cents = cents
-        self.vec_col = vec_col
+    k, d = cents.shape
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"cluster": pa.array([], type=pa.int64()),
-                             "dim": pa.array([], type=pa.int64()),
-                             "s": pa.array([], type=pa.int64())})
-        Xq = _quantized(batch.column(self.vec_col))
-        lab = _assign_ids(Xq, self.cents)
-        k, d = self.cents.shape
-        sums = np.zeros((k, d), dtype=np.int64)
-        np.add.at(sums, lab, Xq)
-        cnt = np.bincount(lab, minlength=k).astype(np.int64)
-        cl = np.repeat(np.arange(k, dtype=np.int64), d + 1)
-        dim = np.tile(np.concatenate([[-1], np.arange(d, dtype=np.int64)]), k)
-        s = np.concatenate([np.concatenate([[cnt[j]], sums[j]]) for j in range(k)])
-        return pa.table({"cluster": pa.array(cl), "dim": pa.array(dim),
-                         "s": pa.array(s)})
+    class _KmSums(AggregateFnV2):
+        def __init__(self):
+            super().__init__(name="km", on=None, ignore_nulls=False,
+                             zero_factory=lambda: np.zeros((k, d + 1), dtype=np.int64))
+
+        def aggregate_block(self, block):
+            t = pa.Table.from_pandas(block) if not isinstance(block, pa.Table) else block
+            acc = np.zeros((k, d + 1), dtype=np.int64)
+            if t.num_rows == 0:
+                return acc
+            Xq = _quantized(t.column(vec_col))
+            lab = _assign_ids(Xq, cents)
+            np.add.at(acc[:, 1:], lab, Xq)
+            acc[:, 0] = np.bincount(lab, minlength=k).astype(np.int64)
+            return acc
+
+        def combine(self, a, b):
+            return np.asarray(a, dtype=np.int64) + np.asarray(b, dtype=np.int64)
+
+    return _KmSums()
 
 
 def _recompute(cents: np.ndarray, sums: np.ndarray, cnt: np.ndarray) -> np.ndarray:
@@ -119,16 +126,9 @@ def _lloyd_centroids(ds, k: int, iters: int, vec_col: str, id_col: str) -> np.nd
     d = cents.shape[1]
 
     for _ in range(iters):
-        part = ds.map_batches(_PartialSums(cents, vec_col), batch_format="pyarrow")
-        agg = part.groupby(["cluster", "dim"]).sum("s").to_pandas()
-        agg.columns = ["cluster", "dim", "s"]
-        cnt = np.zeros(k, dtype=np.int64)
-        sums = np.zeros((k, d), dtype=np.int64)
-        crow = agg[agg["dim"] == -1]
-        cnt[crow["cluster"].to_numpy()] = crow["s"].to_numpy()
-        srow = agg[agg["dim"] >= 0]
-        sums[srow["cluster"].to_numpy(), srow["dim"].to_numpy()] = srow["s"].to_numpy()
-        cents = _recompute(cents, sums, cnt)
+        acc = ds.aggregate(_make_sum_agg(cents, vec_col))["km"]
+        acc = np.asarray(acc, dtype=np.int64)
+        cents = _recompute(cents, acc[:, 1:], acc[:, 0])
     return cents
 
 

@@ -65,18 +65,25 @@ def _word_count_partial(batch: pa.Table, text_col: str) -> pa.Table:
 def vocab_topk(ds, k: int = 50, text_col: str = "text"):
     """Top-k corpus words by total occurrences (ties: word ascending).
 
-    Returns a Dataset of (word, cnt) — combiner -> vocab-sized groupby
-    sum -> sort + limit. The only full exchange is over the vocabulary.
+    Returns a Dataset of (word, cnt) — combiner -> ONE coarse-bucket
+    shuffle on hash(word) that sums per word AND takes the bucket-local
+    top-k (each word lives wholly in one bucket, so the global top-k is
+    a subset of the union of bucket top-ks) -> final sort + limit over
+    num_buckets*k rows only. The only full exchange is the vocab-sized
+    bucket shuffle; the sort never sees the vocabulary.
     """
+    from ..shuffle import bucketed_map_groups
+
     partials = ds.map_batches(
         lambda b: _word_count_partial(b, text_col), batch_format="pyarrow")
-    totals = partials.groupby("word").sum("cnt")
 
-    def rename(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["word", "cnt"])
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("word", as_index=False)["cnt"].sum()
+        return tot.sort_values(["cnt", "word"], ascending=[False, True],
+                               kind="mergesort").head(k)
 
-    return (totals.map_batches(rename, batch_format="pyarrow")
-            .sort(["cnt", "word"], descending=[True, False]).limit(k))
+    cand = bucketed_map_groups(partials, "word", bucket_topk)
+    return cand.sort(["cnt", "word"], descending=[True, False]).limit(k)
 
 
 def _doc_term_counts(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
@@ -111,36 +118,28 @@ def tfidf_topk(ds, k: int = 3, text_col: str = "text", id_col: str = "doc_id",
     """Per-document top-k keywords by the integer tf-idf proxy
     `score = (tf * scale) // df` (ties: word ascending).
 
-    Returns a Dataset of (id_col, word, tf, df, score). Both the df
-    aggregate and the df join are distributed (shuffle on `word`); the
-    per-doc ranking is a bucketed shuffle on the id — nothing
+    Returns a Dataset of (id_col, word, tf, df, score). The df aggregate
+    AND the df join are ONE bucketed shuffle on `word`: each bucket holds
+    every (doc, word, tf) row of its words, so the per-word doc count and
+    the score attach in place — no separate groupby + join (which cost a
+    second full execution of `terms` plus two extra all-to-alls). The
+    per-doc ranking is a second bucketed shuffle on the id — nothing
     vocabulary- or corpus-sized touches the driver.
     """
-    from ..join import hash_join
     from ..shuffle import bucketed_map_groups
 
     terms = ds.map_batches(
         lambda b: _doc_term_counts(b, text_col, id_col), batch_format="pyarrow")
-    # df: each (doc, word) row is unique, so count(*) per word == #docs
-    df = terms.groupby("word").count()
 
-    def rename_df(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["word", "df"])
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        # each (doc, word) row is unique, so the word's row count == df
+        g = g.copy()
+        g["df"] = g.groupby("word")["word"].transform("size").astype("int64")
+        g["score"] = ((g["tf"].to_numpy(np.int64) * scale)
+                      // g["df"].to_numpy(np.int64))
+        return g
 
-    df = df.map_batches(rename_df, batch_format="pyarrow")
-    terms_schema = pa.schema([(id_col, pa.int64()), ("word", pa.string()),
-                              ("tf", pa.int64())])
-    df_schema = pa.schema([("word", pa.string()), ("df", pa.int64())])
-    joined = hash_join(terms, df, key="word",
-                       left_schema=terms_schema, right_schema=df_schema)
-
-    def score(b: pa.Table) -> pa.Table:
-        tf = b.column("tf").to_numpy()
-        dfreq = b.column("df").to_numpy()
-        s = (tf * scale) // dfreq
-        return b.append_column("score", pa.array(s.astype(np.int64)))
-
-    scored = joined.map_batches(score, batch_format="pyarrow")
+    scored = bucketed_map_groups(terms, "word", attach_df)
 
     def head_k(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([id_col, "score", "word"],
