@@ -2271,6 +2271,50 @@ FROM c ORDER BY doc_id
 """
 
 
+def docs_substring_dedup(sf_dir: str):
+    """ExactSubstr dedup (dedup.substring.substring_dedup, Lee et al.
+    ACL 2022 semantics at 10-word-window granularity): every word
+    covered by a corpus-duplicated window is removed from EVERY copy.
+    Hash prepass (16-byte window rows in the wide shuffle) + exact
+    text verification, independently oracled by a DuckDB window
+    self-join over the same tokenization."""
+    from ..dedup.substring import substring_dedup
+
+    out = substring_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          k=10).to_pandas()
+    for c in ("doc_id", "n_words", "n_removed"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SUBSTR_K = 10
+DOCS_SUBSTRING_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+nw AS (SELECT doc_id, ws, len(ws) AS n FROM toks),
+win AS (
+  SELECT nw.doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(ws[i : i + {_SUBSTR_K - 1}], ' ') AS w
+  FROM nw, LATERAL (SELECT unnest(range(1, greatest(n - {_SUBSTR_K - 2}, 1))) AS i) t),
+dup AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT dw.doc_id, CAST(dw.pos + o.j AS BIGINT) AS p
+  FROM (SELECT win.doc_id, win.pos FROM win JOIN dup USING (w)) dw,
+       LATERAL (SELECT unnest(range(0, {_SUBSTR_K})) AS j) o),
+docw AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS p FROM toks),
+agg AS (
+  SELECT d.doc_id, count(*) AS n_words, count(c.p) AS n_removed,
+         coalesce(string_agg(CASE WHEN c.p IS NULL THEN d.word END, ' ' ORDER BY d.p), '') AS text_clean
+  FROM docw d LEFT JOIN cov c ON d.doc_id = c.doc_id AND d.p = c.p
+  GROUP BY d.doc_id)
+SELECT t.doc_id, coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_removed, 0) AS n_removed,
+       coalesce(a.text_clean, '') AS text_clean
+FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 def docs_dedup_chunks(sf_dir: str):
     """Duplicate-passage removal at 20-token chunk granularity
     (dedup.chunks.dedup_chunks): map-only explode + ONE coarse-bucket
@@ -2406,6 +2450,7 @@ RAY_QUERIES = {
     "docs_vocab_topk": docs_vocab_topk,
     "docs_tfidf_topk": docs_tfidf_topk,
     "docs_pack_sequences": docs_pack_sequences,
+    "docs_substring_dedup": docs_substring_dedup,
     "docs_dedup_chunks": docs_dedup_chunks,
     "emb_kmeans": emb_kmeans,
     "emb_semdedup": emb_semdedup,
@@ -2515,6 +2560,7 @@ ORACLE_SQLS = {
     "docs_vocab_topk": DOCS_VOCAB_SQL,
     "docs_tfidf_topk": DOCS_TFIDF_SQL,
     "docs_pack_sequences": DOCS_PACK_SQL,
+    "docs_substring_dedup": DOCS_SUBSTRING_DEDUP_SQL,
     "docs_dedup_chunks": DOCS_DEDUP_CHUNKS_SQL,
 }
 
