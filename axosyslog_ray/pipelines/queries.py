@@ -2271,6 +2271,45 @@ FROM c ORDER BY doc_id
 """
 
 
+def docs_bloom_decontaminate(sf_dir: str):
+    """Cross-corpus Bloom membership (dedup.bloom.gram_bloom_flags):
+    per-doc count of word-3-gram positions that hit a Bloom filter
+    built by streaming the reference shard (source='src0') through a
+    tree OR-reduce — bounded broadcast state regardless of reference
+    size. Oracle is the EXACT membership join: green iff the filter
+    produced zero false positives on this corpus, which the 2^22-bit /
+    7-hash sizing guarantees with ~1e-10 per-probe odds (the FP rate
+    itself is pinned by tests/test_bloom.py)."""
+    from ..dedup.bloom import gram_bloom_flags
+
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"])
+    ref = _read(sf_dir, "documents", ["text", "source"]).filter(
+        expr="source == 'src0'")
+    out = gram_bloom_flags(corpus, ref, n=3).to_pandas()
+    for c in ("doc_id", "n_grams", "n_hit"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_BLOOM_DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents),
+nw AS (SELECT doc_id, source, ws, len(ws) AS n FROM toks),
+g AS (
+  SELECT nw.doc_id, nw.source, array_to_string(ws[i : i + 2], ' ') AS gram
+  FROM nw, LATERAL (SELECT unnest(range(1, greatest(n - 1, 1))) AS i) t),
+ref AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+cnt AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN ref.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM g LEFT JOIN ref USING (gram) GROUP BY g.doc_id)
+SELECT t.doc_id, CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(c.n_hit, 0) AS BIGINT) AS n_hit
+FROM toks t LEFT JOIN cnt c USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 def docs_substring_dedup(sf_dir: str):
     """ExactSubstr dedup (dedup.substring.substring_dedup, Lee et al.
     ACL 2022 semantics at 10-word-window granularity): every word
@@ -2450,6 +2489,7 @@ RAY_QUERIES = {
     "docs_vocab_topk": docs_vocab_topk,
     "docs_tfidf_topk": docs_tfidf_topk,
     "docs_pack_sequences": docs_pack_sequences,
+    "docs_bloom_decontaminate": docs_bloom_decontaminate,
     "docs_substring_dedup": docs_substring_dedup,
     "docs_dedup_chunks": docs_dedup_chunks,
     "emb_kmeans": emb_kmeans,
@@ -2560,6 +2600,7 @@ ORACLE_SQLS = {
     "docs_vocab_topk": DOCS_VOCAB_SQL,
     "docs_tfidf_topk": DOCS_TFIDF_SQL,
     "docs_pack_sequences": DOCS_PACK_SQL,
+    "docs_bloom_decontaminate": DOCS_BLOOM_DECONTAMINATE_SQL,
     "docs_substring_dedup": DOCS_SUBSTRING_DEDUP_SQL,
     "docs_dedup_chunks": DOCS_DEDUP_CHUNKS_SQL,
 }
