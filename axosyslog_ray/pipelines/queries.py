@@ -2271,6 +2271,82 @@ FROM c ORDER BY doc_id
 """
 
 
+def docs_gopher_repetition(sf_dir: str):
+    """Gopher repetition rules (textstats.repetition.gopher_repetition,
+    Rae et al. 2021 table A1's repetition half): duplicate-line
+    fractions, top-{2,3,4}-gram character fractions, duplicated-5-gram
+    character coverage — map-only (no shuffle at any scale),
+    independently SQL-oracled."""
+    from ..textstats.repetition import gopher_repetition
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        gopher_repetition, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_lines"] = out["n_lines"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_GOPHER_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ws
+  FROM documents),
+nw AS (SELECT doc_id, ws, len(ws) AS n,
+              greatest(length(array_to_string(ws, '')), 1) AS tot_ch FROM toks),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM toks),
+lc AS (SELECT doc_id, l, count(*) AS c, length(l) AS ch
+       FROM lines GROUP BY doc_id, l),
+lagg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         sum(c - 1) / greatest(sum(c), 1) AS dlf,
+         CAST(sum((c - 1) * ch) AS DOUBLE) / greatest(sum(c * ch), 1) AS dlcf
+  FROM lc GROUP BY doc_id),
+g2 AS (SELECT nw.doc_id, array_to_string(ws[i : i + 1], ' ') AS g, tot_ch
+       FROM nw, LATERAL (SELECT unnest(range(1, greatest(n, 1))) AS i) t),
+t2 AS (SELECT doc_id, max(c * ln) / any_value(tot_ch) AS v FROM (
+         SELECT doc_id, g, tot_ch, count(*) AS c, length(g) - 1 AS ln
+         FROM g2 GROUP BY doc_id, g, tot_ch HAVING count(*) >= 2)
+       GROUP BY doc_id),
+g3 AS (SELECT nw.doc_id, array_to_string(ws[i : i + 2], ' ') AS g, tot_ch
+       FROM nw, LATERAL (SELECT unnest(range(1, greatest(n - 1, 1))) AS i) t),
+t3 AS (SELECT doc_id, max(c * ln) / any_value(tot_ch) AS v FROM (
+         SELECT doc_id, g, tot_ch, count(*) AS c, length(g) - 2 AS ln
+         FROM g3 GROUP BY doc_id, g, tot_ch HAVING count(*) >= 2)
+       GROUP BY doc_id),
+g4 AS (SELECT nw.doc_id, array_to_string(ws[i : i + 3], ' ') AS g, tot_ch
+       FROM nw, LATERAL (SELECT unnest(range(1, greatest(n - 2, 1))) AS i) t),
+t4 AS (SELECT doc_id, max(c * ln) / any_value(tot_ch) AS v FROM (
+         SELECT doc_id, g, tot_ch, count(*) AS c, length(g) - 3 AS ln
+         FROM g4 GROUP BY doc_id, g, tot_ch HAVING count(*) >= 2)
+       GROUP BY doc_id),
+g5 AS (SELECT nw.doc_id, CAST(i AS BIGINT) AS pos,
+              array_to_string(ws[i : i + 4], ' ') AS g
+       FROM nw, LATERAL (SELECT unnest(range(1, greatest(n - 3, 1))) AS i) t),
+d5 AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING count(*) >= 2),
+cov5 AS (
+  SELECT DISTINCT dg.doc_id, CAST(dg.pos + o.j AS BIGINT) AS p
+  FROM (SELECT g5.doc_id, g5.pos FROM g5 JOIN d5 USING (doc_id, g)) dg,
+       LATERAL (SELECT unnest(range(0, 5)) AS j) o),
+c5 AS (
+  SELECT cov5.doc_id, sum(length(nw.ws[cov5.p])) AS cch
+  FROM cov5 JOIN nw USING (doc_id) GROUP BY cov5.doc_id)
+SELECT nw.doc_id,
+       coalesce(lagg.n_lines, 1) AS n_lines,
+       ROUND(coalesce(lagg.dlf, 0), 4) AS dup_line_frac,
+       ROUND(coalesce(lagg.dlcf, 0), 4) AS dup_line_char_frac,
+       ROUND(coalesce(t2.v, 0), 4) AS top_2gram_char_frac,
+       ROUND(coalesce(t3.v, 0), 4) AS top_3gram_char_frac,
+       ROUND(coalesce(t4.v, 0), 4) AS top_4gram_char_frac,
+       ROUND(coalesce(CAST(c5.cch AS DOUBLE) / nw.tot_ch, 0), 4) AS dup_5gram_char_frac
+FROM nw
+LEFT JOIN lagg USING (doc_id) LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id)
+LEFT JOIN c5 USING (doc_id)
+ORDER BY nw.doc_id
+"""
+
+
 def docs_bloom_decontaminate(sf_dir: str):
     """Cross-corpus Bloom membership (dedup.bloom.gram_bloom_flags):
     per-doc count of word-3-gram positions that hit a Bloom filter
@@ -2489,6 +2565,7 @@ RAY_QUERIES = {
     "docs_vocab_topk": docs_vocab_topk,
     "docs_tfidf_topk": docs_tfidf_topk,
     "docs_pack_sequences": docs_pack_sequences,
+    "docs_gopher_repetition": docs_gopher_repetition,
     "docs_bloom_decontaminate": docs_bloom_decontaminate,
     "docs_substring_dedup": docs_substring_dedup,
     "docs_dedup_chunks": docs_dedup_chunks,
@@ -2600,6 +2677,7 @@ ORACLE_SQLS = {
     "docs_vocab_topk": DOCS_VOCAB_SQL,
     "docs_tfidf_topk": DOCS_TFIDF_SQL,
     "docs_pack_sequences": DOCS_PACK_SQL,
+    "docs_gopher_repetition": DOCS_GOPHER_REPETITION_SQL,
     "docs_bloom_decontaminate": DOCS_BLOOM_DECONTAMINATE_SQL,
     "docs_substring_dedup": DOCS_SUBSTRING_DEDUP_SQL,
     "docs_dedup_chunks": DOCS_DEDUP_CHUNKS_SQL,
