@@ -1139,44 +1139,57 @@ def _digest(algo: str):
     return fn
 
 
-def _codec(enc, null_on_err=True):
+def _codec(enc, bytes_ok=True):
+    """func-encode.c arg handling: string/bytes accepted (strings as
+    their utf-8 bytes), ANY other type is the reference's
+    wrong-arg-type eval error -> the engine's per-row error value
+    (null); decode failures (bad hex/base64) also null."""
     def fn(a: pd.Series) -> pd.Series:
         out = []
         for v in a:
             if pd.isna(v):
                 out.append(None)
                 continue
+            if isinstance(v, str):
+                arg = v.encode("utf-8", "replace")
+            elif bytes_ok and isinstance(v, (bytes, bytearray)):
+                arg = bytes(v)
+            else:
+                out.append(None)  # wrong_arg_type (test_func_encode.c)
+                continue
             try:
-                out.append(enc(str(v)))
+                out.append(enc(arg))
             except (ValueError, TypeError):
-                out.append(None if null_on_err else v)
+                out.append(None)
         return pd.Series(out, dtype=object)
 
     return fn
 
 
-def _b64e(s: str) -> str:
+def _b64e(b: bytes) -> str:
     import base64
 
-    return base64.b64encode(s.encode()).decode()
+    return base64.b64encode(b).decode()
 
 
-def _b64d(s: str) -> str:
+def _b64d(b: bytes) -> bytes:
+    """base64_decode returns a BYTES object like the reference (the
+    decoded payload need not be utf-8)."""
     import base64
 
-    return base64.b64decode(s.encode(), validate=True).decode()
+    return base64.b64decode(b, validate=True)
 
 
-def _urlencode(s: str) -> str:
+def _urlencode(b: bytes) -> str:
     from urllib.parse import quote
 
-    return quote(s, safe="")
+    return quote(b, safe="")
 
 
-def _urldecode(s: str) -> str:
+def _urldecode(b: bytes) -> str:
     from urllib.parse import unquote
 
-    return unquote(s)
+    return unquote(b.decode("utf-8", "replace"))
 
 
 _FUNCS = {
@@ -1208,9 +1221,12 @@ _FUNCS = {
     "sha1": _digest("sha1"),
     "sha256": _digest("sha256"),
     "sha512": _digest("sha512"),
-    # lib/filterx/func-encode.c + urlencode/urldecode
-    "hex_encode": _codec(lambda s: s.encode().hex()),
-    "hex_decode": _codec(lambda s: bytes.fromhex(s).decode()),
+    # lib/filterx/func-encode.c + urlencode/urldecode (decode returns
+    # BYTES objects like the reference; conformance pins from
+    # lib/filterx/tests/test_func_encode.c in
+    # tests/test_filterx_encode_conformance.py)
+    "hex_encode": _codec(lambda b: b.hex()),
+    "hex_decode": _codec(lambda b: bytes.fromhex(b.decode("ascii"))),
     "base64_encode": _codec(_b64e),
     "base64_decode": _codec(_b64d),
     "urlencode": _codec(_urlencode),

@@ -65,7 +65,12 @@ class ValueRef:
                 and "matches" in table.column_names):
             idx = int(self.name) - 1
             fill = self.default if self.default is not None else ""
-            if idx < 0:  # $0 (the whole match) is not stored
+            if idx < 0:
+                # $0 (the whole match, logmsg match 0) — stored as the
+                # regexp parser's match0 column when store-matches ran
+                if "match0" in table.column_names:
+                    col = table.column("match0").to_pandas()
+                    return col.astype(object).where(col.notna(), fill)
                 return pd.Series([fill] * table.num_rows, dtype=object)
             lst = table.column("matches").to_pandas()
             return pd.Series(

@@ -5,12 +5,26 @@ Semantics mirror the reference regexp parser
 lib/logmatcher.c log_matcher_pcre_re_new): named groups become fields
 (with `prefix()`), numbered groups become `$1..$n` — here a
 `matches: list<string>` column, the reference's num_matches model
-(lib/logmsg/logmsg.h:282-283). Non-matching rows get `re_matched=False`
-(the pipeline applies the reference's parser-failure drop where
-configured).
+(lib/logmsg/logmsg.h:282-283), plus `match0` for `$0` (the whole
+match, lib/logmsg/logmsg.c match 0). Non-matching rows get
+`re_matched=False` (the pipeline applies the reference's
+parser-failure drop where configured).
 
-Vectorization: `Series.str.extract` runs the compiled regex in a single
-C-driven pass; no Python-per-row loop.
+PCRE surface differences handled at compile time:
+- `(?<name>...)` group syntax normalizes to Python's `(?P<name>...)`
+  (lookbehind `(?<=` / `(?<!` untouched);
+- `dupnames=True` (LMF_DUPNAMES, lib/logmatcher.h) allows repeated
+  group names by uniquifying them internally; the emitted value is the
+  LAST group of that name that participated in the match — the
+  reference's store-matches behavior where later named groups
+  overwrite earlier ones (pinned against the reference's own
+  test_filters_regexp.c corpus in
+  tests/test_regexp_match_conformance.py). Without the flag a
+  duplicate name is a compile error, like PCRE's default.
+
+One compiled-regex search per row builds match0 + numbered + named
+columns together (pandas' str.extract/str.contains pair costs two
+passes for the same work).
 """
 
 from __future__ import annotations
@@ -21,6 +35,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+_GROUP_SYNTAX = re.compile(r"\(\?<(?![=!])")
+_NAMED_GROUP = re.compile(r"\(\?P<([^>]*)>")
+
 
 class RegexpParser:
     def __init__(
@@ -30,34 +47,69 @@ class RegexpParser:
         source_col: str = "message",
         emit_matches: bool = False,
         flags: int = 0,
+        dupnames: bool = False,
     ):
+        pattern = _GROUP_SYNTAX.sub("(?P<", pattern)
+        self._dup_groups: dict[str, list[str]] = {}
+        if dupnames:
+            seen: dict[str, list[str]] = {}
+
+            def _rename(m: re.Match) -> str:
+                name = m.group(1)
+                bucket = seen.setdefault(name, [])
+                uniq = name if not bucket else f"{name}_dUp{len(bucket)}_"
+                bucket.append(uniq)
+                return f"(?P<{uniq}>"
+
+            pattern = _NAMED_GROUP.sub(_rename, pattern)
+            self._dup_groups = {n: u for n, u in seen.items() if len(u) > 1}
         self.re = re.compile(pattern, flags)
         self.prefix = prefix
         self.source_col = source_col
         self.emit_matches = emit_matches
-        self.named = list(self.re.groupindex.keys())
+        uniq_to_orig = {u: n for n, us in self._dup_groups.items() for u in us}
+        # output order: first appearance order of the ORIGINAL names
+        self.named: list[str] = []
+        for g in self.re.groupindex:
+            orig = uniq_to_orig.get(g, g)
+            if orig not in self.named:
+                self.named.append(orig)
 
     def __call__(self, table: pa.Table) -> pa.Table:
-        s = table.column(self.source_col).to_pandas().astype("string")
-        ex = s.str.extract(self.re)  # one row per input, NaN where unmatched
+        s = table.column(self.source_col).to_pandas()
+        n = len(s)
+        search = self.re.search
+        mobjs = [search(v) if isinstance(v, str) else None
+                 for v in s.to_numpy(dtype=object)]
+        matched = np.array([m is not None for m in mobjs], dtype=bool)
         out = table
-        # match success is the PATTERN matching, not any group capturing —
-        # a match where every (optional) group is empty still succeeds,
-        # like the reference's matcher (logmatcher.c)
-        matched = s.str.contains(self.re, na=False)
         if self.named:
+            named_vals: dict[str, np.ndarray] = {
+                name: np.full(n, None, dtype=object) for name in self.named}
+            for i, m in enumerate(mobjs):
+                if m is None:
+                    continue
+                gd = m.groupdict()
+                for name in self.named:
+                    alts = self._dup_groups.get(name, (name,))
+                    # LAST participating duplicate wins (store-matches)
+                    for u in reversed(alts):
+                        if gd.get(u) is not None:
+                            named_vals[name][i] = gd[u]
+                            break
             for name in self.named:
-                col = ex[name]
-                arr = col.to_numpy(dtype=object, copy=True)
-                arr[col.isna().to_numpy()] = None
-                out = out.append_column(self.prefix + name, pa.array(arr, type=pa.string()))
+                out = out.append_column(
+                    self.prefix + name, pa.array(named_vals[name], type=pa.string()))
         if self.emit_matches:
-            # numbered groups -> $1..$n list column (transient between stages)
-            lists = np.full(len(s), None, dtype=object)
-            m_np = matched.to_numpy()
-            vals = ex.to_numpy(dtype=object)
-            for i in np.flatnonzero(m_np):
-                lists[i] = [None if pd.isna(v) else v for v in vals[i]]
+            # numbered groups -> $1..$n list column; $0 -> match0
+            lists = np.full(n, None, dtype=object)
+            m0 = np.full(n, None, dtype=object)
+            for i, m in enumerate(mobjs):
+                if m is None:
+                    continue
+                lists[i] = list(m.groups())
+                m0[i] = m.group(0)
             out = out.append_column("matches", pa.array(lists, type=pa.list_(pa.string())))
-        out = out.append_column("re_matched", pa.array(matched.to_numpy()))
+            out = out.append_column("match0", pa.array(m0, type=pa.string()))
+        out = out.append_column("re_matched", pa.array(matched))
         return out

@@ -253,8 +253,9 @@ def test_encodings_roundtrip():
                "$b = base64_decode(base64_encode($s));"
                "$u = urldecode(urlencode($s));"
                "$he = hex_encode($s); $ue = urlencode($s);", t)
-    assert out.column("h").to_pylist() == ["hi there/x", None]
-    assert out.column("b").to_pylist() == ["hi there/x", None]
+    # decode returns BYTES objects like the reference (func-encode.c)
+    assert out.column("h").to_pylist() == [b"hi there/x", None]
+    assert out.column("b").to_pylist() == [b"hi there/x", None]
     assert out.column("u").to_pylist() == ["hi there/x", None]
     assert out.column("he").to_pylist() == ["68692074686572652f78", None]
     assert out.column("ue").to_pylist() == ["hi%20there%2Fx", None]
@@ -263,7 +264,7 @@ def test_encodings_roundtrip():
 def test_decode_error_yields_null():
     t = pa.table({"s": ["zz-not-hex", "6869"]})
     out = _run("$d = hex_decode($s); $b = base64_decode($s);", t)
-    assert out.column("d").to_pylist() == [None, "hi"]
+    assert out.column("d").to_pylist() == [None, b"hi"]
     assert out.column("b").to_pylist()[0] is None
 
 
