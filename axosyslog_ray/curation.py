@@ -36,9 +36,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .hashutil import hash_str_array
+_WORD_RE = re.compile(r"[a-z0-9]+")  # the repo's single-source tokenization rule
 
-_WORD_RE = re.compile(r"[a-z0-9]+")
+
+_GRAM_A = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier, mod-2^64 polynomial
 
 
 def _gram_hashes(texts: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
@@ -47,19 +48,39 @@ def _gram_hashes(texts: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
     lower + [a-z0-9]+ runs — chosen to be exactly expressible in the
     DuckDB oracle (regexp_extract_all(lower(text), '[a-z0-9]+')). Docs
     with fewer than n tokens contribute NO grams (can't be contaminated
-    by an n-gram they don't contain)."""
-    grams: list[str] = []
-    seg_starts = np.empty(len(texts) + 1, dtype=np.int64)
-    pos = 0
-    for d, text in enumerate(texts):
-        seg_starts[d] = pos
-        toks = _WORD_RE.findall(text.lower())
-        if len(toks) >= n:
-            grams.extend(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
-            pos += len(toks) - n + 1
-    seg_starts[len(texts)] = pos
-    h = hash_str_array(np.array(grams, dtype=object)) if grams else np.empty(0, np.uint64)
-    return h, seg_starts
+    by an n-gram they don't contain).
+
+    Vectorized: ONE siphash pass over the flat token stream, then an
+    n-wide polynomial window combine + splitmix64 finalizer (the
+    substring.py rolling-window construction) — no per-gram Python
+    string joins. Tokens contain no spaces, so (token-tuple -> joined
+    string) is bijective and hashing the tuple is semantically identical
+    to hashing the joined gram string: membership comparisons against
+    another _gram_hashes output equal string-equality membership modulo
+    64-bit collisions, exactly as before."""
+    from .textstats.vocab import _flat_tokens
+    from .hashutil import splitmix64
+
+    toks, seg = _flat_tokens(texts)
+    nt = len(toks)
+    n_docs = len(texts)
+    tok_per_doc = np.diff(seg)
+    grams_per_doc = np.maximum(tok_per_doc - n + 1, 0)
+    seg_starts = np.concatenate([[0], np.cumsum(grams_per_doc)])
+    if nt < n:
+        return np.empty(0, np.uint64), seg_starts
+    th = pd.util.hash_array(toks).astype(np.uint64)
+    view = np.lib.stride_tricks.sliding_window_view(th, n)
+    with np.errstate(over="ignore"):
+        pw = np.empty(n, dtype=np.uint64)
+        pw[n - 1] = np.uint64(1)
+        for i in range(n - 2, -1, -1):
+            pw[i] = pw[i + 1] * _GRAM_A
+        h = splitmix64((view * pw).sum(axis=1, dtype=np.uint64))
+    # drop windows crossing doc boundaries
+    doc_of = np.repeat(np.arange(n_docs), tok_per_doc)
+    valid = doc_of[: nt - n + 1] == doc_of[n - 1 :]
+    return np.ascontiguousarray(h[valid]), seg_starts
 
 
 def build_eval_gram_set(eval_ds, n: int = 5, text_col: str = "text") -> np.ndarray:
@@ -120,28 +141,18 @@ class Decontaminator:
 
 def decontaminate(ds, eval_ds, n: int = 5, text_col: str = "text",
                   id_col: str = "doc_id", concurrency: int = 4):
-    """(id, contaminated) flags for every row of `ds` vs `eval_ds` grams."""
+    """(id, contaminated) flags for every row of `ds` vs `eval_ds` grams.
+
+    Runs as plain tasks (not a fixed actor pool): the only state is the
+    broadcast gram array, and ray.get on a node-local object is a
+    zero-copy plasma view — tasks scale elastically with the cluster,
+    never deadlock a small one, and skip the pool spin-up cost. The
+    `concurrency` arg is kept for API compatibility and ignored."""
     import ray
 
-    from .context import actor_pool_size
-
-    from .context import cluster_cpus
-
     ref = ray.put(build_eval_gram_set(eval_ds, n, text_col))
-    if cluster_cpus() < 2:
-        # a 1-CPU cluster can't host ANY fixed actor pool (the pool
-        # reserves the lone CPU and the read starves — context.py); the
-        # stage is read-only state, so run it as plain tasks instead —
-        # the instance pickles the broadcast ref, each worker fetches
-        # the gram set zero-copy from the object store
-        inst = Decontaminator(eval_grams_ref=ref, n=n, text_col=text_col, id_col=id_col)
-        return ds.map_batches(inst, batch_format="pyarrow")
-    return ds.map_batches(
-        Decontaminator,
-        fn_constructor_kwargs=dict(eval_grams_ref=ref, n=n, text_col=text_col, id_col=id_col),
-        batch_format="pyarrow",
-        concurrency=actor_pool_size(concurrency),
-    )
+    inst = Decontaminator(eval_grams_ref=ref, n=n, text_col=text_col, id_col=id_col)
+    return ds.map_batches(inst, batch_format="pyarrow")
 
 
 def md5_bucket_hex4(keys: np.ndarray) -> np.ndarray:

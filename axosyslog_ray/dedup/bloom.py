@@ -154,15 +154,10 @@ def gram_bloom_flags(corpus, reference, n: int = 3,
         batch_format="pyarrow")
     bitmap = build_bloom_u64(ref_grams, "h", num_bits, num_hashes)
     ref = ray.put(bitmap)
-    return corpus.map_batches(
-        BloomGramScorer,
-        fn_constructor_kwargs=dict(bitmap_ref=ref, num_hashes=num_hashes, n=n,
-                                   text_col=text_col, id_col=id_col),
-        batch_format="pyarrow",
-        concurrency=_pool_size())
-
-
-def _pool_size():
-    from ..context import actor_pool_size
-
-    return actor_pool_size(None)
+    # plain tasks, not an actor pool: the only state is the broadcast
+    # bitmap, and ray.get on a node-local object is a zero-copy plasma
+    # view (µs after the first fetch) — tasks scale elastically with the
+    # cluster and skip the fixed pool's spin-up cost
+    probe = BloomGramScorer(bitmap_ref=ref, num_hashes=num_hashes, n=n,
+                            text_col=text_col, id_col=id_col)
+    return corpus.map_batches(probe, batch_format="pyarrow")

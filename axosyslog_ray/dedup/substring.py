@@ -56,8 +56,9 @@ _A = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier, mod-2^64 polynomial
 def _powers(k: int) -> np.ndarray:
     pw = np.empty(k, dtype=np.uint64)
     pw[k - 1] = np.uint64(1)
-    for i in range(k - 2, -1, -1):
-        pw[i] = pw[i + 1] * _A
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the point
+        for i in range(k - 2, -1, -1):
+            pw[i] = pw[i + 1] * _A
     return pw
 
 
