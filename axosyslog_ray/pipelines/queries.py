@@ -2497,8 +2497,90 @@ def emb_semdedup(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def docs_topk_per_lang(sf_dir: str):
+    """Per-group top-k (window.topk_per_group): the 3 largest docs per
+    language by n_chars (ties: doc_id ascending), rank emitted as rk —
+    SQL row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC,
+    doc_id) QUALIFY <= 3. Per-batch local top-k combiner bounds the
+    shuffle at k rows per (lang, block); no reference analogue (the
+    engine's window-op family, beyond grouping-by's sort-key trigger,
+    lib/correlation/grouping-by.c)."""
+    from ..window import topk_per_group
+
+    ds = _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+    out = topk_per_group(ds, "lang", "n_chars", k=3, descending=True,
+                         tie_cols="doc_id").to_pandas()
+    for c in ("doc_id", "n_chars", "rk"):
+        out[c] = out[c].astype("int64")
+    return out[["lang", "doc_id", "n_chars", "rk"]].sort_values(
+        ["lang", "rk"]).reset_index(drop=True)
+
+
+DOCS_TOPK_PER_LANG_SQL = """
+SELECT lang, doc_id, n_chars,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+FROM documents
+QUALIFY rk <= 3
+ORDER BY lang, rk
+"""
+
+
+def docs_token_budget(sf_dir: str):
+    """Budget-capped prefix selection (window.budget_capped_select): per
+    source, walk docs in doc_id order and keep rows while the running
+    n_chars total stays <= 2000 — the deterministic "mix each source to
+    a byte/token budget" curation step. SQL running-sum window; per-batch
+    prefix-bound pruning sheds over-budget rows before the shuffle."""
+    from ..window import budget_capped_select
+
+    ds = _read(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+    out = budget_capped_select(ds, "source", "n_chars", budget=2000,
+                               order_col="doc_id", cum_col="cum_chars").to_pandas()
+    for c in ("doc_id", "cum_chars"):
+        out[c] = out[c].astype("int64")
+    return out[["source", "doc_id", "cum_chars"]].sort_values(
+        ["source", "doc_id"]).reset_index(drop=True)
+
+
+DOCS_TOKEN_BUDGET_SQL = """
+WITH c AS (
+  SELECT source, doc_id,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_chars
+  FROM documents)
+SELECT source, doc_id, CAST(cum_chars AS BIGINT) AS cum_chars
+FROM c WHERE cum_chars <= 2000 ORDER BY source, doc_id
+"""
+
+
+def events_quantiles(sf_dir: str):
+    """Exact per-group quantiles (window.group_quantiles): p50/p90/p99
+    of `value` per event_type via one narrow (key, value) shuffle +
+    numpy linear interpolation — the same definition as DuckDB
+    quantile_cont. The telemetry "p99 latency per program" shape the
+    reference's stats aggregators lack."""
+    from ..window import group_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = group_quantiles(ds, "event_type", "value",
+                          {"p50": 0.5, "p90": 0.9, "p99": 0.99}).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 RAY_QUERIES = {
     "events_config_pipeline": events_config_pipeline,
+    "docs_topk_per_lang": docs_topk_per_lang,
+    "docs_token_budget": docs_token_budget,
+    "events_quantiles": events_quantiles,
     "q1_pricing": q1_pricing,
     "customer_nation_join": customer_nation_join,
     "docs_topk": docs_topk,
@@ -2574,6 +2656,9 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "docs_topk_per_lang": DOCS_TOPK_PER_LANG_SQL,
+    "docs_token_budget": DOCS_TOKEN_BUDGET_SQL,
+    "events_quantiles": EVENTS_QUANTILES_SQL,
     "events_config_pipeline": EVENTS_CONFIG_PIPELINE_SQL,
     "q1_pricing": Q1_SQL,
     "customer_nation_join": CUSTOMER_NATION_SQL,

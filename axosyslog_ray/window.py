@@ -1,0 +1,176 @@
+"""Distributed window / rank operators: per-group top-k, budget-capped
+prefix selection, per-group exact quantiles.
+
+The reference engine has no window functions — its nearest analogues are
+grouping-by's sort-key trigger output (lib/correlation/grouping-by.c) and
+the stats aggregators — but every telemetry/corpus pipeline built on it
+eventually needs "top N hosts per app", "cap each source at a byte
+budget", "p99 latency per program". These are the SQL window shapes
+(row_number / running sum / quantile_cont over a partition) re-expressed
+on the repo's coarse-bucket shuffle (shuffle.bucketed_map_groups:
+hash(key)%B co-locates each key's rows while one bucket holds MANY keys,
+so group size AND group count stay bounded at cluster scale).
+
+Scale notes per operator:
+
+- **topk_per_group** runs a per-batch COMBINER first: each input block
+  keeps only its own local top-k per key before the shuffle, so the wide
+  exchange moves at most k rows per (key, block) regardless of how many
+  rows a hot key has — the classic top-k pre-aggregation.
+- **budget_capped_select** prunes per batch with the same bound logic:
+  a row whose WITHIN-BATCH prefix weight already exceeds the budget can
+  never survive globally (any subset's prefix sum lower-bounds the full
+  prefix sum under the same ordering), so hot groups shed rows before
+  the exchange. Exact cumulative sums happen once per key in the bucket.
+- **group_quantiles** ships only (key, value) — exact quantiles need
+  every value of a key co-located; for bounded-cardinality telemetry
+  keys (event types, programs, severities) that is the honest exact
+  path. For unbounded keys use a sketch; exactness here is what lets
+  DuckDB's quantile_cont oracle the operator (numpy's 'linear'
+  interpolation is the same definition).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .shuffle import bucketed_map_groups
+
+
+def _sort_frame(g: pd.DataFrame, group_cols: list[str], order_col: str,
+                descending: bool, tie_cols: list[str]) -> pd.DataFrame:
+    by = group_cols + [order_col] + tie_cols
+    asc = [True] * len(group_cols) + [not descending] + [True] * len(tie_cols)
+    return g.sort_values(by, ascending=asc, kind="mergesort")
+
+
+def topk_per_group(ds, group_cols: list[str] | str, order_col: str, k: int,
+                   descending: bool = True, tie_cols: list[str] | str = (),
+                   rank_col: str = "rk", num_buckets: int | None = None):
+    """Top-k rows per key: row_number() OVER (PARTITION BY group_cols
+    ORDER BY order_col [DESC], tie_cols) <= k, with the rank emitted as
+    `rank_col`. Ties beyond `tie_cols` are broken by the listed columns
+    only — pass enough of them to make the order total (the SQL QUALIFY
+    oracle needs a total order to be deterministic)."""
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    tie_cols = [tie_cols] if isinstance(tie_cols, str) else list(tie_cols)
+
+    def local_prune(b: pa.Table) -> pa.Table:
+        # combiner: global top-k rows of a key are a subset of every
+        # superset's top-k — keep only this block's top-k per key
+        g = b.to_pandas()
+        s = _sort_frame(g, group_cols, order_col, descending, tie_cols)
+        keep = s.groupby(group_cols, sort=False, dropna=False).cumcount() < k
+        return pa.Table.from_pandas(s[keep], preserve_index=False)
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = _sort_frame(g, group_cols, order_col, descending, tie_cols)
+        rk = s.groupby(group_cols, sort=False, dropna=False).cumcount() + 1
+        out = s[rk <= k].copy()
+        out[rank_col] = rk[rk <= k].astype(np.int64)
+        return out
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow")
+    return bucketed_map_groups(pruned, group_cols, bucket_topk,
+                               num_buckets=num_buckets)
+
+
+def budget_capped_select(ds, group_col: str, weight_col: str, budget: float,
+                         order_col: str = None, cum_col: str = "cum_weight",
+                         num_buckets: int | None = None):
+    """Per-key prefix selection under a weight budget: order each key's
+    rows by `order_col` (ascending; defaults to `weight_col`'s natural
+    companion — pass it explicitly) and keep rows while the RUNNING SUM
+    of `weight_col` (inclusive) stays <= budget; the running sum is
+    emitted as `cum_col`. The training-data "mix to a token budget per
+    source" step: deterministic (no RNG), reproducible at any
+    partitioning.
+
+    SQL shape: SUM(weight) OVER (PARTITION BY group ORDER BY order_col
+    ROWS UNBOUNDED PRECEDING) <= budget. (key, order_col) must be a
+    total order (unique per key) — with ties the SQL window itself is
+    nondeterministic.
+
+    The per-batch prune is exactness-preserving: a batch's rows whose
+    WITHIN-BATCH prefix exceeds the budget can never be kept globally
+    (a subset's prefix sum lower-bounds the full prefix sum), BUT their
+    weight still counts toward other batches' later rows — so the
+    dropped tail is compressed into ONE sentinel row per (key, batch)
+    at the first dropped order position carrying the tail's total
+    weight. Every real row at or past that position is provably over
+    budget (the sentinel's local prefix already exceeds it), so
+    lumping the tail there cannot mis-rank any survivor; the shuffle
+    moves at most budget-worth of candidates + 1 row per (key, batch)
+    regardless of key skew."""
+    if order_col is None:
+        raise ValueError("order_col is required (a deterministic total order per key)")
+    _TAIL = "_w_tail"
+
+    def local_prune(b: pa.Table) -> pa.Table:
+        g = b.to_pandas()
+        s = g.sort_values([group_col, order_col], kind="mergesort")
+        grp = s.groupby(group_col, sort=False, dropna=False)
+        csum = grp[weight_col].cumsum()
+        keep = csum <= budget
+        kept = s[keep].copy()
+        kept[_TAIL] = False
+        dropped = s[~keep]
+        if len(dropped):
+            dg = dropped.groupby(group_col, sort=False, dropna=False)
+            tails = dg.agg({order_col: "first", weight_col: "sum"}).reset_index()
+            for c in s.columns:
+                if c not in (group_col, order_col, weight_col):
+                    tails[c] = None
+            tails[_TAIL] = True
+            kept = pd.concat([kept, tails[list(kept.columns)]], ignore_index=True)
+        return pa.Table.from_pandas(kept, preserve_index=False)
+
+    def bucket_select(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([group_col, order_col], kind="mergesort")
+        csum = s.groupby(group_col, sort=False, dropna=False)[weight_col].cumsum()
+        keep = (csum <= budget) & ~s[_TAIL].astype(bool)
+        out = s[keep].drop(columns=[_TAIL]).copy()
+        out[cum_col] = csum[keep]
+        return out
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow")
+    return bucketed_map_groups(pruned, group_col, bucket_select,
+                               num_buckets=num_buckets)
+
+
+def group_quantiles(ds, group_cols: list[str] | str, value_col: str,
+                    qs: dict[str, float], round_digits: int | None = 4,
+                    num_buckets: int | None = None):
+    """Exact per-key quantiles of `value_col`: one narrow (key, value)
+    shuffle, then numpy linear-interpolation quantiles per key — the
+    same definition as SQL quantile_cont. `qs` maps output column name
+    -> quantile in [0, 1]. Nulls in value_col are dropped per key
+    (quantile_cont semantics); keys with only nulls emit null quantiles."""
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    names = list(qs)
+    probs = np.array([qs[n] for n in names], dtype=np.float64)
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(group_cols + [value_col])
+
+    def bucket_q(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, grp in g.groupby(group_cols, sort=False, dropna=False):
+            key = key if isinstance(key, tuple) else (key,)
+            v = grp[value_col].dropna().to_numpy(dtype=np.float64)
+            if len(v):
+                qv = np.quantile(v, probs, method="linear")
+                if round_digits is not None:
+                    # DuckDB ROUND half-away-from-zero, not banker's
+                    f = 10.0 ** round_digits
+                    qv = np.sign(qv) * np.floor(np.abs(qv) * f + 0.5) / f
+            else:
+                qv = np.full(len(probs), np.nan)
+            rows.append((*key, *qv))
+        return pd.DataFrame(rows, columns=group_cols + names)
+
+    projected = ds.map_batches(project, batch_format="pyarrow")
+    return bucketed_map_groups(projected, group_cols, bucket_q,
+                               num_buckets=num_buckets)

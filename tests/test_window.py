@@ -1,0 +1,140 @@
+"""Window operators: per-group top-k, budget-capped selection, quantiles.
+
+Semantics are pinned against DuckDB's window functions over the same
+frame — the operators' whole design goal is SQL-window equivalence on a
+coarse-bucket shuffle.
+"""
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from axosyslog_ray.window import (budget_capped_select, group_quantiles,
+                                  topk_per_group)
+
+
+def _ds(df: pd.DataFrame, blocks: int = 4):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+             .repartition(blocks)
+
+
+@pytest.fixture()
+def frame():
+    rng = np.random.default_rng(7)
+    n = 500
+    return pd.DataFrame({
+        "k": rng.choice(list("abcde"), n),
+        "v": rng.integers(0, 100, n),
+        "id": np.arange(n, dtype=np.int64),
+    })
+
+
+def test_topk_matches_sql(ray_session, frame):
+    got = topk_per_group(_ds(frame), "k", "v", k=4, descending=True,
+                         tie_cols="id").to_pandas()
+    got = got.sort_values(["k", "rk"]).reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT k, v, id, CAST(row_number() OVER (PARTITION BY k ORDER BY v DESC, id) AS BIGINT) AS rk
+        FROM frame QUALIFY rk <= 4 ORDER BY k, rk
+    """).df()
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "id", "rk"]].astype({"v": "int64", "id": "int64"}),
+        want.astype({"v": "int64", "id": "int64"}))
+
+
+def test_topk_ascending(ray_session, frame):
+    got = topk_per_group(_ds(frame), "k", "v", k=2, descending=False,
+                         tie_cols="id").to_pandas()
+    want = duckdb.sql("""
+        SELECT k, v, id FROM frame
+        QUALIFY row_number() OVER (PARTITION BY k ORDER BY v, id) <= 2
+        ORDER BY k, v, id
+    """).df()
+    got = got.sort_values(["k", "v", "id"]).reset_index(drop=True)
+    assert got[["k", "v", "id"]].astype({"v": "int64"}).equals(
+        want.astype({"v": "int64"}))
+
+
+def test_topk_k_larger_than_group(ray_session):
+    df = pd.DataFrame({"k": ["x", "x", "y"], "v": [1, 2, 3],
+                       "id": [0, 1, 2]})
+    got = topk_per_group(_ds(df, blocks=2), "k", "v", k=10,
+                         tie_cols="id").to_pandas()
+    assert len(got) == 3  # every row survives, ranks dense per group
+    assert set(got.loc[got.k == "x", "rk"]) == {1, 2}
+
+
+def test_budget_capped_matches_sql(ray_session, frame):
+    got = budget_capped_select(_ds(frame), "k", "v", budget=300,
+                               order_col="id", cum_col="cum").to_pandas()
+    got = got.sort_values(["k", "id"]).reset_index(drop=True)
+    want = duckdb.sql("""
+        WITH c AS (
+          SELECT k, v, id, sum(v) OVER (PARTITION BY k ORDER BY id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+          FROM frame)
+        SELECT k, v, id, CAST(cum AS BIGINT) AS cum FROM c
+        WHERE cum <= 300 ORDER BY k, id
+    """).df()
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "id", "cum"]].astype({"v": "int64", "cum": "int64"}),
+        want.astype({"v": "int64"}))
+
+
+def test_budget_local_prune_is_safe(ray_session):
+    # rows of one key scattered across blocks: local pruning must not
+    # drop a row that is within budget globally (prefix-bound property)
+    df = pd.DataFrame({"k": ["a"] * 10, "v": [1] * 10,
+                       "id": np.arange(10, dtype=np.int64)})
+    got = budget_capped_select(_ds(df, blocks=5), "k", "v", budget=7,
+                               order_col="id").to_pandas()
+    assert sorted(got["id"]) == list(range(7))
+    assert list(got.sort_values("id")["cum_weight"]) == list(range(1, 8))
+
+
+def test_budget_dropped_tail_still_counts(ray_session):
+    # regression: batch 1 holds heavy early rows (locally pruned), batch
+    # 2 holds light later rows — the pruned tail's weight must still
+    # count toward the later rows' prefix (sentinel row), else they
+    # sneak under budget
+    import ray.data as rd
+
+    heavy = pa.table({"k": ["a"] * 6, "v": [2.0] * 6,
+                      "id": np.arange(6, dtype=np.int64)})
+    light = pa.table({"k": ["a", "a"], "v": [0.5, 0.5],
+                      "id": np.array([6, 7], dtype=np.int64)})
+    ds = rd.from_arrow(heavy).union(rd.from_arrow(light))
+    got = budget_capped_select(ds, "k", "v", budget=7.0, order_col="id").to_pandas()
+    # true prefix: 2,4,6,8,... -> only ids 0,1,2 (cum 6); ids 6,7 have
+    # true prefix 12.5,13 and must NOT appear
+    assert sorted(got["id"]) == [0, 1, 2]
+
+
+def test_budget_requires_order_col(ray_session, frame):
+    with pytest.raises(ValueError):
+        budget_capped_select(_ds(frame), "k", "v", budget=10)
+
+
+def test_group_quantiles_matches_duckdb(ray_session, frame):
+    vals = frame.assign(v=frame.v.astype(float) + 0.25)
+    got = group_quantiles(_ds(vals), "k", "v",
+                          {"p50": 0.5, "p95": 0.95}).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT k, round(quantile_cont(v, 0.5), 4) AS p50,
+               round(quantile_cont(v, 0.95), 4) AS p95
+        FROM vals GROUP BY k ORDER BY k
+    """).df()
+    pd.testing.assert_frame_equal(got[["k", "p50", "p95"]], want)
+
+
+def test_group_quantiles_null_handling(ray_session):
+    df = pd.DataFrame({"k": ["a", "a", "a", "b", "b"],
+                       "v": [1.0, None, 3.0, None, None]})
+    got = group_quantiles(_ds(df, blocks=2), "k", "v", {"p50": 0.5}).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got.loc[0, "p50"] == 2.0      # nulls dropped within key
+    assert np.isnan(got.loc[1, "p50"])   # all-null key -> null quantile
