@@ -155,6 +155,117 @@ def decontaminate(ds, eval_ds, n: int = 5, text_col: str = "text",
     return ds.map_batches(inst, batch_format="pyarrow")
 
 
+def build_eval_shingle_index(eval_ds, n: int = 3, text_col: str = "text"):
+    """Per-eval-doc DISTINCT n-gram hash index for exact-Jaccard
+    decontamination: (sorted flat hash array, parallel eval-doc code
+    array, per-code distinct-gram counts). Driver-side bounded — the
+    eval side is a benchmark suite, not a corpus; eval docs with no
+    grams are excluded (Jaccard vs an empty set is undefined/0)."""
+    h_parts: list[np.ndarray] = []
+    c_parts: list[np.ndarray] = []
+    code = 0
+    sizes: list[int] = []
+    for b in eval_ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        texts = b.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
+        h, seg = _gram_hashes(texts, n)
+        for d in range(len(texts)):
+            u = np.unique(h[seg[d]:seg[d + 1]])
+            if len(u):
+                h_parts.append(u)
+                c_parts.append(np.full(len(u), code, dtype=np.int32))
+                sizes.append(len(u))
+                code += 1
+    if not h_parts:
+        return (np.empty(0, np.uint64), np.empty(0, np.int32),
+                np.empty(0, np.int64))
+    hs = np.concatenate(h_parts)
+    cs = np.concatenate(c_parts)
+    order = np.argsort(hs, kind="stable")
+    return hs[order], cs[order], np.asarray(sizes, dtype=np.int64)
+
+
+class JaccardDecontaminator:
+    """Task/actor stage: per corpus doc, the MAX exact Jaccard similarity
+    of its distinct n-gram set vs every eval doc's set. The eval index
+    (sorted hash + doc-code arrays) broadcasts once; per batch the
+    matching is two searchsorted passes + a per-(doc, eval) count matrix
+    (batch_docs x n_eval ints — the eval side is small by contract)."""
+
+    def __init__(self, index_ref=None, index=None, n: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 threshold: float = 0.5):
+        self._ref = index_ref
+        self.index = index
+        self.n = n
+        self.text_col = text_col
+        self.id_col = id_col
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.index is None:
+            import ray
+
+            self.index = ray.get(self._ref)
+        e_hash, e_code, e_sizes = self.index
+        texts = batch.column(self.text_col).to_pandas().fillna("").to_numpy(dtype=object)
+        h, seg = _gram_hashes(texts, self.n)
+        nd = len(texts)
+        # per-doc distinct gram hashes, flat with doc segments
+        uh_parts, doc_of, a_sizes = [], [], np.zeros(nd, dtype=np.int64)
+        for d in range(nd):
+            u = np.unique(h[seg[d]:seg[d + 1]])
+            a_sizes[d] = len(u)
+            if len(u):
+                uh_parts.append(u)
+                doc_of.append(np.full(len(u), d, dtype=np.int64))
+        mj = np.zeros(nd, dtype=np.float64)
+        if uh_parts and len(e_hash):
+            U = np.concatenate(uh_parts)
+            D = np.concatenate(doc_of)
+            lo = np.searchsorted(e_hash, U, side="left")
+            hi = np.searchsorted(e_hash, U, side="right")
+            reps = hi - lo
+            m = int(reps.sum())
+            if m:
+                # expand the [lo, hi) ranges into flat match positions
+                starts = np.repeat(lo, reps)
+                offs = np.arange(m) - np.repeat(
+                    np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+                codes = e_code[starts + offs]
+                docs = np.repeat(D, reps)
+                inter = np.zeros((nd, len(e_sizes)), dtype=np.int64)
+                np.add.at(inter, (docs, codes), 1)
+                union = a_sizes[:, None] + e_sizes[None, :] - inter
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    jac = np.where(union > 0, inter / union, 0.0)
+                mj = jac.max(axis=1)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "max_jaccard": pa.array(mj),
+            "contaminated": pa.array(mj >= self.threshold),
+        })
+
+
+def jaccard_decontaminate(ds, eval_ds, n: int = 3, threshold: float = 0.5,
+                          text_col: str = "text", id_col: str = "doc_id"):
+    """Exact-Jaccard decontamination: flag corpus docs whose distinct
+    word-n-gram set is >= `threshold` Jaccard-similar to ANY eval doc's
+    set. The exhaustive doc x eval comparison is the honest scale path
+    when the eval side is a bounded benchmark suite (the corpus streams;
+    per batch it's vectorized searchsorted + one count matrix); for an
+    UNBOUNDED reference side use dedup.minhash/dedup.ngram's LSH
+    machinery instead — this operator is the exact semantics that an
+    independent SQL oracle can reproduce (distinct-gram intersection /
+    union). Returns (id, max_jaccard, contaminated)."""
+    import ray
+
+    idx = build_eval_shingle_index(eval_ds, n, text_col)
+    ref = ray.put(idx)
+    inst = JaccardDecontaminator(index_ref=ref, n=n, text_col=text_col,
+                                 id_col=id_col, threshold=threshold)
+    return ds.map_batches(inst, batch_format="pyarrow")
+
+
 def md5_bucket_hex4(keys: np.ndarray) -> np.ndarray:
     """First 4 hex chars of md5(str(key)) per row — the sampling coordinate.
     md5 is per-row by nature; the loop is over a C-level object array and

@@ -1,0 +1,171 @@
+"""DSIR-style importance weighting for data selection.
+
+Implements the hashed-n-gram importance-weight computation of Data
+Selection via Importance Resampling (Xie et al., NeurIPS 2023 — public
+method): featurize each document as a bag of hashed word uni+bi-gram
+counts over NB buckets, fit smoothed bag-of-words distributions for a
+TARGET corpus (the domain you want more of) and the RAW corpus, and
+score every raw document with
+
+    log p_target(x) - log p_raw(x)
+      = sum over gram occurrences of [ln pt(bucket) - ln pr(bucket)]
+
+High-weight documents look like the target domain; downstream selection
+samples/thresholds on the weight (curation.hash_sample / topk compose).
+
+Ray-native shape — both distributions are ONE streaming pass each:
+
+- **bucket counts** are a `Dataset.aggregate` with a vector-sum
+  AggregateFnV2 (per-block np.bincount, partials add up a tree — no
+  shuffle, bounded NB-long state, same construction as
+  dedup.bloom.build_bloom_u64);
+- the per-bucket **log-ratio table** (NB doubles -> int64 micro-units)
+  broadcasts once via ray.put; scoring is a plain-task map_batches
+  (zero-copy plasma view per worker, elastic concurrency).
+
+Determinism / oracle story: log-ratios are quantized to MICRO-units
+(round-half-away(lr * 1e6) as int64) so per-doc weights are exact
+integer sums — no float summation-order hazard between the distributed
+sum and a SQL oracle. `method="md5"` derives the bucket as
+int(md5(gram)[:8], 16) % NB, byte-reproducible in DuckDB as
+('0x' || substr(md5(gram), 1, 8))::UBIGINT % NB (ln() and '/' are
+bit-identical IEEE/libm on both sides); `method="fast"` (default for
+100-TB runs) uses the vectorized polynomial gram hash — same statistics,
+~100x cheaper, pinned against the md5 variant by rank-agreement tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .curation import _gram_hashes
+from .textstats.vocab import _flat_tokens
+
+
+def _bucket_stream(texts: np.ndarray, num_buckets: int, method: str) -> tuple[np.ndarray, np.ndarray]:
+    """Flat (bucket id per uni+bi-gram occurrence, per-doc segment
+    starts) for a batch of texts. Unigrams come first, then bigrams,
+    per document (order is irrelevant — everything downstream is a
+    count or a sum)."""
+    if method == "fast":
+        h1, s1 = _gram_hashes(texts, 1)
+        h2, s2 = _gram_hashes(texts, 2)
+        per_doc = np.diff(s1) + np.diff(s2)
+        seg = np.concatenate([[0], np.cumsum(per_doc)])
+        parts = []
+        for d in range(len(texts)):
+            parts.append(h1[s1[d]:s1[d + 1]])
+            parts.append(h2[s2[d]:s2[d + 1]])
+        flat = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+        return (flat % np.uint64(num_buckets)).astype(np.int64), seg
+    if method != "md5":
+        raise ValueError("method must be 'fast' or 'md5'")
+    toks, tseg = _flat_tokens(texts)
+    buckets: list[np.ndarray] = []
+    seg = np.empty(len(texts) + 1, dtype=np.int64)
+    pos = 0
+    for d in range(len(texts)):
+        seg[d] = pos
+        ws = toks[tseg[d]:tseg[d + 1]]
+        grams = list(ws) + [f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)]
+        if grams:
+            b = np.array([int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % num_buckets
+                          for g in grams], dtype=np.int64)
+            buckets.append(b)
+            pos += len(b)
+    seg[len(texts)] = pos
+    flat = np.concatenate(buckets) if buckets else np.empty(0, np.int64)
+    return flat, seg
+
+
+def bucket_counts(ds, num_buckets: int, text_col: str = "text",
+                  method: str = "fast") -> np.ndarray:
+    """Corpus-wide per-bucket gram-occurrence counts: per-block
+    np.bincount, partials summed up a tree (Dataset.aggregate) — the
+    corpus streams, state is one NB-long int64 vector."""
+    from ray.data.aggregate import AggregateFnV2
+
+    class _VecSum(AggregateFnV2):
+        def __init__(self):
+            super().__init__(name="counts", on=None, ignore_nulls=False,
+                             zero_factory=lambda: np.zeros(num_buckets, dtype=np.int64))
+
+        def aggregate_block(self, block):
+            t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            if not t.num_rows:
+                return np.zeros(num_buckets, dtype=np.int64)
+            texts = t.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
+            flat, _ = _bucket_stream(texts, num_buckets, method)
+            return np.bincount(flat, minlength=num_buckets).astype(np.int64)
+
+        def combine(self, a, b):
+            return np.asarray(a, dtype=np.int64) + np.asarray(b, dtype=np.int64)
+
+    return np.asarray(ds.aggregate(_VecSum())["counts"], dtype=np.int64)
+
+
+def log_ratio_micro(ct: np.ndarray, cr: np.ndarray, alpha: float = 0.5) -> np.ndarray:
+    """Per-bucket quantized log importance ratio:
+    round_half_away(1e6 * [ln((ct+a)/(Tt+a*NB)) - ln((cr+a)/(Tr+a*NB))])
+    as int64. The expression SHAPE mirrors the SQL oracle exactly so
+    IEEE division + libm ln produce bit-identical doubles before the
+    (identical half-away) rounding."""
+    nb = len(ct)
+    tt = float(ct.sum())
+    tr = float(cr.sum())
+    lr = (np.log((ct + alpha) / (tt + alpha * nb))
+          - np.log((cr + alpha) / (tr + alpha * nb)))
+    v = lr * 1e6
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
+class _DsirScorer:
+    """Per-batch scoring vs the broadcast micro-log-ratio table: one
+    bucket-stream pass + a segment-sum — int64-exact weights."""
+
+    def __init__(self, qlr_ref=None, qlr: np.ndarray | None = None,
+                 num_buckets: int = 10_000, method: str = "fast",
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self._ref = qlr_ref
+        self.qlr = qlr
+        self.num_buckets = num_buckets
+        self.method = method
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.qlr is None:
+            import ray
+
+            self.qlr = np.asarray(ray.get(self._ref), dtype=np.int64)
+        texts = batch.column(self.text_col).to_pandas().fillna("").to_numpy(dtype=object)
+        flat, seg = _bucket_stream(texts, self.num_buckets, self.method)
+        contrib = self.qlr[flat]
+        csum = np.concatenate([[0], np.cumsum(contrib)])
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_feats": pa.array((seg[1:] - seg[:-1]).astype(np.int64)),
+            "weight_micro": pa.array((csum[seg[1:]] - csum[seg[:-1]]).astype(np.int64)),
+        })
+
+
+def dsir_weights(ds, target_ds, num_buckets: int = 10_000, alpha: float = 0.5,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 method: str = "fast"):
+    """(id, n_feats, weight_micro) for every row of `ds`: weight_micro is
+    the DSIR log importance weight in exact integer micro-units
+    (positive = target-like). Three streaming passes total (target
+    counts, raw counts, score) — nothing corpus-sized on the driver."""
+    import ray
+
+    ct = bucket_counts(target_ds, num_buckets, text_col, method)
+    cr = bucket_counts(ds, num_buckets, text_col, method)
+    qlr = log_ratio_micro(ct, cr, alpha)
+    ref = ray.put(qlr)
+    inst = _DsirScorer(qlr_ref=ref, num_buckets=num_buckets, method=method,
+                       text_col=text_col, id_col=id_col)
+    return ds.map_batches(inst, batch_format="pyarrow")

@@ -2576,8 +2576,105 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def docs_jaccard_decontaminate(sf_dir: str):
+    """Exact-Jaccard decontamination (curation.jaccard_decontaminate):
+    max similarity of each doc's distinct word-3-gram set vs every
+    src0 doc's set, flagged at >= 0.5 — the fuzzy-decontamination step
+    (eval near-dups, not just verbatim n-gram overlap). Eval index
+    broadcasts; corpus streams; SQL oracle is the independent
+    distinct-gram intersection/union join."""
+    from ..curation import jaccard_decontaminate
+
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"])
+    evald = _read(sf_dir, "documents", ["text", "source"]).filter(
+        expr="source == 'src0'")
+    out = jaccard_decontaminate(corpus, evald, n=3, threshold=0.5).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["max_jaccard"] = round_half_away(out["max_jaccard"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_JACCARD_DECON_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+nw AS (SELECT doc_id, ws, len(ws) AS n FROM toks),
+g AS (
+  SELECT DISTINCT nw.doc_id, array_to_string(ws[i : i + 2], ' ') AS gram
+  FROM nw, LATERAL (SELECT unnest(range(1, greatest(n - 1, 1))) AS i) t),
+a AS (SELECT doc_id, count(*) AS na FROM g GROUP BY doc_id),
+eg AS (SELECT g.doc_id AS eid, gram FROM g
+       JOIN documents d ON g.doc_id = d.doc_id WHERE d.source = 'src0'),
+eb AS (SELECT eid, count(*) AS nb FROM eg GROUP BY eid),
+inter AS (
+  SELECT g.doc_id, eg.eid, count(*) AS ni
+  FROM g JOIN eg USING (gram) GROUP BY g.doc_id, eg.eid),
+jac AS (
+  SELECT inter.doc_id, max(CAST(ni AS DOUBLE) / (a.na + eb.nb - ni)) AS mj
+  FROM inter JOIN a USING (doc_id) JOIN eb USING (eid)
+  GROUP BY inter.doc_id)
+SELECT t.doc_id, round(coalesce(jac.mj, 0), 6) AS max_jaccard,
+       coalesce(jac.mj, 0) >= 0.5 AS contaminated
+FROM toks t LEFT JOIN jac USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+def docs_dsir_weights(sf_dir: str):
+    """DSIR importance weights (dsir.dsir_weights; Xie et al. NeurIPS
+    2023): hashed uni+bi-gram bag-of-words distributions for the target
+    (source='src0') and raw corpora via streaming vector-sum aggregates,
+    per-doc log importance weight in exact integer micro-units.
+    method='md5' here so the DuckDB oracle reproduces the bucket hash
+    byte-for-byte; method='fast' (polynomial gram hash, ~100x) is the
+    100-TB path, rank-pinned against md5 in tests/test_dsir.py."""
+    from ..dsir import dsir_weights
+
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"])
+    target = _read(sf_dir, "documents", ["doc_id", "text", "source"]).filter(
+        expr="source == 'src0'")
+    out = dsir_weights(corpus, target, num_buckets=10_000, alpha=0.5,
+                       method="md5").to_pandas()
+    for c in ("doc_id", "n_feats", "weight_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+nw AS (SELECT doc_id, ws, len(ws) AS n FROM toks),
+uni AS (SELECT doc_id, unnest(ws) AS gram FROM toks),
+bi AS (SELECT nw.doc_id, array_to_string(ws[i : i + 1], ' ') AS gram
+       FROM nw, LATERAL (SELECT unnest(range(1, greatest(n, 1))) AS i) t),
+grams AS (SELECT doc_id, gram FROM uni UNION ALL SELECT doc_id, gram FROM bi),
+gb AS (SELECT doc_id,
+              CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) % 10000 AS BIGINT) AS b
+       FROM grams),
+tgt AS (SELECT b, count(*) AS c FROM gb
+        JOIN documents d USING (doc_id) WHERE d.source = 'src0' GROUP BY b),
+raw AS (SELECT b, count(*) AS c FROM gb GROUP BY b),
+tots AS (SELECT (SELECT coalesce(sum(c), 0) FROM tgt) AS tt,
+                (SELECT coalesce(sum(c), 0) FROM raw) AS tr),
+qlr AS (
+  SELECT bk.b,
+         CAST(round((ln((coalesce(tgt.c, 0) + 0.5) / (tots.tt + 0.5 * 10000))
+                   - ln((coalesce(raw.c, 0) + 0.5) / (tots.tr + 0.5 * 10000)))
+                    * 1000000, 0) AS BIGINT) AS q
+  FROM (SELECT unnest(range(0, 10000)) AS b) bk
+  CROSS JOIN tots
+  LEFT JOIN tgt ON bk.b = tgt.b
+  LEFT JOIN raw ON bk.b = raw.b),
+w AS (SELECT gb.doc_id, count(*) AS n_feats, sum(qlr.q) AS wm
+      FROM gb JOIN qlr ON gb.b = qlr.b GROUP BY gb.doc_id)
+SELECT t.doc_id, CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(coalesce(w.wm, 0) AS BIGINT) AS weight_micro
+FROM toks t LEFT JOIN w USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 RAY_QUERIES = {
     "events_config_pipeline": events_config_pipeline,
+    "docs_dsir_weights": docs_dsir_weights,
+    "docs_jaccard_decontaminate": docs_jaccard_decontaminate,
     "docs_topk_per_lang": docs_topk_per_lang,
     "docs_token_budget": docs_token_budget,
     "events_quantiles": events_quantiles,
@@ -2656,6 +2753,8 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "docs_dsir_weights": DOCS_DSIR_SQL,
+    "docs_jaccard_decontaminate": DOCS_JACCARD_DECON_SQL,
     "docs_topk_per_lang": DOCS_TOPK_PER_LANG_SQL,
     "docs_token_budget": DOCS_TOKEN_BUDGET_SQL,
     "events_quantiles": EVENTS_QUANTILES_SQL,
