@@ -111,6 +111,44 @@ def pre_aggregated_count(ds, keys: list[str], alias: str = "n", final: str = "sh
     return agg.map_batches(_restore_nulls(keys), batch_format="pyarrow")
 
 
+def distinct_count(ds, keys: list[str] | str, value_col: str,
+                   alias: str = "n_distinct", num_buckets: int | None = None):
+    """Exact COUNT(DISTINCT value_col) per key group — the telemetry
+    "distinct hosts per app" shape (reference analogue: none; its stats
+    aggregators count rows, lib/stats/aggregator/).
+
+    Three-level combine: (1) per-batch local (keys, value) dedup — the
+    exchange then moves one row per locally-distinct pair, not per row;
+    (2) ONE coarse-bucket shuffle on hash(keys, value) with per-bucket
+    global dedup + per-key partial counts (a key's values spread across
+    buckets, so no bucket ever holds a hot key's full value set);
+    (3) a tiny Sum groupby over the per-bucket partials. Values ship
+    verbatim (not hashed), so the count is EXACT — what lets DuckDB's
+    count(DISTINCT ..) oracle it. Null values don't count (SQL
+    semantics) but still assert their group's existence (count 0)."""
+    from ray.data.aggregate import Sum
+
+    from .shuffle import bucketed_map_groups
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def local_dedup(b: pa.Table) -> pa.Table:
+        t = b.select(keys + [value_col])
+        return t.group_by(keys + [value_col]).aggregate([])
+
+    def bucket_count(g) -> "pd.DataFrame":
+        # nunique ignores nulls but still emits all-null groups as 0 —
+        # exactly SQL count(DISTINCT) + GROUP BY group-existence
+        u = g.drop_duplicates(subset=keys + [value_col])
+        return (u.groupby(keys, dropna=False, sort=False)[value_col]
+                 .nunique().reset_index(name="partial"))
+
+    deduped = ds.map_batches(local_dedup, batch_format="pyarrow")
+    partials = bucketed_map_groups(deduped, keys + [value_col], bucket_count,
+                                   num_buckets=num_buckets)
+    return partials.groupby(keys).aggregate(Sum("partial", alias_name=alias))
+
+
 # metrics-probe() defaults (metrics-probe.c _init_default:
 # classified_events_total with app/host/program/source labels)
 METRICS_PROBE_DEFAULT_KEY = "classified_events_total"

@@ -2671,8 +2671,30 @@ FROM toks t LEFT JOIN w USING (doc_id) ORDER BY t.doc_id
 """
 
 
+def events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type
+    (aggregate.distinct_count): per-batch (key, value) dedup combiner,
+    one coarse-bucket shuffle on hash(key, value), per-bucket nunique
+    partials, tiny Sum final. The "distinct hosts per app" telemetry
+    shape; sketch.hll_distinct is the unbounded-cardinality companion."""
+    from ..aggregate import distinct_count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = distinct_count(ds, "event_type", "user_id",
+                         alias="n_users").to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_DISTINCT_USERS_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 RAY_QUERIES = {
     "events_config_pipeline": events_config_pipeline,
+    "events_distinct_users": events_distinct_users,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_jaccard_decontaminate": docs_jaccard_decontaminate,
     "docs_topk_per_lang": docs_topk_per_lang,
@@ -2753,6 +2775,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,
     "docs_jaccard_decontaminate": DOCS_JACCARD_DECON_SQL,
     "docs_topk_per_lang": DOCS_TOPK_PER_LANG_SQL,

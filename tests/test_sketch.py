@@ -1,0 +1,86 @@
+"""HyperLogLog sketch + exact distinct-count aggregate."""
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from axosyslog_ray.hashutil import hash_str_array
+from axosyslog_ray.sketch import hll_add, hll_build, hll_distinct, hll_estimate
+from axosyslog_ray.aggregate import distinct_count
+
+
+def _ds(df: pd.DataFrame, blocks: int = 4):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+             .repartition(blocks)
+
+
+@pytest.mark.parametrize("n", [100, 10_000, 200_000])
+def test_hll_accuracy(n):
+    regs = np.zeros(1 << 14, dtype=np.uint8)
+    hll_add(regs, hash_str_array(
+        np.array([f"item{i}" for i in range(n)], dtype=object)))
+    est = hll_estimate(regs)
+    # 3 sigma at p=14: 3 * 1.04 / sqrt(2^14) ~= 2.4%
+    assert abs(est - n) / n < 0.025
+
+
+def test_hll_merge_equals_whole():
+    a = np.array([f"x{i}" for i in range(5000)], dtype=object)
+    b = np.array([f"x{i}" for i in range(2500, 7500)], dtype=object)
+    r1 = np.zeros(1 << 12, dtype=np.uint8)
+    r2 = np.zeros(1 << 12, dtype=np.uint8)
+    rw = np.zeros(1 << 12, dtype=np.uint8)
+    hll_add(r1, hash_str_array(a))
+    hll_add(r2, hash_str_array(b))
+    hll_add(rw, hash_str_array(np.concatenate([a, b])))
+    assert (np.maximum(r1, r2) == rw).all()
+
+
+def test_hll_duplicates_dont_inflate():
+    vals = np.array(["a", "b", "c"] * 1000, dtype=object)
+    regs = np.zeros(1 << 10, dtype=np.uint8)
+    hll_add(regs, hash_str_array(vals))
+    assert round(hll_estimate(regs)) == 3
+
+
+def test_hll_build_partitioning_invariant(ray_session):
+    df = pd.DataFrame({"v": [f"u{i % 700}" for i in range(5000)]})
+    r1 = hll_build(_ds(df, blocks=1), "v", p=12)
+    r2 = hll_build(_ds(df, blocks=9), "v", p=12)
+    assert (r1 == r2).all()
+    est = hll_estimate(r1)
+    assert abs(est - 700) / 700 < 0.05
+    assert abs(hll_distinct(_ds(df, blocks=3), "v", p=12) - est) < 1e-9
+
+
+def test_hll_nulls_ignored(ray_session):
+    df = pd.DataFrame({"v": ["a", None, "b", None, "a"]})
+    assert round(hll_distinct(_ds(df, blocks=2), "v", p=10)) == 2
+
+
+def test_distinct_count_matches_sql(ray_session):
+    rng = np.random.default_rng(5)
+    frame = pd.DataFrame({
+        "k": rng.choice(list("abcd"), 2000),
+        "v": rng.integers(0, 150, 2000),
+    })
+    got = distinct_count(_ds(frame), "k", "v", alias="n").to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT k, CAST(count(DISTINCT v) AS BIGINT) AS n FROM frame "
+        "GROUP BY k ORDER BY k").df()
+    pd.testing.assert_frame_equal(got.astype({"n": "int64"}), want)
+
+
+def test_distinct_count_nulls_and_empty_groups(ray_session):
+    frame = pd.DataFrame({
+        "k": ["a", "a", "b", "b", "c"],
+        "v": [1.0, 1.0, None, 2.0, None],
+    })
+    got = distinct_count(_ds(frame, blocks=2), "k", "v").to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    # a: one distinct; b: null ignored -> 1; c: all-null group -> 0
+    assert list(got["n_distinct"]) == [1, 1, 0]
