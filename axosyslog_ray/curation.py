@@ -346,6 +346,60 @@ def hash_sample(ds, rates: dict[str, float], key_col: str = "doc_id",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def hash_split(ds, fractions: dict[str, float], key_col: str = "doc_id",
+               split_col: str = "split", method: str = "fast"):
+    """Deterministic disjoint dataset split (train/val/test): assign each
+    row to the first split whose cumulative fraction bound exceeds the
+    key's hash coordinate. Pure per-row function — no shuffle, no RNG,
+    reproducible at any partitioning, and DISJOINT by construction
+    (one coordinate, non-overlapping intervals; sampling each split
+    independently would correlate membership across splits).
+
+    method="fast": vectorized 64-bit coordinate (fast_sample_u64) —
+    the scale path. method="md5": first-4-hex-chars-of-md5 interval
+    bounds, byte-reproducible by any SQL engine (DuckDB md5()).
+    Fractions must sum to <= 1; rows past the last bound get NULL
+    (dropped-from-all-splits remainder)."""
+    names = list(fractions)
+    cum = np.cumsum([fractions[n] for n in names])
+    if cum[-1] > 1.0 + 1e-9:
+        raise ValueError("fractions sum to > 1")
+
+    if method == "fast":
+        bounds = np.array([min(int(c * 2**64), 2**64 - 1) for c in cum],
+                          dtype=np.uint64)
+        full = [c >= 1.0 for c in cum]
+
+        def assign(batch: pa.Table) -> pa.Table:
+            u = fast_sample_u64(batch.column(key_col).to_numpy(zero_copy_only=False))
+            out = np.full(len(u), None, dtype=object)
+            prev = np.zeros(len(u), dtype=bool)
+            for i, nm in enumerate(names):
+                inside = (u < bounds[i]) | full[i]
+                out[inside & ~prev] = nm
+                prev |= inside
+            return batch.append_column(split_col, pa.array(out, type=pa.string()))
+
+        return ds.map_batches(assign, batch_format="pyarrow")
+
+    if method != "md5":
+        raise ValueError("method must be 'fast' or 'md5'")
+    bounds_hex = ["g" if int(c * 65536) >= 65536 else format(int(c * 65536), "04x")
+                  for c in cum]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        hx = md5_bucket_hex4(batch.column(key_col).to_pandas().to_numpy())
+        out = np.full(len(hx), None, dtype=object)
+        prev = np.zeros(len(hx), dtype=bool)
+        for i, nm in enumerate(names):
+            inside = hx < bounds_hex[i]
+            out[inside & ~prev] = nm
+            prev |= inside
+        return batch.append_column(split_col, pa.array(out, type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def dedup_lines_text(texts: pd.Series, sep: str = "\n") -> pd.Series:
     """C4-style within-document repetition removal: keep the FIRST
     occurrence of each exact line, preserve order, rejoin. Pure per-row

@@ -2692,8 +2692,35 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def docs_hash_split(sf_dir: str):
+    """Deterministic disjoint train/val/test split (curation.hash_split):
+    one md5 coordinate per doc_id, non-overlapping interval assignment —
+    disjoint by construction, reproducible at any partitioning, no
+    shuffle. method='md5' so DuckDB reproduces the intervals
+    byte-for-byte; method='fast' (splitmix64) is the 100-TB path,
+    same-construction tests in tests/test_curation_split.py."""
+    from ..curation import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = hash_split(ds, {"train": 0.8, "val": 0.1, "test": 0.1},
+                     key_col="doc_id", method="md5").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "lang", "split"]].sort_values("doc_id").reset_index(drop=True)
+
+
+# interval bounds: cum fractions 0.8 / 0.9 / 1.0 of the 16-bit hex space
+DOCS_HASH_SPLIT_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
 RAY_QUERIES = {
     "events_config_pipeline": events_config_pipeline,
+    "docs_hash_split": docs_hash_split,
     "events_distinct_users": events_distinct_users,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_jaccard_decontaminate": docs_jaccard_decontaminate,
@@ -2775,6 +2802,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "docs_hash_split": DOCS_HASH_SPLIT_SQL,
     "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,
     "docs_jaccard_decontaminate": DOCS_JACCARD_DECON_SQL,
