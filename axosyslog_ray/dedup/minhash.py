@@ -206,6 +206,74 @@ def minhash_clusters(ds, num_perm: int = 64, bands: int = 16, shingle: int = 3,
     return bucketed_map_groups(joined, id_col, _final_min, num_buckets=64)
 
 
+def minhash_cross_flags(new_ds, prior_ds, num_perm: int = 64, bands: int = 16,
+                        shingle: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id", num_shards: int | None = None,
+                        prior_bands=None):
+    """Incremental cross-corpus near-dup detection: flag NEW docs that
+    share at least one LSH band bucket with ANY prior-corpus doc — the
+    "dedup this crawl shard against the 10^12 pages already ingested"
+    production shape (dedup/bloom.py is the exact-gram analogue; this is
+    the fuzzy one). Returns Dataset[(id, n_hit_buckets, dup_of_prior)]
+    with one row per NEW doc (clean docs carry 0/false).
+
+    Both sides stream through the same MinHasher/BandEmitter stages and
+    meet in ONE coarse-shard shuffle on hash(band_id, band_hash) — the
+    prior corpus is never broadcast and never joined row-to-row; per
+    shard the prior-presence bit is a two-key transform and each new
+    doc emits one partial row per shard it touches. Pass `prior_bands`
+    (a Dataset of (id, band_id, band_hash) rows, e.g. read back from a
+    stored band index) to skip re-hashing the prior corpus on every
+    incremental run — the index is what a production pipeline persists.
+
+    Detection is the standard LSH gate: P(flag) = 1-(1-J^r)^b for true
+    Jaccard J (r = num_perm/bands rows per band) — tune (num_perm,
+    bands) for the wanted threshold curve; compose with
+    curation.jaccard_decontaminate when exact-threshold semantics are
+    required and the prior side is small."""
+    mh = MinHasher(num_perm=num_perm, shingle=shingle, text_col=text_col, id_col=id_col)
+    be = BandEmitter(bands=bands, id_col=id_col)
+    nb = new_ds.map_batches(mh, batch_format="pyarrow").map_batches(be, batch_format="pyarrow")
+    if prior_bands is None:
+        prior_bands = prior_ds.map_batches(mh, batch_format="pyarrow").map_batches(
+            be, batch_format="pyarrow")
+    if num_shards is None:
+        num_shards = default_num_shards()
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            sh = shard_of(b.column("band_id").to_numpy(),
+                          b.column("band_hash").to_numpy(), num_shards)
+            return (b.append_column("_side", pa.array(np.full(b.num_rows, side, dtype=np.int8)))
+                     .append_column("_shard", pa.array(sh)))
+
+        return fn
+
+    both = nb.map_batches(tag(1), batch_format="pyarrow").union(
+        prior_bands.map_batches(tag(0), batch_format="pyarrow"))
+
+    def shard_hits(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket has prior iff min(_side) == 0 (buckets never split shards)
+        prior_in_bucket = g.groupby(["band_id", "band_hash"])["_side"].transform("min") == 0
+        new_rows = g["_side"] == 1
+        part = (g.loc[new_rows, [id_col]]
+                  .assign(hits=prior_in_bucket[new_rows].astype(np.int64))
+                  .groupby(id_col, as_index=False)["hits"].sum())
+        return part
+
+    partials = both.groupby("_shard").map_groups(shard_hits, batch_format="pandas")
+
+    from ..shuffle import bucketed_map_groups
+
+    def final_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(id_col, as_index=False)["hits"].sum()
+        out = out.rename(columns={"hits": "n_hit_buckets"})
+        out["dup_of_prior"] = out["n_hit_buckets"] > 0
+        return out
+
+    return bucketed_map_groups(partials, id_col, final_sum, num_buckets=64)
+
+
 def jaccard(a: str, b: str, shingle: int = 3) -> float:
     """Exact word-shingle Jaccard (candidate verification)."""
     ta, tb = a.split(), b.split()

@@ -179,10 +179,15 @@ def gen_media_table(n: int, seed: int = 42) -> pa.Table:
 
 def decode_images(ds, concurrency=None, batch_size: int = 256):
     """Plumbing: small batches (binary payloads), actor pool, bytes dropped
-    before anything downstream. The pool is capped below the CPU count so
-    the upstream read task always has a slot (an actor pool sized == CPUs
+    before anything downstream. The pool AUTOSCALES from 1 up to
+    cpus - 1: a real decoder holds codec/model state (actor pool is the
+    right shape), but a fixed pool sized to the machine spins every
+    actor even for a 3-block input (measured: ~6 s of pure actor
+    startup on a 600-row table at 32 CPUs). The max stays below the CPU
+    count so the upstream read task always has a slot (a pool == CPUs
     deadlocks the streaming executor — observed at num_cpus=4)."""
     from .context import actor_pool_size
 
+    conc = concurrency if concurrency is not None else (1, actor_pool_size(None))
     return ds.map_batches(DecodeImage, batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=actor_pool_size(concurrency))
+                          concurrency=conc)

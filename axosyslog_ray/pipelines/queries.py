@@ -2718,8 +2718,31 @@ FROM documents ORDER BY doc_id
 """
 
 
+def docs_cross_dedup(sf_dir: str):
+    """Incremental cross-corpus near-dup flags
+    (dedup.minhash.minhash_cross_flags): NEW side = sources != src0,
+    PRIOR side = src0; a new doc is flagged iff it shares any LSH band
+    bucket with a prior doc — the "dedup this crawl shard against the
+    already-ingested corpus" shape (fuzzy analogue of
+    docs_bloom_decontaminate). Seeded+deterministic but band membership
+    is not SQL-expressible, so the oracle is a committed golden parquet
+    (scripts/gen_golden_oracles.py — disclosed regression pin); recall
+    on planted cross-corpus dups is pinned in tests/test_cross_dedup.py."""
+    from ..dedup.minhash import minhash_cross_flags
+
+    new = _read(sf_dir, "documents", ["doc_id", "text", "source"]).filter(
+        expr="source != 'src0'")
+    prior = _read(sf_dir, "documents", ["doc_id", "text", "source"]).filter(
+        expr="source == 'src0'")
+    out = minhash_cross_flags(new, prior).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_hit_buckets"] = out["n_hit_buckets"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "events_config_pipeline": events_config_pipeline,
+    "docs_cross_dedup": docs_cross_dedup,
     "docs_hash_split": docs_hash_split,
     "events_distinct_users": events_distinct_users,
     "docs_dsir_weights": docs_dsir_weights,
@@ -2802,6 +2825,11 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "docs_cross_dedup": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(n_hit_buckets AS BIGINT) AS n_hit_buckets, dup_of_prior FROM "
+        "read_parquet('/root/repo/tests/golden/docs_cross_dedup_sf001.parquet') "
+        "ORDER BY doc_id"),
     "docs_hash_split": DOCS_HASH_SPLIT_SQL,
     "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,
