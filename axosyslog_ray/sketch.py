@@ -109,3 +109,93 @@ def hll_distinct(ds, value_col: str, p: int = 14) -> float:
     streaming pass, 2^p bytes of state, ~1.04/sqrt(2^p) relative
     error."""
     return hll_estimate(hll_build(ds, value_col, p))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency estimation / heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_ROW_SEEDS = np.uint64(0xA076_1D64_78BD_642F)
+
+
+def cms_params(eps: float = 1e-4, delta: float = 1e-3) -> tuple[int, int]:
+    """(width, depth) for overcount <= eps*N with probability 1-delta
+    (Cormode & Muthukrishnan 2005: w = ceil(e/eps), d = ceil(ln 1/d))."""
+    import math
+
+    return int(math.ceil(math.e / eps)), int(math.ceil(math.log(1.0 / delta)))
+
+
+def _cms_cols(h: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) column indices: per row an independent splitmix64
+    re-mix of the base hash."""
+    from .hashutil import splitmix64
+
+    out = np.empty((depth, len(h)), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for d in range(depth):
+            out[d] = (splitmix64(h ^ (_CMS_ROW_SEEDS * np.uint64(d + 1)))
+                      % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cms_add(table: np.ndarray, h: np.ndarray, counts: np.ndarray | None = None) -> None:
+    """Fold uint64 hashes (optionally pre-aggregated with `counts`) into
+    a (depth, width) int64 table in place."""
+    depth, width = table.shape
+    cols = _cms_cols(h, depth, width)
+    w = np.ones(len(h), dtype=np.int64) if counts is None else counts.astype(np.int64)
+    for d in range(depth):
+        np.add.at(table[d], cols[d], w)
+
+
+def cms_query(table: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Estimated counts (min over rows): true_count <= est, and
+    est <= true_count + eps*N w.p. 1-delta under cms_params sizing."""
+    depth, width = table.shape
+    cols = _cms_cols(h, depth, width)
+    est = table[0][cols[0]]
+    for d in range(1, depth):
+        est = np.minimum(est, table[d][cols[d]])
+    return est
+
+
+def cms_build_words(ds, text_col: str = "text", width: int = 1 << 16,
+                    depth: int = 4) -> np.ndarray:
+    """Stream a text column's word counts into a Count-Min table:
+    per-block tokenize + LOCAL np.unique pre-aggregation (one add per
+    distinct word per block, not per occurrence), partial tables summed
+    up a tree (Dataset.aggregate — element-wise add IS the CMS merge).
+    The mergeable companion to textstats.vocab_topk for vocabularies
+    too large to exchange: depth*width*8 bytes of state regardless of
+    corpus size."""
+    from ray.data.aggregate import AggregateFnV2
+
+    from .textstats.vocab import _flat_tokens
+
+    class _CmsBuild(AggregateFnV2):
+        def __init__(self):
+            super().__init__(name="cms", on=None, ignore_nulls=False,
+                             zero_factory=lambda: np.zeros((depth, width), dtype=np.int64))
+
+        def aggregate_block(self, block):
+            t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            acc = np.zeros((depth, width), dtype=np.int64)
+            if t.num_rows:
+                texts = t.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
+                toks, _ = _flat_tokens(texts)
+                if len(toks):
+                    words, counts = np.unique(toks, return_counts=True)
+                    cms_add(acc, hash_str_array(words), counts)
+            return acc
+
+        def combine(self, a, b):
+            return np.asarray(a, dtype=np.int64) + np.asarray(b, dtype=np.int64)
+
+    return np.asarray(ds.aggregate(_CmsBuild())["cms"], dtype=np.int64).reshape(depth, width)
+
+
+def cms_word_counts(table: np.ndarray, words) -> np.ndarray:
+    """Estimated corpus counts for a list/array of words."""
+    arr = np.asarray(words, dtype=object)
+    return cms_query(table, hash_str_array(arr))

@@ -84,3 +84,60 @@ def test_distinct_count_nulls_and_empty_groups(ray_session):
     got = got.sort_values("k").reset_index(drop=True)
     # a: one distinct; b: null ignored -> 1; c: all-null group -> 0
     assert list(got["n_distinct"]) == [1, 1, 0]
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_never_undercounts_and_bounds_overcount():
+    from axosyslog_ray.sketch import cms_add, cms_params, cms_query
+
+    rng = np.random.default_rng(2)
+    # zipf-ish: heavy head + long tail
+    words = np.array([f"w{i}" for i in range(5000)], dtype=object)
+    freq = (10000 / (np.arange(5000) + 1)).astype(np.int64) + 1
+    n = int(freq.sum())
+    w, d = cms_params(eps=1e-3, delta=1e-3)
+    table = np.zeros((d, w), dtype=np.int64)
+    cms_add(table, hash_str_array(words), freq)
+    est = cms_query(table, hash_str_array(words))
+    assert (est >= freq).all()                      # never undercounts
+    assert (est - freq).max() <= 1e-3 * n * 3       # overcount bound (3x slack)
+
+
+def test_cms_merge_is_elementwise_add():
+    from axosyslog_ray.sketch import cms_add, cms_query
+
+    a = np.array(["x"] * 10 + ["y"] * 5, dtype=object)
+    b = np.array(["x"] * 7 + ["z"] * 3, dtype=object)
+    t1 = np.zeros((4, 256), dtype=np.int64)
+    t2 = np.zeros((4, 256), dtype=np.int64)
+    tw = np.zeros((4, 256), dtype=np.int64)
+    cms_add(t1, hash_str_array(a))
+    cms_add(t2, hash_str_array(b))
+    cms_add(tw, hash_str_array(np.concatenate([a, b])))
+    assert ((t1 + t2) == tw).all()
+    assert list(cms_query(t1 + t2, hash_str_array(
+        np.array(["x", "y", "z"], dtype=object)))) == [17, 5, 3]
+
+
+def test_cms_build_words_matches_exact(ray_session):
+    from axosyslog_ray.sketch import cms_build_words, cms_word_counts
+
+    rng = np.random.default_rng(4)
+    vocab = np.array([f"t{i}" for i in range(50)])
+    df = pd.DataFrame({"text": [" ".join(rng.choice(vocab, 40))
+                                for _ in range(400)]})
+    table = cms_build_words(_ds(df, blocks=5), width=1 << 14, depth=4)
+    # exact counts
+    from collections import Counter
+    exact = Counter(w for t in df.text for w in t.split())
+    words = np.array(sorted(exact), dtype=object)
+    est = cms_word_counts(table, words)
+    want = np.array([exact[w] for w in words])
+    # 50 distinct words in 2^14 cells: collisions essentially impossible
+    assert (est == want).all()
+    # partitioning invariance (tree-add merge)
+    t2 = cms_build_words(_ds(df, blocks=1), width=1 << 14, depth=4)
+    assert (table == t2).all()
