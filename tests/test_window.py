@@ -138,3 +138,71 @@ def test_group_quantiles_null_handling(ray_session):
     got = got.sort_values("k").reset_index(drop=True)
     assert got.loc[0, "p50"] == 2.0      # nulls dropped within key
     assert np.isnan(got.loc[1, "p50"])   # all-null key -> null quantile
+
+
+# ---------------------------------------------------------------------------
+# randomized property checks vs a pure-pandas oracle
+# ---------------------------------------------------------------------------
+
+def _pandas_topk(df, k, descending=True):
+    s = df.sort_values(["k", "v", "id"],
+                       ascending=[True, not descending, True], kind="mergesort")
+    rk = s.groupby("k", sort=False).cumcount() + 1
+    out = s[rk <= k].copy()
+    out["rk"] = rk[rk <= k].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _pandas_budget(df, budget):
+    s = df.sort_values(["k", "id"], kind="mergesort")
+    cum = s.groupby("k", sort=False)["v"].cumsum()
+    out = s[cum <= budget].copy()
+    out["cum_weight"] = cum[cum <= budget]
+    return out.reset_index(drop=True)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_topk_random_frames(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 400))
+    df = pd.DataFrame({
+        "k": rng.choice([f"g{i}" for i in range(int(rng.integers(1, 12)))], n),
+        "v": rng.integers(-50, 50, n),
+        "id": rng.permutation(n).astype(np.int64),
+    })
+    k = int(rng.integers(1, 6))
+    got = topk_per_group(_ds(df, blocks=int(rng.integers(1, 6))), "k", "v",
+                         k=k, tie_cols="id").to_pandas()
+    got = got.sort_values(["k", "rk"]).reset_index(drop=True)
+    want = _pandas_topk(df, k).sort_values(["k", "rk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "id", "rk"]].astype({"v": "int64"}),
+        want[["k", "v", "id", "rk"]].astype({"v": "int64"}))
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_budget_random_frames(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 400))
+    df = pd.DataFrame({
+        "k": rng.choice([f"g{i}" for i in range(int(rng.integers(1, 10)))], n),
+        "v": rng.integers(1, 20, n),
+        "id": rng.permutation(n).astype(np.int64),
+    })
+    budget = float(rng.integers(5, 120))
+    got = budget_capped_select(_ds(df, blocks=int(rng.integers(1, 6))),
+                               "k", "v", budget=budget, order_col="id").to_pandas()
+    got = got.sort_values(["k", "id"]).reset_index(drop=True)
+    want = _pandas_budget(df, budget)
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "id", "cum_weight"]].astype({"v": "int64", "cum_weight": "int64"}),
+        want[["k", "v", "id", "cum_weight"]].astype({"v": "int64", "cum_weight": "int64"}))
+
+
+def test_window_ops_empty_group_result(ray_session):
+    # budget smaller than every row's weight -> empty result, no crash
+    df = pd.DataFrame({"k": ["a", "b"], "v": [5, 6],
+                       "id": np.array([0, 1], dtype=np.int64)})
+    got = budget_capped_select(_ds(df, blocks=2), "k", "v", budget=1,
+                               order_col="id").to_pandas()
+    assert len(got) == 0
