@@ -2740,8 +2740,45 @@ def docs_cross_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_stratified_k(sf_dir: str):
+    """Deterministic exactly-K-per-stratum sampling: rank each lang's
+    docs by an md5 hash coordinate (ties: doc_id) and keep the first 20
+    — 'give me exactly 1000 docs per language, reproducibly' — a pure
+    COMPOSITION of curation.md5_bucket_hex4 and window.topk_per_group
+    (per-batch local top-k combiner bounds the shuffle), showing the
+    operator algebra closes. SQL oracle: row_number() over the same
+    md5 ordering."""
+    from ..curation import md5_bucket_hex4
+    from ..window import topk_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def add_coord(b: pa.Table) -> pa.Table:
+        hx = md5_bucket_hex4(b.column("doc_id").to_pandas().to_numpy())
+        return b.append_column("h4", pa.array(hx, type=pa.string()))
+
+    out = topk_per_group(ds.map_batches(add_coord, batch_format="pyarrow"),
+                         "lang", "h4", k=20, descending=False,
+                         tie_cols="doc_id").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["rk"] = out["rk"].astype("int64")
+    return out[["lang", "doc_id", "rk"]].sort_values(
+        ["lang", "rk"]).reset_index(drop=True)
+
+
+DOCS_STRATIFIED_K_SQL = """
+SELECT lang, doc_id,
+       CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS BIGINT) AS rk
+FROM documents
+QUALIFY rk <= 20
+ORDER BY lang, rk
+"""
+
+
 RAY_QUERIES = {
     "events_config_pipeline": events_config_pipeline,
+    "docs_stratified_k": docs_stratified_k,
     "docs_cross_dedup": docs_cross_dedup,
     "docs_hash_split": docs_hash_split,
     "events_distinct_users": events_distinct_users,
@@ -2825,6 +2862,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "docs_stratified_k": DOCS_STRATIFIED_K_SQL,
     "docs_cross_dedup": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
         " CAST(n_hit_buckets AS BIGINT) AS n_hit_buckets, dup_of_prior FROM "
