@@ -2776,8 +2776,26 @@ ORDER BY lang, rk
 """
 
 
+def emb_mmr_topk(sf_dir: str):
+    """MMR diversified top-k (ann.mmr, Carbonell & Goldstein 1998):
+    distributed brute-force cosine top-50 candidate scan, then the
+    bounded driver-side greedy re-rank at lambda=0.7. Deterministic but
+    the greedy recurrence is not SQL-expressible, so the oracle is a
+    committed golden parquet (disclosed pin); lambda=1.0 == ann_topk
+    and the diversity property are pinned in tests/test_mmr.py."""
+    from ..ann.mmr import mmr_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = mmr_topk(ds, _query_vec(sf_dir), k=10, pool=50, lam=0.7)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["sim"] = round_half_away(out["sim"], 6)
+    out["mmr_score"] = round_half_away(out["mmr_score"], 6)
+    return out.reset_index(drop=True)
+
+
 RAY_QUERIES = {
     "events_config_pipeline": events_config_pipeline,
+    "emb_mmr_topk": emb_mmr_topk,
     "docs_stratified_k": docs_stratified_k,
     "docs_cross_dedup": docs_cross_dedup,
     "docs_hash_split": docs_hash_split,
@@ -2862,6 +2880,11 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "emb_mmr_topk": (
+        "SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,"
+        " sim, mmr_score FROM "
+        "read_parquet('/root/repo/tests/golden/emb_mmr_topk_sf001.parquet') "
+        "ORDER BY rank"),
     "docs_stratified_k": DOCS_STRATIFIED_K_SQL,
     "docs_cross_dedup": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
