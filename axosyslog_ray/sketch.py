@@ -111,6 +111,47 @@ def hll_distinct(ds, value_col: str, p: int = 14) -> float:
     return hll_estimate(hll_build(ds, value_col, p))
 
 
+def hll_group_distinct(ds, keys: list[str] | str, value_col: str, p: int = 12,
+                       alias: str = "approx_distinct"):
+    """Approximate COUNT(DISTINCT value) PER KEY GROUP: an HLL register
+    array as the per-group accumulator of a native Ray groupby
+    aggregate — per-block fold, element-wise-max combine, estimate in
+    finalize. The per-group state is 2^p bytes regardless of value
+    cardinality, so this survives keys whose distinct sets are too big
+    for aggregate.distinct_count's exact exchange; for bounded keys the
+    shuffle moves one register array per (key, block). Returns
+    Dataset[(keys..., alias)] with the estimate rounded to the nearest
+    int."""
+    from ray.data.aggregate import AggregateFnV2
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    m = 1 << p
+
+    class _HllGroup(AggregateFnV2):
+        def __init__(self):
+            super().__init__(name=alias, on=None, ignore_nulls=False,
+                             zero_factory=lambda: np.zeros(m, dtype=np.uint8))
+
+        def aggregate_block(self, block):
+            t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            acc = np.zeros(m, dtype=np.uint8)
+            if t.num_rows:
+                col = t.column(value_col).to_pandas()
+                col = col[col.notna()]
+                if len(col):
+                    hll_add(acc, hash_str_array(col.to_numpy(dtype=object)))
+            return acc
+
+        def combine(self, a, b):
+            return np.maximum(np.asarray(a, dtype=np.uint8),
+                              np.asarray(b, dtype=np.uint8))
+
+        def finalize(self, acc):
+            return int(round(hll_estimate(np.asarray(acc, dtype=np.uint8))))
+
+    return ds.groupby(keys).aggregate(_HllGroup())
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch: mergeable frequency estimation / heavy hitters
 # ---------------------------------------------------------------------------

@@ -141,3 +141,22 @@ def test_cms_build_words_matches_exact(ray_session):
     # partitioning invariance (tree-add merge)
     t2 = cms_build_words(_ds(df, blocks=1), width=1 << 14, depth=4)
     assert (table == t2).all()
+
+
+def test_hll_group_distinct(ray_session):
+    from axosyslog_ray.sketch import hll_group_distinct
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 6000),
+        "v": [f"u{i}" for i in rng.integers(0, 900, 6000)],
+    })
+    got = hll_group_distinct(_ds(df, blocks=6), "k", "v", p=12).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    exact = df.groupby("k")["v"].nunique()
+    for _, row in got.iterrows():
+        e = exact[row["k"]]
+        assert abs(row["approx_distinct"] - e) / e < 0.06  # ~3.5 sigma at p=12
+    # partitioning invariance
+    g2 = hll_group_distinct(_ds(df, blocks=1), "k", "v", p=12).to_pandas()
+    pd.testing.assert_frame_equal(got, g2.sort_values("k").reset_index(drop=True))
