@@ -400,6 +400,35 @@ def hash_split(ds, fractions: dict[str, float], key_col: str = "doc_id",
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def weighted_sample_key(keys: np.ndarray, weights: np.ndarray,
+                        method: str = "md5") -> np.ndarray:
+    """Efraimidis-Spirakis weighted-sampling coordinate (public
+    algorithm, 2006): key = u^(1/w) with u a per-row deterministic
+    uniform in (0,1) — taking the top-k keys per stratum IS a weighted
+    sample without replacement (inclusion probability proportional to
+    weight at each draw), derandomized by the hash coordinate so any
+    engine/partitioning reproduces the same sample.
+
+    method='md5': u = (first-8-hex-of-md5(str(key)) + 0.5) / 2^32 —
+    byte-reproducible in DuckDB as
+    (('0x' || substr(md5(..), 1, 8))::UBIGINT + 0.5) / 4294967296.0,
+    pow/division being exact-rounded IEEE on both sides.
+    method='fast': u from splitmix64/siphash (the vectorized scale
+    path). Rows with weight <= 0 get key 0 (sampled last)."""
+    w = np.asarray(weights, dtype=np.float64)
+    if method == "md5":
+        h32 = np.array([int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+                        for k in keys], dtype=np.float64)
+        u = (h32 + 0.5) / 4294967296.0
+    elif method == "fast":
+        u = (fast_sample_u64(np.asarray(keys)).astype(np.float64) + 0.5) / 2.0**64
+    else:
+        raise ValueError("method must be 'md5' or 'fast'")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        key = np.where(w > 0, u ** (1.0 / w), 0.0)
+    return key
+
+
 def dedup_lines_text(texts: pd.Series, sep: str = "\n") -> pd.Series:
     """C4-style within-document repetition removal: keep the FIRST
     occurrence of each exact line, preserve order, rejoin. Pure per-row

@@ -2793,8 +2793,53 @@ def emb_mmr_topk(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def docs_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (curation.weighted_sample_key, Efraimidis-Spirakis 2006 + the
+    per-group top-k operator): 5 docs per language with inclusion odds
+    proportional to n_chars, derandomized by the md5 coordinate so the
+    DuckDB window oracle reproduces the exact sample. The 'sample big
+    docs more often, reproducibly, at any partitioning' curation step."""
+    from ..curation import weighted_sample_key
+    from ..window import topk_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def add_key(b: pa.Table) -> pa.Table:
+        k = weighted_sample_key(b.column("doc_id").to_pandas().to_numpy(),
+                                b.column("n_chars").to_numpy(zero_copy_only=False),
+                                method="md5")
+        return b.append_column("wkey", pa.array(k))
+
+    out = topk_per_group(ds.map_batches(add_key, batch_format="pyarrow"),
+                         "lang", "wkey", k=5, descending=True,
+                         tie_cols="doc_id").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    out["rk"] = out["rk"].astype("int64")
+    return out[["lang", "doc_id", "n_chars", "rk"]].sort_values(
+        ["lang", "rk"]).reset_index(drop=True)
+
+
+DOCS_WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         CASE WHEN n_chars > 0 THEN
+           pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+               / 4294967296.0, 1.0 / n_chars)
+         ELSE 0.0 END AS wkey
+  FROM documents)
+SELECT lang, doc_id, n_chars,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY wkey DESC, doc_id) AS BIGINT) AS rk
+FROM keyed
+QUALIFY rk <= 5
+ORDER BY lang, rk
+"""
+
+
 RAY_QUERIES = {
     "events_config_pipeline": events_config_pipeline,
+    "docs_weighted_sample": docs_weighted_sample,
     "emb_mmr_topk": emb_mmr_topk,
     "docs_stratified_k": docs_stratified_k,
     "docs_cross_dedup": docs_cross_dedup,
@@ -2880,6 +2925,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "docs_weighted_sample": DOCS_WEIGHTED_SAMPLE_SQL,
     "emb_mmr_topk": (
         "SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,"
         " sim, mmr_score FROM "

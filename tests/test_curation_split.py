@@ -65,3 +65,45 @@ def test_split_consistent_with_hash_sample(ray_session, frame):
                        strat_col="lang").to_pandas()
     train_ids = set(s.loc[s["split"] == "train", "doc_id"])
     assert train_ids == set(kept["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling coordinate (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_prefers_heavy_rows():
+    from axosyslog_ray.curation import weighted_sample_key
+
+    # two populations: weight 100 vs weight 1 — over many draws the
+    # heavy rows must dominate the top of the key ordering
+    n = 2000
+    keys = np.arange(n)
+    w = np.where(keys < n // 2, 100.0, 1.0)
+    k = weighted_sample_key(keys, w, method="fast")
+    top = np.argsort(-k)[:200]
+    heavy_frac = (top < n // 2).mean()
+    assert heavy_frac > 0.9
+
+
+def test_weighted_sample_methods_and_edge_weights():
+    from axosyslog_ray.curation import weighted_sample_key
+
+    keys = np.array([1, 2, 3, 4])
+    w = np.array([1.0, 0.0, -3.0, 2.0])
+    for m in ("md5", "fast"):
+        k = weighted_sample_key(keys, w, method=m)
+        assert k[1] == 0.0 and k[2] == 0.0       # non-positive weights last
+        assert ((0 <= k) & (k < 1)).all()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        weighted_sample_key(keys, w, method="nope")
+
+
+def test_weighted_sample_deterministic():
+    from axosyslog_ray.curation import weighted_sample_key
+
+    keys = np.arange(500)
+    w = np.linspace(1, 50, 500)
+    a = weighted_sample_key(keys, w, method="md5")
+    b = weighted_sample_key(keys, w, method="md5")
+    assert (a == b).all()
