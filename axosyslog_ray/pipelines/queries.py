@@ -2837,8 +2837,35 @@ ORDER BY lang, rk
 """
 
 
+def events_iqr_outliers(sf_dir: str):
+    """Per-group Tukey outlier filter (window.iqr_outliers): events whose
+    value exceeds q3 + 1.5*IQR of their event_type — exact quantile pass
+    (bounded keys) + broadcast threshold map-filter, no second shuffle.
+    Oracle: the same quantile_cont window join in SQL."""
+    from ..window import iqr_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = iqr_outliers(ds, "event_type", "value", k=1.5).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out[["event_id", "event_type", "value"]].sort_values(
+        "event_id").reset_index(drop=True)
+
+
+EVENTS_IQR_SQL = """
+WITH q AS (
+  SELECT event_type, quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN q USING (event_type)
+WHERE e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+ORDER BY e.event_id
+"""
+
+
 RAY_QUERIES = {
     "events_config_pipeline": events_config_pipeline,
+    "events_iqr_outliers": events_iqr_outliers,
     "docs_weighted_sample": docs_weighted_sample,
     "emb_mmr_topk": emb_mmr_topk,
     "docs_stratified_k": docs_stratified_k,
@@ -2925,6 +2952,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "events_iqr_outliers": EVENTS_IQR_SQL,
     "docs_weighted_sample": DOCS_WEIGHTED_SAMPLE_SQL,
     "emb_mmr_topk": (
         "SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,"

@@ -140,6 +140,31 @@ def budget_capped_select(ds, group_col: str, weight_col: str, budget: float,
                                num_buckets=num_buckets)
 
 
+def iqr_outliers(ds, group_cols: list[str] | str, value_col: str,
+                 k: float = 1.5, num_buckets: int | None = None):
+    """Per-group Tukey outlier filter: keep rows with
+    value > q3 + k * (q3 - q1) of their key's distribution — the "p99
+    latency spike per program" telemetry shape. Two streaming passes:
+    (1) group_quantiles computes the bounded per-key (q1, q3) table
+    (exact, == SQL quantile_cont); (2) the tiny threshold table
+    broadcasts into a map-only filter — no second shuffle, the corpus
+    never materializes. The threshold arithmetic mirrors the SQL
+    expression shape exactly (q3 + k*(q3-q1), IEEE-identical)."""
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    q = group_quantiles(ds, group_cols, value_col, {"q1": 0.25, "q3": 0.75},
+                        round_digits=None, num_buckets=num_buckets).to_pandas()
+    qthr = q[group_cols].copy()
+    qthr["_thr"] = q["q3"] + k * (q["q3"] - q["q1"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        df = b.select(group_cols + [value_col]).to_pandas()
+        m = df.merge(qthr, on=group_cols, how="left")  # vectorized hash join
+        mask = (m[value_col].notna() & (m[value_col] > m["_thr"].fillna(np.inf))).to_numpy()
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def group_quantiles(ds, group_cols: list[str] | str, value_col: str,
                     qs: dict[str, float], round_digits: int | None = 4,
                     num_buckets: int | None = None):

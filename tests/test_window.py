@@ -206,3 +206,29 @@ def test_window_ops_empty_group_result(ray_session):
     got = budget_capped_select(_ds(df, blocks=2), "k", "v", budget=1,
                                order_col="id").to_pandas()
     assert len(got) == 0
+
+
+def test_iqr_outliers_matches_sql(ray_session, frame):
+    from axosyslog_ray.window import iqr_outliers
+
+    vals = frame.assign(v=frame.v.astype(float))
+    # plant spikes so each key actually has Tukey outliers
+    vals.loc[vals.index[:10], "v"] = 5000.0 + np.arange(10)
+    got = iqr_outliers(_ds(vals), "k", "v", k=1.5).to_pandas()
+    got = got.sort_values("id").reset_index(drop=True)
+    want = duckdb.sql("""
+        WITH q AS (SELECT k, quantile_cont(v, 0.25) q1, quantile_cont(v, 0.75) q3
+                   FROM vals GROUP BY k)
+        SELECT vals.k, vals.v, vals.id FROM vals JOIN q USING (k)
+        WHERE vals.v > q.q3 + 1.5 * (q.q3 - q.q1) ORDER BY id
+    """).df()
+    assert list(got["id"]) == list(want["id"])
+
+
+def test_iqr_outliers_null_and_unknown_keys(ray_session):
+    from axosyslog_ray.window import iqr_outliers
+
+    df = pd.DataFrame({"k": ["a"] * 8, "v": [1.0, 1, 1, 1, 1, 1, None, 100.0],
+                       "id": np.arange(8, dtype=np.int64)})
+    got = iqr_outliers(_ds(df, blocks=2), "k", "v").to_pandas()
+    assert list(got["id"]) == [7]   # the spike; null row never passes
