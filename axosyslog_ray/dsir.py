@@ -39,7 +39,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .curation import _gram_hashes
