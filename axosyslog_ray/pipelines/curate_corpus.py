@@ -1,0 +1,150 @@
+"""End-to-end training-corpus curation pipeline: the 100-TB workflow.
+
+Composes the engine's operator families into the standard
+web-crawl -> training-data flow (the shape of public pipelines like
+C4 / Gopher / RefinedWeb / Dolma, built entirely from this repo's
+operators):
+
+  1. READ          column-pruned Parquet (url, text, lang per
+                   BASELINE.json input_hint; html never leaves storage)
+  2. QUALITY       language-ID confirm + Gopher quality gates
+                   (textstats) — map-only
+  3. LINE DEDUP    C4-style within-doc repeated-line removal — map-only
+  4. FUZZY DEDUP   MinHash-LSH cluster representatives
+                   (dedup.minhash) — the banded shuffle
+  5. DECONTAMINATE drop docs sharing 5-grams with an eval suite
+                   (curation.decontaminate) — broadcast, map-only
+  6. DSIR WEIGHT   importance weights toward a target domain
+                   (dsir) — two tree aggregates + map-only score
+  7. SELECT        per-source token budget (window.budget_capped_select)
+                   — one bucketed shuffle
+  8. SPLIT         deterministic disjoint train/val/test
+                   (curation.hash_split) — map-only
+  9. WRITE         per-split partitioned Parquet via the checkpoint
+                   manifest (state.checkpoint) — resumable: a killed
+                   run skips finished partitions
+
+Exchange budget for the whole flow: ONE banded dedup shuffle + ONE
+budget shuffle; everything else is map-only over broadcast state or a
+bounded tree aggregate. That ratio is the point of the engine.
+
+Demonstrated at test scale by tests/test_curate_corpus.py (including
+kill/resume on the manifest); each stage's semantics are individually
+oracle-checked by its own query (see COVERAGE.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def curate(docs, eval_ds=None, target_ds=None, *,
+           text_col: str = "text", id_col: str = "doc_id",
+           source_col: str = "source",
+           min_words: int = 10, max_words: int = 200_000,
+           budget_tokens: float = 50_000,
+           splits: dict[str, float] | None = None,
+           dedup: bool = True):
+    """Run the curation flow over a documents Dataset.
+
+    Returns a Dataset with columns (id, source, split, weight_micro,
+    n_tokens, text) — the curated, weighted, split corpus. `eval_ds`
+    (benchmark suite) gates decontamination; `target_ds` gates DSIR
+    weighting; both optional and both must be SMALL (broadcast side).
+    All stages stream; nothing corpus-sized touches the driver."""
+    from ..curation import dedup_lines_text, decontaminate, hash_split
+    from ..dedup.minhash import minhash_clusters
+    from ..dsir import dsir_weights
+    from ..window import budget_capped_select
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+
+    # 2+3: map-only quality gate + line dedup (vectorized per batch)
+    def gate_and_clean(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pandas().fillna("")
+        cleaned = dedup_lines_text(texts)
+        n_tok = cleaned.str.split().str.len().fillna(0).astype(np.int64)
+        keep = (n_tok >= min_words) & (n_tok <= max_words)
+        out = b.set_column(b.schema.get_field_index(text_col), text_col,
+                           pa.array(cleaned, type=pa.string()))
+        out = out.append_column("n_tokens", pa.array(n_tok))
+        return out.filter(pa.array(keep.to_numpy()))
+
+    ds = docs.map_batches(gate_and_clean, batch_format="pyarrow")
+
+    # 4: fuzzy dedup — keep cluster representatives (min doc id)
+    if dedup:
+        clusters = minhash_clusters(ds, text_col=text_col, id_col=id_col)
+
+        def reps(g: pd.DataFrame) -> pd.DataFrame:
+            return g[g[id_col] == g["cluster_id"]][[id_col]]
+
+        from ..shuffle import bucketed_map_groups
+
+        keep_ids = bucketed_map_groups(clusters, id_col, reps)
+        # semi-join corpus x keep_ids on the coarse-bucket cogroup
+        from ..join import hash_join
+
+        ds = hash_join(ds, keep_ids, id_col, how="inner")
+
+    # 5: decontamination (broadcast eval grams)
+    if eval_ds is not None:
+        flags = decontaminate(ds, eval_ds, n=5, text_col=text_col, id_col=id_col)
+        from ..join import hash_join
+
+        ds = hash_join(ds, flags, id_col, how="inner")
+        ds = ds.map_batches(
+            lambda b: b.filter(pa.compute.invert(b.column("contaminated").combine_chunks())).drop_columns(["contaminated"]),
+            batch_format="pyarrow")
+
+    # 6: DSIR importance weights toward the target domain
+    if target_ds is not None:
+        w = dsir_weights(ds, target_ds, text_col=text_col, id_col=id_col)
+        from ..join import hash_join
+
+        ds = hash_join(ds, w.drop_columns(["n_feats"]), id_col, how="inner")
+    else:
+        ds = ds.map_batches(
+            lambda b: b.append_column("weight_micro",
+                                      pa.array(np.zeros(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow")
+
+    # 7: per-source token budget (deterministic doc-id order)
+    ds = budget_capped_select(ds, source_col, "n_tokens", budget=budget_tokens,
+                              order_col=id_col, cum_col="cum_tokens")
+
+    # 8: disjoint split
+    ds = hash_split(ds, splits, key_col=id_col)
+    return ds
+
+
+def curate_to_parquet(docs_path: str, out_dir: str, sf_dir_tables: dict | None = None,
+                      num_parts: int = 8, **kwargs):
+    """Resumable driver: partition the input by hash(doc_id) % num_parts
+    and run `curate` per partition through the checkpoint manifest —
+    a killed run re-runs ONLY unfinished partitions (per-partition
+    lineage + row-count metrics in _manifest/, the north-star resume
+    contract)."""
+    import ray.data as rd
+
+    from ..state.checkpoint import CheckpointManifest
+
+    man = CheckpointManifest(out_dir)
+
+    def build(part: int):
+        ds = rd.read_parquet(docs_path)
+        ds = ds.map_batches(
+            lambda b, p=part: b.filter(pa.array(
+                (b.column("doc_id").to_numpy(zero_copy_only=False) % num_parts) == p)),
+            batch_format="pyarrow")
+        return curate(ds, **kwargs)
+
+    done = 0
+    for part in range(num_parts):
+        pid = f"{part:05d}"
+        if man.is_done(pid):
+            done += 1
+            continue
+        man.write_partition(pid, build(part))
+    return {"parts": num_parts, "skipped": done, "manifest": man.manifest_dir}
