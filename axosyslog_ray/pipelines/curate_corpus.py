@@ -46,7 +46,8 @@ def curate(docs, eval_ds=None, target_ds=None, *,
            min_words: int = 10, max_words: int = 200_000,
            budget_tokens: float = 50_000,
            splits: dict[str, float] | None = None,
-           dedup: bool = True):
+           dedup: bool = True, dsir_method: str = "fast",
+           split_method: str = "fast"):
     """Run the curation flow over a documents Dataset.
 
     Returns a Dataset with columns (id, source, split, weight_micro,
@@ -100,7 +101,8 @@ def curate(docs, eval_ds=None, target_ds=None, *,
 
     # 6: DSIR importance weights toward the target domain
     if target_ds is not None:
-        w = dsir_weights(ds, target_ds, text_col=text_col, id_col=id_col)
+        w = dsir_weights(ds, target_ds, text_col=text_col, id_col=id_col,
+                         method=dsir_method)
         from ..join import hash_join
 
         ds = hash_join(ds, w.drop_columns(["n_feats"]), id_col, how="inner")
@@ -115,7 +117,7 @@ def curate(docs, eval_ds=None, target_ds=None, *,
                               order_col=id_col, cum_col="cum_tokens")
 
     # 8: disjoint split
-    ds = hash_split(ds, splits, key_col=id_col)
+    ds = hash_split(ds, splits, key_col=id_col, method=split_method)
     return ds
 
 

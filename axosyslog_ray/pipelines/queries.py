@@ -2863,8 +2863,94 @@ ORDER BY e.event_id
 """
 
 
+def docs_full_curation(sf_dir: str):
+    """The COMPOSED curation pipeline under the oracle gate
+    (pipelines/curate_corpus.curate with dedup off and md5 coordinate
+    variants): quality gate -> decontaminate vs src0 5-grams -> DSIR
+    weights toward src0 -> per-source 2000-token budget -> disjoint
+    98/1/1 split — every stage reproduced in ONE DuckDB CTE chain, so
+    the driver hash-checks the whole flow end-to-end, not just the
+    stages in isolation. (The MinHash dedup stage is golden-pinned
+    separately — band membership isn't SQL-expressible.)"""
+    from ..pipelines.curate_corpus import curate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    evald = _read(sf_dir, "documents", ["doc_id", "text", "source"]).filter(
+        expr="source == 'src0'")
+    target = _read(sf_dir, "documents", ["doc_id", "text", "source"]).filter(
+        expr="source == 'src0'")
+    out = curate(docs, eval_ds=evald, target_ds=target, dedup=False,
+                 budget_tokens=2000, dsir_method="md5", split_method="md5",
+                 splits={"train": 0.98, "val": 0.01, "test": 0.01}).to_pandas()
+    for c in ("doc_id", "n_tokens", "weight_micro", "cum_tokens"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "source", "text", "n_tokens", "weight_micro",
+                "cum_tokens", "split"]].sort_values("doc_id").reset_index(drop=True)
+
+
+# split interval bounds: cum 0.98 -> 0xFAE1, 0.99 -> 0xFD70 of the
+# 16-bit hex space (hash_split's md5 coordinate)
+DOCS_FULL_CURATION_SQL = """
+WITH base AS (
+  SELECT doc_id, source, text,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents),
+gated AS (SELECT * FROM base WHERE n_tokens >= 10 AND n_tokens <= 200000),
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+nw AS (SELECT doc_id, ws, len(ws) AS n FROM toks),
+g5 AS (SELECT nw.doc_id, array_to_string(ws[i : i + 4], ' ') AS gram
+       FROM nw, LATERAL (SELECT unnest(range(1, greatest(n - 3, 1))) AS i) t),
+evalg AS (SELECT DISTINCT gram FROM g5 JOIN documents d USING (doc_id)
+          WHERE d.source = 'src0'),
+contam AS (SELECT DISTINCT g5.doc_id FROM g5
+           JOIN gated USING (doc_id) JOIN evalg USING (gram)),
+corpus AS (SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+-- DSIR: raw distribution over the post-decontamination corpus,
+-- target distribution over the RAW src0 docs (the separate target set)
+uni AS (SELECT t2.doc_id, unnest(ws) AS gram FROM toks t2),
+bi AS (SELECT nw.doc_id, array_to_string(ws[i : i + 1], ' ') AS gram
+       FROM nw, LATERAL (SELECT unnest(range(1, greatest(n, 1))) AS i) t),
+grams AS (SELECT doc_id, gram FROM uni UNION ALL SELECT doc_id, gram FROM bi),
+gb AS (SELECT doc_id,
+              CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) % 10000 AS BIGINT) AS b
+       FROM grams),
+tgt AS (SELECT b, count(*) AS c FROM gb
+        JOIN documents d USING (doc_id) WHERE d.source = 'src0' GROUP BY b),
+rawc AS (SELECT b, count(*) AS c FROM gb JOIN corpus USING (doc_id) GROUP BY b),
+tots AS (SELECT (SELECT coalesce(sum(c), 0) FROM tgt) AS tt,
+                (SELECT coalesce(sum(c), 0) FROM rawc) AS tr),
+qlr AS (
+  SELECT bk.b,
+         CAST(round((ln((coalesce(tgt.c, 0) + 0.5) / (tots.tt + 0.5 * 10000))
+                   - ln((coalesce(rawc.c, 0) + 0.5) / (tots.tr + 0.5 * 10000)))
+                    * 1000000, 0) AS BIGINT) AS q
+  FROM (SELECT unnest(range(0, 10000)) AS b) bk
+  CROSS JOIN tots
+  LEFT JOIN tgt ON bk.b = tgt.b
+  LEFT JOIN rawc ON bk.b = rawc.b),
+w AS (SELECT gb.doc_id, sum(qlr.q) AS wm
+      FROM gb JOIN corpus USING (doc_id) JOIN qlr ON gb.b = qlr.b
+      GROUP BY gb.doc_id),
+weighted AS (
+  SELECT c.doc_id, c.source, c.text, c.n_tokens,
+         CAST(coalesce(w.wm, 0) AS BIGINT) AS weight_micro
+  FROM corpus c LEFT JOIN w USING (doc_id)),
+budgeted AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM weighted)
+SELECT doc_id, source, text, n_tokens, weight_micro,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'fae1' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'fd70' THEN 'val'
+            ELSE 'test' END AS split
+FROM budgeted WHERE cum_tokens <= 2000 ORDER BY doc_id
+"""
+
+
 RAY_QUERIES = {
     "events_config_pipeline": events_config_pipeline,
+    "docs_full_curation": docs_full_curation,
     "events_iqr_outliers": events_iqr_outliers,
     "docs_weighted_sample": docs_weighted_sample,
     "emb_mmr_topk": emb_mmr_topk,
@@ -2952,6 +3038,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "docs_full_curation": DOCS_FULL_CURATION_SQL,
     "events_iqr_outliers": EVENTS_IQR_SQL,
     "docs_weighted_sample": DOCS_WEIGHTED_SAMPLE_SQL,
     "emb_mmr_topk": (
