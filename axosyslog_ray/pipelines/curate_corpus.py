@@ -74,6 +74,30 @@ def curate(docs, eval_ds=None, target_ds=None, *,
 
     ds = docs.map_batches(gate_and_clean, batch_format="pyarrow")
 
+    # Statically track the pipeline schema so the hash_joins never run
+    # their batch-peek probe (which PARTIALLY EXECUTES both upstream
+    # chains — for the dedup branch that means re-running the whole
+    # banded MinHash pipeline just to learn it yields one int column).
+    # docs.schema() on a parquet-rooted Dataset is metadata-only.
+    try:
+        in_sch = docs.schema().base_schema
+    except Exception:  # noqa: BLE001 — unknown source type: fall back to probes
+        in_sch = None
+    cur_sch = in_sch.append(pa.field("n_tokens", pa.int64())) if in_sch is not None else None
+    id_type = in_sch.field(id_col).type if in_sch is not None else None
+
+    def _join_sch(right_fields):
+        # hash_join output order: key + left value cols + right value cols
+        nonlocal cur_sch
+        if cur_sch is None:
+            return None, None
+        rs = pa.schema([pa.field(id_col, id_type)] + right_fields)
+        ls = cur_sch
+        cur_sch = pa.schema([pa.field(id_col, id_type)]
+                            + [f for f in ls if f.name != id_col]
+                            + right_fields)
+        return ls, rs
+
     # 4: fuzzy dedup — keep cluster representatives (min doc id)
     if dedup:
         clusters = minhash_clusters(ds, text_col=text_col, id_col=id_col)
@@ -87,17 +111,23 @@ def curate(docs, eval_ds=None, target_ds=None, *,
         # semi-join corpus x keep_ids on the coarse-bucket cogroup
         from ..join import hash_join
 
-        ds = hash_join(ds, keep_ids, id_col, how="inner")
+        ls, rs = _join_sch([])
+        ds = hash_join(ds, keep_ids, id_col, how="inner",
+                       left_schema=ls, right_schema=rs)
 
     # 5: decontamination (broadcast eval grams)
     if eval_ds is not None:
         flags = decontaminate(ds, eval_ds, n=5, text_col=text_col, id_col=id_col)
         from ..join import hash_join
 
-        ds = hash_join(ds, flags, id_col, how="inner")
+        ls, rs = _join_sch([pa.field("contaminated", pa.bool_())])
+        ds = hash_join(ds, flags, id_col, how="inner",
+                       left_schema=ls, right_schema=rs)
         ds = ds.map_batches(
             lambda b: b.filter(pa.compute.invert(b.column("contaminated").combine_chunks())).drop_columns(["contaminated"]),
             batch_format="pyarrow")
+        if cur_sch is not None:
+            cur_sch = pa.schema([f for f in cur_sch if f.name != "contaminated"])
 
     # 6: DSIR importance weights toward the target domain
     if target_ds is not None:
@@ -105,7 +135,9 @@ def curate(docs, eval_ds=None, target_ds=None, *,
                          method=dsir_method)
         from ..join import hash_join
 
-        ds = hash_join(ds, w.drop_columns(["n_feats"]), id_col, how="inner")
+        ls, rs = _join_sch([pa.field("weight_micro", pa.int64())])
+        ds = hash_join(ds, w.drop_columns(["n_feats"]), id_col, how="inner",
+                       left_schema=ls, right_schema=rs)
     else:
         ds = ds.map_batches(
             lambda b: b.append_column("weight_micro",
