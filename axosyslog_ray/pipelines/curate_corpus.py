@@ -131,6 +131,15 @@ def curate(docs, eval_ds=None, target_ds=None, *,
 
     # 6: DSIR importance weights toward the target domain
     if target_ds is not None:
+        # DSIR is inherently TWO passes over the same derived corpus
+        # (bucket counts, then scoring) and the downstream budget/split
+        # is a third — a lazy lineage would re-execute the whole
+        # gate+dedup+decontaminate chain once per pass. Materialize the
+        # curated corpus ONCE here (Ray spills blocks to disk at scale;
+        # recompute-vs-spill favors spill for a 3-consumer stage). This
+        # is the documented exception to the stream-don't-materialize
+        # rule: a genuinely multi-pass consumer.
+        ds = ds.materialize()
         w = dsir_weights(ds, target_ds, text_col=text_col, id_col=id_col,
                          method=dsir_method)
         from ..join import hash_join
