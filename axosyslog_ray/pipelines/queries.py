@@ -2948,8 +2948,37 @@ FROM budgeted WHERE cum_tokens <= 2000 ORDER BY doc_id
 """
 
 
+def events_interarrival(sf_dir: str):
+    """Per-user inter-event gaps (window.with_lag): each event's delay
+    since the user's previous event in microseconds — SQL lag() OVER
+    (PARTITION BY user ORDER BY ts, event_id). Exact integer epoch
+    difference; first event per user is null (left as -1 sentinel so
+    the hash compare has no NaN)."""
+    from ..window import with_lag
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = with_lag(ds, "user_id", ["ts", "event_id"], "ts").to_pandas()
+    dv = (out["ts"] - out["ts_lag"]).to_numpy()
+    valid = ~pd.isna(dv)
+    out["delta_us"] = np.where(
+        valid, dv.astype("timedelta64[us]").astype("int64"), -1).astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out[["event_id", "user_id", "delta_us"]].sort_values(
+        "event_id").reset_index(drop=True)
+
+
+EVENTS_INTERARRIVAL_SQL = """
+SELECT event_id, user_id,
+       CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT) AS delta_us
+FROM events ORDER BY event_id
+"""
+
+
 RAY_QUERIES = {
     "events_config_pipeline": events_config_pipeline,
+    "events_interarrival": events_interarrival,
     "docs_full_curation": docs_full_curation,
     "events_iqr_outliers": events_iqr_outliers,
     "docs_weighted_sample": docs_weighted_sample,
@@ -3038,6 +3067,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "events_interarrival": EVENTS_INTERARRIVAL_SQL,
     "docs_full_curation": DOCS_FULL_CURATION_SQL,
     "events_iqr_outliers": EVENTS_IQR_SQL,
     "docs_weighted_sample": DOCS_WEIGHTED_SAMPLE_SQL,

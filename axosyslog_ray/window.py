@@ -140,6 +140,33 @@ def budget_capped_select(ds, group_col: str, weight_col: str, budget: float,
                                num_buckets=num_buckets)
 
 
+def with_lag(ds, group_cols: list[str] | str, order_cols: list[str] | str,
+             lag_cols: list[str] | str, suffix: str = "_lag",
+             num_buckets: int | None = None):
+    """SQL lag() per partition: append each row's PREVIOUS row's values
+    (ordered by `order_cols` within `group_cols`) as `<col>_lag`
+    columns; the first row per key gets nulls. One coarse-bucket
+    shuffle on the key, then a vectorized per-bucket sort + groupby
+    shift — the inter-event-delta / change-detection telemetry shape
+    (the reference's nearest analogue is grouping-by's per-context
+    state, lib/correlation/grouping-by.c; this is the batch window
+    form). (group, order_cols) should be a total order for a
+    deterministic result, same as the SQL window."""
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    lag_cols = [lag_cols] if isinstance(lag_cols, str) else list(lag_cols)
+
+    def bucket_lag(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(group_cols + order_cols, kind="mergesort")
+        grp = s.groupby(group_cols, sort=False, dropna=False)
+        for c in lag_cols:
+            s[c + suffix] = grp[c].shift(1)
+        return s
+
+    return bucketed_map_groups(ds, group_cols, bucket_lag,
+                               num_buckets=num_buckets)
+
+
 def iqr_outliers(ds, group_cols: list[str] | str, value_col: str,
                  k: float = 1.5, num_buckets: int | None = None):
     """Per-group Tukey outlier filter: keep rows with

@@ -232,3 +232,29 @@ def test_iqr_outliers_null_and_unknown_keys(ray_session):
                        "id": np.arange(8, dtype=np.int64)})
     got = iqr_outliers(_ds(df, blocks=2), "k", "v").to_pandas()
     assert list(got["id"]) == [7]   # the spike; null row never passes
+
+
+def test_with_lag_matches_sql(ray_session, frame):
+    from axosyslog_ray.window import with_lag
+
+    got = with_lag(_ds(frame), "k", ["id"], ["v"]).to_pandas()
+    got = got.sort_values("id").reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT k, v, id, lag(v) OVER (PARTITION BY k ORDER BY id) AS v_lag
+        FROM frame ORDER BY id
+    """).df()
+    assert len(got) == len(want)
+    a = got["v_lag"].to_numpy(dtype=float)
+    b = want["v_lag"].to_numpy(dtype=float)
+    assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+
+
+def test_with_lag_first_row_null_per_key(ray_session):
+    from axosyslog_ray.window import with_lag
+
+    df = pd.DataFrame({"k": ["a", "a", "b"], "id": [1, 2, 3],
+                       "v": [10.0, 20.0, 30.0]})
+    got = with_lag(_ds(df, blocks=2), "k", "id", "v").to_pandas()
+    got = got.sort_values("id").reset_index(drop=True)
+    assert np.isnan(got.loc[0, "v_lag"]) and got.loc[1, "v_lag"] == 10.0
+    assert np.isnan(got.loc[2, "v_lag"])  # first of key b
