@@ -142,12 +142,13 @@ def budget_capped_select(ds, group_col: str, weight_col: str, budget: float,
 
 def with_lag(ds, group_cols: list[str] | str, order_cols: list[str] | str,
              lag_cols: list[str] | str, suffix: str = "_lag",
-             num_buckets: int | None = None):
+             periods: int = 1, num_buckets: int | None = None):
     """SQL lag() per partition: append each row's PREVIOUS row's values
     (ordered by `order_cols` within `group_cols`) as `<col>_lag`
     columns; the first row per key gets nulls. One coarse-bucket
     shuffle on the key, then a vectorized per-bucket sort + groupby
-    shift — the inter-event-delta / change-detection telemetry shape
+    shift — the inter-event-delta / change-detection telemetry shape.
+    periods > 0 is SQL lag(col, n); periods < 0 is lead(col, n)
     (the reference's nearest analogue is grouping-by's per-context
     state, lib/correlation/grouping-by.c; this is the batch window
     form). (group, order_cols) should be a total order for a
@@ -160,7 +161,7 @@ def with_lag(ds, group_cols: list[str] | str, order_cols: list[str] | str,
         s = g.sort_values(group_cols + order_cols, kind="mergesort")
         grp = s.groupby(group_cols, sort=False, dropna=False)
         for c in lag_cols:
-            s[c + suffix] = grp[c].shift(1)
+            s[c + suffix] = grp[c].shift(periods)
         return s
 
     return bucketed_map_groups(ds, group_cols, bucket_lag,

@@ -258,3 +258,14 @@ def test_with_lag_first_row_null_per_key(ray_session):
     got = got.sort_values("id").reset_index(drop=True)
     assert np.isnan(got.loc[0, "v_lag"]) and got.loc[1, "v_lag"] == 10.0
     assert np.isnan(got.loc[2, "v_lag"])  # first of key b
+
+
+def test_with_lead_negative_periods(ray_session):
+    from axosyslog_ray.window import with_lag
+
+    df = pd.DataFrame({"k": ["a", "a", "a"], "id": [1, 2, 3],
+                       "v": [10.0, 20.0, 30.0]})
+    got = with_lag(_ds(df, blocks=2), "k", "id", "v", suffix="_lead",
+                   periods=-1).to_pandas().sort_values("id").reset_index(drop=True)
+    assert got.loc[0, "v_lead"] == 20.0 and got.loc[1, "v_lead"] == 30.0
+    assert np.isnan(got.loc[2, "v_lead"])
