@@ -162,32 +162,79 @@ def curate(docs, eval_ds=None, target_ds=None, *,
     return ds
 
 
+def _list_parquet_files(docs_path: str) -> list[tuple[str, int]]:
+    """Enumerate (path, size_bytes) for every parquet file under a path
+    (a single file, a directory tree, or an explicit list)."""
+    import os
+
+    if isinstance(docs_path, (list, tuple)):
+        out = []
+        for p in docs_path:
+            out.extend(_list_parquet_files(p))
+        return out
+    if os.path.isfile(docs_path):
+        return [(docs_path, os.path.getsize(docs_path))]
+    files: list[tuple[str, int]] = []
+    for root, _dirs, names in os.walk(docs_path):
+        for name in sorted(names):
+            if name.endswith((".parquet", ".pq")):
+                full = os.path.join(root, name)
+                files.append((full, os.path.getsize(full)))
+    files.sort()
+    return files
+
+
+def assign_files(files: list[tuple[str, int]], num_parts: int) -> list[list[str]]:
+    """Size-balanced deterministic assignment of input files to resume
+    partitions (greedy longest-processing-time): each partition reads ONLY
+    its own bytes — no read amplification — and the assignment is a pure
+    function of the (sorted) file listing, so a resumed run computes the
+    identical plan. Partitions may be empty when files < num_parts."""
+    import heapq
+
+    parts: list[list[str]] = [[] for _ in range(num_parts)]
+    # heap of (total_bytes, part_index); ties broken by part index for
+    # determinism. Iterate files largest-first.
+    heap = [(0, i) for i in range(num_parts)]
+    heapq.heapify(heap)
+    for path, size in sorted(files, key=lambda fs: (-fs[1], fs[0])):
+        total, idx = heapq.heappop(heap)
+        parts[idx].append(path)
+        heapq.heappush(heap, (total + size, idx))
+    for p in parts:
+        p.sort()
+    return parts
+
+
 def curate_to_parquet(docs_path: str, out_dir: str, sf_dir_tables: dict | None = None,
                       num_parts: int = 8, **kwargs):
-    """Resumable driver: partition the input by hash(doc_id) % num_parts
-    and run `curate` per partition through the checkpoint manifest —
-    a killed run re-runs ONLY unfinished partitions (per-partition
-    lineage + row-count metrics in _manifest/, the north-star resume
-    contract)."""
+    """Resumable driver: shard the INPUT FILE LIST across partitions
+    (size-balanced, deterministic) and run `curate` per partition through
+    the checkpoint manifest — a killed run re-runs ONLY unfinished
+    partitions (per-partition lineage + row-count metrics in _manifest/,
+    the north-star resume contract).
+
+    Each partition's read touches only its own files, so the whole run
+    scans the input exactly once regardless of num_parts (no read
+    amplification), and no assumption is made about id column types.
+    Partitions with no assigned files (files < num_parts) are marked done
+    with zero rows without scheduling any read."""
     import ray.data as rd
 
     from ..state.checkpoint import CheckpointManifest
 
     man = CheckpointManifest(out_dir)
-
-    def build(part: int):
-        ds = rd.read_parquet(docs_path)
-        ds = ds.map_batches(
-            lambda b, p=part: b.filter(pa.array(
-                (b.column("doc_id").to_numpy(zero_copy_only=False) % num_parts) == p)),
-            batch_format="pyarrow")
-        return curate(ds, **kwargs)
+    parts = assign_files(_list_parquet_files(docs_path), num_parts)
 
     done = 0
-    for part in range(num_parts):
+    for part, files in enumerate(parts):
         pid = f"{part:05d}"
         if man.is_done(pid):
             done += 1
             continue
-        man.write_partition(pid, build(part))
+        if not files:
+            man.mark_done(pid, {"part_id": pid, "rows": 0, "files": 0})
+            continue
+        man.write_partition(pid, curate(rd.read_parquet(files), **kwargs),
+                            extra_meta={"files": len(files)})
     return {"parts": num_parts, "skipped": done, "manifest": man.manifest_dir}
