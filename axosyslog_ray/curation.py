@@ -69,14 +69,15 @@ def _gram_hashes(texts: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
     seg_starts = np.concatenate([[0], np.cumsum(grams_per_doc)])
     if nt < n:
         return np.empty(0, np.uint64), seg_starts
+    from .hashutil import poly_window_hash
+
     th = pd.util.hash_array(toks).astype(np.uint64)
-    view = np.lib.stride_tricks.sliding_window_view(th, n)
     with np.errstate(over="ignore"):
         pw = np.empty(n, dtype=np.uint64)
         pw[n - 1] = np.uint64(1)
         for i in range(n - 2, -1, -1):
             pw[i] = pw[i + 1] * _GRAM_A
-        h = splitmix64((view * pw).sum(axis=1, dtype=np.uint64))
+    h = splitmix64(poly_window_hash(th, n, pw))
     # drop windows crossing doc boundaries
     doc_of = np.repeat(np.arange(n_docs), tok_per_doc)
     valid = doc_of[: nt - n + 1] == doc_of[n - 1 :]

@@ -78,9 +78,10 @@ def _window_table(batch: pa.Table, k: int, text_col: str, id_col: str,
     n = len(toks)
     if n < k:
         return empty
+    from ..hashutil import poly_window_hash
+
     wh = pd.util.hash_array(toks)
-    view = np.lib.stride_tricks.sliding_window_view(wh, k)
-    h = (view * pw).sum(axis=1, dtype=np.uint64)
+    h = poly_window_hash(wh.astype(np.uint64), k, pw)
     doc_of = np.repeat(np.arange(len(texts)), np.diff(seg))
     head = doc_of[: n - k + 1]
     valid = head == doc_of[k - 1:]

@@ -36,6 +36,20 @@ def uniform01(idx: np.ndarray, seed: int, stream: int = 0) -> np.ndarray:
     return hash_idx(idx, seed, stream).astype(np.float64) / float(2**64)
 
 
+def poly_window_hash(th: np.ndarray, n: int, pw: np.ndarray) -> np.ndarray:
+    """n-wide rolling polynomial combine over a flat uint64 hash stream:
+    out[j] = sum_i th[j+i] * pw[i] (mod 2^64), computed as n CONTIGUOUS
+    shifted multiply-adds. A sliding_window_view + sum(axis=1) computes
+    the same thing ~100x slower (strided reduction defeats SIMD).
+    Returns len(th) - n + 1 window hashes (caller masks doc crossings)."""
+    m = len(th) - n + 1
+    with np.errstate(over="ignore"):
+        out = th[:m] * pw[0]
+        for i in range(1, n):
+            out += th[i:m + i] * pw[i]
+    return out
+
+
 def hash_str_array(arr) -> np.ndarray:
     """Vectorized deterministic 64-bit hash over an array of strings (for
     salting and exact-dedup keys). Uses pandas' siphash with its fixed

@@ -449,6 +449,46 @@ def docs_fingerprint(sf_dir: str):
 DOCS_FINGERPRINT_SQL = "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents"
 
 
+def docs_fingerprint_fast(sf_dir: str):
+    """Vectorized fingerprint family (VERDICT r3 #2): siphash64 document
+    fingerprint + winnowing rolling shingle prints, both the no-per-row
+    fast paths (textstats/analysis.py fingerprint_fast /
+    rolling_fingerprints method="fast"). Deterministic but not
+    SQL-expressible (siphash + polynomial window hashes), so the oracle
+    is a committed golden parquet (scripts/gen_golden_oracles.py —
+    disclosed regression pin); the md5 variant stays the independent SQL
+    conformance check (docs_fingerprint) and fast-vs-join semantics are
+    cross-checked in tests/test_dedup_ann.py."""
+    from ..textstats import fingerprint_fast, rolling_fingerprints
+
+    def fp(b: pa.Table) -> pa.Table:
+        t = rolling_fingerprints(fingerprint_fast(b), method="fast")
+        prints = t.column("shingle_prints")
+        if isinstance(prints, pa.ChunkedArray):
+            prints = prints.combine_chunks()
+        off = prints.offsets.to_numpy()
+        flat = prints.values.to_numpy(zero_copy_only=False)
+        n = np.diff(off)
+        # lists are sorted ascending, so min = first element
+        first_idx = np.minimum(off[:-1], max(len(flat) - 1, 0))
+        mn = flat[first_idx] if len(flat) else np.zeros(len(n), dtype=np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fingerprint64": t.column("fingerprint64"),
+                         "n_prints": pa.array(n.astype(np.int64)),
+                         "min_print": pa.array(mn, type=pa.int64(), mask=(n == 0))})
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(fp, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_FINGERPRINT_FAST_SQL = """
+SELECT doc_id, fingerprint64, n_prints, min_print FROM
+read_parquet('/root/repo/tests/golden/docs_fingerprint_fast_sf001.parquet')
+ORDER BY doc_id
+"""
+
+
 def docs_token_stats(sf_dir: str):
     """Token counting: whitespace + BPE-ish regex tokens per doc."""
     from ..textstats import token_counts
@@ -3006,6 +3046,7 @@ RAY_QUERIES = {
     "events_sessions": events_sessions,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_fingerprint": docs_fingerprint,
+    "docs_fingerprint_fast": docs_fingerprint_fast,
     "docs_token_stats": docs_token_stats,
     "docs_quality": docs_quality,
     "emb_ann_topk": emb_ann_topk,
@@ -3104,6 +3145,7 @@ ORACLE_SQLS = {
     "events_sessions": EVENTS_SESSIONS_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
+    "docs_fingerprint_fast": DOCS_FINGERPRINT_FAST_SQL,
     "docs_token_stats": DOCS_TOKEN_SQL,
     "docs_quality": DOCS_QUALITY_SQL,
     "emb_ann_topk": EMB_ANN_SQL,

@@ -3,6 +3,7 @@ quality scoring, token counting, document fingerprinting."""
 
 from .analysis import (  # noqa: F401
     LangId,
+    fingerprint_fast,
     fingerprint_md5,
     quality_features,
     rolling_fingerprints,

@@ -86,31 +86,158 @@ def quality_features(batch: pa.Table, text_col: str = "text", stop_lang: str = "
 
 def fingerprint_md5(batch: pa.Table, text_col: str = "text", out_col: str = "fingerprint") -> pa.Table:
     """Canonical document fingerprint: md5 of lowercased trimmed text
-    (exact-dup key robust to case/edge whitespace)."""
+    (exact-dup key robust to case/edge whitespace). Per-row Python md5 —
+    kept as the SQL-conformance variant (DuckDB md5() reproduces it,
+    docs_fingerprint); the scale path is `fingerprint_fast`."""
     s = batch.column(text_col).to_pandas().fillna("")
     fps = s.str.strip().str.lower().map(lambda x: hashlib.md5(x.encode()).hexdigest())
     return batch.append_column(out_col, pa.array(fps.to_numpy(dtype=object), type=pa.string()))
 
 
+def fingerprint_fast(batch: pa.Table, text_col: str = "text",
+                     out_col: str = "fingerprint64") -> pa.Table:
+    """Vectorized document fingerprint: siphash64 of lowercased trimmed
+    text (hash_str_array — ONE C pass over the batch, no per-row Python).
+    Same normalization and dedup-key semantics as fingerprint_md5 with a
+    64-bit collision domain; oracled by a committed golden parquet
+    (docs_fingerprint_fast — disclosed regression pin; the md5 variant
+    stays the independent SQL conformance check)."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    norm = s.str.strip().str.lower().to_numpy(dtype=object)
+    h = hash_str_array(norm).view(np.int64)
+    return batch.append_column(out_col, pa.array(h, type=pa.int64()))
+
+
 def rolling_fingerprints(batch: pa.Table, text_col: str = "text", window: int = 5,
-                         keep: int = 8, out_col: str = "shingle_prints") -> pa.Table:
+                         keep: int = 8, out_col: str = "shingle_prints",
+                         method: str = "fast") -> pa.Table:
     """Winnowing-style rolling fingerprints: hash every `window`-word
     shingle, keep the `keep` smallest hashes per doc (a locality-robust
-    signature; Schleimer et al. 2003 winnowing, public)."""
+    signature; Schleimer et al. 2003 winnowing, public).
+
+    method="fast" (default, the scale path): flat token stream hashed
+    ONCE (pandas siphash), shingle hashes via the n-wide polynomial
+    window combine + splitmix64 finalizer (curation._gram_hashes'
+    construction), smallest-k per doc via one lexsort + segment mask —
+    no per-doc Python loop, no gram-string joins. Golden-pinned
+    (docs_fingerprint_fast); equal-token-tuple => equal hash, so the
+    signature semantics match the join variant modulo the hash family.
+
+    method="join": the original per-doc gram-string construction
+    (hash_str_array over " ".join'ed shingles) — per-doc Python, kept as
+    the independently-readable conformance variant (cross-checked against
+    fast in tests/test_dedup_ann.py)."""
     s = batch.column(text_col).to_pandas().fillna("")
-    out = []
-    for text in s:
-        toks = text.split()
-        if len(toks) < window:
-            grams = [" ".join(toks)] if toks else []
-        else:
-            grams = [" ".join(toks[i : i + window]) for i in range(len(toks) - window + 1)]
-        if not grams:
-            out.append([])
-            continue
-        h = hash_str_array(np.array(grams, dtype=object)).view(np.int64)
-        out.append(sorted(h.tolist())[:keep])
-    return batch.append_column(out_col, pa.array(out, type=pa.list_(pa.int64())))
+    if method == "join":
+        out = []
+        for text in s:
+            toks = text.split()
+            if len(toks) < window:
+                grams = [" ".join(toks)] if toks else []
+            else:
+                grams = [" ".join(toks[i : i + window]) for i in range(len(toks) - window + 1)]
+            if not grams:
+                out.append([])
+                continue
+            h = hash_str_array(np.array(grams, dtype=object)).view(np.int64)
+            out.append(sorted(h.tolist())[:keep])
+        return batch.append_column(out_col, pa.array(out, type=pa.list_(pa.int64())))
+
+    import pyarrow.compute as pc
+
+    from ..hashutil import splitmix64
+
+    n_docs = len(s)
+    # tokenize in Arrow C: whitespace split (keeps empty edge tokens,
+    # filtered below to match str.split() semantics), flatten, then hash
+    # only the UNIQUE vocabulary (dictionary encode) — per-token hash is
+    # a fancy-index gather, not a per-string siphash
+    arr = pa.array(s.to_numpy(dtype=object), type=pa.string())
+    lists = pc.utf8_split_whitespace(arr)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    raw_counts = np.diff(lists.offsets.to_numpy())
+    flat_all = pc.list_flatten(lists)
+    nonempty = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False)
+    doc_all = np.repeat(np.arange(n_docs), raw_counts)
+    doc_of_tok = doc_all[nonempty]
+    counts = np.bincount(doc_of_tok, minlength=n_docs)
+    nt = int(counts.sum())
+    # grams per doc under the join variant's shape: docs shorter than the
+    # window contribute ONE whole-doc gram; empty docs contribute none
+    gpd = np.where(counts == 0, 0, np.maximum(counts - window + 1, 1))
+    if nt == 0:
+        empty = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n_docs + 1, dtype=np.int32)), pa.array([], type=pa.int64()))
+        return batch.append_column(out_col, empty)
+    de = flat_all.filter(pa.array(nonempty)).dictionary_encode()
+    uniq = de.dictionary.to_pandas().to_numpy(dtype=object)
+    uh = pd.util.hash_array(uniq, categorize=False).astype(np.uint64)
+    th = uh[de.indices.to_numpy()]
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    hashes_parts: list[np.ndarray] = []
+    docs_parts: list[np.ndarray] = []
+    _A = np.uint64(0x9E3779B97F4A7C15)
+    from ..hashutil import poly_window_hash
+
+    with np.errstate(over="ignore"):
+        if nt >= window and (counts >= window).any():
+            pw = np.empty(window, dtype=np.uint64)
+            pw[window - 1] = np.uint64(1)
+            for i in range(window - 2, -1, -1):
+                pw[i] = pw[i + 1] * _A
+            h = splitmix64(poly_window_hash(th, window, pw))
+            valid = doc_of_tok[: nt - window + 1] == doc_of_tok[window - 1 :]
+            hashes_parts.append(h[valid])
+            docs_parts.append(doc_of_tok[: nt - window + 1][valid])
+        # short docs (0 < tokens < window): one whole-doc gram of width t,
+        # grouped by t — at most window-1 extra vector passes
+        for t in np.unique(counts[(counts > 0) & (counts < window)]):
+            sel = np.flatnonzero(counts == t)
+            gather = (starts[sel][:, None] + np.arange(t)[None, :]).ravel()
+            view = th[gather].reshape(-1, int(t))
+            pw = np.empty(int(t), dtype=np.uint64)
+            pw[-1] = np.uint64(1)
+            for i in range(int(t) - 2, -1, -1):
+                pw[i] = pw[i + 1] * _A
+            hashes_parts.append(splitmix64((view * pw).sum(axis=1, dtype=np.uint64)))
+            docs_parts.append(sel)
+    all_hu = np.concatenate(hashes_parts)
+    all_d = np.concatenate(docs_parts)
+    # smallest-`keep` per doc WITHOUT sorting every gram: a per-doc
+    # uniform-hash threshold T_d = (2*keep/grams_d) * 2^64 keeps ~2*keep
+    # candidates per doc (downward-closed, so the doc's true smallest-k
+    # are inside whenever >= min(keep, grams_d) survive; docs where the
+    # binomial tail under-fills fall back to all their grams) — then ONE
+    # lexsort over the ~2k/g-sized candidate set, rank-mask < keep
+    all_hs = all_hu.view(np.int64)
+    frac = np.minimum(2.0 * keep / np.maximum(gpd, 1), 1.0)
+    # signed-domain threshold (ordering matches the final int64 sort);
+    # frac >= 1 docs bypass the threshold entirely via keep_all
+    keep_all = frac >= 1.0
+    thr = np.full(n_docs, np.iinfo(np.int64).max, dtype=np.int64)
+    lim = ~keep_all
+    thr[lim] = (-(2.0**63) + frac[lim] * 2.0**64).astype(np.int64)
+    cand = (all_hs < thr[all_d]) | keep_all[all_d]
+    have = np.bincount(all_d[cand], minlength=n_docs)
+    bad = have < np.minimum(keep, gpd)
+    if bad.any():
+        cand |= bad[all_d]
+    ch, cd = all_hs[cand], all_d[cand]
+    order = np.lexsort((ch, cd))
+    sh, sd = ch[order], cd[order]
+    cpd = np.bincount(cd, minlength=n_docs)
+    seg_starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(cpd[:-1], out=seg_starts[1:])
+    rank = np.arange(len(sh)) - seg_starts[sd]
+    m = rank < keep
+    kept_h, kept_d = sh[m], sd[m]
+    per_doc = np.bincount(kept_d, minlength=n_docs)
+    offsets = np.zeros(n_docs + 1, dtype=np.int32)
+    np.cumsum(per_doc, out=offsets[1:])
+    lists = pa.ListArray.from_arrays(pa.array(offsets), pa.array(kept_h, type=pa.int64()))
+    return batch.append_column(out_col, lists)
 
 
 _LANGID_SINGLETON = None

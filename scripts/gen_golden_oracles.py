@@ -21,6 +21,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GOLDEN = ["docs_minhash_dedup", "docs_simhash_clusters", "emb_lsh_ann", "flagship_routes",
+          "docs_fingerprint_fast",
           "docs_fuzzy_dedup", "docs_hash_sample", "emb_pq_ann", "docs_cross_dedup", "emb_mmr_topk"]
 SF = "/root/testdata/sf0.01"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden")
