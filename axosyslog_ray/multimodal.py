@@ -188,6 +188,10 @@ def decode_images(ds, concurrency=None, batch_size: int = 256):
     deadlocks the streaming executor — observed at num_cpus=4)."""
     from .context import actor_pool_size
 
-    conc = concurrency if concurrency is not None else (1, actor_pool_size(None))
+    # clamp EXPLICIT ints too: a caller passing concurrency >= num_cpus
+    # reintroduces the pool==CPUs executor deadlock documented above
+    conc = (actor_pool_size(concurrency) if isinstance(concurrency, int)
+            else concurrency if concurrency is not None
+            else (1, actor_pool_size(None)))
     return ds.map_batches(DecodeImage, batch_format="pyarrow", batch_size=batch_size,
                           concurrency=conc)

@@ -2732,6 +2732,41 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_distinct_users_hll(sf_dir: str):
+    """Approximate per-group distinct via HyperLogLog
+    (sketch.hll_group_distinct, p=14: one 16 KiB register array per
+    (key, block), element-wise-max tree combine, NO value shuffle — the
+    unbounded-cardinality path exact distinct_count can't reach).
+    Output: (event_type, n_users exact, approx_ok) where approx_ok is
+    the tolerance verdict |hll - exact| / exact <= 2%. The oracle
+    recomputes the exact count and pins approx_ok TRUE, so the driver's
+    hash gate checks BOTH the exact side against DuckDB and that every
+    group's HLL estimate landed inside the documented tolerance (the
+    value-tolerance analogue of the golden-pin disclosure)."""
+    from ..aggregate import distinct_count
+    from ..sketch import hll_group_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    exact = distinct_count(ds, "event_type", "user_id",
+                           alias="n_users").to_pandas()
+    approx = hll_group_distinct(_read(sf_dir, "events", ["event_type", "user_id"]),
+                                "event_type", "user_id", p=14,
+                                alias="n_hll").to_pandas()
+    out = exact.merge(approx, on="event_type", how="inner")
+    out["n_users"] = out["n_users"].astype("int64")
+    out["approx_ok"] = ((out["n_hll"] - out["n_users"]).abs()
+                        / out["n_users"].clip(lower=1)) <= 0.02
+    return out[["event_type", "n_users", "approx_ok"]] \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_DISTINCT_USERS_HLL_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def docs_hash_split(sf_dir: str):
     """Deterministic disjoint train/val/test split (curation.hash_split):
     one md5 coordinate per doc_id, non-overlapping interval assignment —
@@ -3027,6 +3062,7 @@ RAY_QUERIES = {
     "docs_cross_dedup": docs_cross_dedup,
     "docs_hash_split": docs_hash_split,
     "events_distinct_users": events_distinct_users,
+    "events_distinct_users_hll": events_distinct_users_hll,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_jaccard_decontaminate": docs_jaccard_decontaminate,
     "docs_topk_per_lang": docs_topk_per_lang,
@@ -3125,6 +3161,7 @@ ORACLE_SQLS = {
         "ORDER BY doc_id"),
     "docs_hash_split": DOCS_HASH_SPLIT_SQL,
     "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
+    "events_distinct_users_hll": EVENTS_DISTINCT_USERS_HLL_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,
     "docs_jaccard_decontaminate": DOCS_JACCARD_DECON_SQL,
     "docs_topk_per_lang": DOCS_TOPK_PER_LANG_SQL,

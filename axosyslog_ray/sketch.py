@@ -11,11 +11,12 @@ of two sketches = element-wise max — a perfect fit for a Ray
 dedup.bloom.build_bloom_u64: per-block registers, maximum-combine up
 the tree, NO shuffle, corpus streams).
 
-Estimator: the classic alpha_m * m^2 / sum(2^-M) with the two standard
-corrections — linear counting below 2.5m when empty registers remain,
-and the large-range log correction near 2^32 (not reachable with 64-bit
-hashes here; kept for the textbook 32-bit variant the tests pin).
-Relative error ~= 1.04 / sqrt(m); p=14 (16 KiB) gives ~0.8%.
+Estimator: the classic alpha_m * m^2 / sum(2^-M) with linear counting
+below 2.5m when empty registers remain. The textbook 32-bit
+large-range log correction is intentionally OMITTED: register values
+come from 64-bit hashes here, so the 2^32 saturation regime it
+corrects for is unreachable. Relative error ~= 1.04 / sqrt(m);
+p=14 (16 KiB) gives ~0.8%.
 
 Deterministic: the value hash is the repo's fixed-key siphash
 (hashutil.hash_str_array), so the same input produces the same sketch

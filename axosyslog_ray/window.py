@@ -103,13 +103,22 @@ def budget_capped_select(ds, group_col: str, weight_col: str, budget: float,
     budget (the sentinel's local prefix already exceeds it), so
     lumping the tail there cannot mis-rank any survivor; the shuffle
     moves at most budget-worth of candidates + 1 row per (key, batch)
-    regardless of key skew."""
+    regardless of key skew.
+
+    Weights must be NONNEGATIVE (asserted per batch): the pruning proof
+    relies on prefix sums being monotone — with negative weights a
+    locally-over-budget row could become globally keepable."""
     if order_col is None:
         raise ValueError("order_col is required (a deterministic total order per key)")
     _TAIL = "_w_tail"
 
     def local_prune(b: pa.Table) -> pa.Table:
         g = b.to_pandas()
+        w = g[weight_col].to_numpy()
+        if len(w) and (np.nanmin(w) < 0):
+            raise ValueError(
+                f"budget_capped_select requires nonnegative {weight_col!r} "
+                "(prefix-prune exactness needs monotone running sums)")
         s = g.sort_values([group_col, order_col], kind="mergesort")
         grp = s.groupby(group_col, sort=False, dropna=False)
         csum = grp[weight_col].cumsum()
@@ -118,13 +127,16 @@ def budget_capped_select(ds, group_col: str, weight_col: str, budget: float,
         kept[_TAIL] = False
         dropped = s[~keep]
         if len(dropped):
-            dg = dropped.groupby(group_col, sort=False, dropna=False)
-            tails = dg.agg({order_col: "first", weight_col: "sum"}).reset_index()
-            for c in s.columns:
-                if c not in (group_col, order_col, weight_col):
-                    tails[c] = None
+            # the sentinel is the FIRST dropped row per key with the
+            # tail's summed weight written into weight_col: real dtypes
+            # in every column (no None-widening schema drift across
+            # blocks); bucket_select discards sentinel rows entirely
+            dropped = dropped.copy()
+            dropped[weight_col] = dropped.groupby(
+                group_col, sort=False, dropna=False)[weight_col].transform("sum")
+            tails = dropped.groupby(group_col, sort=False, dropna=False).head(1).copy()
             tails[_TAIL] = True
-            kept = pd.concat([kept, tails[list(kept.columns)]], ignore_index=True)
+            kept = pd.concat([kept, tails], ignore_index=True)
         return pa.Table.from_pandas(kept, preserve_index=False)
 
     def bucket_select(g: pd.DataFrame) -> pd.DataFrame:
@@ -209,20 +221,42 @@ def group_quantiles(ds, group_cols: list[str] | str, value_col: str,
         return b.select(group_cols + [value_col])
 
     def bucket_q(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for key, grp in g.groupby(group_cols, sort=False, dropna=False):
-            key = key if isinstance(key, tuple) else (key,)
-            v = grp[value_col].dropna().to_numpy(dtype=np.float64)
-            if len(v):
-                qv = np.quantile(v, probs, method="linear")
-                if round_digits is not None:
-                    # DuckDB ROUND half-away-from-zero, not banker's
-                    f = 10.0 ** round_digits
-                    qv = np.sign(qv) * np.floor(np.abs(qv) * f + 0.5) / f
+        # vectorized segment quantiles: ONE lexsort by (key, value), then
+        # linear interpolation at starts[key] + p*(cnt-1) for every
+        # (key, prob) pair via fancy indexing — no Python per-key loop
+        if not len(g):
+            return pd.DataFrame(columns=group_cols + names)
+        codes = g.groupby(group_cols, sort=False, dropna=False).ngroup().to_numpy()
+        n_keys = int(codes.max()) + 1
+        vals = g[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        valid = ~np.isnan(vals)
+        vv, vc = vals[valid], codes[valid]
+        order = np.lexsort((vv, vc))
+        sv, sc = vv[order], vc[order]
+        cnt = np.bincount(sc, minlength=n_keys)
+        starts = np.zeros(n_keys, dtype=np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        # ngroup codes are assigned in first-appearance order, so taking
+        # each code's first row reproduces the old iteration order
+        _, first_idx = np.unique(codes, return_index=True)
+        out = g.iloc[np.sort(first_idx)][group_cols].reset_index(drop=True)
+        last = max(len(sv) - 1, 0)
+        for name, p in zip(names, probs):
+            pos = p * np.maximum(cnt - 1, 0)
+            lo = np.floor(pos).astype(np.int64)
+            frac = pos - lo
+            ilo = np.minimum(starts + lo, last)
+            ihi = np.minimum(starts + np.minimum(lo + 1, np.maximum(cnt - 1, 0)), last)
+            if len(sv):
+                qv = sv[ilo] * (1.0 - frac) + sv[ihi] * frac
             else:
-                qv = np.full(len(probs), np.nan)
-            rows.append((*key, *qv))
-        return pd.DataFrame(rows, columns=group_cols + names)
+                qv = np.full(n_keys, np.nan)
+            if round_digits is not None:
+                # DuckDB ROUND half-away-from-zero, not banker's
+                f = 10.0 ** round_digits
+                qv = np.sign(qv) * np.floor(np.abs(qv) * f + 0.5) / f
+            out[name] = np.where(cnt > 0, qv, np.nan)
+        return out
 
     projected = ds.map_batches(project, batch_format="pyarrow")
     return bucketed_map_groups(projected, group_cols, bucket_q,

@@ -95,6 +95,27 @@ def test_budget_local_prune_is_safe(ray_session):
     assert list(got.sort_values("id")["cum_weight"]) == list(range(1, 8))
 
 
+def test_budget_rejects_negative_weights(ray_session):
+    df = pd.DataFrame({"k": ["a", "a"], "v": [3, -1],
+                       "id": np.arange(2, dtype=np.int64)})
+    with pytest.raises(Exception, match="nonnegative"):
+        budget_capped_select(_ds(df), "k", "v", budget=5,
+                             order_col="id").to_pandas()
+
+
+def test_budget_sentinel_keeps_dtypes(ray_session):
+    # sentinel-bearing blocks must NOT widen int64 columns to float
+    # (cross-block schema drift): extra int column survives pruning
+    # with its dtype intact
+    df = pd.DataFrame({"k": ["a"] * 8, "v": [3] * 8,
+                       "id": np.arange(8, dtype=np.int64),
+                       "extra": np.arange(8, dtype=np.int64) * 10})
+    out = budget_capped_select(_ds(df, blocks=4), "k", "v", budget=6,
+                               order_col="id").to_pandas()
+    assert out["extra"].dtype == np.int64
+    assert sorted(out["id"]) == [0, 1]
+
+
 def test_budget_dropped_tail_still_counts(ray_session):
     # regression: batch 1 holds heavy early rows (locally pruned), batch
     # 2 holds light later rows — the pruned tail's weight must still
