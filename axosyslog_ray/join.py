@@ -45,12 +45,39 @@ _ARROW_HOW = {
 
 
 def _arrow_schema(ds) -> pa.Schema:
-    """True Arrow schema of a Dataset — `ds.schema()` may wrap pandas
-    dtypes; peeking one pyarrow batch is authoritative (streaming executor
-    cancels after the first batch)."""
+    """Arrow schema of a Dataset WITHOUT executing it when possible.
+
+    Order of attempts (VERDICT r3 #7 hardening):
+    1. `ds.schema(fetch_if_missing=False)` — metadata-only; known for
+       parquet-rooted datasets and anything whose schema Ray already
+       propagated. If its `base_schema` is Arrow (or every declared type
+       is an Arrow DataType), no execution happens at all.
+    2. Otherwise peek ONE pyarrow batch — this PARTIALLY EXECUTES the
+       upstream chain, so it logs a one-line warning; hot-path callers
+       should pass explicit schemas (as the engine's own callers do,
+       e.g. pipelines/curate_corpus.py)."""
+    s = None
+    try:
+        s = ds.schema(fetch_if_missing=False)
+    except TypeError:  # non-Dataset test doubles without the kwarg
+        s = ds.schema()
+    if s is not None:
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        names = getattr(s, "names", None)
+        types = getattr(s, "types", None)
+        if names is not None and types is not None and \
+                all(isinstance(t, pa.DataType) for t in types):
+            return pa.schema([pa.field(n, t) for n, t in zip(names, types)])
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "hash_join: schema unknown without execution — peeking one batch "
+        "(partially executes the input). Pass left_schema/right_schema to avoid.")
     for b in ds.iter_batches(batch_size=1, batch_format="pyarrow"):
         return b.schema
-    # zero-row dataset: no batches stream — fall back to the declared schema
+    # zero-row dataset: no batches stream — use the declared schema
     s = ds.schema()
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):

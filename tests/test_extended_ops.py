@@ -201,6 +201,28 @@ def test_hash_join_inner_and_left():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_arrow_schema_no_execution_on_parquet(tmp_path):
+    # VERDICT r3 #7: a parquet-rooted dataset's schema must come from
+    # metadata only — the batch-peek fallback (which partially executes
+    # the input) must never run
+    import ray.data as rd
+
+    from axosyslog_ray.join import _arrow_schema
+
+    path = str(tmp_path / "t.parquet")
+    pa.parquet.write_table(pa.table({"k": [1, 2], "v": ["a", "b"]}), path)
+    ds = rd.read_parquet(path)
+
+    def boom(*a, **kw):
+        raise AssertionError("batch peek executed the dataset")
+
+    ds.iter_batches = boom
+    sch = _arrow_schema(ds)
+    assert sch.field("k").type == pa.int64()
+    assert sch.field("v").type == pa.string()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hash_join_overlapping_columns_suffixed():
     import ray.data as rd
 
