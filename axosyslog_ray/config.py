@@ -22,8 +22,15 @@ fallback.
 
 Scope: the statements and drivers compiled below (sources, sinks,
 csv/kv/json/db/date/geoip2 parsers, the rewrite family, filter
-predicates, filterx blocks); transports, SCL blocks and @include are
-out of scope (COVERAGE.md §2.1). Batch
+predicates, filterx blocks), `@include` / `@define` / backtick
+preprocessing (config_prep), and SCL-style generator blocks —
+`block KIND NAME(param(default)...) { body }` for
+source/destination/parser/rewrite contexts, bodies stored raw and
+backtick-substituted at reference time with args > globals > env
+(reference cfg-block.c). `block filter` stays the eager named-filter
+form callable inside filter expressions (parameters unsupported
+there). Live transports remain out of scope (COVERAGE.md §2.1).
+Batch
 execution: `compile_config(text).run()` processes the configured
 sources as in-memory tables (the Light-test shape); pass
 `sources={name: table}` to inject data, and read per-destination
@@ -91,6 +98,21 @@ class _Stream:
             if t == "{":
                 depth += 1
             elif t == "}":
+                depth -= 1
+        return self.text[self.spans[start_i][1]:self.spans[self.i - 1][0]]
+
+    def raw_parens(self) -> str:
+        """Consume a balanced (...) and return its raw source text
+        (block parameter defaults / invocation values are spliced RAW,
+        like the reference's block_arg lexer state)."""
+        start_i = self.i
+        self.expect("(")
+        depth = 1
+        while depth:
+            t = self.next()
+            if t == "(":
+                depth += 1
+            elif t == ")":
                 depth -= 1
         return self.text[self.spans[start_i][1]:self.spans[self.i - 1][0]]
 
@@ -312,12 +334,12 @@ def _parse_log_elements(s: _Stream, cfg: "Config") -> list:
             out.append(("filterx", cfg._compile_filterx(body)))
         elif t in ("parser", "rewrite") and s.peek(1) == "{":
             kind = s.next()
-            body = _parse_driver_block(s)
+            body = _parse_driver_block(s, cfg, kind)
             s.expect(";")
             out.append((kind, [cfg._compile_stage(kind, d) for d in body]))
         elif t == "destination" and s.peek(1) == "{":
             s.next()
-            body = _parse_driver_block(s)
+            body = _parse_driver_block(s, cfg, "destination")
             s.expect(";")
             name = f"_inline_dest_{len(cfg.destinations)}"
             cfg.destinations[name] = _Destination(name, body)
@@ -383,11 +405,44 @@ def _parse_conditional(s: _Stream, cfg: "Config") -> tuple:
     return ("junction", chans)
 
 
-def _parse_driver_block(s: _Stream) -> list[Driver]:
+def _parse_block_params(s: _Stream) -> dict[str, str]:
+    """`(p1(default) p2("quoted") flag)` — values captured as RAW text
+    (reference block_arg lexer state: spliced verbatim at generate
+    time, quotes included)."""
+    params: dict[str, str] = {}
+    if s.peek() != "(":
+        return params
+    s.next()
+    while s.peek() != ")":
+        pname = s.next()
+        if s.peek() == "(":
+            params[pname] = s.raw_parens().strip()
+        else:
+            params[pname] = ""
+    s.expect(")")
+    return params
+
+
+def _parse_driver_block(s: _Stream, cfg: "Config | None" = None,
+                        kind: str | None = None, _depth: int = 0) -> list[Driver]:
     out = []
     s.expect("{")
     while s.peek() != "}":
-        out.append(_parse_driver(s))
+        name = s.peek()
+        if cfg is not None and kind is not None and (kind, name) in cfg.blocks:
+            # SCL-style generator block reference: substitute the stored
+            # body with args > globals > env and splice its drivers
+            # (reference cfg-block.c:147-180 block generation)
+            if _depth > 16:
+                raise ConfigError(f"block reference too deep at {name}()")
+            s.next()
+            overrides = _parse_block_params(s)
+            text = cfg.generate_block(kind, name, overrides)
+            wrapped = "{" + text + "}"
+            sub = _Stream(tokenize(wrapped), wrapped)
+            out.extend(_parse_driver_block(sub, cfg, kind, _depth + 1))
+        else:
+            out.append(_parse_driver(s))
         s.expect(";")
     s.expect("}")
     return out
@@ -433,8 +488,27 @@ class Config:
         self.parsers: dict[str, list] = {}
         self.rewrites: dict[str, list] = {}
         self.paths: list[Channel] = []
+        self.blocks: dict[tuple[str, str], tuple[dict, str]] = {}
         self.version = None           # packed (major << 8) | minor
         self.defines = None           # CfgArgs after preprocessing
+
+    def generate_block(self, kind: str, name: str, overrides: dict) -> str:
+        """Generate a block reference's config text: backtick-substitute
+        the RAW stored body with scope args > globals > env (reference
+        cfg-block.c:170 cfg_lexer_subst_args_in_input). Unknown
+        arguments are an error, like cfg-block.c's validation."""
+        from .config_prep import BacktickSubst, CfgArgs
+
+        params, body = self.blocks[(kind, name)]
+        unknown = set(overrides) - set(params)
+        if unknown:
+            raise ConfigError(
+                f"unknown block argument(s) {sorted(unknown)} for {kind} {name}()")
+        args = CfgArgs(params)
+        for k, v in overrides.items():
+            args.set(k, v)
+        sub = BacktickSubst(globals=self.defines, args=args)
+        return "".join(sub.invoke(ln) for ln in body.splitlines(keepends=True))
 
     # -- stage compilation ------------------------------------------------
     def _compile_filterx(self, body: str):
@@ -687,7 +761,9 @@ def _compile_parser(d: Driver):
 
         return CsvParser(columns=d.kwargs.get("columns", []),
                          delimiters=str(d.kw1("delimiters", ",")),
-                         prefix=str(d.kw1("prefix", "")))
+                         prefix=str(d.kw1("prefix", "")),
+                         drop_invalid=str(d.kw1("drop-invalid", "no"))
+                         in ("yes", "on", "1"))
     if d.name == "kv-parser":
         from .stages.kv_parser import KvParser
 
@@ -833,32 +909,45 @@ def compile_config(text: str, *, include_path: str | None = None,
             s.skip_balanced()
             s.expect(";")
         elif t == "block":
+            # `block KIND NAME(param(default)...) { body };` — the SCL
+            # block shape (reference cfg-block.c, scl/*/). Bodies are
+            # stored RAW (the preprocessor suspends substitution over
+            # them) and generated at reference time with the invocation
+            # args. Param-less `block filter` keeps the legacy eager
+            # compile so it stays callable inside filter expressions.
             s.next()
             kind = s.next()
-            if kind != "filter":
+            if kind not in ("filter", "parser", "rewrite", "source",
+                            "destination"):
                 raise ConfigError(f"unsupported block kind {kind!r}")
             name = s.next()
-            if name.endswith("()"):
-                name = name[:-2]
-            else:
-                if s.peek() == "(":
-                    s.next()
-                    s.expect(")")
-            s.expect("{")
-            cfg.filters[name] = _FilterParser(s, cfg.filters).parse()
-            if s.peek() == ";":
-                s.next()
-            s.expect("}")
+            params = _parse_block_params(s)
+            body = s.raw_block()
             s.expect(";")
+            if kind == "filter":
+                if params:
+                    raise ConfigError(
+                        "parameterized `block filter` is unsupported — "
+                        "use a param-less named filter block")
+                from .config_prep import BacktickSubst
+
+                sub = BacktickSubst(globals=cfg.defines)
+                btext = "".join(sub.invoke(ln)
+                                for ln in body.splitlines(keepends=True))
+                bs = _Stream(tokenize(btext), btext)
+                cfg.filters[name] = _FilterParser(bs, cfg.filters).parse()
+            else:
+                cfg.blocks[(kind, name)] = (params, body)
         elif t == "source":
             s.next()
             name = s.next()
-            cfg.sources[name] = _parse_driver_block(s)
+            cfg.sources[name] = _parse_driver_block(s, cfg, "source")
             s.expect(";")
         elif t == "destination":
             s.next()
             name = s.next()
-            cfg.destinations[name] = _Destination(name, _parse_driver_block(s))
+            cfg.destinations[name] = _Destination(
+                name, _parse_driver_block(s, cfg, "destination"))
             s.expect(";")
         elif t == "filter":
             s.next()
@@ -877,12 +966,14 @@ def compile_config(text: str, *, include_path: str | None = None,
         elif t == "parser":
             s.next()
             name = s.next()
-            cfg.parsers[name] = [_compile_parser(d) for d in _parse_driver_block(s)]
+            cfg.parsers[name] = [_compile_parser(d)
+                                 for d in _parse_driver_block(s, cfg, "parser")]
             s.expect(";")
         elif t == "rewrite":
             s.next()
             name = s.next()
-            cfg.rewrites[name] = [_compile_rewrite(d) for d in _parse_driver_block(s)]
+            cfg.rewrites[name] = [_compile_rewrite(d)
+                                  for d in _parse_driver_block(s, cfg, "rewrite")]
             s.expect(";")
         elif t == "log":
             s.next()

@@ -196,6 +196,35 @@ class BacktickSubst:
         return "".join(out)
 
 
+# ------------------------------------------- block-body suspension scan
+
+_BLOCK_HDR_RE = re.compile(r"\s*block\s")
+
+
+def _scan_block_line(line: str, bs: dict) -> None:
+    """Track brace depth (string- and comment-aware) across a suspended
+    block definition; flips bs['suspended'] off when the body closes.
+    Mirrors the reference lexer's cfg_lexer_suspend_input_subst /
+    resume pair around block capture (lib/cfg-lex.l:603-612): backticks
+    inside a block BODY are generate-time references, not
+    definition-time ones."""
+    tracker = BacktickSubst()
+    st = bs["str"]
+    for ch in line:
+        if st == _NOT_STRING:
+            if ch == "#":
+                break
+            if ch == "{":
+                bs["depth"] += 1
+                bs["seen"] = True
+            elif ch == "}":
+                bs["depth"] -= 1
+        st = tracker._track(st, ch)
+    bs["str"] = st
+    if bs["seen"] and bs["depth"] <= 0:
+        bs["suspended"] = False
+
+
 # ------------------------------------------------------- pragma handling
 
 _DIR_ENTRY_RE = re.compile(r"[-._a-zA-Z0-9]+\Z")
@@ -294,7 +323,21 @@ def preprocess_config(text: str, *, include_path: str | None = None,
     state = _state if _state is not None else {"version": None}
     subst = _subst or BacktickSubst(globals=globals_args, env=env)
     out: list[str] = []
+    blockscan = {"suspended": False, "depth": 0, "seen": False,
+                 "str": _NOT_STRING}
     for line in text.splitlines(keepends=True):
+        if blockscan["suspended"]:
+            # inside a block {} definition: substitution is SUSPENDED
+            # (generate-time backticks must survive to the compiler)
+            out.append(line)
+            _scan_block_line(line, blockscan)
+            continue
+        if _BLOCK_HDR_RE.match(line):
+            blockscan.update(suspended=True, depth=0, seen=False,
+                             str=_NOT_STRING)
+            out.append(line)
+            _scan_block_line(line, blockscan)
+            continue
         line = subst.invoke(line)
         stripped = line.lstrip()
         if not stripped.startswith("@") or subst.string_state != _NOT_STRING:
