@@ -2,12 +2,16 @@
 
 Images/audio/video travel as `binary` columns (exactly like the pages
 `html` column); decode / feature-extract / resize / frame-sample are
-actor-pool map_batches stages. The decode kernels themselves are
-STUBBED — the image/audio libraries are not in this container — behind
-`decoder="fake"` (deterministic synthetic decode for testing the
-plumbing) or `decoder="real"` (raises NotImplementedError at the exact
-point a PIL/ffmpeg call would go). The Ray-side contract — schema,
-batch size, actor signature, output layout — is real and tested.
+actor-pool map_batches stages. Two decoder modes:
+
+- `decoder="fake"` (the sandbox default): deterministic synthetic
+  decode for testing the plumbing — schema, batch size, actor
+  signature, output layout are real and tested.
+- `decoder="real"`: actual kernels via PIL/Pillow (images) and PyAV
+  (video), imported ONCE PER ACTOR in __init__ and raising a clear
+  ImportError when the library is absent (this container has neither;
+  the real-kernel tests are skipped-if-absent so they run wherever the
+  libs exist — tests/test_multimodal_real.py).
 
 Scale notes: binary payloads dominate block size — run these stages
 with small batch_size and keep payload columns OUT of shuffles (extract
@@ -20,6 +24,18 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+def _import_pil():
+    """Once-per-actor PIL import (called from stage __init__)."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise ImportError(
+            "decoder='real' image kernels require PIL/pillow (not in the "
+            "sandbox container); use decoder='fake' for plumbing tests"
+        ) from e
+    return Image
+
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -34,21 +50,27 @@ MEDIA_SCHEMA = pa.schema(
 class DecodeImage:
     """Actor-pool stage: binary image -> (width, height, n_pixels, phash).
 
-    Real decode would be `PIL.Image.open(io.BytesIO(payload))` here —
-    stubbed per the container constraints."""
+    decoder="real": PIL decode + 8x8 average-hash perceptual fingerprint
+    (the classic aHash; 64-bit hex). PIL imports once per actor."""
 
     def __init__(self, decoder: str = "fake", payload_col: str = "payload"):
         if decoder not in ("fake", "real"):
             raise ValueError(decoder)
         self.decoder = decoder
         self.payload_col = payload_col
+        self._pil = _import_pil() if decoder == "real" else None
 
     def _decode_one(self, payload: bytes) -> tuple[int, int, str]:
         if self.decoder == "real":
-            raise NotImplementedError(
-                "image decode requires PIL/pillow, not available in this container; "
-                "use decoder='fake' for plumbing tests"
-            )
+            import io
+
+            img = self._pil.open(io.BytesIO(payload))
+            w, h = img.size
+            # average-hash: 8x8 grayscale, bit = pixel >= mean
+            px = np.asarray(img.convert("L").resize((8, 8)), dtype=np.float64)
+            bits = (px >= px.mean()).ravel()
+            val = int("".join("1" if b else "0" for b in bits), 2)
+            return w, h, f"{val:016x}"
         # deterministic fake: dimensions derived from a digest of the bytes
         d = hashlib.sha256(payload or b"").digest()
         w = 64 + d[0] % 192
@@ -75,11 +97,45 @@ class FrameSampler:
         self.every = every_n_seconds
         self.decoder = decoder
         self.payload_col = payload_col
+        if decoder == "real":
+            try:
+                import av
+            except ImportError as e:
+                raise ImportError(
+                    "decoder='real' video sampling requires PyAV (not in "
+                    "the sandbox container); use decoder='fake' for "
+                    "plumbing tests") from e
+            self._av = av
+
+    def _sample_real(self, mid: int, payload: bytes, ids, offsets, frame_hashes):
+        import io
+
+        with self._av.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            next_t = 0.0
+            for frame in container.decode(stream):
+                t = float(frame.time or 0.0)
+                if t + 1e-9 >= next_t:
+                    arr = frame.to_ndarray(format="gray8")
+                    ids.append(mid)
+                    offsets.append(t)
+                    frame_hashes.append(
+                        hashlib.sha256(arr.tobytes()).hexdigest()[:16])
+                    next_t = t + self.every
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder == "real":
-            raise NotImplementedError("video decode requires ffmpeg, not in this container")
         ids, offsets, frame_hashes = [], [], []
+        if self.decoder == "real":
+            for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                    batch.column(self.payload_col).to_pylist()):
+                self._sample_real(mid, payload, ids, offsets, frame_hashes)
+            return pa.table(
+                {
+                    "media_id": pa.array(ids, type=pa.int64()),
+                    "frame_offset_sec": pa.array(offsets, type=pa.float64()),
+                    "frame_hash": pa.array(frame_hashes, type=pa.string()),
+                }
+            )
         for mid, payload in zip(batch.column("media_id").to_pylist(), batch.column(self.payload_col).to_pylist()):
             d = hashlib.sha256(payload or b"").digest()
             duration = 1 + d[2] % 30  # fake seconds
@@ -105,15 +161,28 @@ class ResizeImage:
     transform), so run with small batch_size."""
 
     def __init__(self, target_w: int = 224, target_h: int = 224, decoder: str = "fake",
-                 payload_col: str = "payload"):
+                 payload_col: str = "payload", out_format: str = "PNG"):
         self.tw, self.th = target_w, target_h
         self.decoder = decoder
         self.payload_col = payload_col
+        self.out_format = out_format
+        self._pil = _import_pil() if decoder == "real" else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder == "real":
-            raise NotImplementedError("image resize requires PIL/pillow, not in this container")
         out_payloads = []
+        if self.decoder == "real":
+            import io
+
+            for p in batch.column(self.payload_col).to_pylist():
+                img = self._pil.open(io.BytesIO(p)).resize((self.tw, self.th))
+                buf = io.BytesIO()
+                img.save(buf, format=self.out_format)
+                out_payloads.append(buf.getvalue())
+            idx = batch.column_names.index(self.payload_col)
+            out = batch.set_column(idx, self.payload_col,
+                                   pa.array(out_payloads, type=pa.binary()))
+            out = out.append_column("resized_w", pa.array([self.tw] * batch.num_rows, type=pa.int32()))
+            return out.append_column("resized_h", pa.array([self.th] * batch.num_rows, type=pa.int32()))
         for p in batch.column(self.payload_col).to_pylist():
             d = hashlib.sha256((p or b"") + f"{self.tw}x{self.th}".encode()).digest()
             # nominal resized size: 3 bytes/pixel of the target, content
@@ -141,11 +210,27 @@ class ExtractFeatures:
         self.decoder = decoder
         self.payload_col = payload_col
         # "model load" happens here, once per actor
+        self._pil = _import_pil() if decoder == "real" else None
+
+    def _real_features(self, payload: bytes) -> np.ndarray:
+        """Real kernel: mean-centered downsampled grayscale pixels — an
+        honest decode-based feature (not a learned model; swap in a real
+        encoder here for production embeddings). dim must be w*h of a
+        small grid; we use (dim, 1)."""
+        import io
+
+        img = self._pil.open(io.BytesIO(payload)).convert("L")
+        px = np.asarray(img.resize((self.dim, 1)), dtype=np.float32).ravel()
+        return (px / np.float32(255.0)) - np.float32(0.5)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder == "real":
-            raise NotImplementedError("feature extraction requires an image model, not in this container")
         embs = []
+        if self.decoder == "real":
+            for p in batch.column(self.payload_col).to_pylist():
+                embs.append(self._real_features(p))
+            out = batch.drop_columns([self.payload_col])
+            return out.append_column("embedding", pa.array(
+                [e.tolist() for e in embs], type=pa.list_(pa.float32())))
         for p in batch.column(self.payload_col).to_pylist():
             d = hashlib.sha256(p or b"").digest()
             raw = (d * (self.dim * 4 // len(d) + 1))[: self.dim * 4]
