@@ -759,11 +759,23 @@ def _compile_parser(d: Driver):
     if d.name == "csv-parser":
         from .stages.csv_parser import CsvParser
 
+        flags = [str(f) for f in d.kwargs.get("flags", [])]
+        quotes = d.kw1("quote-pairs") or d.kw1("quotes") or '""'
+        tpl = str(d.kw1("template", "$MESSAGE"))
+        src = _field(tpl.lstrip("$").strip("{}")) if tpl.startswith("$") \
+            else "message"
+        nul = d.kw1("null")
         return CsvParser(columns=d.kwargs.get("columns", []),
                          delimiters=str(d.kw1("delimiters", ",")),
+                         quotes=str(quotes),
+                         dialect=str(d.kw1("dialect", "escape-none")),
+                         null_value=str(nul) if nul is not None else None,
+                         strip_whitespace="strip-whitespace" in flags,
+                         greedy="greedy" in flags,
                          prefix=str(d.kw1("prefix", "")),
+                         source_col=src,
                          drop_invalid=str(d.kw1("drop-invalid", "no"))
-                         in ("yes", "on", "1"))
+                         in ("yes", "on", "1") or "drop-invalid" in flags)
     if d.name == "kv-parser":
         from .stages.kv_parser import KvParser
 
@@ -887,6 +899,31 @@ def _build_source(drivers: list[Driver]) -> pa.Table:
 
 # ------------------------------------------------------------- entry point
 
+# Built-in SCL library: re-expressions of reference scl/ blocks whose
+# semantics the engine's drivers cover (reference scl/apache/apache.conf
+# combined/common LogFormat branch, scl/iptables/iptables.conf). Parsed
+# into every config's block table before the user text, so a user
+# definition of the same name wins. The vhost branch and the
+# success/failure `if {parser{...}}` form of the full apache SCL are out
+# of this subset (documented).
+SCL_LIBRARY = """
+block parser apache-accesslog-parser(prefix("apache.")) {
+    csv-parser(
+        prefix(`prefix`)
+        dialect(escape-backslash-with-sequences)
+        flags(strip-whitespace)
+        delimiters(" ")
+        quote-pairs('""[]')
+        columns("clientip" "ident" "auth" "timestamp" "rawrequest"
+                "response" "bytes" "referrer" "agent"));
+};
+
+block parser iptables-parser(prefix("iptables.")) {
+    kv-parser(prefix(`prefix`));
+};
+"""
+
+
 def compile_config(text: str, *, include_path: str | None = None,
                    defines: dict | None = None,
                    env: dict | None = None) -> Config:
@@ -895,7 +932,7 @@ def compile_config(text: str, *, include_path: str | None = None,
     cfg-lexer-subst.c / pragma-grammar.ym layer); `defines` is the
     command-line -D equivalent and `include_path` extends @include's
     search path."""
-    prep = preprocess_config(text, include_path=include_path,
+    prep = preprocess_config(SCL_LIBRARY + text, include_path=include_path,
                              defines=defines, env=env)
     text = prep.text
     s = _Stream(tokenize(text), text)

@@ -796,3 +796,70 @@ log { source(genmsg); parser(p); destination(dest_parsed); };
                                       "pri": [13]})})
         assert r.processed("dest_parsed") == 0
         assert r.processed("dest_fallback") == 1
+
+
+class TestBuiltinSclLibrary:
+    """Built-in SCL blocks (config.SCL_LIBRARY): re-expressions of
+    reference scl/apache (combined/common branch) and scl/iptables."""
+
+    APACHE_LINE = ('127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+                   '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+                   '"http://www.example.com/start.html" '
+                   '"Mozilla/4.08 [en] (Win98; I ;Nav)"')
+
+    def test_apache_accesslog_parser_block(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log"); };
+parser p { apache-accesslog-parser(); };
+log { source(s); parser(p); destination(d); };
+""")
+        r = cfg.run(sources={"s": pa.table({"message": [self.APACHE_LINE],
+                                            "pri": [13]})})
+        out = r.table("d")
+        assert out.column("apache.clientip").to_pylist() == ["127.0.0.1"]
+        assert out.column("apache.auth").to_pylist() == ["frank"]
+        assert out.column("apache.timestamp").to_pylist() == \
+               ["10/Oct/2000:13:55:36 -0700"]
+        assert out.column("apache.rawrequest").to_pylist() == \
+               ["GET /apache_pb.gif HTTP/1.0"]
+        assert out.column("apache.response").to_pylist() == ["200"]
+        assert out.column("apache.agent").to_pylist() == \
+               ["Mozilla/4.08 [en] (Win98; I ;Nav)"]
+
+    def test_apache_parser_prefix_override(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log"); };
+parser p { apache-accesslog-parser(prefix("web_")); };
+log { source(s); parser(p); destination(d); };
+""")
+        r = cfg.run(sources={"s": pa.table({"message": [self.APACHE_LINE],
+                                            "pri": [13]})})
+        assert r.table("d").column("web_response").to_pylist() == ["200"]
+
+    def test_iptables_parser_block(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log"); };
+parser p { iptables-parser(); };
+log { source(s); parser(p); destination(d); };
+""")
+        msg = "IN=eth0 OUT= SRC=10.0.0.5 DST=10.0.0.1 PROTO=TCP SPT=45566 DPT=443"
+        r = cfg.run(sources={"s": pa.table({"message": [msg], "pri": [13]})})
+        out = r.table("d")
+        assert out.column("iptables.SRC").to_pylist() == ["10.0.0.5"]
+        assert out.column("iptables.PROTO").to_pylist() == ["TCP"]
+
+    def test_user_block_overrides_library(self):
+        cfg = compile_config("""
+block parser iptables-parser(prefix("x.")) {
+    kv-parser(prefix("custom_"));
+};
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log"); };
+parser p { iptables-parser(); };
+log { source(s); parser(p); destination(d); };
+""")
+        r = cfg.run(sources={"s": pa.table({"message": ["A=1"], "pri": [13]})})
+        assert r.table("d").column("custom_A").to_pylist() == ["1"]
