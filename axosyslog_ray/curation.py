@@ -442,6 +442,105 @@ def dedup_lines_text(texts: pd.Series, sep: str = "\n") -> pd.Series:
     )
 
 
+def _line_hash_table(batch_texts, sep: str):
+    """Per-doc-DISTINCT line hashes of a batch: Arrow split, dictionary
+    hash of the unique line vocabulary, lexsort first-occurrence mask.
+    Returns (line_hashes_u64, doc_of_line, per_doc_line_counts,
+    flat_line_strings, flat_doc_of) — the last two for rebuild paths."""
+    import pyarrow.compute as pc
+
+    arr = pa.array(batch_texts, type=pa.string())
+    lists = pc.split_pattern(arr, sep)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    counts = np.diff(lists.offsets.to_numpy())
+    flat = pc.list_flatten(lists)
+    doc_of = np.repeat(np.arange(len(batch_texts)), counts)
+    if len(flat) == 0:
+        e = np.empty(0, np.uint64)
+        return e, doc_of[:0], counts, flat, doc_of
+    de = flat.dictionary_encode()
+    uniq = de.dictionary.to_pandas().to_numpy(dtype=object)
+    uh = pd.util.hash_array(uniq, categorize=False).astype(np.uint64)
+    h = uh[de.indices.to_numpy()]
+    return h, doc_of, counts, flat, doc_of
+
+
+def boilerplate_line_counts(ds, text_col: str = "text", sep: str = "\n"):
+    """Cross-corpus line-frequency table: (line_hash, n_docs) where
+    n_docs = COUNT(DISTINCT doc) containing the line. Map phase emits
+    each doc's DISTINCT line hashes (8 bytes per line — strings never
+    shuffle); ONE narrow groupby-count exchange."""
+    def extract(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
+        h, doc_of, _c, _f, _d = _line_hash_table(texts, sep)
+        if len(h) == 0:
+            return pa.table({"line_hash": pa.array([], type=pa.int64())})
+        order = np.lexsort((h, doc_of))
+        sh, sd = h[order], doc_of[order]
+        first = np.ones(len(sh), dtype=bool)
+        first[1:] = (sh[1:] != sh[:-1]) | (sd[1:] != sd[:-1])
+        return pa.table({"line_hash": pa.array(sh[first].view(np.int64))})
+
+    return ds.map_batches(extract, batch_format="pyarrow") \
+             .groupby("line_hash").count()
+
+
+def remove_boilerplate_lines(ds, min_docs: int = 4, text_col: str = "text",
+                             sep: str = "\n", removed_col: str = "n_removed"):
+    """RefinedWeb/C4-style CROSS-document boilerplate removal: drop every
+    line that appears in >= min_docs distinct documents (nav menus,
+    cookie banners, footers), keeping remaining lines in order.
+
+    Scale shape: one narrow (line_hash) groupby-count exchange over
+    8-byte keys, then the frequent set — bounded by the threshold (the
+    heavy-hitter lines; pick min_docs so it fits the driver, or use the
+    Count-Min sketch for the unbounded regime) — broadcasts via
+    ray.put into a map-only rebuild. Companion to the WITHIN-doc
+    dedup_lines; SQL-reproducible modulo 64-bit line-hash collisions
+    (docs_boilerplate_lines)."""
+    import ray
+
+    freq = boilerplate_line_counts(ds, text_col=text_col, sep=sep)
+    fdf = freq.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b.column("count()"),
+                                                    pa.scalar(min_docs))),
+        batch_format="pyarrow").to_pandas()
+    if "line_hash" in fdf.columns:
+        freq_sorted = np.sort(fdf["line_hash"].to_numpy(np.int64).view(np.uint64))
+    else:  # no line crossed the threshold: empty frame loses its schema
+        freq_sorted = np.empty(0, dtype=np.uint64)
+    ref = ray.put(freq_sorted)
+
+    def clean(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        fs = _ray.get(ref)
+        texts = b.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
+        h, doc_of, counts, flat, _d = _line_hash_table(texts, sep)
+        if len(h):
+            pos = np.searchsorted(fs, h)
+            pos_c = np.minimum(pos, max(len(fs) - 1, 0))
+            is_boiler = (fs[pos_c] == h) if len(fs) else np.zeros(len(h), bool)
+        else:
+            is_boiler = np.zeros(0, dtype=bool)
+        lines = flat.to_pandas().to_numpy(dtype=object)
+        keep = ~is_boiler
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        out_texts, removed = [], np.zeros(len(texts), dtype=np.int64)
+        for i in range(len(texts)):
+            seg = slice(starts[i], starts[i] + counts[i])
+            k = keep[seg]
+            removed[i] = counts[i] - int(k.sum())
+            out_texts.append(sep.join(lines[seg][k]))
+        idx = b.column_names.index(text_col)
+        out = b.set_column(idx, text_col, pa.array(out_texts, type=pa.string()))
+        return out.append_column(removed_col, pa.array(removed))
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
 def dedup_lines(ds, text_col: str = "text", sep: str = "\n"):
     """Batch operator form of dedup_lines_text."""
 

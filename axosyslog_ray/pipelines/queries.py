@@ -914,6 +914,52 @@ def docs_dedup_lines(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_boilerplate_lines(sf_dir: str):
+    """CROSS-document boilerplate line removal
+    (curation.remove_boilerplate_lines): drop lines appearing in >= 400
+    distinct docs, order preserved — the RefinedWeb nav/footer removal
+    shape (one narrow line-hash groupby-count + broadcast rebuild). The
+    synthetic docs are single-line, so the query derives one line per
+    word (replace ' ' -> newline) to exercise split/count/broadcast/
+    rebuild end-to-end; the SQL oracle reproduces it with string
+    membership (equal modulo 64-bit line-hash collisions)."""
+    from ..curation import remove_boilerplate_lines
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("text"), "text",
+            pa.compute.replace_substring(b.column("text"), " ", "\n")),
+        batch_format="pyarrow")
+    out = remove_boilerplate_lines(ds, min_docs=400).to_pandas()
+    out = out.rename(columns={"text": "text_clean"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_removed"] = out["n_removed"].astype("int64")
+    return out[["doc_id", "text_clean", "n_removed"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_BOILERPLATE_LINES_SQL = """
+WITH docl AS (
+  SELECT doc_id, string_split(replace(text, ' ', chr(10)), chr(10)) AS lines
+  FROM documents
+), lines AS (
+  SELECT doc_id, unnest(lines) AS line FROM docl
+), freq AS (
+  SELECT list(line) AS fl FROM (
+    SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 400)
+)
+SELECT d.doc_id,
+       array_to_string(list_filter(d.lines, x -> NOT array_contains(f.fl, x)),
+                       chr(10)) AS text_clean,
+       CAST(len(d.lines) -
+            len(list_filter(d.lines, x -> NOT array_contains(f.fl, x)))
+            AS BIGINT) AS n_removed
+FROM docl d, freq f
+ORDER BY doc_id
+"""
+
+
 DOCS_DEDUP_LINES_SQL = r"""
 WITH u AS (
   SELECT doc_id,
@@ -3097,6 +3143,7 @@ RAY_QUERIES = {
     "docs_web_curation": docs_web_curation,
     "docs_redact_pii": docs_redact_pii,
     "docs_dedup_lines": docs_dedup_lines,
+    "docs_boilerplate_lines": docs_boilerplate_lines,
     "docs_chunked": docs_chunked,
     "docs_multiline": docs_multiline,
     "docs_gopher_quality": docs_gopher_quality,
@@ -3203,6 +3250,7 @@ ORACLE_SQLS = {
     "docs_web_curation": DOCS_WEB_CURATION_SQL,
     "docs_redact_pii": _redact_sql(),
     "docs_dedup_lines": DOCS_DEDUP_LINES_SQL,
+    "docs_boilerplate_lines": DOCS_BOILERPLATE_LINES_SQL,
     "docs_chunked": DOCS_CHUNKED_SQL,
     "docs_multiline": DOCS_MULTILINE_SQL,
     "docs_gopher_quality": DOCS_GOPHER_SQL,

@@ -255,3 +255,38 @@ class TestGopherQuality:
         df = self._run([""], min_words=1)
         assert not df["gopher_pass"].iloc[0]
         assert df["n_words"].iloc[0] == 0
+
+
+def test_remove_boilerplate_lines_cross_doc(ray_session):
+    import ray.data as rd
+
+    from axosyslog_ray.curation import remove_boilerplate_lines
+
+    docs = []
+    for i in range(6):
+        docs.append({"doc_id": i,
+                     "text": f"COOKIE BANNER\nunique body {i}\nFOOTER NAV"})
+    docs.append({"doc_id": 6, "text": "totally unique doc"})
+    ds = rd.from_pandas(pd.DataFrame(docs)).repartition(3)
+    out = remove_boilerplate_lines(ds, min_docs=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # the two lines shared by 6 docs are gone; unique bodies survive
+    for i in range(6):
+        assert out.loc[i, "text"] == f"unique body {i}"
+        assert out.loc[i, "n_removed"] == 2
+    assert out.loc[6, "text"] == "totally unique doc"
+    assert out.loc[6, "n_removed"] == 0
+
+
+def test_remove_boilerplate_counts_distinct_docs_not_occurrences(ray_session):
+    # a line repeated MANY times inside ONE doc must not cross the
+    # min_docs threshold (count is per distinct document)
+    import ray.data as rd
+
+    from axosyslog_ray.curation import remove_boilerplate_lines
+
+    docs = [{"doc_id": 0, "text": "spam\nspam\nspam\nspam\nspam"},
+            {"doc_id": 1, "text": "other"}]
+    out = remove_boilerplate_lines(rd.from_pandas(pd.DataFrame(docs)),
+                                   min_docs=2).to_pandas()
+    assert sorted(out.n_removed) == [0, 0]
