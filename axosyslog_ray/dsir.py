@@ -45,20 +45,21 @@ from .curation import _gram_hashes
 from .textstats.vocab import _flat_tokens
 
 
-def _bucket_stream(texts: np.ndarray, num_buckets: int, method: str) -> tuple[np.ndarray, np.ndarray]:
-    """Flat (bucket id per uni+bi-gram occurrence, per-doc segment
-    starts) for a batch of texts. Unigrams come first, then bigrams,
-    per document (order is irrelevant — everything downstream is a
-    count or a sum)."""
+def _bucket_stream(texts: np.ndarray, num_buckets: int, method: str,
+                   grams: tuple[int, ...] = (1, 2)) -> tuple[np.ndarray, np.ndarray]:
+    """Flat (bucket id per gram occurrence, per-doc segment starts) for a
+    batch of texts, over the word-n-gram orders in `grams` (DSIR uses
+    (1, 2); the unigram LM uses (1,)). Grams of each order are emitted
+    consecutively per document (order is irrelevant — everything
+    downstream is a count or a sum)."""
     if method == "fast":
-        h1, s1 = _gram_hashes(texts, 1)
-        h2, s2 = _gram_hashes(texts, 2)
-        per_doc = np.diff(s1) + np.diff(s2)
+        hs = [_gram_hashes(texts, n) for n in grams]
+        per_doc = sum(np.diff(s) for _h, s in hs)
         seg = np.concatenate([[0], np.cumsum(per_doc)])
         parts = []
         for d in range(len(texts)):
-            parts.append(h1[s1[d]:s1[d + 1]])
-            parts.append(h2[s2[d]:s2[d + 1]])
+            for h, s in hs:
+                parts.append(h[s[d]:s[d + 1]])
         flat = np.concatenate(parts) if parts else np.empty(0, np.uint64)
         return (flat % np.uint64(num_buckets)).astype(np.int64), seg
     if method != "md5":
@@ -69,11 +70,13 @@ def _bucket_stream(texts: np.ndarray, num_buckets: int, method: str) -> tuple[np
     pos = 0
     for d in range(len(texts)):
         seg[d] = pos
-        ws = toks[tseg[d]:tseg[d + 1]]
-        grams = list(ws) + [f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)]
-        if grams:
+        ws = list(toks[tseg[d]:tseg[d + 1]])
+        gs: list[str] = []
+        for n in grams:
+            gs.extend(" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1))
+        if gs:
             b = np.array([int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % num_buckets
-                          for g in grams], dtype=np.int64)
+                          for g in gs], dtype=np.int64)
             buckets.append(b)
             pos += len(b)
     seg[len(texts)] = pos
@@ -82,7 +85,8 @@ def _bucket_stream(texts: np.ndarray, num_buckets: int, method: str) -> tuple[np
 
 
 def bucket_counts(ds, num_buckets: int, text_col: str = "text",
-                  method: str = "fast") -> np.ndarray:
+                  method: str = "fast",
+                  grams: tuple[int, ...] = (1, 2)) -> np.ndarray:
     """Corpus-wide per-bucket gram-occurrence counts: per-block
     np.bincount, partials summed up a tree (Dataset.aggregate) — the
     corpus streams, state is one NB-long int64 vector."""
@@ -98,7 +102,7 @@ def bucket_counts(ds, num_buckets: int, text_col: str = "text",
             if not t.num_rows:
                 return np.zeros(num_buckets, dtype=np.int64)
             texts = t.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
-            flat, _ = _bucket_stream(texts, num_buckets, method)
+            flat, _ = _bucket_stream(texts, num_buckets, method, grams)
             return np.bincount(flat, minlength=num_buckets).astype(np.int64)
 
         def combine(self, a, b):
@@ -128,13 +132,15 @@ class _DsirScorer:
 
     def __init__(self, qlr_ref=None, qlr: np.ndarray | None = None,
                  num_buckets: int = 10_000, method: str = "fast",
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 text_col: str = "text", id_col: str = "doc_id",
+                 grams: tuple[int, ...] = (1, 2)):
         self._ref = qlr_ref
         self.qlr = qlr
         self.num_buckets = num_buckets
         self.method = method
         self.text_col = text_col
         self.id_col = id_col
+        self.grams = grams
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.qlr is None:
@@ -142,7 +148,7 @@ class _DsirScorer:
 
             self.qlr = np.asarray(ray.get(self._ref), dtype=np.int64)
         texts = batch.column(self.text_col).to_pandas().fillna("").to_numpy(dtype=object)
-        flat, seg = _bucket_stream(texts, self.num_buckets, self.method)
+        flat, seg = _bucket_stream(texts, self.num_buckets, self.method, self.grams)
         contrib = self.qlr[flat]
         csum = np.concatenate([[0], np.cumsum(contrib)])
         return pa.table({
@@ -168,3 +174,42 @@ def dsir_weights(ds, target_ds, num_buckets: int = 10_000, alpha: float = 0.5,
     inst = _DsirScorer(qlr_ref=ref, num_buckets=num_buckets, method=method,
                        text_col=text_col, id_col=id_col)
     return ds.map_batches(inst, batch_format="pyarrow")
+
+
+def logprob_micro(c: np.ndarray, alpha: float = 0.5) -> np.ndarray:
+    """Per-bucket quantized smoothed log-probability:
+    round_half_away(1e6 * ln((c+a)/(T+a*NB))) as int64 — the unigram-LM
+    analogue of log_ratio_micro, same IEEE/libm + half-away rounding
+    contract vs the SQL oracle."""
+    nb = len(c)
+    t = float(c.sum())
+    v = np.log((c + alpha) / (t + alpha * nb)) * 1e6
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
+def lm_quality_scores(ds, num_buckets: int = 10_000, alpha: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      method: str = "fast"):
+    """Unigram-LM quality scoring (the CCNet/Gopher 'perplexity filter'
+    shape, self-trained on the corpus itself): fit a smoothed
+    bag-of-hashed-unigrams model in ONE streaming tree aggregate, then
+    score every document with its integer-exact total log-probability.
+
+    Returns (id, n_feats, logprob_micro): n_feats = token count,
+    logprob_micro = sum over tokens of quantized ln p(bucket) — rank by
+    logprob_micro / n_feats (per-token log prob; very negative =
+    unusual text). Two streaming passes, bounded NB-long driver state,
+    broadcast score table — no shuffle; the same scale shape as
+    dsir_weights. method="md5" is the DuckDB-reproducible conformance
+    variant (docs_lm_quality); method="fast" is the 100-TB path."""
+    import ray
+
+    c = bucket_counts(ds, num_buckets, text_col, method, grams=(1,))
+    q = logprob_micro(c, alpha)
+    ref = ray.put(q)
+    inst = _DsirScorer(qlr_ref=ref, num_buckets=num_buckets, method=method,
+                       text_col=text_col, id_col=id_col, grams=(1,))
+    out = ds.map_batches(inst, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.rename_columns([id_col, "n_feats", "logprob_micro"]),
+        batch_format="pyarrow")

@@ -2724,6 +2724,48 @@ def docs_dsir_weights(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_lm_quality(sf_dir: str):
+    """Unigram-LM quality scores (dsir.lm_quality_scores — the
+    CCNet/Gopher perplexity-filter shape, self-trained on the corpus):
+    one streaming bucket-count tree aggregate, broadcast quantized
+    log-prob table, integer-exact per-doc total log-probability.
+    method='md5' so DuckDB reproduces the bucket hash byte-for-byte;
+    method='fast' is the 100-TB path (same machinery as DSIR,
+    rank-pinned in tests/test_dsir.py)."""
+    from ..dsir import lm_quality_scores
+
+    out = lm_quality_scores(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            num_buckets=10_000, alpha=0.5,
+                            method="md5").to_pandas()
+    for c in ("doc_id", "n_feats", "logprob_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_LM_QUALITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+uni AS (SELECT doc_id, unnest(ws) AS gram FROM toks),
+gb AS (SELECT doc_id,
+              CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) % 10000 AS BIGINT) AS b
+       FROM uni),
+cnt AS (SELECT b, count(*) AS c FROM gb GROUP BY b),
+tot AS (SELECT coalesce(sum(c), 0) AS t FROM cnt),
+q AS (
+  SELECT bk.b,
+         CAST(round(ln((coalesce(cnt.c, 0) + 0.5) / (tot.t + 0.5 * 10000))
+                    * 1000000, 0) AS BIGINT) AS lp
+  FROM (SELECT unnest(range(0, 10000)) AS b) bk
+  CROSS JOIN tot
+  LEFT JOIN cnt ON bk.b = cnt.b),
+w AS (SELECT gb.doc_id, count(*) AS n_feats, sum(q.lp) AS lpm
+      FROM gb JOIN q ON gb.b = q.b GROUP BY gb.doc_id)
+SELECT t.doc_id, CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(coalesce(w.lpm, 0) AS BIGINT) AS logprob_micro
+FROM toks t LEFT JOIN w USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 DOCS_DSIR_SQL = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
@@ -3110,6 +3152,7 @@ RAY_QUERIES = {
     "events_distinct_users": events_distinct_users,
     "events_distinct_users_hll": events_distinct_users_hll,
     "docs_dsir_weights": docs_dsir_weights,
+    "docs_lm_quality": docs_lm_quality,
     "docs_jaccard_decontaminate": docs_jaccard_decontaminate,
     "docs_topk_per_lang": docs_topk_per_lang,
     "docs_token_budget": docs_token_budget,
@@ -3210,6 +3253,7 @@ ORACLE_SQLS = {
     "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
     "events_distinct_users_hll": EVENTS_DISTINCT_USERS_HLL_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,
+    "docs_lm_quality": DOCS_LM_QUALITY_SQL,
     "docs_jaccard_decontaminate": DOCS_JACCARD_DECON_SQL,
     "docs_topk_per_lang": DOCS_TOPK_PER_LANG_SQL,
     "docs_token_budget": DOCS_TOKEN_BUDGET_SQL,

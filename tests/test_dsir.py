@@ -125,3 +125,40 @@ def test_jaccard_decontaminate_short_docs(ray_session):
                                 n=3).to_pandas().sort_values("doc_id")
     assert (out.max_jaccard == 0.0).all()
     assert not out.contaminated.any()
+
+
+def test_lm_quality_scores_rare_text_ranks_low(ray_session):
+    from axosyslog_ray.dsir import lm_quality_scores
+
+    rng = np.random.default_rng(5)
+    common = [f"w{i}" for i in range(20)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(21, dtype=np.int64),
+        "text": [" ".join(rng.choice(common, 30)) for _ in range(20)]
+                + ["zzqx1 zzqx2 zzqx3 " * 10],   # gibberish outlier
+    })
+    out = lm_quality_scores(_ds(docs), num_buckets=4096).to_pandas()
+    per_tok = out.logprob_micro / out.n_feats.clip(lower=1)
+    # the gibberish doc has the lowest per-token log-probability
+    assert out.loc[per_tok.idxmin(), "doc_id"] == 20
+    assert (out.n_feats.iloc[:20] == 30).all()
+
+
+def test_lm_quality_fast_md5_rank_agreement(ray_session):
+    from axosyslog_ray.dsir import lm_quality_scores
+
+    rng = np.random.default_rng(6)
+    zipf = [f"w{min(int(rng.zipf(1.5)), 50)}" for _ in range(400)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(30, dtype=np.int64),
+        "text": [" ".join(rng.choice(np.array(zipf, dtype=object), 40))
+                 for _ in range(30)],
+    })
+    a = lm_quality_scores(_ds(docs), num_buckets=4096,
+                          method="fast").to_pandas().sort_values("doc_id")
+    b = lm_quality_scores(_ds(docs), num_buckets=4096,
+                          method="md5").to_pandas().sort_values("doc_id")
+    assert (a.n_feats.to_numpy() == b.n_feats.to_numpy()).all()
+    ra = a.logprob_micro.rank().to_numpy()
+    rb = b.logprob_micro.rank().to_numpy()
+    assert np.corrcoef(ra, rb)[0, 1] > 0.9
