@@ -194,6 +194,67 @@ def kmeans_sql(k: int, iters: int, table: str = "embeddings",
     )
 
 
+def cluster_balanced_sample(ds, k: int = 4, iters: int = 3, cap: int = 50,
+                            vec_col: str = "embedding", id_col: str = "vec_id",
+                            method: str = "fast"):
+    """Diversity-preserving selection: cap every k-means cluster at `cap`
+    items, chosen by a deterministic per-id hash coordinate — the
+    cluster-balanced sampling step of semantic-diversity curation
+    (cluster, then take a bounded quota per cluster so dense regions
+    can't dominate the training mix). Returns (id, cluster, rk).
+
+    Scale shape: the kmeans passes + ONE top-k combiner shuffle over
+    (id, cluster, coordinate) triples — the embedding column never
+    re-shuffles. method="md5" ranks by md5(id) (DuckDB-reproducible,
+    the emb_cluster_sample oracle); method="fast" uses the splitmix64
+    coordinate (same statistics, no per-row Python)."""
+    import pyarrow as pa
+
+    from ..window import topk_per_group
+
+    labels, _ = kmeans_labels(ds, k=k, iters=iters, vec_col=vec_col,
+                              id_col=id_col)
+    if method == "md5":
+        import hashlib
+
+        def coord(b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_pylist()
+            return b.append_column("_coord", pa.array(
+                [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+                type=pa.string()))
+    elif method == "fast":
+        def coord(b: pa.Table) -> pa.Table:
+            from ..curation import fast_sample_u64
+
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            return b.append_column("_coord", pa.array(
+                fast_sample_u64(ids).view(np.int64)))
+    else:
+        raise ValueError("method must be 'fast' or 'md5'")
+    sel = topk_per_group(labels.map_batches(coord, batch_format="pyarrow"),
+                         "cluster", "_coord", k=cap, descending=False,
+                         tie_cols=id_col, rank_col="rk")
+    return sel.map_batches(lambda b: b.drop_columns(["_coord"]),
+                           batch_format="pyarrow")
+
+
+def cluster_balanced_sql(k: int, iters: int, cap: int,
+                         table: str = "embeddings", vec: str = "embedding",
+                         id_col: str = "vec_id") -> str:
+    """Oracle for cluster_balanced_sample(method='md5'): the kmeans CTE
+    chain + per-cluster md5-ranked quota."""
+    base = kmeans_sql(k, iters, table, vec, id_col)
+    head = base[: base.rindex("\nSELECT ")]
+    return (
+        head
+        + f"\nSELECT {id_col}, cluster, rk FROM ("
+        + f"SELECT {id_col}, CAST(cl AS BIGINT) AS cluster, "
+        + f"CAST(row_number() OVER (PARTITION BY cl "
+        + f"ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS BIGINT) AS rk "
+        + f"FROM afin) WHERE rk <= {cap} ORDER BY cluster, rk"
+    )
+
+
 def semdedup(ds, k: int = 4, iters: int = 3, threshold: float = 0.95,
              vec_col: str = "embedding", id_col: str = "vec_id",
              num_buckets: int | None = None):

@@ -2568,6 +2568,24 @@ def emb_kmeans(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def emb_cluster_sample(sf_dir: str):
+    """Cluster-balanced sampling (ann.kmeans.cluster_balanced_sample):
+    k-means clusters capped at 50 items each, chosen by a deterministic
+    md5(id) coordinate — diversity-preserving selection (dense regions
+    can't dominate the mix). method='md5' so the generated CTE oracle
+    reproduces the rank; method='fast' (splitmix64 coordinate) is the
+    100-TB path."""
+    from ..ann.kmeans import cluster_balanced_sample
+
+    out = cluster_balanced_sample(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=4, iters=3, cap=50, method="md5").to_pandas()
+    for c in ("vec_id", "cluster", "rk"):
+        out[c] = out[c].astype("int64")
+    return out[["vec_id", "cluster", "rk"]] \
+        .sort_values(["cluster", "rk"]).reset_index(drop=True)
+
+
 def emb_semdedup(sf_dir: str):
     """SemDeDup-style semantic pruning (ann.kmeans.semdedup): k-means
     clusters, then within each cluster drop vectors with an earlier
@@ -3230,6 +3248,7 @@ RAY_QUERIES = {
     "docs_substring_dedup": docs_substring_dedup,
     "docs_dedup_chunks": docs_dedup_chunks,
     "emb_kmeans": emb_kmeans,
+    "emb_cluster_sample": emb_cluster_sample,
     "emb_semdedup": emb_semdedup,
 }
 
@@ -3373,9 +3392,10 @@ ORACLE_SQLS = {
 def _register_generated_oracles():
     """Generated-SQL oracles (CTE chains derived from the same constants
     the Ray operators use — ann/kmeans.py builds them)."""
-    from ..ann.kmeans import kmeans_sql, semdedup_sql
+    from ..ann.kmeans import cluster_balanced_sql, kmeans_sql, semdedup_sql
 
     ORACLE_SQLS["emb_kmeans"] = kmeans_sql(4, 3)
+    ORACLE_SQLS["emb_cluster_sample"] = cluster_balanced_sql(4, 3, 50)
     ORACLE_SQLS["emb_semdedup"] = semdedup_sql(4, 3, 0.45)
 
 

@@ -173,3 +173,32 @@ class TestKMeans:
         assert 10 in kept and 50 in kept
         # nothing else dropped (no other pair is above the threshold)
         assert len(kept) == n
+
+
+def test_cluster_balanced_sample_caps_and_determinism(ray_session):
+    import ray.data as rd
+
+    from axosyslog_ray.ann.kmeans import cluster_balanced_sample
+
+    rng = np.random.default_rng(9)
+    # three well-separated blobs of very different sizes
+    blobs = [rng.normal(c, 0.05, size=(n, 8))
+             for c, n in ((0.0, 200), (5.0, 40), (10.0, 12))]
+    X = np.vstack(blobs)
+    df = pd.DataFrame({"vec_id": np.arange(len(X), dtype=np.int64),
+                       "embedding": [r.astype(np.float32).tolist() for r in X]})
+
+    def run(blocks):
+        ds = rd.from_pandas(df).repartition(blocks)
+        return cluster_balanced_sample(ds, k=3, iters=4, cap=20,
+                                       method="fast").to_pandas() \
+            .sort_values(["cluster", "rk"]).reset_index(drop=True)
+
+    out = run(3)
+    per = out.groupby("cluster").size()
+    # every cluster capped; ranks dense 1..n within each cluster
+    assert (per <= 20).all()
+    assert (out.groupby("cluster")["rk"].max() == per).all()
+    assert (out.groupby("cluster")["rk"].min() == 1).all()
+    # partitioning-invariant (deterministic coordinate + total order)
+    pd.testing.assert_frame_equal(out, run(7))
