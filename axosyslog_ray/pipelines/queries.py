@@ -449,6 +449,37 @@ def docs_fingerprint(sf_dir: str):
 DOCS_FINGERPRINT_SQL = "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents"
 
 
+def docs_normalize(sf_dir: str):
+    """Canonical text normalization (textstats.normalize_text): NFC +
+    lowercase + whitespace collapse + trim. The query derives messy
+    input deterministically (uppercase, doubled spaces, a trailing
+    decomposed A+combining-ring) so the Unicode-composition path is
+    exercised; DuckDB reproduces with nfc_normalize/lower/
+    regexp_replace byte-for-byte."""
+    from ..textstats import normalize_text
+
+    def mk(b: pa.Table) -> pa.Table:
+        messy = pc.binary_join_element_wise(
+            pc.replace_substring(pc.utf8_upper(b.column("text")), " ", "  "),
+            pa.scalar(" A\u030a"), pa.scalar(""))  # decomposed A + ring
+        t = pa.table({"doc_id": b.column("doc_id"), "text": messy})
+        return normalize_text(t).rename_columns(["doc_id", "text_norm"])
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(mk, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_NORMALIZE_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(
+            replace(upper(text), ' ', '  ') || ' A' || chr(778))),
+            '\\s+', ' ', 'g')) AS text_norm
+FROM documents ORDER BY doc_id
+"""
+
+
 def docs_fingerprint_fast(sf_dir: str):
     """Vectorized fingerprint family (VERDICT r3 #2): siphash64 document
     fingerprint + winnowing rolling shingle prints, both the no-per-row
@@ -3190,6 +3221,7 @@ RAY_QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_fingerprint": docs_fingerprint,
     "docs_fingerprint_fast": docs_fingerprint_fast,
+    "docs_normalize": docs_normalize,
     "docs_token_stats": docs_token_stats,
     "docs_quality": docs_quality,
     "emb_ann_topk": emb_ann_topk,
@@ -3293,6 +3325,7 @@ ORACLE_SQLS = {
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
     "docs_fingerprint_fast": DOCS_FINGERPRINT_FAST_SQL,
+    "docs_normalize": DOCS_NORMALIZE_SQL,
     "docs_token_stats": DOCS_TOKEN_SQL,
     "docs_quality": DOCS_QUALITY_SQL,
     "emb_ann_topk": EMB_ANN_SQL,

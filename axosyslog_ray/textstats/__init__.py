@@ -5,6 +5,7 @@ from .analysis import (  # noqa: F401
     LangId,
     fingerprint_fast,
     fingerprint_md5,
+    normalize_text,
     quality_features,
     rolling_fingerprints,
     token_counts,

@@ -84,6 +84,39 @@ def quality_features(batch: pa.Table, text_col: str = "text", stop_lang: str = "
     return out
 
 
+def normalize_text(batch: pa.Table, text_col: str = "text",
+                   out_col: str | None = None, form: str = "NFC",
+                   lowercase: bool = True, collapse_ws: bool = True) -> pa.Table:
+    """Canonical text normalization: Unicode normalize (NFC/NFKC),
+    lowercase, collapse whitespace runs, trim — the standard web-corpus
+    preprocessing step before dedup/fingerprinting. Arrow C kernels for
+    case/whitespace; Unicode normalization runs via unicodedata ONLY on
+    rows containing non-ASCII bytes (ASCII is normalization-invariant,
+    and this pyarrow build's pc.utf8_normalize is a silent no-op — do
+    NOT use it). Map-only, SQL-reproducible (DuckDB nfc_normalize +
+    lower + regexp_replace, docs_normalize)."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col)
+    needs = pc.match_substring_regex(col, "[^\\x00-\\x7f]")
+    if pc.any(pc.fill_null(needs, False)).as_py():
+        s = col.to_pandas()
+        m = needs.to_pandas().fillna(False).to_numpy(dtype=bool)
+        s[m] = s[m].map(lambda x: unicodedata.normalize(form, x))
+        col = pa.array(s, type=pa.string())
+    if lowercase:
+        col = pc.utf8_lower(col)
+    if collapse_ws:
+        col = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(col, r"\s+", " "))
+    if out_col is None:
+        idx = batch.schema.get_field_index(text_col)
+        return batch.set_column(idx, text_col, col)
+    return batch.append_column(out_col, col)
+
+
 def fingerprint_md5(batch: pa.Table, text_col: str = "text", out_col: str = "fingerprint") -> pa.Table:
     """Canonical document fingerprint: md5 of lowercased trimmed text
     (exact-dup key robust to case/edge whitespace). Per-row Python md5 —

@@ -541,3 +541,19 @@ class TestPqAnn:
         a = pq_ann_topk(ds, vecs[:3], k=5, train_sample=400)
         b = pq_ann_topk(ds, vecs[:3], k=5, train_sample=400)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_normalize_text_unicode_and_ws():
+    from axosyslog_ray.textstats import normalize_text
+
+    t = pa.table({"text": ["HeLLo   WORLD", "  x\t y\nz  ",
+                           "Ångström", None, "plain"]})
+    out = normalize_text(t).column("text").to_pylist()
+    assert out[0] == "hello world"
+    assert out[1] == "x y z"
+    assert out[2] == "ångström"   # composed NFC, lowered
+    assert out[3] is None
+    assert out[4] == "plain"
+    # out_col form appends instead of replacing
+    t2 = normalize_text(t, out_col="norm")
+    assert t2.column_names == ["text", "norm"]
