@@ -339,10 +339,10 @@ def _parse_log_elements(s: _Stream, cfg: "Config") -> list:
             out.append((kind, [cfg._compile_stage(kind, d) for d in body]))
         elif t == "destination" and s.peek(1) == "{":
             s.next()
-            body = _parse_driver_block(s, cfg, "destination")
+            drivers, chan = _parse_destination_body(s, cfg)
             s.expect(";")
             name = f"_inline_dest_{len(cfg.destinations)}"
-            cfg.destinations[name] = _Destination(name, body)
+            cfg.destinations[name] = _Destination(name, drivers, chan)
             out.append(("destination", name))
         else:
             d = _parse_driver(s)
@@ -423,37 +423,63 @@ def _parse_block_params(s: _Stream) -> dict[str, str]:
     return params
 
 
+def _parse_driver_or_ref(s: _Stream, cfg: "Config | None", kind: str | None,
+                         _depth: int = 0) -> list[Driver]:
+    """One driver statement, or an SCL generator-block reference spliced
+    into its generated drivers (reference cfg-block.c:147-180)."""
+    name = s.peek()
+    if cfg is not None and kind is not None and (kind, name) in cfg.blocks:
+        if _depth > 16:
+            raise ConfigError(f"block reference too deep at {name}()")
+        s.next()
+        overrides = _parse_block_params(s)
+        text = cfg.generate_block(kind, name, overrides)
+        wrapped = "{" + text + "}"
+        sub = _Stream(tokenize(wrapped), wrapped)
+        return _parse_driver_block(sub, cfg, kind, _depth + 1)
+    return [_parse_driver(s)]
+
+
 def _parse_driver_block(s: _Stream, cfg: "Config | None" = None,
                         kind: str | None = None, _depth: int = 0) -> list[Driver]:
     out = []
     s.expect("{")
     while s.peek() != "}":
-        name = s.peek()
-        if cfg is not None and kind is not None and (kind, name) in cfg.blocks:
-            # SCL-style generator block reference: substitute the stored
-            # body with args > globals > env and splice its drivers
-            # (reference cfg-block.c:147-180 block generation)
-            if _depth > 16:
-                raise ConfigError(f"block reference too deep at {name}()")
-            s.next()
-            overrides = _parse_block_params(s)
-            text = cfg.generate_block(kind, name, overrides)
-            wrapped = "{" + text + "}"
-            sub = _Stream(tokenize(wrapped), wrapped)
-            out.extend(_parse_driver_block(sub, cfg, kind, _depth + 1))
-        else:
-            out.append(_parse_driver(s))
+        out.extend(_parse_driver_or_ref(s, cfg, kind, _depth))
         s.expect(";")
     s.expect("}")
     return out
 
 
+def _parse_destination_body(s: _Stream, cfg: "Config") -> tuple[list[Driver], "Channel | None"]:
+    """Destination {} body: plain drivers, generator-block references,
+    and the compound `channel { ... }` driver (reference logmpx: a
+    midpoint destination's channel runs in its OWN context — drops
+    there do not unmatch the outer path, test_midpoint_destinations.py)."""
+    drivers: list[Driver] = []
+    chan = None
+    s.expect("{")
+    while s.peek() != "}":
+        if s.peek() == "channel" and s.peek(1) == "{":
+            s.next()
+            elems = _parse_log_elements(s, cfg)
+            s.expect(";")
+            chan = Channel(elems)
+        else:
+            drivers.extend(_parse_driver_or_ref(s, cfg, "destination"))
+            s.expect(";")
+    s.expect("}")
+    return drivers, chan
+
+
 # ---------------------------------------------------------------- compiler
 
 class _Destination:
-    def __init__(self, name: str, drivers: list[Driver]):
+    def __init__(self, name: str, drivers: list[Driver],
+                 channel: "Channel | None" = None):
         self.name = name
         self.template = None
+        self.channel = channel
         for d in drivers:
             if d.name == "file":
                 self.template = d.kw1("template")
@@ -463,6 +489,15 @@ class _Destination:
     def write(self, table: pa.Table):
         self.counts += table.num_rows
         self.tables.append(table)
+
+    def deliver(self, cfg: "Config", table: pa.Table):
+        """Run the destination's own channel (if any) in its OWN context,
+        then record what survives; the caller's path table is untouched
+        (a midpoint destination that drops everything still counts as a
+        successful dispatch — reference test_midpoint_destinations.py)."""
+        if self.channel is not None:
+            table = cfg._run_sequence(table, self.channel.elements)
+        self.write(table.drop_columns([_ROW_ID]))
 
     def rendered(self) -> list[str]:
         """Lines the file destination would write (template applied)."""
@@ -625,7 +660,7 @@ class Config:
                 fx = self.filterx[arg] if isinstance(arg, str) else arg
                 table = fx(table)
             elif kind == "destination":
-                self.destinations[arg].write(table.drop_columns([_ROW_ID]))
+                self.destinations[arg].deliver(self, table)
             elif kind == "junction":
                 table = self._run_junction(table, arg)
             elif kind == "conditional":
@@ -983,8 +1018,8 @@ def compile_config(text: str, *, include_path: str | None = None,
         elif t == "destination":
             s.next()
             name = s.next()
-            cfg.destinations[name] = _Destination(
-                name, _parse_driver_block(s, cfg, "destination"))
+            drivers, chan = _parse_destination_body(s, cfg)
+            cfg.destinations[name] = _Destination(name, drivers, chan)
             s.expect(";")
         elif t == "filter":
             s.next()

@@ -863,3 +863,31 @@ log { source(s); parser(p); destination(d); };
 """)
         r = cfg.run(sources={"s": pa.table({"message": ["A=1"], "pri": [13]})})
         assert r.table("d").column("custom_A").to_pylist() == ["1"]
+
+    def test_midpoint_channel_destination_drops_in_own_context(self):
+        # test_midpoint_destinations.py cases 1-2: a destination whose
+        # channel drops everything still counts as a successful dispatch
+        r = compile_config(TestLightMidpointAndFlags.MIDPOINT_PREAMBLE + """
+destination dest_dropall {
+    channel { filter { false(); }; destination { file("dropall.log"); }; };
+};
+log {
+    source(genmsg);
+    destination(dest_dropall);
+    destination(dest_after);
+};
+""").run()
+        assert r.processed("dest_dropall") == 0
+        assert r.processed("dest_after") == 1
+        assert r.processed("dest_fallback") == 0
+
+    def test_midpoint_inline_channel_destination(self):
+        r = compile_config(TestLightMidpointAndFlags.MIDPOINT_PREAMBLE + """
+log {
+    source(genmsg);
+    destination { channel { filter { false(); }; }; };
+    destination(dest_after);
+};
+""").run()
+        assert r.processed("dest_after") == 1
+        assert r.processed("dest_fallback") == 0

@@ -162,9 +162,10 @@ def test_rolling_fingerprints_fast_vs_join():
 
 
 def test_fingerprint_fast_microbench_speedup():
-    """The vectorized paths beat the per-row/per-doc conformance paths by
-    >=5x at batch scale on CI hardware (>=20x typical; loose bound so a
-    noisy VM can't flake the suite). Recorded in BASELINE.md."""
+    """The vectorized paths beat the per-row/per-doc conformance paths
+    (~1.6x doc fingerprint, ~4.5x rolling prints on the build VM —
+    BASELINE.md); loose bounds so a noisy CI box can't flake the
+    suite."""
     import time
 
     import numpy as np
