@@ -430,6 +430,62 @@ def weighted_sample_key(keys: np.ndarray, weights: np.ndarray,
     return key
 
 
+def domain_mix(ds, weights: dict[str, int], source_col: str = "source",
+               key_col: str = "doc_id", method: str = "fast"):
+    """Rebalance a multi-source corpus toward target mixture WEIGHTS by
+    deterministic downsampling — the training-mix step ("2 parts web,
+    1 part code, 1 part books"). Keeps the LARGEST total achievable by
+    downsampling only: with m = argmin_s(n_s / w_s), source s keeps at
+    rate (n_m * w_s) / (w_m * n_s); the binding source m keeps
+    everything. Sources absent from `weights` are dropped.
+
+    Thresholds are EXACT integer arithmetic
+    (floor(65536 * n_m * w_s / (w_m * n_s))) over the 16-bit hash
+    coordinate, so the SQL oracle reproduces the kept set byte-for-byte
+    (docs_domain_mix, method='md5'); method='fast' uses the top 16 bits
+    of the splitmix64/siphash coordinate — same construction, no
+    per-row Python. One tiny groupby-count pass + a map-only filter;
+    reproducible at any partitioning."""
+    import hashlib
+
+    cnt = ds.groupby(source_col).count().to_pandas()
+    n_by = dict(zip(cnt[source_col], cnt["count()"].astype(int)))
+    present = {s: w for s, w in weights.items() if n_by.get(s, 0) > 0}
+    if not present:
+        raise ValueError("no weighted source present in the dataset")
+    # binding source: smallest n/w (double comparison to match the SQL
+    # oracle's ORDER BY CAST(n AS DOUBLE)/w, source tie-break)
+    m = min(present, key=lambda s: (n_by[s] / present[s], s))
+    nm, wm = n_by[m], present[m]
+    thr = {s: (65536 * nm * w) // (wm * n_by[s]) for s, w in present.items()}
+
+    if method == "md5":
+        def keep(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_pandas().to_numpy()
+            srcs = batch.column(source_col).to_pandas().to_numpy(dtype=object)
+            mask = np.zeros(len(keys), dtype=bool)
+            for i, (k, s) in enumerate(zip(keys, srcs)):
+                t = thr.get(s)
+                if t is None:
+                    continue
+                mask[i] = t >= 65536 or \
+                    hashlib.md5(str(k).encode()).hexdigest()[:4] < format(t, "04x")
+            return batch.filter(pa.array(mask))
+    elif method == "fast":
+        def keep(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            srcs = batch.column(source_col).to_pandas().to_numpy(dtype=object)
+            u16 = (fast_sample_u64(keys) >> np.uint64(48)).astype(np.int64)
+            codes, uniq = pd.factorize(srcs)
+            tarr = np.array([thr.get(s, -1) for s in uniq], dtype=np.int64)
+            t_of = tarr[codes]
+            mask = (t_of >= 0) & ((t_of >= 65536) | (u16 < t_of))
+            return batch.filter(pa.array(mask))
+    else:
+        raise ValueError("method must be 'fast' or 'md5'")
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def dedup_lines_text(texts: pd.Series, sep: str = "\n") -> pd.Series:
     """C4-style within-document repetition removal: keep the FIRST
     occurrence of each exact line, preserve order, rejoin. Pure per-row

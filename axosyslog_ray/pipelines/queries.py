@@ -2904,6 +2904,39 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def docs_domain_mix(sf_dir: str):
+    """Deterministic training-mixture rebalancing (curation.domain_mix):
+    downsample sources toward target weights 4:2:1:1 for
+    src0:src1:src2:src3 (others dropped) — the binding source keeps all,
+    the rest keep at exact integer 16-bit hash thresholds. method='md5'
+    so DuckDB reproduces the kept set byte-for-byte; method='fast'
+    (splitmix64 top bits) is the 100-TB path, same-construction tested."""
+    from ..curation import domain_mix
+
+    out = domain_mix(_read(sf_dir, "documents", ["doc_id", "source"]),
+                     {"src0": 4, "src1": 2, "src2": 1, "src3": 1},
+                     method="md5").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_DOMAIN_MIX_SQL = """
+WITH w AS (SELECT * FROM (VALUES ('src0', 4), ('src1', 2), ('src2', 1),
+                                 ('src3', 1)) AS t(source, wgt)),
+cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+        GROUP BY source),
+j AS (SELECT cnt.source, n, wgt FROM cnt JOIN w USING (source)),
+m AS (SELECT n AS nm, wgt AS wm FROM j
+      ORDER BY CAST(n AS DOUBLE) / wgt, source LIMIT 1),
+thr AS (SELECT j.source, (65536 * m.nm * j.wgt) // (m.wm * j.n) AS t
+        FROM j, m)
+SELECT d.doc_id, d.source FROM documents d JOIN thr ON d.source = thr.source
+WHERE thr.t >= 65536
+   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', thr.t)
+ORDER BY doc_id
+"""
+
+
 def docs_hash_split(sf_dir: str):
     """Deterministic disjoint train/val/test split (curation.hash_split):
     one md5 coordinate per doc_id, non-overlapping interval assignment —
@@ -3198,6 +3231,7 @@ RAY_QUERIES = {
     "docs_stratified_k": docs_stratified_k,
     "docs_cross_dedup": docs_cross_dedup,
     "docs_hash_split": docs_hash_split,
+    "docs_domain_mix": docs_domain_mix,
     "events_distinct_users": events_distinct_users,
     "events_distinct_users_hll": events_distinct_users_hll,
     "docs_dsir_weights": docs_dsir_weights,
@@ -3301,6 +3335,7 @@ ORACLE_SQLS = {
         "read_parquet('/root/repo/tests/golden/docs_cross_dedup_sf001.parquet') "
         "ORDER BY doc_id"),
     "docs_hash_split": DOCS_HASH_SPLIT_SQL,
+    "docs_domain_mix": DOCS_DOMAIN_MIX_SQL,
     "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
     "events_distinct_users_hll": EVENTS_DISTINCT_USERS_HLL_SQL,
     "docs_dsir_weights": DOCS_DSIR_SQL,

@@ -290,3 +290,39 @@ def test_remove_boilerplate_counts_distinct_docs_not_occurrences(ray_session):
     out = remove_boilerplate_lines(rd.from_pandas(pd.DataFrame(docs)),
                                    min_docs=2).to_pandas()
     assert sorted(out.n_removed) == [0, 0]
+
+
+def test_domain_mix_binding_source_keeps_all(ray_session):
+    import ray.data as rd
+
+    from axosyslog_ray.curation import domain_mix
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for s, n in (("web", 1000), ("code", 300), ("books", 100)):
+        for i in range(n):
+            rows.append({"doc_id": len(rows), "source": s})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    # target 2:1:1 -> books (100/1) binds; web keeps 200/1000, code 100/300
+    out = domain_mix(ds, {"web": 2, "code": 1, "books": 1},
+                     method="fast").to_pandas()
+    per = out.groupby("source").size()
+    assert per["books"] == 100                      # binding source: all kept
+    assert abs(per["web"] - 200) < 40               # ~hash-rate sampling noise
+    assert abs(per["code"] - 100) < 30
+    # deterministic under repartitioning
+    out2 = domain_mix(rd.from_pandas(pd.DataFrame(rows)).repartition(9),
+                      {"web": 2, "code": 1, "books": 1},
+                      method="fast").to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_domain_mix_drops_unweighted_sources(ray_session):
+    import ray.data as rd
+
+    from axosyslog_ray.curation import domain_mix
+
+    df = pd.DataFrame({"doc_id": range(20),
+                       "source": ["a"] * 10 + ["junk"] * 10})
+    out = domain_mix(rd.from_pandas(df), {"a": 1}, method="md5").to_pandas()
+    assert set(out.source) == {"a"} and len(out) == 10
