@@ -295,6 +295,7 @@ class Channel:
     final: bool = False
     fallback: bool = False
     catchall: bool = False
+    name: str | None = None    # named log path: ingress/egress stats
 
 
 def _parse_log_elements(s: _Stream, cfg: "Config") -> list:
@@ -318,15 +319,20 @@ def _parse_log_elements(s: _Stream, cfg: "Config") -> list:
             s.expect("}")
             s.expect(";")
             out.append(("filter", e))
-        elif t == "log" and s.peek(1) == "{":
-            # embedded log path (cfg-tree: sequence-embedded branches);
+        elif t == "log" and (s.peek(1) == "{" or s.peek(2) == "{"):
+            # embedded log path (cfg-tree: sequence-embedded branches),
+            # optionally NAMED (`log inner-1 { ... }` — per-path
+            # ingress/egress stats, Light test_named_logpaths.py);
             # consecutive embedded paths form one junction — a final
             # sibling consumes its matches from later siblings
             # (Light suite test_flags_final.py)
             s.next()
+            pname = s.next() if s.peek() != "{" else None
             inner = _parse_log_elements(s, cfg)
             s.expect(";")
-            out.append(("embedded", _to_channel(inner)))
+            ch = _to_channel(inner)
+            ch.name = pname
+            out.append(("embedded", ch))
         elif t == "filterx" and s.peek(1) == "{":
             s.next()
             body = s.raw_block()
@@ -572,6 +578,7 @@ class Config:
 
     def run(self, sources: dict | None = None) -> "RunResult":
         injected = sources or {}
+        self.path_stats: dict[str, list[int]] = {}
         for dst in self.destinations.values():
             dst.counts = 0
             dst.tables = []
@@ -619,6 +626,7 @@ class Config:
             table = pa.concat_tables(parts, promote_options="permissive")
             out = self._run_sequence(table, [e for e in ch.elements if e[0] != "source"])
             out_ids = out.column(_ROW_ID).to_pylist()
+            self._bump_path(ch, table.num_rows, out.num_rows)
             if not ch.fallback:
                 for sn in src_names:
                     matched[sn].update(out_ids)
@@ -626,7 +634,17 @@ class Config:
                         # flags(final): consume matched rows from
                         # SUBSEQUENT top-level paths of the same source
                         consumed[sn].update(out_ids)
-        return RunResult(self.destinations)
+        return RunResult(self.destinations, self.path_stats)
+
+    def _bump_path(self, ch: Channel, ingress: int, egress: int) -> None:
+        """Named-logpath ingress/egress counters (reference log-path
+        stats, Light test_named_logpaths.py: ingress = rows entering the
+        path, egress = rows MATCHED through its whole length — a
+        midpoint delivery alone does not count as egress)."""
+        if ch.name:
+            st = self.path_stats.setdefault(ch.name, [0, 0])
+            st[0] += ingress
+            st[1] += egress
 
     def _run_sequence(self, table: pa.Table, elements: list) -> pa.Table:
         # group CONSECUTIVE embedded log paths into one junction
@@ -695,6 +713,7 @@ class Config:
             else:
                 inp = table.filter(pa.array(eligible))
             out = self._run_sequence(inp, ch.elements)
+            self._bump_path(ch, inp.num_rows, out.num_rows)
             outs.append(out)
             hit = np.isin(ids, out.column(_ROW_ID).to_numpy())
             matched |= hit
@@ -742,8 +761,15 @@ def run_config_on_dataset(cfg: "Config", ds, source_name: str):
 
 
 class RunResult:
-    def __init__(self, destinations: dict[str, _Destination]):
+    def __init__(self, destinations: dict[str, _Destination],
+                 path_stats: dict[str, list[int]] | None = None):
         self.destinations = destinations
+        self._path_stats = path_stats or {}
+
+    def path_stats(self, name: str) -> tuple[int, int]:
+        """(ingress, egress) of a named log path; (0, 0) if it never ran."""
+        st = self._path_stats.get(name, [0, 0])
+        return st[0], st[1]
 
     def processed(self, name: str) -> int:
         return self.destinations[name].counts
@@ -1049,9 +1075,12 @@ def compile_config(text: str, *, include_path: str | None = None,
             s.expect(";")
         elif t == "log":
             s.next()
+            pname = s.next() if s.peek() != "{" else None
             elems = _parse_log_elements(s, cfg)
             s.expect(";")
-            cfg.paths.append(_to_channel(elems))
+            ch = _to_channel(elems)
+            ch.name = pname
+            cfg.paths.append(ch)
         else:
             raise ConfigError(f"unsupported top-level statement {t!r}")
     return cfg

@@ -891,3 +891,50 @@ log {
 """).run()
         assert r.processed("dest_after") == 1
         assert r.processed("dest_fallback") == 0
+
+
+class TestNamedLogpaths:
+    """Port of the Light suite's test_named_logpaths.py: per-path
+    ingress/egress counters — egress counts only messages MATCHED
+    through the whole path (a midpoint delivery alone is not egress)."""
+
+    def test_named_logpath_stats(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d1 { file("o1.log"); };
+destination d2 { file("o2.log"); };
+filter f_t2 { message("to-top-level-2") };
+filter f_t3 { message("to-top-level-3") };
+filter f_i1 { message("to-inner-1") };
+filter f_i2 { message("to-inner-2") };
+filter f_i3 { message("to-inner-3") };
+log top-level-1 { source(s); };
+log top-level-2 { source(s); filter(f_t2); destination(d1); };
+log top-level-3 { source(s); filter(f_t3); destination(d1); destination(d2); };
+log top-level-4 {
+    source(s);
+    log inner-1 { filter(f_i1); destination(d1); };
+    log inner-2 { filter(f_i2); destination(d2); };
+};
+log top-level-5 {
+    source(s);
+    destination(d1);
+    log inner-3 { filter(f_i3); destination(d2); };
+};
+""")
+        msgs = ["to-top-level-2", "to-top-level-3", "to-inner-1",
+                "to-inner-2", "to-inner-3"]
+        r = cfg.run(sources={"s": pa.table({"message": msgs,
+                                            "pri": [13] * 5})})
+        assert r.path_stats("top-level-1") == (5, 5)
+        assert r.path_stats("top-level-2") == (5, 1)
+        assert r.path_stats("top-level-3") == (5, 1)
+        assert r.path_stats("top-level-4") == (5, 2)
+        assert r.path_stats("inner-1") == (5, 1)
+        assert r.path_stats("inner-2") == (5, 1)
+        # top-level-5: d1 delivers everything, but egress needs inner-3
+        # to match (the reference's documented midpoint subtlety)
+        assert r.path_stats("top-level-5") == (5, 1)
+        assert r.path_stats("inner-3") == (5, 1)
+        assert r.processed("d1") == 8
+        assert r.processed("d2") == 3
