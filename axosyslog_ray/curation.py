@@ -100,6 +100,96 @@ def build_eval_gram_set(eval_ds, n: int = 5, text_col: str = "text") -> np.ndarr
     return np.unique(np.concatenate(parts))
 
 
+def build_eval_gram_index(eval_ds, n: int = 5, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Hash-sorted (gram_hash, eval_id) PAIR arrays of the eval suite —
+    per-eval-doc distinct, duplicates across eval docs kept (the same
+    gram can implicate several eval items). Driver-side like
+    build_eval_gram_set: the eval side is bounded by contract."""
+    hs: list[np.ndarray] = []
+    ids: list[np.ndarray] = []
+    for b in eval_ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        texts = b.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
+        eids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h, seg = _gram_hashes(texts, n)
+        gpd = np.diff(seg)
+        doc_of = np.repeat(np.arange(len(texts)), gpd)
+        if not len(h):
+            continue
+        order = np.lexsort((h, doc_of))
+        sh, sd = h[order], doc_of[order]
+        first = np.ones(len(sh), dtype=bool)
+        first[1:] = (sh[1:] != sh[:-1]) | (sd[1:] != sd[:-1])
+        hs.append(sh[first])
+        ids.append(eids[sd[first]])
+    if not hs:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    h_all = np.concatenate(hs)
+    id_all = np.concatenate(ids)
+    order = np.argsort(h_all, kind="stable")
+    return h_all[order], id_all[order]
+
+
+def contamination_report(corpus, eval_ds, n: int = 5, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """Per-eval-item leak report — the REVERSE view of decontaminate:
+    for every eval doc, how many corpus docs share at least one
+    word-n-gram with it. The audit artifact reviewers actually read
+    ("which benchmark items leak, and how badly").
+
+    Scale shape: the (gram_hash, eval_id) index broadcasts via ray.put;
+    corpus docs stream map-only emitting distinct (eval_id) hits per
+    doc; ONE small groupby-count on eval ids (bounded by the suite
+    size). Returns (eval_id, n_leaked_docs) including zero rows.
+    SQL-reproducible modulo 64-bit gram-hash collisions
+    (docs_leak_report)."""
+    import ray
+
+    eh, eid = build_eval_gram_index(eval_ds, n, text_col, id_col)
+    all_eval_ids = np.unique(eid)
+    ref = ray.put((eh, eid))
+
+    def hits(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        h_sorted, id_sorted = _ray.get(ref)
+        texts = b.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
+        h, seg = _gram_hashes(texts, n)
+        if not len(h) or not len(h_sorted):
+            return pa.table({"eval_id": pa.array([], type=pa.int64())})
+        doc_of = np.repeat(np.arange(len(texts)), np.diff(seg))
+        lo = np.searchsorted(h_sorted, h, side="left")
+        hi = np.searchsorted(h_sorted, h, side="right")
+        cnt = hi - lo
+        m = cnt > 0
+        if not m.any():
+            return pa.table({"eval_id": pa.array([], type=pa.int64())})
+        lo, cnt, doc_of = lo[m], cnt[m], doc_of[m]
+        total = int(cnt.sum())
+        starts = np.zeros(len(cnt), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        out_idx = np.repeat(lo, cnt) + (np.arange(total) - np.repeat(starts, cnt))
+        pair_doc = np.repeat(doc_of, cnt)
+        pair_eval = id_sorted[out_idx]
+        # distinct (corpus_doc, eval_id) pairs within the batch
+        order = np.lexsort((pair_eval, pair_doc))
+        pd_, pe_ = pair_doc[order], pair_eval[order]
+        first = np.ones(len(pd_), dtype=bool)
+        first[1:] = (pd_[1:] != pd_[:-1]) | (pe_[1:] != pe_[:-1])
+        return pa.table({"eval_id": pa.array(pe_[first])})
+
+    counted = corpus.map_batches(hits, batch_format="pyarrow") \
+                    .groupby("eval_id").count().to_pandas()
+    out = pd.DataFrame({"eval_id": all_eval_ids})
+    if "eval_id" in counted.columns and len(counted):
+        out = out.merge(counted.rename(columns={"count()": "n_leaked_docs"}),
+                        on="eval_id", how="left")
+        out["n_leaked_docs"] = out["n_leaked_docs"].fillna(0).astype(np.int64)
+    else:
+        out["n_leaked_docs"] = np.int64(0)
+    return out.sort_values("eval_id").reset_index(drop=True)
+
+
 class Decontaminator:
     """Actor-pool stage: flag corpus docs sharing any n-gram with the
     broadcast eval gram set. `ds.map_batches(Decontaminator,

@@ -2061,6 +2061,52 @@ ORDER BY doc_id
 """
 
 
+def docs_leak_report(sf_dir: str):
+    """Per-eval-item contamination leak report
+    (curation.contamination_report): for each eval doc (doc_id % 97 ==
+    0, same suite as docs_decontaminate), the number of corpus docs
+    sharing >= 1 word-3-gram — the reverse audit view of
+    decontamination. Broadcast (gram, eval_id) index, map-only corpus
+    scan, one small eval-id groupby-count."""
+    from ..curation import contamination_report
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _split(is_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = pa.array(b.column("doc_id").to_numpy() % 97 == 0)
+            return b.filter(m if is_eval else pc.invert(m))
+
+        return f
+
+    eval_ds = docs.map_batches(_split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_split(False), batch_format="pyarrow")
+    out = contamination_report(corpus, eval_ds, n=3)
+    out["eval_id"] = out["eval_id"].astype("int64")
+    return out
+
+
+DOCS_LEAK_REPORT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g FROM idx
+),
+eg AS (SELECT DISTINCT doc_id AS eval_id, g FROM grams WHERE doc_id % 97 = 0),
+cg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0),
+hits AS (SELECT DISTINCT eg.eval_id, cg.doc_id FROM eg JOIN cg USING (g))
+SELECT e.eval_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_leaked_docs
+FROM (SELECT DISTINCT doc_id AS eval_id FROM documents WHERE doc_id % 97 = 0) e
+LEFT JOIN (SELECT eval_id, count(*) AS n FROM hits GROUP BY eval_id) h
+  USING (eval_id)
+ORDER BY eval_id
+"""
+
+
 def docs_hash_sample(sf_dir: str):
     """Deterministic stratified sampling: keep a doc iff its vectorized
     64-bit hash coordinate (splitmix64 of doc_id) falls under its
@@ -3304,6 +3350,7 @@ RAY_QUERIES = {
     "events_hopping_windows": events_hopping_windows,
     "lineitem_range_join": lineitem_range_join,
     "docs_decontaminate": docs_decontaminate,
+    "docs_leak_report": docs_leak_report,
     "docs_hash_sample": docs_hash_sample,
     "docs_source_quota": docs_source_quota,
     "docs_vocab_topk": docs_vocab_topk,
@@ -3412,6 +3459,7 @@ ORACLE_SQLS = {
     "events_hopping_windows": EVENTS_HOPPING_SQL,
     "lineitem_range_join": LINEITEM_RANGE_SQL,
     "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
+    "docs_leak_report": DOCS_LEAK_REPORT_SQL,
     "docs_hash_sample": DOCS_HASH_SAMPLE_SQL,
     "docs_source_quota": DOCS_SOURCE_QUOTA_SQL,
     # exhaustive IVF (nprobe=nlist) provably equals brute-force top-k,

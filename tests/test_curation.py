@@ -326,3 +326,25 @@ def test_domain_mix_drops_unweighted_sources(ray_session):
                        "source": ["a"] * 10 + ["junk"] * 10})
     out = domain_mix(rd.from_pandas(df), {"a": 1}, method="md5").to_pandas()
     assert set(out.source) == {"a"} and len(out) == 10
+
+
+def test_contamination_report_counts_leaking_docs(ray_session):
+    import ray.data as rd
+
+    from axosyslog_ray.curation import contamination_report
+
+    eval_df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the secret eval answer alpha beta gamma",
+                 "another held out question delta epsilon zeta",
+                 "never leaked anywhere at all okay fine"]})
+    corpus = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": ["includes the secret eval answer alpha verbatim",   # leaks 0
+                 "also has secret eval answer alpha in it",          # leaks 0
+                 "contains held out question delta here",            # leaks 1
+                 "totally clean corpus document nothing shared"]})
+    out = contamination_report(rd.from_pandas(corpus).repartition(2),
+                               rd.from_pandas(eval_df), n=3)
+    got = dict(zip(out.eval_id, out.n_leaked_docs))
+    assert got == {0: 2, 1: 1, 2: 0}
