@@ -938,3 +938,85 @@ log top-level-5 {
         assert r.path_stats("inner-3") == (5, 1)
         assert r.processed("d1") == 8
         assert r.processed("d2") == 3
+
+    def test_named_logpaths_with_final_flag(self):
+        # Light test_named_logpaths_with_final_flag.py: a final sibling
+        # consumes its matches BEFORE later siblings — their INGRESS
+        # must not count consumed messages
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d1 { file("o1.log"); };
+destination d2 { file("o2.log"); };
+destination d3 { file("o3.log"); };
+filter f_t1 { message("to-top-level-1") };
+filter f_t2 { message("to-top-level-2") };
+log top-level-1 {
+    source(s);
+    filter(f_t1);
+    log inner-final-1 { destination(d1); flags(final); };
+    log inner-final-2 { destination(d2); flags(final); };
+};
+log top-level-2 {
+    source(s);
+    filter(f_t2);
+    destination(d1);
+    log inner-final-3 { destination(d2); flags(final); };
+    log inner-final-4 { destination(d3); flags(final); };
+};
+""")
+        msgs = ["to-top-level-1", "to-top-level-2"]
+        r = cfg.run(sources={"s": pa.table({"message": msgs, "pri": [13, 13]})})
+        assert r.path_stats("top-level-1") == (2, 1)
+        assert r.path_stats("inner-final-1") == (1, 1)
+        assert r.path_stats("inner-final-2") == (0, 0)
+        assert r.path_stats("top-level-2") == (2, 1)
+        assert r.path_stats("inner-final-3") == (1, 1)
+        assert r.path_stats("inner-final-4") == (0, 0)
+
+    def test_named_logpaths_with_fallback_flag(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d1 { file("o1.log"); };
+destination d2 { file("o2.log"); };
+filter f_t2 { message("to-top-level-2") };
+filter f_t3 { message("to-top-level-3") };
+block filter true() { "1" eq "1" };
+block filter false() { "0" eq "1" };
+log top-level-2 {
+    source(s);
+    filter(f_t2);
+    log inner-3 { filter { true(); }; destination(d1); };
+    log inner-fallback-4 { destination(d2); flags(fallback); };
+};
+log top-level-3 {
+    source(s);
+    filter(f_t3);
+    log inner-5 { filter { false(); }; destination(d1); };
+    log inner-fallback-6 { destination(d2); flags(fallback); };
+};
+""")
+        msgs = ["to-top-level-2", "to-top-level-3"]
+        r = cfg.run(sources={"s": pa.table({"message": msgs, "pri": [13, 13]})})
+        # matched by inner-3 -> its fallback sibling never fires
+        assert r.path_stats("inner-3") == (1, 1)
+        assert r.path_stats("inner-fallback-4") == (0, 0)
+        # dropped by inner-5's filter -> the fallback sibling fires
+        assert r.path_stats("inner-5") == (1, 0)
+        assert r.path_stats("inner-fallback-6") == (1, 1)
+        assert r.path_stats("top-level-2") == (2, 1)
+        assert r.path_stats("top-level-3") == (2, 1)
+
+    def test_named_logpaths_with_catchall_flag(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log"); };
+filter f_t1 { message("to-top-level-1") };
+filter f_t2 { message("to-top-level-2") };
+log top-level-1 { source(s); filter(f_t1); destination(d); };
+log top-level-2 { filter(f_t2); destination(d); flags(catch-all); };
+""")
+        msgs = ["to-top-level-1", "to-top-level-2"]
+        r = cfg.run(sources={"s": pa.table({"message": msgs, "pri": [13, 13]})})
+        assert r.path_stats("top-level-1") == (2, 1)
+        assert r.path_stats("top-level-2") == (2, 1)
+        assert r.processed("d") == 2
