@@ -198,7 +198,8 @@ class Decontaminator:
     membership per batch is one searchsorted over the flat gram array."""
 
     def __init__(self, eval_grams_ref=None, eval_grams: np.ndarray | None = None,
-                 n: int = 5, text_col: str = "text", id_col: str = "doc_id"):
+                 n: int = 5, text_col: str = "text", id_col: str = "doc_id",
+                 mode: str = "flags"):
         # resolve the broadcast ref LAZILY (first __call__): as an actor
         # ctor that's once per actor; as a pickled task instance the
         # driver-side object stays a tiny ref and each worker fetches the
@@ -210,6 +211,9 @@ class Decontaminator:
         self.n = n
         self.text_col = text_col
         self.id_col = id_col
+        if mode not in ("flags", "filter"):
+            raise ValueError(mode)
+        self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.eval_grams is None:
@@ -224,6 +228,10 @@ class Decontaminator:
         # per-doc any(): sum hits over each doc's gram segment
         csum = np.concatenate([[0], np.cumsum(hit)])
         contaminated = (csum[seg[1:]] - csum[seg[:-1]]) > 0
+        if self.mode == "filter":
+            # map-only in-stream removal: full rows pass through, no
+            # flags table, no join back (the curate() hot path)
+            return batch.filter(pa.array(~contaminated))
         return pa.table({
             self.id_col: batch.column(self.id_col),
             "contaminated": pa.array(contaminated),
@@ -243,6 +251,20 @@ def decontaminate(ds, eval_ds, n: int = 5, text_col: str = "text",
 
     ref = ray.put(build_eval_gram_set(eval_ds, n, text_col))
     inst = Decontaminator(eval_grams_ref=ref, n=n, text_col=text_col, id_col=id_col)
+    return ds.map_batches(inst, batch_format="pyarrow")
+
+
+def drop_contaminated(ds, eval_ds, n: int = 5, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Map-only decontamination FILTER: rows sharing any n-gram with the
+    eval suite are dropped in-stream — same kept set as
+    decontaminate() + anti-join, without the join's all-to-all exchange
+    (the curate() flagship path)."""
+    import ray
+
+    ref = ray.put(build_eval_gram_set(eval_ds, n, text_col))
+    inst = Decontaminator(eval_grams_ref=ref, n=n, text_col=text_col,
+                          id_col=id_col, mode="filter")
     return ds.map_batches(inst, batch_format="pyarrow")
 
 

@@ -133,7 +133,7 @@ class _DsirScorer:
     def __init__(self, qlr_ref=None, qlr: np.ndarray | None = None,
                  num_buckets: int = 10_000, method: str = "fast",
                  text_col: str = "text", id_col: str = "doc_id",
-                 grams: tuple[int, ...] = (1, 2)):
+                 grams: tuple[int, ...] = (1, 2), append: bool = False):
         self._ref = qlr_ref
         self.qlr = qlr
         self.num_buckets = num_buckets
@@ -141,6 +141,7 @@ class _DsirScorer:
         self.text_col = text_col
         self.id_col = id_col
         self.grams = grams
+        self.append = append
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.qlr is None:
@@ -151,20 +152,26 @@ class _DsirScorer:
         flat, seg = _bucket_stream(texts, self.num_buckets, self.method, self.grams)
         contrib = self.qlr[flat]
         csum = np.concatenate([[0], np.cumsum(contrib)])
+        w = (csum[seg[1:]] - csum[seg[:-1]]).astype(np.int64)
+        if self.append:
+            # in-stream form: full rows + weight column, no join back
+            return batch.append_column("weight_micro", pa.array(w))
         return pa.table({
             self.id_col: batch.column(self.id_col),
             "n_feats": pa.array((seg[1:] - seg[:-1]).astype(np.int64)),
-            "weight_micro": pa.array((csum[seg[1:]] - csum[seg[:-1]]).astype(np.int64)),
+            "weight_micro": pa.array(w),
         })
 
 
 def dsir_weights(ds, target_ds, num_buckets: int = 10_000, alpha: float = 0.5,
                  text_col: str = "text", id_col: str = "doc_id",
-                 method: str = "fast"):
+                 method: str = "fast", append: bool = False):
     """(id, n_feats, weight_micro) for every row of `ds`: weight_micro is
     the DSIR log importance weight in exact integer micro-units
     (positive = target-like). Three streaming passes total (target
-    counts, raw counts, score) — nothing corpus-sized on the driver."""
+    counts, raw counts, score) — nothing corpus-sized on the driver.
+    append=True returns the FULL rows with weight_micro appended
+    (map-only in-stream scoring; no join back — the curate() path)."""
     import ray
 
     ct = bucket_counts(target_ds, num_buckets, text_col, method)
@@ -172,7 +179,7 @@ def dsir_weights(ds, target_ds, num_buckets: int = 10_000, alpha: float = 0.5,
     qlr = log_ratio_micro(ct, cr, alpha)
     ref = ray.put(qlr)
     inst = _DsirScorer(qlr_ref=ref, num_buckets=num_buckets, method=method,
-                       text_col=text_col, id_col=id_col)
+                       text_col=text_col, id_col=id_col, append=append)
     return ds.map_batches(inst, batch_format="pyarrow")
 
 

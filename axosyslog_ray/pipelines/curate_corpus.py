@@ -13,9 +13,11 @@ operators):
   4. FUZZY DEDUP   MinHash-LSH cluster representatives
                    (dedup.minhash) — the banded shuffle
   5. DECONTAMINATE drop docs sharing 5-grams with an eval suite
-                   (curation.decontaminate) — broadcast, map-only
+                   (curation.drop_contaminated) — broadcast, map-only
+                   in-stream filter (no join back, r4)
   6. DSIR WEIGHT   importance weights toward a target domain
-                   (dsir) — two tree aggregates + map-only score
+                   (dsir, append=True) — two tree aggregates +
+                   map-only in-stream score (no join back, r4)
   7. SELECT        per-source token budget (window.budget_capped_select)
                    — one bucketed shuffle
   8. SPLIT         deterministic disjoint train/val/test
@@ -55,7 +57,7 @@ def curate(docs, eval_ds=None, target_ds=None, *,
     (benchmark suite) gates decontamination; `target_ds` gates DSIR
     weighting; both optional and both must be SMALL (broadcast side).
     All stages stream; nothing corpus-sized touches the driver."""
-    from ..curation import dedup_lines_text, decontaminate, hash_split
+    from ..curation import dedup_lines_text, hash_split
     from ..dedup.minhash import minhash_clusters
     from ..dsir import dsir_weights
     from ..window import budget_capped_select
@@ -115,19 +117,14 @@ def curate(docs, eval_ds=None, target_ds=None, *,
         ds = hash_join(ds, keep_ids, id_col, how="inner",
                        left_schema=ls, right_schema=rs)
 
-    # 5: decontamination (broadcast eval grams)
+    # 5: decontamination — map-only IN-STREAM filter against the
+    # broadcast eval gram set (r4: replaces the flags hash_join + filter,
+    # removing one all-to-all exchange from the flagship flow)
     if eval_ds is not None:
-        flags = decontaminate(ds, eval_ds, n=5, text_col=text_col, id_col=id_col)
-        from ..join import hash_join
+        from ..curation import drop_contaminated
 
-        ls, rs = _join_sch([pa.field("contaminated", pa.bool_())])
-        ds = hash_join(ds, flags, id_col, how="inner",
-                       left_schema=ls, right_schema=rs)
-        ds = ds.map_batches(
-            lambda b: b.filter(pa.compute.invert(b.column("contaminated").combine_chunks())).drop_columns(["contaminated"]),
-            batch_format="pyarrow")
-        if cur_sch is not None:
-            cur_sch = pa.schema([f for f in cur_sch if f.name != "contaminated"])
+        ds = drop_contaminated(ds, eval_ds, n=5, text_col=text_col,
+                               id_col=id_col)
 
     # 6: DSIR importance weights toward the target domain
     if target_ds is not None:
@@ -138,15 +135,11 @@ def curate(docs, eval_ds=None, target_ds=None, *,
         # curated corpus ONCE here (Ray spills blocks to disk at scale;
         # recompute-vs-spill favors spill for a 3-consumer stage). This
         # is the documented exception to the stream-don't-materialize
-        # rule: a genuinely multi-pass consumer.
+        # rule: a genuinely multi-pass consumer. Scoring APPENDS the
+        # weight column in-stream (r4: no join back, one less exchange).
         ds = ds.materialize()
-        w = dsir_weights(ds, target_ds, text_col=text_col, id_col=id_col,
-                         method=dsir_method)
-        from ..join import hash_join
-
-        ls, rs = _join_sch([pa.field("weight_micro", pa.int64())])
-        ds = hash_join(ds, w.drop_columns(["n_feats"]), id_col, how="inner",
-                       left_schema=ls, right_schema=rs)
+        ds = dsir_weights(ds, target_ds, text_col=text_col, id_col=id_col,
+                          method=dsir_method, append=True)
     else:
         ds = ds.map_batches(
             lambda b: b.append_column("weight_micro",
