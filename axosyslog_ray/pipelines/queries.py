@@ -2757,6 +2757,41 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_quantiles_sketch(sf_dir: str):
+    """Sampled per-group quantile sketch (window.group_quantile_sketch):
+    derandomized reservoir — smallest-k splitmix64(event_id)
+    coordinates per key, combiner-pruned before the one narrow shuffle —
+    the unbounded-group companion to exact group_quantiles. Gate shape
+    like events_distinct_users_hll: the sample_k=20000 run covers every
+    group entirely, so p50/p95 HASH-match DuckDB quantile_cont exactly;
+    approx_ok pins a sample_k=1024 run's p50 within 10% of exact
+    (~1/sqrt(k) quantile deviation; measured <= 5.5% here)."""
+    from ..window import group_quantile_sketch, group_quantiles
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    full = group_quantile_sketch(ds, "event_type", "value",
+                                 {"p50": 0.5, "p95": 0.95}, id_col="event_id",
+                                 sample_k=20000).to_pandas()
+    approx = group_quantile_sketch(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        "event_type", "value", {"a50": 0.5}, id_col="event_id",
+        sample_k=1024).to_pandas()
+    out = full.merge(approx, on="event_type", how="inner")
+    out["approx_ok"] = ((out["a50"] - out["p50"]).abs()
+                        / out["p50"].abs().clip(lower=1e-9)) <= 0.10
+    return out[["event_type", "p50", "p95", "approx_ok"]] \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_QUANTILES_SKETCH_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def docs_jaccard_decontaminate(sf_dir: str):
     """Exact-Jaccard decontamination (curation.jaccard_decontaminate):
     max similarity of each doc's distinct word-3-gram set vs every
@@ -3286,6 +3321,7 @@ RAY_QUERIES = {
     "docs_topk_per_lang": docs_topk_per_lang,
     "docs_token_budget": docs_token_budget,
     "events_quantiles": events_quantiles,
+    "events_quantiles_sketch": events_quantiles_sketch,
     "q1_pricing": q1_pricing,
     "customer_nation_join": customer_nation_join,
     "docs_topk": docs_topk,
@@ -3391,6 +3427,7 @@ ORACLE_SQLS = {
     "docs_topk_per_lang": DOCS_TOPK_PER_LANG_SQL,
     "docs_token_budget": DOCS_TOKEN_BUDGET_SQL,
     "events_quantiles": EVENTS_QUANTILES_SQL,
+    "events_quantiles_sketch": EVENTS_QUANTILES_SKETCH_SQL,
     "events_config_pipeline": EVENTS_CONFIG_PIPELINE_SQL,
     "q1_pricing": Q1_SQL,
     "customer_nation_join": CUSTOMER_NATION_SQL,

@@ -205,6 +205,103 @@ def iqr_outliers(ds, group_cols: list[str] | str, value_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _exact_group_quantiles_frame(g: pd.DataFrame, group_cols: list[str],
+                                 value_col: str, qs: dict[str, float],
+                                 round_digits: int | None) -> pd.DataFrame:
+    """Vectorized per-key linear-interpolation quantiles of a frame: one
+    lexsort by (key, value) + segment-boundary gathers (the shared
+    kernel of group_quantiles and group_quantile_sketch)."""
+    names = list(qs)
+    probs = np.array([qs[n] for n in names], dtype=np.float64)
+    if not len(g):
+        return pd.DataFrame(columns=group_cols + names)
+    codes = g.groupby(group_cols, sort=False, dropna=False).ngroup().to_numpy()
+    n_keys = int(codes.max()) + 1
+    vals = g[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+    valid = ~np.isnan(vals)
+    vv, vc = vals[valid], codes[valid]
+    order = np.lexsort((vv, vc))
+    sv, sc = vv[order], vc[order]
+    cnt = np.bincount(sc, minlength=n_keys)
+    starts = np.zeros(n_keys, dtype=np.int64)
+    np.cumsum(cnt[:-1], out=starts[1:])
+    _, first_idx = np.unique(codes, return_index=True)
+    out = g.iloc[np.sort(first_idx)][group_cols].reset_index(drop=True)
+    last = max(len(sv) - 1, 0)
+    for name, p in zip(names, probs):
+        pos = p * np.maximum(cnt - 1, 0)
+        lo = np.floor(pos).astype(np.int64)
+        frac = pos - lo
+        ilo = np.minimum(starts + lo, last)
+        ihi = np.minimum(starts + np.minimum(lo + 1, np.maximum(cnt - 1, 0)), last)
+        if len(sv):
+            qv = sv[ilo] * (1.0 - frac) + sv[ihi] * frac
+        else:
+            qv = np.full(n_keys, np.nan)
+        if round_digits is not None:
+            # DuckDB ROUND half-away-from-zero, not banker's
+            f = 10.0 ** round_digits
+            qv = np.sign(qv) * np.floor(np.abs(qv) * f + 0.5) / f
+        out[name] = np.where(cnt > 0, qv, np.nan)
+    return out
+
+
+def group_quantile_sketch(ds, group_cols: list[str] | str, value_col: str,
+                          qs: dict[str, float], id_col: str,
+                          sample_k: int = 1024,
+                          round_digits: int | None = 4,
+                          num_buckets: int | None = None):
+    """APPROXIMATE per-key quantiles for the unbounded-cardinality /
+    huge-group regime exact group_quantiles can't reach: a deterministic
+    per-key uniform sample of `sample_k` values (smallest splitmix64
+    coordinate of (key-ordinal, value-rank) — a derandomized reservoir:
+    mergeable, partitioning-invariant), then exact linear-interpolation
+    quantiles of the sample.
+
+    Scale shape: the per-batch combiner keeps at most `sample_k` rows
+    per (key, block) before the ONE narrow (key, value, coord) shuffle —
+    a hot key ships sample_k * blocks rows instead of its whole value
+    set; the final per-bucket pass needs only sample_k values per key.
+    Error is the sampling error of a k-sample (~1/sqrt(k) quantile
+    deviation); keys with <= sample_k values are EXACT (equal to
+    group_quantiles, which is how the oracle gates it —
+    events_quantiles_sketch). `id_col` must be unique per row (the
+    sampling coordinate: every OCCURRENCE of a duplicated value gets
+    its own coordinate, keeping the multiset sample unbiased)."""
+    from .hashutil import hash_idx
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    names = list(qs)
+
+    def project_and_coord(b: pa.Table) -> pa.Table:
+        t = b.select(group_cols + [value_col, id_col])
+        g = t.to_pandas()
+        # deterministic per-row coordinate: splitmix of the unique row id
+        # — pure per-row function, partitioning-invariant, one coordinate
+        # per OCCURRENCE (unbiased multiset sample)
+        ih = pd.util.hash_array(
+            g[id_col].to_numpy() if g[id_col].dtype != object
+            else g[id_col].to_numpy(dtype=object)).astype(np.uint64)
+        coord = hash_idx(ih, seed=77)
+        g = g.drop(columns=[id_col])
+        g["_coord"] = coord.view(np.int64)
+        # combiner: smallest-k coordinates per key within the batch
+        s = g.sort_values(group_cols + ["_coord"], kind="mergesort")
+        keep = s.groupby(group_cols, sort=False, dropna=False).cumcount() < sample_k
+        return pa.Table.from_pandas(s[keep], preserve_index=False)
+
+    def bucket_q(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(group_cols + ["_coord"], kind="mergesort")
+        keep = s.groupby(group_cols, sort=False, dropna=False).cumcount() < sample_k
+        sampled = s[keep].drop(columns=["_coord"])
+        return _exact_group_quantiles_frame(sampled, group_cols, value_col,
+                                            qs, round_digits)
+
+    projected = ds.map_batches(project_and_coord, batch_format="pyarrow")
+    return bucketed_map_groups(projected, group_cols, bucket_q,
+                               num_buckets=num_buckets)
+
+
 def group_quantiles(ds, group_cols: list[str] | str, value_col: str,
                     qs: dict[str, float], round_digits: int | None = 4,
                     num_buckets: int | None = None):
@@ -221,42 +318,9 @@ def group_quantiles(ds, group_cols: list[str] | str, value_col: str,
         return b.select(group_cols + [value_col])
 
     def bucket_q(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized segment quantiles: ONE lexsort by (key, value), then
-        # linear interpolation at starts[key] + p*(cnt-1) for every
-        # (key, prob) pair via fancy indexing — no Python per-key loop
-        if not len(g):
-            return pd.DataFrame(columns=group_cols + names)
-        codes = g.groupby(group_cols, sort=False, dropna=False).ngroup().to_numpy()
-        n_keys = int(codes.max()) + 1
-        vals = g[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
-        valid = ~np.isnan(vals)
-        vv, vc = vals[valid], codes[valid]
-        order = np.lexsort((vv, vc))
-        sv, sc = vv[order], vc[order]
-        cnt = np.bincount(sc, minlength=n_keys)
-        starts = np.zeros(n_keys, dtype=np.int64)
-        np.cumsum(cnt[:-1], out=starts[1:])
-        # ngroup codes are assigned in first-appearance order, so taking
-        # each code's first row reproduces the old iteration order
-        _, first_idx = np.unique(codes, return_index=True)
-        out = g.iloc[np.sort(first_idx)][group_cols].reset_index(drop=True)
-        last = max(len(sv) - 1, 0)
-        for name, p in zip(names, probs):
-            pos = p * np.maximum(cnt - 1, 0)
-            lo = np.floor(pos).astype(np.int64)
-            frac = pos - lo
-            ilo = np.minimum(starts + lo, last)
-            ihi = np.minimum(starts + np.minimum(lo + 1, np.maximum(cnt - 1, 0)), last)
-            if len(sv):
-                qv = sv[ilo] * (1.0 - frac) + sv[ihi] * frac
-            else:
-                qv = np.full(n_keys, np.nan)
-            if round_digits is not None:
-                # DuckDB ROUND half-away-from-zero, not banker's
-                f = 10.0 ** round_digits
-                qv = np.sign(qv) * np.floor(np.abs(qv) * f + 0.5) / f
-            out[name] = np.where(cnt > 0, qv, np.nan)
-        return out
+        # vectorized segment quantiles — shared kernel, no per-key loop
+        return _exact_group_quantiles_frame(g, group_cols, value_col,
+                                            qs, round_digits)
 
     projected = ds.map_batches(project, batch_format="pyarrow")
     return bucketed_map_groups(projected, group_cols, bucket_q,

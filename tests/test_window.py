@@ -290,3 +290,40 @@ def test_with_lead_negative_periods(ray_session):
                    periods=-1).to_pandas().sort_values("id").reset_index(drop=True)
     assert got.loc[0, "v_lead"] == 20.0 and got.loc[1, "v_lead"] == 30.0
     assert np.isnan(got.loc[2, "v_lead"])
+
+
+def test_group_quantile_sketch_exact_when_k_covers(ray_session):
+    from axosyslog_ray.window import group_quantile_sketch, group_quantiles
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"id": np.arange(600, dtype=np.int64),
+                       "k": np.repeat(["a", "b", "c"], 200),
+                       "v": rng.normal(50, 20, 600)})
+    exact = group_quantiles(_ds(df), "k", "v", {"p50": 0.5, "p90": 0.9}) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    sk = group_quantile_sketch(_ds(df), "k", "v", {"p50": 0.5, "p90": 0.9},
+                               id_col="id", sample_k=500) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, sk)
+
+
+def test_group_quantile_sketch_partitioning_invariant(ray_session):
+    from axosyslog_ray.window import group_quantile_sketch
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame({"id": np.arange(3000, dtype=np.int64),
+                       "k": rng.choice(["x", "y"], 3000),
+                       "v": rng.exponential(30, 3000)})
+
+    def run(blocks):
+        return group_quantile_sketch(_ds(df, blocks=blocks), "k", "v",
+                                     {"p50": 0.5}, id_col="id",
+                                     sample_k=128).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+
+    a, b = run(3), run(11)
+    pd.testing.assert_frame_equal(a, b)
+    # approximate but sane: within 25% of the true median at k=128
+    true = df.groupby("k")["v"].median()
+    for _, row in a.iterrows():
+        assert abs(row.p50 - true[row.k]) / true[row.k] < 0.25
