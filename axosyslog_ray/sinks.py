@@ -151,6 +151,82 @@ class RoutedParquetDatasink(Datasink):
         return f"RoutedParquet({self.root})"
 
 
+class TemplatedTextDatasink(Datasink):
+    """file() destination in its LITERAL form: rendered template lines
+    appended to per-partition .log text files — byte-parity with the
+    reference's file() output (template + "\n" per message,
+    lib/logwriter.c write path), where RoutedParquetDatasink is the
+    columnar-analytics form.
+
+    Layout: root/<partition>=<val>/part_<task>_<seq>.log (or flat
+    part_*.log files without a partition column) — many files per sink,
+    never one giant file, deterministic names so a retried task
+    overwrites its own partial output. Returns per-partition line
+    counts merged on the driver like the parquet sink."""
+
+    def __init__(self, root: str, template=None, partition_col: str | None = None):
+        self.root = root
+        self.template = template
+        self.partition_col = partition_col
+        self.counts = None
+
+    def on_write_start(self):
+        os.makedirs(self.root, exist_ok=True)
+
+    def _write_lines(self, path: str, t: pa.Table):
+        lines = _format_lines(t, self.template)
+        with open(path, "w", encoding="utf-8", newline="") as f:
+            for ln in lines:
+                f.write(ln if ln.endswith("\n") else ln + "\n")
+        return len(lines)
+
+    def write(self, blocks, ctx):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        tables = _to_tables(blocks)
+        if not tables:
+            return []
+        t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+        seq = self._write_seq = getattr(self, "_write_seq", -1) + 1
+        if self.partition_col is None:
+            n = self._write_lines(
+                os.path.join(self.root, f"part_{ctx.task_idx:05d}_{seq:04d}.log"), t)
+            return [(None, n)]
+        order = pc.sort_indices(t.column(self.partition_col))
+        ts = t.take(order)
+        kn = ts.column(self.partition_col).to_numpy(zero_copy_only=False)
+        n = len(kn)
+        isnull = pd.isna(kn)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (kn[1:] != kn[:-1]) & ~(isnull[1:] & isnull[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        out = []
+        for s, e in zip(starts, ends):
+            val = "__NULL__" if isnull[s] else str(kn[s])
+            d = os.path.join(self.root, f"{self.partition_col}={val}")
+            os.makedirs(d, exist_ok=True)
+            c = self._write_lines(
+                os.path.join(d, f"part_{ctx.task_idx:05d}_{seq:04d}.log"),
+                ts.slice(s, e - s))
+            out.append((val, c))
+        return out
+
+    def on_write_complete(self, write_result):
+        import pandas as pd
+
+        rows = [r for ret in write_result.write_returns for r in (ret or [])]
+        df = pd.DataFrame(rows, columns=["partition", "n"])
+        self.counts = (df.groupby("partition", as_index=False, dropna=False)["n"].sum()
+                       if len(df) else df)
+
+    def get_name(self):
+        return "TemplatedText"
+
+
 class ProgramDatasink(Datasink):
     """program() destination: each write task spawns the child command
     ONCE (afprog.c keeps one child per writer) and streams formatted

@@ -192,3 +192,49 @@ def test_routed_parquet_sink_high_cardinality_partitions(tmp_path):
     assert len(back) == n
     assert sorted(back["v"]) == list(range(n))
     assert back.groupby("route")["v"].count().eq(5).all()
+
+
+def test_templated_text_sink_byte_parity(ray_session, tmp_path):
+    """file() literal form: rendered template lines, one line per
+    message, partitioned by route."""
+    import glob
+
+    import ray.data as rd
+
+    from axosyslog_ray.functions.templates import Template
+    from axosyslog_ray.sinks import TemplatedTextDatasink
+
+    t = pa.table({"host": ["a", "b", "a", "c"],
+                  "message": ["m1", "m2", "m3", "m4"],
+                  "route": ["web", "err", "web", "err"]})
+    root = str(tmp_path / "logs")
+    sink = TemplatedTextDatasink(root, template="${HOST} ${MESSAGE}",
+                                 partition_col="route")
+    rd.from_arrow(t).repartition(2).write_datasink(sink)
+    got = {}
+    for d in sorted(glob.glob(root + "/route=*")):
+        lines = []
+        for f in sorted(glob.glob(d + "/*.log")):
+            lines.extend(open(f).read().splitlines())
+        got[d.split("=")[-1]] = sorted(lines)
+    assert got == {"err": ["b m2", "c m4"], "web": ["a m1", "a m3"]}
+    assert dict(zip(sink.counts["partition"], sink.counts["n"])) == \
+           {"err": 2, "web": 2}
+
+
+def test_templated_text_sink_flat_json_lines(ray_session, tmp_path):
+    import glob
+    import json as _json
+
+    import ray.data as rd
+
+    from axosyslog_ray.sinks import TemplatedTextDatasink
+
+    t = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    root = str(tmp_path / "flat")
+    sink = TemplatedTextDatasink(root)  # no template -> JSONL
+    rd.from_arrow(t).write_datasink(sink)
+    lines = []
+    for f in sorted(glob.glob(root + "/*.log")):
+        lines.extend(open(f).read().splitlines())
+    assert sorted(_json.loads(x)["a"] for x in lines) == [1, 2]
