@@ -120,14 +120,45 @@ def _cogroup_docs(docs, rows, id_col: str, text_col: str, fn,
     return bucketed_map_groups(both, id_col, fn, num_buckets=num_buckets)
 
 
+def _sorted_pos_ref(df: pd.DataFrame, id_col: str):
+    """ray.put a (sorted doc ids, positions) pair for broadcast
+    searchsorted lookup inside map-only stages."""
+    import ray
+
+    order = np.lexsort((df["pos"].to_numpy(np.int64),
+                        df[id_col].to_numpy(np.int64)))
+    return ray.put((df[id_col].to_numpy(np.int64)[order],
+                    df["pos"].to_numpy(np.int64)[order]))
+
+
+def _doc_positions(ref, ids: np.ndarray):
+    """Per-doc candidate positions from a broadcast sorted pair:
+    {row_index: positions} for rows that have any."""
+    import ray
+
+    cd, cp = ray.get(ref)
+    lo = np.searchsorted(cd, ids, side="left")
+    hi = np.searchsorted(cd, ids, side="right")
+    return {i: cp[lo[i]:hi[i]] for i in np.flatnonzero(hi > lo)}
+
+
 def substring_dedup(docs, k: int = 10, text_col: str = "text",
                     id_col: str = "doc_id", num_buckets: int | None = None,
-                    verify: bool = True):
+                    verify: bool = True, broadcast_limit: int = 2_000_000):
     """Remove every word covered by a corpus-duplicated k-word window.
 
     Returns a Dataset of (id_col, n_words, n_removed, text_clean) with
     one row per input document (docs whose every window is unique pass
-    through with n_removed 0)."""
+    through with n_removed 0).
+
+    When the candidate set is small (<= broadcast_limit (doc, pos)
+    rows — the common case: candidates are duplication-proportional,
+    not corpus-proportional), the verify/cleanup stages run MAP-ONLY
+    against a broadcast position index instead of cogrouping the full
+    corpus TEXT through two extra exchanges: 2 exchanges total instead
+    of 4, and document bytes never shuffle at all (r4; measured 12.4 s
+    -> ~5 s at sf0.1). Larger candidate sets fall back to the cogroup
+    path automatically (the 100-TB-heavy-duplication shape)."""
     pw = _powers(k)
     windows = docs.map_batches(
         lambda b: _window_table(b, k, text_col, id_col, pw),
@@ -138,7 +169,10 @@ def substring_dedup(docs, k: int = 10, text_col: str = "text",
         return g.loc[sizes >= 2, [id_col, "pos"]]
 
     cand = bucketed_map_groups(windows, "h", dup_positions,
-                               num_buckets=num_buckets)
+                               num_buckets=num_buckets).materialize()
+    if cand.count() <= broadcast_limit:
+        return _dedup_broadcast(docs, cand, k, text_col, id_col,
+                                num_buckets, verify)
 
     if verify:
         def extract_windows(g: pd.DataFrame) -> pd.DataFrame:
@@ -206,3 +240,91 @@ def substring_dedup(docs, k: int = 10, text_col: str = "text",
                              "text_clean": pd.Series(cleaned, dtype=object)})
 
     return _cogroup_docs(docs, covered, id_col, text_col, clean, num_buckets)
+
+
+def _clean_rows(texts_arr: np.ndarray, ids: np.ndarray, pos_of: dict,
+                k: int, id_col: str) -> pd.DataFrame:
+    """Interval-coverage cleanup of a batch of docs given their covered
+    window-start positions (shared by the cogroup and broadcast paths)."""
+    n_words = np.empty(len(ids), dtype=np.int64)
+    n_removed = np.empty(len(ids), dtype=np.int64)
+    cleaned: list = []
+    for i in range(len(ids)):
+        t, _ = _flat_tokens(np.array([texts_arr[i]], dtype=object))
+        n = len(t)
+        n_words[i] = n
+        ss = pos_of.get(i)
+        if ss is None or n == 0:
+            n_removed[i] = 0
+            cleaned.append(" ".join(t))
+            continue
+        delta = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(delta, ss, 1)
+        np.add.at(delta, np.minimum(ss + k, n), -1)
+        cov = np.cumsum(delta[:n]) > 0
+        n_removed[i] = int(cov.sum())
+        cleaned.append(" ".join(t[~cov]))
+    return pd.DataFrame({id_col: ids, "n_words": n_words,
+                         "n_removed": n_removed,
+                         "text_clean": pd.Series(cleaned, dtype=object)})
+
+
+def _dedup_broadcast(docs, cand, k: int, text_col: str, id_col: str,
+                     num_buckets: int | None, verify: bool):
+    """Broadcast verify/cleanup: candidate (doc, pos) rows fit the
+    driver, so document text never shuffles — extract and clean run
+    map-only against ray.put position indexes; the only remaining
+    exchange is the candidate-proportional window-TEXT groupby that
+    turns hash-candidates into text-verified duplicates."""
+    cdf = cand.to_pandas()
+    if not len(cdf):
+        def passthrough(b: pa.Table) -> pa.Table:
+            texts_arr = b.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
+            ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.Table.from_pandas(
+                _clean_rows(texts_arr, ids, {}, k, id_col), preserve_index=False)
+
+        return docs.map_batches(passthrough, batch_format="pyarrow")
+
+    if verify:
+        ref = _sorted_pos_ref(cdf, id_col)
+
+        def extract(b: pa.Table) -> pa.Table:
+            texts_arr = b.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
+            ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            pos_of = _doc_positions(ref, ids)
+            out_w: list = []
+            out_id: list = []
+            out_p: list = []
+            for i, ps in pos_of.items():
+                t, _ = _flat_tokens(np.array([texts_arr[i]], dtype=object))
+                out_w.extend(" ".join(t[p:p + k]) for p in ps)
+                out_id.append(np.full(len(ps), ids[i], dtype=np.int64))
+                out_p.append(ps)
+            if not out_w:
+                return pa.table({"w": pa.array([], type=pa.string()),
+                                 id_col: pa.array([], type=pa.int64()),
+                                 "pos": pa.array([], type=pa.int64())})
+            return pa.table({"w": pa.array(out_w, type=pa.string()),
+                             id_col: pa.array(np.concatenate(out_id)),
+                             "pos": pa.array(np.concatenate(out_p))})
+
+        def dup_texts(g: pd.DataFrame) -> pd.DataFrame:
+            sizes = g.groupby("w")["w"].transform("size")
+            return g.loc[sizes >= 2, [id_col, "pos"]]
+
+        covered_df = bucketed_map_groups(
+            docs.map_batches(extract, batch_format="pyarrow"), "w", dup_texts,
+            num_buckets=num_buckets).to_pandas()
+    else:
+        covered_df = cdf
+    ref2 = _sorted_pos_ref(covered_df, id_col)
+
+    def clean_map(b: pa.Table) -> pa.Table:
+        texts_arr = b.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_of = _doc_positions(ref2, ids)
+        return pa.Table.from_pandas(
+            _clean_rows(texts_arr, ids, pos_of, k, id_col), preserve_index=False)
+
+    return docs.map_batches(clean_map, batch_format="pyarrow")

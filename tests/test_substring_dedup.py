@@ -86,3 +86,24 @@ def test_coverage_union_of_overlapping_windows(ray_session):
     out = _run(rows, k=10).set_index("doc_id")
     assert out.loc[0, "n_removed"] == 11
     assert out.loc[1, "n_removed"] == 11
+
+
+def test_broadcast_and_cogroup_paths_agree(ray_session):
+    import ray.data as rd
+
+    from axosyslog_ray.dedup.substring import substring_dedup
+
+    rows = []
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(30):
+        rows.append({"doc_id": i,
+                     "text": f"unique lead {i} " + (dup if i % 3 == 0 else
+                                                    f"own words {i} " * 5)})
+    df = pd.DataFrame(rows)
+    a = substring_dedup(rd.from_pandas(df).repartition(4), k=5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = substring_dedup(rd.from_pandas(df).repartition(4), k=5,
+                        broadcast_limit=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.loc[a.doc_id % 3 == 0, "n_removed"] > 0).all()
