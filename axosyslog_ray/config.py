@@ -982,6 +982,31 @@ block parser apache-accesslog-parser(prefix("apache.")) {
 block parser iptables-parser(prefix("iptables.")) {
     kv-parser(prefix(`prefix`));
 };
+
+block rewrite credit-card-brand(regex() value() template()) {
+    subst("`regex`" "`template`" value(`value`)
+          flags(global, store-matches) type(pcre));
+};
+
+block rewrite credit-card-mask(value("MESSAGE")
+                               template("$(substr $0 0 6)******$(substr $0 -4 4)")) {
+    credit-card-brand(regex("(?:4[0-9]{12}(?:[0-9]{3})?)") value(`value`) template("`template`"));
+    credit-card-brand(regex("((5[1-5][0-9]{14})|((?:5[1-5][0-9]{2}|222[1-9]|22[3-9][0-9]|2[3-6][0-9]{2}|27[01][0-9]|2720)[0-9]{12}))") value(`value`) template("`template`"));
+    credit-card-brand(regex("(3[47][0-9]{13})") value(`value`) template("`template`"));
+    credit-card-brand(regex("((?:2131|1800|35[0-9]{3})[0-9]{11})") value(`value`) template("`template`"));
+    credit-card-brand(regex("(3(?:0[0-5]|[68][0-9])[0-9]{11})") value(`value`) template("`template`"));
+    credit-card-brand(regex("(6(?:011|5[0-9]{2})[0-9]{12})") value(`value`) template("`template`"));
+};
+
+block rewrite credit-card-hash(value("MESSAGE")
+                               template("$(sha1 --length 16 $0)")) {
+    credit-card-brand(regex("(?:4[0-9]{12}(?:[0-9]{3})?)") value(`value`) template("`template`"));
+    credit-card-brand(regex("((5[1-5][0-9]{14})|((?:5[1-5][0-9]{2}|222[1-9]|22[3-9][0-9]|2[3-6][0-9]{2}|27[01][0-9]|2720)[0-9]{12}))") value(`value`) template("`template`"));
+    credit-card-brand(regex("(3[47][0-9]{13})") value(`value`) template("`template`"));
+    credit-card-brand(regex("((?:2131|1800|35[0-9]{3})[0-9]{11})") value(`value`) template("`template`"));
+    credit-card-brand(regex("(3(?:0[0-5]|[68][0-9])[0-9]{11})") value(`value`) template("`template`"));
+    credit-card-brand(regex("(6(?:011|5[0-9]{2})[0-9]{12})") value(`value`) template("`template`"));
+};
 """
 
 

@@ -363,8 +363,26 @@ def tf_base64_encode(t, *args):
 # ---- digests (modules/cryptofuncs/) ----
 
 def _digest(name):
-    def f(t, a, length=None):
-        out = _s(a).map(lambda x: hashlib.new(name, x.encode()).hexdigest())
+    def f(t, *args):
+        """$(sha1 [--length N] arg...) — reference cryptofuncs
+        (modules/cryptofuncs/cryptofuncs.c): optional --length flag
+        truncates the hex digest; multiple args CONCATENATE before
+        hashing. The legacy positional (value, length) form is kept."""
+        args = list(args)
+        length = None
+        if args and len(args) >= 2 and _s(args[0]).iloc[0] == "--length":
+            length = args[1]
+            args = args[2:]
+        elif len(args) == 2:
+            # legacy positional (value, length) when 2nd arg is numeric
+            maybe = _num(args[1])
+            if maybe.notna().all():
+                length = args[1]
+                args = args[:1]
+        if not args:
+            return pd.Series([""] * t.num_rows, dtype=object)
+        a = _join([_s(x) for x in args], "") if len(args) > 1 else _s(args[0])
+        out = a.map(lambda x: hashlib.new(name, x.encode()).hexdigest())
         if length is not None:
             ln = _num(length).fillna(0).astype(int)
             out = pd.Series([h[:k] if k > 0 else h for h, k in zip(out, ln)], dtype=object)

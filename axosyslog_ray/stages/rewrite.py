@@ -82,13 +82,67 @@ def subst(table: pa.Table, pattern: str, replacement: str, field: str = "message
           global_: bool = True, condition=None) -> pa.Table:
     """subst("re","rep", value(X) [global]) (reference rewrite-subst.c:49-78).
 
-    Replacement supports $1..$9 backrefs like the reference's matcher."""
+    Replacement supports $1..$9 backrefs like the reference's matcher.
+    A replacement containing template FUNCTIONS ($(substr $0 ...),
+    $(sha1 --length 16 $0), ...) evaluates as a TEMPLATE per match with
+    the match registers $0..$9 bound (the reference's store-matches +
+    template-replacement semantics, scl/rewrite/cc-mask.conf's shape):
+    all matches of the batch are collected into ONE flat register table
+    and the template evaluates vectorized over it, then the rendered
+    replacements splice back by span."""
+    if "$(" in replacement:
+        return _subst_template(table, pattern, replacement, field,
+                               global_, condition)
     s = table.column(field).to_pandas().astype("string")
     rep = re.sub(r"\$(\d)", r"\\\1", replacement)
     new = s.str.replace(pattern, rep, regex=True, n=-1 if global_ else 1)
     m = _cond_mask(table, condition)
     out = np.where(m, new.astype(object).to_numpy(), s.astype(object).to_numpy())
     out = np.where(pd.isna(out), None, out)
+    return _replace_col(table, field, pa.array(out, type=pa.string()))
+
+
+def _subst_template(table: pa.Table, pattern: str, replacement: str,
+                    field: str, global_: bool, condition) -> pa.Table:
+    from ..functions.templates import Template
+
+    s = table.column(field).to_pandas().astype(object).to_numpy()
+    rx = re.compile(pattern)
+    cond = _cond_mask(table, condition)
+    per_row: list[list] = [[] for _ in range(len(s))]
+    regs: list[list[str]] = [[] for _ in range(10)]
+    n_flat = 0
+    for ri, x in enumerate(s):
+        if x is None or not cond[ri]:
+            continue
+        for m in rx.finditer(x):
+            per_row[ri].append((m.start(), m.end(), n_flat))
+            ng = m.lastindex or 0
+            for i in range(10):
+                g = m.group(i) if i <= ng else None
+                regs[i].append(g if g is not None else "")
+            n_flat += 1
+            if not global_:
+                break
+    if n_flat:
+        flat = pa.table({str(i): pa.array(regs[i], type=pa.string())
+                         for i in range(10)})
+        reps = Template(replacement).eval(flat).tolist()
+    else:
+        reps = []
+    out = []
+    for ri, x in enumerate(s):
+        if x is None or not per_row[ri]:
+            out.append(x)
+            continue
+        buf: list[str] = []
+        last = 0
+        for st, en, gi in per_row[ri]:
+            buf.append(x[last:st])
+            buf.append(reps[gi])
+            last = en
+        buf.append(x[last:])
+        out.append("".join(buf))
     return _replace_col(table, field, pa.array(out, type=pa.string()))
 
 

@@ -1020,3 +1020,49 @@ log top-level-2 { filter(f_t2); destination(d); flags(catch-all); };
         assert r.path_stats("top-level-1") == (2, 1)
         assert r.path_stats("top-level-2") == (2, 1)
         assert r.processed("d") == 2
+
+
+class TestCreditCardRewrites:
+    """Port of Light rewrites/cc-mask/test_cc_mask_and_cc_hash.py: the
+    credit-card-mask / credit-card-hash SCL rewrite blocks (re-expressed
+    in config.SCL_LIBRARY) over the suite's exact card corpus, expected
+    outputs byte-identical to the reference's."""
+
+    CARDS = [
+        ("American Express", "378282246310005", "378282******0005", "ea4654336c140e70"),
+        ("American Express", "371449635398431", "371449******8431", "5e7d7549d9a51a21"),
+        ("American Express Corporate", "378734493671000", "378734******1000", "b83feb75b1ce505d"),
+        ("Diners Club", "30569309025904", "305693******5904", "58b3e8b7f99a5ab1"),
+        ("Diners Club", "38520000023237", "385200******3237", "002f83eefd0b7e53"),
+        ("Discover", "6011111111111117", "601111******1117", "0ccaaf4da33d3e26"),
+        ("Discover", "6011000990139424", "601100******9424", "ff659bd8ffefdb2b"),
+        ("JCB", "3530111333300000", "353011******0000", "4c1d57bdab8338e7"),
+        ("JCB", "3566002020360505", "356600******0505", "9d9cafd187ba5590"),
+        ("MasterCard", "5555555555554444", "555555******4444", "6589b0d46b6f2f0d"),
+        ("MasterCard", "5105105105105100", "510510******5100", "21b95eabb14f0726"),
+        ("Visa", "4111111111111111", "411111******1111", "68bfb396f35af387"),
+        ("Visa", "4012888888881881", "401288******1881", "62163a017b168ad4"),
+        ("Visa", "4222222222222", "422222******2222", "eb0f3622c9362fe9"),
+    ]
+
+    def _run(self, rewrite_block):
+        cfg = compile_config(f"""
+source s {{ example-msg-generator(num(1)); }};
+destination d {{ file("o.log"); }};
+rewrite r {{ {rewrite_block}(); }};
+log {{ source(s); rewrite(r); destination(d); }};
+""")
+        msgs = [f"{brand}  {num}" for brand, num, _m, _h in self.CARDS]
+        r = cfg.run(sources={"s": pa.table({"message": msgs,
+                                            "pri": [13] * len(msgs)})})
+        return r.table("d").column("message").to_pylist()
+
+    def test_credit_card_mask(self):
+        got = self._run("credit-card-mask")
+        want = [f"{brand}  {masked}" for brand, _n, masked, _h in self.CARDS]
+        assert got == want
+
+    def test_credit_card_hash(self):
+        got = self._run("credit-card-hash")
+        want = [f"{brand}  {hashed}" for brand, _n, _m, hashed in self.CARDS]
+        assert got == want
