@@ -523,6 +523,7 @@ _ROW_ID = "__cfg_row_id"
 class Config:
     def __init__(self):
         self.filterx: dict[str, object] = {}
+        self.templates: dict[str, str] = {}
         self.sources: dict[str, list[Driver]] = {}
         self.destinations: dict[str, _Destination] = {}
         self.filters: dict[str, FilterExpr] = {}
@@ -942,12 +943,19 @@ def _build_source(drivers: list[Driver]) -> pa.Table:
             if n is None:
                 raise ConfigError(f"invalid num() value {d.kw1('num')!r}")
             tpl = str(d.kw1("template", "-- Generated message. --"))
-            parts.append(pa.table({
+            cols = {
                 "message": pa.array([tpl] * n, type=pa.string()),
                 "pri": pa.array([13] * n, type=pa.int64()),
                 "host": pa.array(["localhost"] * n, type=pa.string()),
                 "program": pa.array(["example-msg-generator"] * n, type=pa.string()),
-            }))
+            }
+            # values("k => v k2 => v2"): seeded name-value pairs
+            # (reference modules/examples/sources/msg-generator)
+            vals = d.kw1("values")
+            if vals:
+                for key, val in re.findall(r"(\S+)\s*=>\s*(\S+)", str(vals)):
+                    cols[key] = pa.array([val] * n, type=pa.string())
+            parts.append(pa.table(cols))
         elif d.name in ("file", "wildcard-file"):
             path = d.args[0]
             with open(path) as fh:
@@ -1081,6 +1089,30 @@ def compile_config(text: str, *, include_path: str | None = None,
                 s.next()
             s.expect("}")
             s.expect(";")
+        elif t == "template":
+            # named template statement (reference lib/cfg-grammar.y
+            # template_stmt): block form `template NAME {
+            # template("..."); template-escape(no); };` or the simple
+            # form `template NAME "...";` — referenced by bare name in
+            # destination template() options and via $(template NAME)
+            s.next()
+            name = s.next()
+            body = None
+            if s.peek() == "{":
+                s.next()
+                while s.peek() != "}":
+                    d = _parse_driver(s)
+                    s.expect(";")
+                    if d.name == "template" and d.args:
+                        body = str(d.args[0])
+                    # template-escape() accepted and ignored
+                s.expect("}")
+            else:
+                body = _unquote(s.next())
+            s.expect(";")
+            if body is None:
+                raise ConfigError(f"template {name!r} has no template() body")
+            cfg.templates[name] = body
         elif t == "filterx":
             s.next()
             name = s.next()
@@ -1108,4 +1140,24 @@ def compile_config(text: str, *, include_path: str | None = None,
             cfg.paths.append(ch)
         else:
             raise ConfigError(f"unsupported top-level statement {t!r}")
+
+    def _resolve_tpl(text: str) -> str:
+        # literal $(template NAME [fallback...]) resolves statically;
+        # unknown names keep the fallback text (reference tf_template)
+        def one(m: re.Match) -> str:
+            name = m.group(1)
+            if name in cfg.templates:
+                return cfg.templates[name].rstrip("\n")
+            return m.group(2).strip() if m.group(2) else m.group(0)
+
+        return re.sub(r"\$\(template\s+([^\s)]+)\s*([^)]*)\)", one, text)
+
+    cfg.templates = {k: _resolve_tpl(v) for k, v in cfg.templates.items()}
+    for dst in cfg.destinations.values():
+        if dst.template is not None:
+            raw = _unquote(str(dst.template))
+            if raw in cfg.templates:
+                dst.template = cfg.templates[raw]
+            elif "$(template " in raw:
+                dst.template = _resolve_tpl(raw)
     return cfg

@@ -464,9 +464,15 @@ def _parse_vp_args(t: pa.Table, args):
             else:
                 pairs.append((key, _tpl_series(vspec)))
         else:
-            # bare arg: an NV name (like --key)
+            # bare arg: an NV name (like --key); a glob selects every
+            # matching NV pair (reference vp_cmdline_parse_key)
             name = flag
-            pairs.append((name, _tpl_series("${" + name + "}")))
+            if any(ch in name for ch in "*?["):
+                for col in sorted(t.column_names):
+                    if _fn.fnmatchcase(col, name):
+                        pairs.append((col, _tpl_series("${" + col + "}")))
+            else:
+                pairs.append((name, _tpl_series("${" + name + "}")))
         i += 1
 
     def xform_key(k: str) -> str:

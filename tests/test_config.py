@@ -1066,3 +1066,48 @@ log {{ source(s); rewrite(r); destination(d); }};
         got = self._run("credit-card-hash")
         want = [f"{brand}  {hashed}" for brand, _n, _m, hashed in self.CARDS]
         assert got == want
+
+
+class TestNamedTemplates:
+    """Port of Light templates/test_template_stmt.py: named template
+    statements referenced by identifier and via $(template NAME)."""
+
+    def test_template_stmt_with_identifier_reference(self):
+        cfg = compile_config("""
+template t_demo { template("template with $(format-welf test.*)\\n"); };
+source s { example-msg-generator(num(1) values("test.key1 => value1 test.key2 => value2")); };
+destination d { file("output.log" template(t_demo)); };
+log { source(s); destination(d); };
+""")
+        r = cfg.run()
+        assert [x.rstrip("\n") for x in r.rendered("d")] == \
+               ["template with test.key1=value1 test.key2=value2"]
+
+    def test_simple_template_stmt(self):
+        cfg = compile_config("""
+template t_demo "simple $HOST\\n";
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log" template(t_demo)); };
+log { source(s); destination(d); };
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == \
+               ["simple localhost"]
+
+    def test_template_function_indirect_invocation(self):
+        cfg = compile_config("""
+template t_demo { template("template with $(format-welf test.*)\\n"); };
+source s { example-msg-generator(num(1) values("test.key1 => value1")); };
+destination d { file("o.log" template("$(template t_demo error resolving template)\\n")); };
+log { source(s); destination(d); };
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == \
+               ["template with test.key1=value1"]
+
+    def test_template_function_unknown_name_uses_fallback(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log" template("$(template nope error resolving template)\\n")); };
+log { source(s); destination(d); };
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == \
+               ["error resolving template"]
