@@ -210,6 +210,18 @@ class _FilterParser:
     def parse(self) -> FilterExpr:
         return self._or()
 
+    def parse_block(self) -> FilterExpr:
+        """Multiple ;-separated expressions in one filter {} block AND
+        together (reference filter-expr-grammar.y filter_expr_list —
+        Light test_multiple_filters.py implicit-and)."""
+        expr = self.parse()
+        while self.s.peek() == ";" and self.s.peek(1) != "}":
+            self.s.next()
+            expr = And(expr, self.parse())
+        if self.s.peek() == ";":
+            self.s.next()
+        return expr
+
     def _or(self) -> FilterExpr:
         left = self._and()
         while self.s.peek() == "or":
@@ -313,9 +325,7 @@ def _parse_log_elements(s: _Stream, cfg: "Config") -> list:
         elif t == "filter" and s.peek(1) == "{":
             s.next()
             s.expect("{")
-            e = _FilterParser(s, cfg.filters).parse()
-            if s.peek() == ";":
-                s.next()
+            e = _FilterParser(s, cfg.filters).parse_block()
             s.expect("}")
             s.expect(";")
             out.append(("filter", e))
@@ -1066,7 +1076,7 @@ def compile_config(text: str, *, include_path: str | None = None,
                 btext = "".join(sub.invoke(ln)
                                 for ln in body.splitlines(keepends=True))
                 bs = _Stream(tokenize(btext), btext)
-                cfg.filters[name] = _FilterParser(bs, cfg.filters).parse()
+                cfg.filters[name] = _FilterParser(bs, cfg.filters).parse_block()
             else:
                 cfg.blocks[(kind, name)] = (params, body)
         elif t == "source":
@@ -1084,9 +1094,7 @@ def compile_config(text: str, *, include_path: str | None = None,
             s.next()
             name = s.next()
             s.expect("{")
-            cfg.filters[name] = _FilterParser(s, cfg.filters).parse()
-            if s.peek() == ";":
-                s.next()
+            cfg.filters[name] = _FilterParser(s, cfg.filters).parse_block()
             s.expect("}")
             s.expect(";")
         elif t == "template":

@@ -1111,3 +1111,52 @@ log { source(s); destination(d); };
 """)
         assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == \
                ["error resolving template"]
+
+
+class TestMultipleFilters:
+    """Port of Light filters/test_multiple_filters.py: ;-separated
+    expressions in one filter block AND together; the compound if{}
+    diverts filter-rejected rows to else."""
+
+    def test_multiple_filters_implicit_and(self):
+        cfg = compile_config("""
+source genmsg {
+    example-msg-generator(num(1) template("MESSAGE"));
+    example-msg-generator(num(1) template("foobar"));
+};
+filter f_filter {
+    not program("xyz");
+    message("MESSAGE");
+};
+destination dest_true { file("t.log" template("'${MESSAGE}'")); };
+destination dest_false { file("f.log" template("'${MESSAGE}'")); };
+log {
+    source(genmsg);
+    if {
+        filter(f_filter);
+        destination(dest_true);
+    } else {
+        destination(dest_false);
+    };
+};
+""")
+        r = cfg.run()
+        assert r.processed("dest_true") == 1
+        assert r.table("dest_true").column("message").to_pylist() == ["MESSAGE"]
+        assert r.processed("dest_false") == 1
+        assert r.table("dest_false").column("message").to_pylist() == ["foobar"]
+
+    def test_filter_multiple_reference(self):
+        # test_filter_reference.py: one filter referenced from two paths
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+filter f { not (program("noprog") and message("nomsg")) };
+destination d1 { file("o1.log"); };
+destination d2 { file("o2.log"); };
+log { source(s); filter(f); destination(d1); };
+log { source(s); filter(f); destination(d2); };
+""")
+        t = pa.table({"message": ["MESSAGE"], "program": ["PROGRAM"],
+                      "pri": [13]})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d1") == 1 and r.processed("d2") == 1
