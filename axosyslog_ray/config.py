@@ -215,7 +215,7 @@ class _FilterParser:
         together (reference filter-expr-grammar.y filter_expr_list —
         Light test_multiple_filters.py implicit-and)."""
         expr = self.parse()
-        while self.s.peek() == ";" and self.s.peek(1) != "}":
+        while self.s.peek() == ";" and self.s.peek(1) not in ("}", None):
             self.s.next()
             expr = And(expr, self.parse())
         if self.s.peek() == ";":
