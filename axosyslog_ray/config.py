@@ -153,6 +153,7 @@ class Driver:
     name: str
     args: list = field(default_factory=list)          # unquoted strings
     kwargs: dict = field(default_factory=dict)        # key -> list of args
+    raw_kwargs: dict = field(default_factory=dict)    # key -> raw parens text
 
     def kw1(self, key: str, default=None):
         v = self.kwargs.get(key)
@@ -173,7 +174,13 @@ def _parse_driver(s: _Stream) -> Driver:
             s.next()
             continue
         if s.peek(1) == "(":
+            start_i = s.i
             inner = _parse_driver(s)
+            # raw parens text (for kwargs that hold full expressions,
+            # e.g. rewrite condition() filters)
+            if s.i - start_i >= 3 and s.text:
+                d.raw_kwargs[inner.name] = \
+                    s.text[s.spans[start_i + 2][0]:s.spans[s.i - 1][0]]
             d.kwargs.setdefault(inner.name, []).extend(inner.args or [True])
         else:
             d.args.append(_unquote(s.next()))
@@ -574,7 +581,7 @@ class Config:
     def _compile_stage(self, kind: str, d: Driver):
         if kind == "parser":
             return _compile_parser(d)
-        return _compile_rewrite(d)
+        return _compile_rewrite(d, self.filters)
 
     # -- execution --------------------------------------------------------
     def _source_table(self, name: str, injected: dict) -> pa.Table:
@@ -897,7 +904,18 @@ def _field(name: str) -> str:
     return _FIELD_MAP.get(name, name)
 
 
-def _compile_rewrite(d: Driver):
+def _rewrite_condition(d: Driver, named: dict | None):
+    """rewrite condition(FILTER-EXPR) — parsed from the raw kwarg text
+    with the full filter grammar (reference rewrite-expr-grammar.ym
+    condition option)."""
+    raw = d.raw_kwargs.get("condition")
+    if raw is None:
+        return None
+    st = _Stream(tokenize(raw), raw)
+    return _FilterParser(st, named or {}).parse()
+
+
+def _compile_rewrite(d: Driver, named: dict | None = None):
     from .stages import rewrite as rw
 
     if d.name == "set":
@@ -914,10 +932,12 @@ def _compile_rewrite(d: Driver):
         return lambda t: rw.subst(t, pat, repl, field=fld, global_=glob)
     if d.name == "set-tag":
         tag = d.args[0]
-        return lambda t: rw.set_tag(t, tag)
+        cond = _rewrite_condition(d, named)
+        return lambda t: rw.set_tag(t, tag, condition=cond)
     if d.name == "clear-tag":
         tag = d.args[0]
-        return lambda t: rw.clear_tag(t, tag)
+        cond = _rewrite_condition(d, named)
+        return lambda t: rw.clear_tag(t, tag, condition=cond)
     if d.name == "rename":
         a, b = _field(d.args[0]), _field(d.args[1])
         return lambda t: rw.rename(t, a, b)
@@ -1135,7 +1155,7 @@ def compile_config(text: str, *, include_path: str | None = None,
         elif t == "rewrite":
             s.next()
             name = s.next()
-            cfg.rewrites[name] = [_compile_rewrite(d)
+            cfg.rewrites[name] = [_compile_rewrite(d, cfg.filters)
                                   for d in _parse_driver_block(s, cfg, "rewrite")]
             s.expect(";")
         elif t == "log":

@@ -163,10 +163,20 @@ def _tags_col(table: pa.Table) -> pd.Series:
 
 
 def set_tag(table: pa.Table, tag: str, condition=None) -> pa.Table:
-    """set-tag() (reference rewrite-set-tag.c; tags bitset lib/logmsg/tags.c)."""
+    """set-tag() (reference rewrite-set-tag.c; tags bitset
+    lib/logmsg/tags.c). A tag containing macros renders as a TEMPLATE
+    per row (reference set-tag template support, Light
+    test_set_tag_with_template)."""
     tags = _tags_col(table)
     m = _cond_mask(table, condition)
-    new = [sorted(set(v) | {tag}) if mi else v for v, mi in zip(tags, m)]
+    if "$" in tag:
+        from ..functions.templates import Template
+
+        per_row = Template(tag).eval(table).tolist()
+    else:
+        per_row = [tag] * table.num_rows
+    new = [sorted(set(v) | {ti}) if mi else v
+           for v, ti, mi in zip(tags, per_row, m)]
     return _replace_col(table, "tags", pa.array(new, type=pa.list_(pa.string())))
 
 

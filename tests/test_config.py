@@ -1160,3 +1160,53 @@ log { source(s); filter(f); destination(d2); };
                       "pri": [13]})
         r = cfg.run(sources={"s": t})
         assert r.processed("d1") == 1 and r.processed("d2") == 1
+
+
+class TestSetPriLight:
+    """Port of Light rewrites/set-pri/test_set_pri.py: valid values
+    (0..1023) replace $PRI; invalid values keep the original."""
+
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize("pri_value, expected", [
+        ("0", "0"), ("42", "42"), ("1023", "1023"),
+        ("5789", "38"), ("-2", "38"), ("test", "38"), ("", "38"),
+    ])
+    def test_set_pri(self, pri_value, expected):
+        cfg = compile_config(f"""
+source s {{ example-msg-generator(num(1)); }};
+rewrite r {{ set-pri("{pri_value}"); }};
+destination d {{ file("o.log" template("$PRI")); }};
+log {{ source(s); rewrite(r); destination(d); }};
+""")
+        t = pa.table({"message": ["m"], "pri": [38]})
+        r = cfg.run(sources={"s": t})
+        assert [x.rstrip("\n") for x in r.rendered("d")] == [expected]
+
+
+class TestSetTagLight:
+    """Port of Light rewrites/set-tag/test_set_tag.py: conditional
+    set-tag and template-rendered tag values."""
+
+    def test_set_tag_with_condition(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1) template("input with MATCHSTRING in it")); };
+rewrite r {
+    set-tag("SHOULDMATCH" condition(match("MATCHSTRING" value("MSG"))));
+    set-tag("DONOTMATCH" condition(match("NONE" value("MSG"))));
+};
+destination d { file("o.log" template("${TAGS}")); };
+log { source(s); rewrite(r); destination(d); };
+""")
+        line = cfg.run().rendered("d")[0].strip()
+        assert "SHOULDMATCH" in line
+        assert "DONOTMATCH" not in line
+
+    def test_set_tag_with_template(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1) template("FOO")); };
+rewrite r { set-tag("TAG-${MSG}"); };
+destination d { file("o.log" template("${TAGS}")); };
+log { source(s); rewrite(r); destination(d); };
+""")
+        assert "TAG-FOO" in cfg.run().rendered("d")[0]
