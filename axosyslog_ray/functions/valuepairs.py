@@ -393,6 +393,11 @@ def _apply_hint(hint: str, rendered: str):
     return rendered
 
 
+def _new_rekey(glob: str) -> dict:
+    return {"glob": glob, "shift": 0, "shift_levels": 0, "add_prefix": "",
+            "replace_prefix": None, "casing": None}
+
+
 def _parse_vp_args(t: pa.Table, args):
     """Shared declarative-arg parser for the $(format-*) template
     functions: key=TEMPLATE pairs, --key/--exclude/--scope selection,
@@ -424,18 +429,27 @@ def _parse_vp_args(t: pa.Table, args):
             excludes.append(arglist[i])
         elif flag in ("--rekey",) and i + 1 < len(arglist):
             i += 1
-            cur_rekey = {"glob": arglist[i], "shift": 0, "shift_levels": 0, "add_prefix": ""}
+            cur_rekey = _new_rekey(arglist[i])
             rekeys.append(cur_rekey)
-        elif flag in ("--shift", "--shift-levels", "--add-prefix") and i + 1 < len(arglist):
+        elif flag in ("--upper", "--lower"):
+            if cur_rekey is None:
+                cur_rekey = _new_rekey("*")
+                rekeys.append(cur_rekey)
+            cur_rekey["casing"] = flag[2:]
+        elif flag in ("--shift", "--shift-levels", "--add-prefix",
+                      "--replace-prefix") and i + 1 < len(arglist):
             i += 1
             v = arglist[i]
             if cur_rekey is None:
-                cur_rekey = {"glob": "*", "shift": 0, "shift_levels": 0, "add_prefix": ""}
+                cur_rekey = _new_rekey("*")
                 rekeys.append(cur_rekey)
             if flag == "--shift":
                 cur_rekey["shift"] = int(v)
             elif flag == "--shift-levels":
                 cur_rekey["shift_levels"] = int(v)
+            elif flag == "--replace-prefix":
+                old, _, new = v.partition("=")
+                cur_rekey["replace_prefix"] = (old, new)
             else:
                 cur_rekey["add_prefix"] = v
         elif flag == "--key" and i + 1 < len(arglist):
@@ -443,7 +457,7 @@ def _parse_vp_args(t: pa.Table, args):
             name = arglist[i]
             if any(ch in name for ch in "*?["):
                 # glob form: acts as a rekey selector for following flags
-                cur_rekey = {"glob": name, "shift": 0, "shift_levels": 0, "add_prefix": ""}
+                cur_rekey = _new_rekey(name)
                 rekeys.append(cur_rekey)
             else:
                 pairs.append((name, _tpl_series("${" + name + "}")))
@@ -483,6 +497,12 @@ def _parse_vp_args(t: pa.Table, args):
                 if rk["shift_levels"]:
                     parts = k.lstrip(".").split(".")
                     k = ".".join(parts[rk["shift_levels"]:]) or parts[-1]
+                if rk.get("replace_prefix") and k.startswith(rk["replace_prefix"][0]):
+                    k = rk["replace_prefix"][1] + k[len(rk["replace_prefix"][0]):]
+                if rk.get("casing") == "upper":
+                    k = k.upper()
+                elif rk.get("casing") == "lower":
+                    k = k.lower()
                 k = rk["add_prefix"] + k
         if k.startswith("."):
             if not leave_dot:

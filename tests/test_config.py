@@ -1210,3 +1210,42 @@ destination d { file("o.log" template("${TAGS}")); };
 log { source(s); rewrite(r); destination(d); };
 """)
         assert "TAG-FOO" in cfg.run().rendered("d")[0]
+
+
+class TestValuePairsLight:
+    """Port of Light value-pairs/test_value_pairs.py: the $(format-json)
+    selection/transformation flags. Key ORDER inside objects follows the
+    engine's sorted order (the reference emits nv-table order), so the
+    assertions compare parsed JSON, not byte strings."""
+
+    import json as _json
+
+    import pytest as _pytest
+
+    CASES = [
+        ("$(format-json test.*)",
+         {"test": {"key1": "value1", "key2": "value2"}}),
+        ("$(format-json test.* --add-prefix foo.)",
+         {"foo": {"test": {"key1": "value1", "key2": "value2"}}}),
+        ("$(format-json test.* --replace-prefix test=foobar)",
+         {"foobar": {"key1": "value1", "key2": "value2"}}),
+        ("$(format-json test.* --shift-levels 1)",
+         {"key1": "value1", "key2": "value2"}),
+        ("$(format-json test.* --shift 2)",
+         {"st": {"key1": "value1", "key2": "value2"}}),
+        ("$(format-json test.* --upper)",
+         {"TEST": {"KEY1": "value1", "KEY2": "value2"}}),
+        ("$(format-json MESSAGE --lower)",
+         {"message": "-- Generated message. --"}),
+    ]
+
+    @_pytest.mark.parametrize("template, expected", CASES,
+                              ids=[c[0] for c in CASES])
+    def test_value_pairs(self, template, expected):
+        cfg = compile_config(f"""
+source s {{ example-msg-generator(num(1) values("test.key1 => value1 test.key2 => value2")); }};
+destination d {{ file("o.log" template("{template}")); }};
+log {{ source(s); destination(d); }};
+""")
+        out = cfg.run().rendered("d")[0].strip()
+        assert self._json.loads(out) == expected
