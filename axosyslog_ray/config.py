@@ -299,6 +299,14 @@ class _FilterParser:
             with open(d.args[0]) as fh:
                 values = [ln.rstrip("\n") for ln in fh if ln.strip()]
             return InList(values, field=_field(str(d.kw1("value", "HOST"))))
+        if n == "rate-limit":
+            # stateful admission filter (modules/ratelimit); template()
+            # renders the key, rate() per per()-second window
+            from .route import RateLimitFilter
+
+            return RateLimitFilter(str(d.kw1("template", "${HOST}")),
+                                   int(d.kw1("rate", 1)),
+                                   per_seconds=float(d.kw1("per", 1)))
         if n == "filter":
             return self.named[d.args[0]]
         if n in self.named:  # block filter NAME() {...} call

@@ -389,6 +389,49 @@ class TagFilter(FilterExpr):
         return out & valid
 
 
+class RateLimitFilter(FilterExpr):
+    """filter rate-limit(template(T) rate(N) [per(SECONDS)]): stateful
+    trailing-window admission — at most N rows per rendered key per
+    window, in timestamp order (reference modules/ratelimit/
+    filter-ratelimit.c). Runs over the table the filter sees; in
+    map_batches execution the admission window is per batch (the
+    documented batch-boundary semantics of the standalone
+    state.suppress.rate_limit operator, which is the keyed-shuffle
+    form to use at scale)."""
+
+    def __init__(self, template: str, rate: int, per_seconds: float = 1.0,
+                 ts_col: str = "ts_stamp"):
+        self.template = template
+        self.rate = int(rate)
+        self.per_seconds = per_seconds
+        self.ts_col = ts_col
+
+    def mask(self, table):
+        import numpy as np
+        import pandas as pd
+
+        from .functions.templates import Template
+        from .state.suppress import RateLimit
+
+        n = table.num_rows
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        keys = Template(self.template).eval(table)
+        if self.ts_col in table.column_names:
+            ts = pd.to_datetime(table.column(self.ts_col).to_pandas()) \
+                .to_numpy(dtype="datetime64[ns]").astype(np.int64)
+        else:
+            ts = np.zeros(n, dtype=np.int64)
+        df = pd.DataFrame({"_k": keys.to_numpy(dtype=object), "_t": ts,
+                           "_i": np.arange(n, dtype=np.int64)})
+        rl = RateLimit(self.rate, self.per_seconds, keys=["_k"],
+                       ts_col="_t", tie_break="_i")
+        kept = rl(df)["_i"].to_numpy()
+        m = np.zeros(n, dtype=bool)
+        m[kept] = True
+        return m
+
+
 class InList(FilterExpr):
     """in-list() set membership — broadcast semi-join
     (reference lib/filter/filter-in-list.c:41-90); the value set is held

@@ -1249,3 +1249,35 @@ log {{ source(s); destination(d); }};
 """)
         out = cfg.run().rendered("d")[0].strip()
         assert self._json.loads(out) == expected
+
+
+class TestRateLimitFilterLight:
+    """Port of Light filters/rate-limit/test_rate_limit_filter_acceptance:
+    100 messages inside one second, keyed by $PROGRAM — matched counts
+    for the four (programs, rate) combinations."""
+
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize(
+        "n_programs, rate, expected_matched",
+        [(1, 100, 100), (1, 1, 1), (5, 1, 5), (5, 5, 25)])
+    def test_rate_limit_acceptance(self, n_programs, rate, expected_matched):
+        cfg = compile_config(f"""
+source s {{ example-msg-generator(num(1)); }};
+filter f {{ rate-limit(template("${{PROGRAM}}") rate({rate})) }};
+destination d {{ file("o.log"); }};
+log {{ source(s); filter(f); destination(d); }};
+""")
+        import pandas as pd
+
+        n = 100
+        t = pa.table({
+            "message": [f"message idx: {i+1}" for i in range(n)],
+            "program": [str(i % n_programs + 1) for i in range(n)],
+            "ts_stamp": pa.array(
+                pd.to_datetime("2024-01-01 00:00:00")
+                + pd.to_timedelta(range(n), unit="ms")),
+            "pri": [13] * n,
+        })
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d") == expected_matched
