@@ -989,17 +989,19 @@ tf_list_filter._lazy_first = True  # type: ignore[attr-defined]
 
 
 from .valuepairs import (tf_format_flat_json,  # noqa: E402 (template-function forms)
-                         tf_format_json, tf_format_welf)
+                         tf_format_json, tf_format_welf, tf_graphite_output)
 
 tf_format_json._lazy_all = True
 tf_format_flat_json._lazy_all = True
 tf_format_welf._lazy_all = True
+tf_graphite_output._lazy_all = True
 
 TEMPLATE_FUNCS = {
     "echo": tf_echo,
     "format-json": tf_format_json,
     "format-flat-json": tf_format_flat_json,
     "format-welf": tf_format_welf,
+    "graphite-output": tf_graphite_output,
     "length": tf_length,
     "lowercase": tf_lowercase,
     "uppercase": tf_uppercase,

@@ -456,9 +456,13 @@ def _parse_vp_args(t: pa.Table, args):
             i += 1
             name = arglist[i]
             if any(ch in name for ch in "*?["):
-                # glob form: acts as a rekey selector for following flags
+                # glob form: SELECTS every matching NV pair (reference
+                # vp_cmdline_parse_key) and scopes following transforms
                 cur_rekey = _new_rekey(name)
                 rekeys.append(cur_rekey)
+                for col in sorted(t.column_names):
+                    if _fn.fnmatchcase(col, name):
+                        pairs.append((col, _tpl_series("${" + col + "}")))
             else:
                 pairs.append((name, _tpl_series("${" + name + "}")))
         elif flag == "--scope" and i + 1 < len(arglist):
@@ -585,6 +589,34 @@ def tf_format_welf(t: pa.Table, *args):
     for r in range(n_rows):
         d = dict(iter_row_pairs(r))
         out.append(" ".join(f"{k}={quote(v)}" for k, v in sorted(d.items())))
+    return pd.Series(out, dtype=object)
+
+
+def tf_graphite_output(t: pa.Table, *args):
+    """$(graphite-output --timestamp T --key glob ...): one
+    'key value timestamp' graphite plaintext line per selected pair,
+    newline-joined per row (reference modules/graphite/, Light
+    template_functions/graphite-output)."""
+    from .templates import Template
+
+    arglist = list(args)
+    ts_spec = "${UNIXTIME}"
+    rest: list = []
+    i = 0
+    while i < len(arglist):
+        if arglist[i] == "--timestamp" and i + 1 < len(arglist):
+            ts_spec = arglist[i + 1]
+            i += 2
+        else:
+            rest.append(arglist[i])
+            i += 1
+    n_rows, iter_row_pairs = _parse_vp_args(t, rest)
+    tss = Template(ts_spec).eval(t)
+    out: list[str] = []
+    for r in range(n_rows):
+        lines = [f"{k} {v} {tss.iloc[r]}"
+                 for k, v in sorted(iter_row_pairs(r))]
+        out.append("\n".join(lines))
     return pd.Series(out, dtype=object)
 
 

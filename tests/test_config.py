@@ -1281,3 +1281,18 @@ log {{ source(s); filter(f); destination(d); }};
         })
         r = cfg.run(sources={"s": t})
         assert r.processed("d") == expected_matched
+
+
+class TestGraphiteOutputLight:
+    """Port of Light template_functions/graphite-output: one graphite
+    plaintext line per selected pair."""
+
+    def test_graphite_output(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1) values("test.key1 => value1 test.key2 => value2")); };
+destination d { file("o.log" template("$(graphite-output --timestamp 'custom_timestamp' --key test.*)")); };
+log { source(s); destination(d); };
+""")
+        lines = cfg.run().rendered("d")[0].strip().splitlines()
+        assert lines == ["test.key1 value1 custom_timestamp",
+                         "test.key2 value2 custom_timestamp"]
