@@ -945,6 +945,38 @@ def docs_dedup_lines(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_corpus_report(sf_dir: str):
+    """One-call corpus profile (report.corpus_report — the dataset-card
+    summary): doc/token counts, token quantiles, language mix,
+    exact-dup estimate from ONE narrow projection pass; document text
+    never shuffles. SQL-oracled end-to-end."""
+    from ..report import corpus_report
+
+    out = corpus_report(_read(sf_dir, "documents", ["doc_id", "text", "lang"]))
+    return out
+
+
+DOCS_CORPUS_REPORT_SQL = """
+WITH t AS (
+  SELECT lang, text,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+  FROM documents)
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM t
+  UNION ALL
+  SELECT 'total_tokens', CAST(sum(n_tok) AS DOUBLE) FROM t
+  UNION ALL
+  SELECT 'distinct_texts', CAST(count(DISTINCT text) AS DOUBLE) FROM t
+  UNION ALL
+  SELECT 'p50_tokens', round(quantile_cont(CAST(n_tok AS DOUBLE), 0.5), 4) FROM t
+  UNION ALL
+  SELECT 'p90_tokens', round(quantile_cont(CAST(n_tok AS DOUBLE), 0.9), 4) FROM t
+  UNION ALL
+  SELECT 'lang:' || lang, CAST(count(*) AS DOUBLE) FROM t GROUP BY lang
+) ORDER BY metric
+"""
+
+
 def docs_boilerplate_lines(sf_dir: str):
     """CROSS-document boilerplate line removal
     (curation.remove_boilerplate_lines): drop lines appearing in >= 400
@@ -3353,6 +3385,7 @@ RAY_QUERIES = {
     "docs_redact_pii": docs_redact_pii,
     "docs_dedup_lines": docs_dedup_lines,
     "docs_boilerplate_lines": docs_boilerplate_lines,
+    "docs_corpus_report": docs_corpus_report,
     "docs_chunked": docs_chunked,
     "docs_multiline": docs_multiline,
     "docs_gopher_quality": docs_gopher_quality,
@@ -3466,6 +3499,7 @@ ORACLE_SQLS = {
     "docs_redact_pii": _redact_sql(),
     "docs_dedup_lines": DOCS_DEDUP_LINES_SQL,
     "docs_boilerplate_lines": DOCS_BOILERPLATE_LINES_SQL,
+    "docs_corpus_report": DOCS_CORPUS_REPORT_SQL,
     "docs_chunked": DOCS_CHUNKED_SQL,
     "docs_multiline": DOCS_MULTILINE_SQL,
     "docs_gopher_quality": DOCS_GOPHER_SQL,

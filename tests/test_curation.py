@@ -348,3 +348,21 @@ def test_contamination_report_counts_leaking_docs(ray_session):
                                rd.from_pandas(eval_df), n=3)
     got = dict(zip(out.eval_id, out.n_leaked_docs))
     assert got == {0: 2, 1: 1, 2: 0}
+
+
+def test_corpus_report_metrics(ray_session):
+    import ray.data as rd
+
+    from axosyslog_ray.report import corpus_report
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "lang": ["en", "en", "de", "en", "de", "en"],
+        "text": ["one two three", "one two three",   # exact dup pair
+                 "vier funf", "a b c d e", "sechs", ""]})
+    out = corpus_report(rd.from_pandas(df).repartition(3))
+    m = dict(zip(out.metric, out.value))
+    assert m["n_docs"] == 6
+    assert m["distinct_texts"] == 5          # dup pair collapses
+    assert m["lang:en"] == 4 and m["lang:de"] == 2
+    assert m["total_tokens"] == 3 + 3 + 2 + 5 + 1 + 0
