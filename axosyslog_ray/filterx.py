@@ -89,6 +89,9 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
+_BUILTIN_FIELDS = {"MSG": "message", "MESSAGE": "message", "HOST": "host",
+                   "PROGRAM": "program", "PID": "pid", "MSGID": "msgid"}
+
 _KEYWORDS = {"if", "elif", "else", "switch", "case", "default", "drop", "done",
              "and", "or", "not", "true", "false", "null", "in", "unset",
              "eq", "ne", "lt", "le", "gt", "ge", "declare", "break"}
@@ -121,6 +124,11 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
                     # ${name-with-specials} message ref (cfg-lex.l
                     # LL_MESSAGE_REF) — same as $name after unwrapping
                     v = "$" + v[2:-1]
+                if kind == "field" and v[1:] in _BUILTIN_FIELDS:
+                    # hard-macro aliases resolve to the engine's message
+                    # columns ($MSG / $MESSAGE are the SAME nv in the
+                    # reference — lib/logmsg LM_V_MESSAGE)
+                    v = "$" + _BUILTIN_FIELDS[v[1:]]
                 toks.append((kind, v))
                 break
     toks.append(("eof", ""))

@@ -1296,3 +1296,83 @@ log { source(s); destination(d); };
         lines = cfg.run().rendered("d")[0].strip().splitlines()
         assert lines == ["test.key1 value1 custom_timestamp",
                          "test.key2 value2 custom_timestamp"]
+
+
+class TestFilterXControlLight:
+    """Ports of Light filterx/test_filterx_control.py if/elif/else and
+    drop/done cases, run through the config front end."""
+
+    PRE = """
+source genmsg { example-msg-generator(num(1) template("foobar")); };
+destination dest_true { file("t.log" template("'${MESSAGE}'")); };
+destination dest_false { file("f.log" template("'${MESSAGE}'")); };
+"""
+
+    def _run(self, fx, msg="foobar"):
+        cfg = compile_config(self.PRE + f"""
+log {{
+    source(genmsg);
+    if {{
+        filterx {{ {fx} }};
+        destination(dest_true);
+    }} else {{
+        destination(dest_false);
+    }};
+}};
+""")
+        t = pa.table({"message": [msg], "pri": [13]})
+        return cfg.run(sources={"genmsg": t})
+
+    def test_if_without_else_match(self):
+        r = self._run('$out = "default"; if (true) { $out = "matched"; }; $MSG = $out;')
+        assert r.processed("dest_true") == 1
+        assert r.table("dest_true").column("message").to_pylist() == ["matched"]
+
+    def test_if_without_else_nomatch(self):
+        r = self._run('$out = "default"; if (false) { $out = "matched"; }; $MSG = $out;')
+        assert r.table("dest_true").column("message").to_pylist() == ["default"]
+
+    def test_if_elif_no_match(self):
+        r = self._run('$out = "default"; if (false) { $out = "m1"; } '
+                      'elif (false) { $out = "m2"; }; $MSG = $out;')
+        assert r.table("dest_true").column("message").to_pylist() == ["default"]
+
+    def test_if_elif_else_chains(self):
+        r = self._run('if (false) { $out = "m1"; } elif (true) { $out = "m2"; } '
+                      'else { $out = "m3"; }; $MSG = $out;')
+        assert r.table("dest_true").column("message").to_pylist() == ["m2"]
+
+    def test_drop_diverts_to_else(self):
+        cfg = compile_config(self.PRE + """
+log {
+    source(genmsg);
+    if {
+        filterx { if ($MSG =~ 'foo') {drop;}; };
+        destination(dest_true);
+    } else {
+        destination(dest_false);
+    };
+};
+""")
+        t = pa.table({"message": ["foo", "bar"], "pri": [13, 13]})
+        r = cfg.run(sources={"genmsg": t})
+        assert r.processed("dest_true") == 1
+        assert r.table("dest_true").column("message").to_pylist() == ["bar"]
+        assert r.processed("dest_false") == 1
+        assert r.table("dest_false").column("message").to_pylist() == ["foo"]
+
+    def test_done_skips_rest_of_block(self):
+        # like the reference's test_done: `done` ends the CURRENT block
+        # only — a later filterx block still runs and sees the value set
+        # before done
+        cfg = compile_config(self.PRE + """
+log {
+    source(genmsg);
+    filterx { if ($MSG =~ "foo") { $tag = "kept"; done; $tag = "changed"; }; };
+    filterx { $MSG = $tag; };
+    destination(dest_true);
+};
+""")
+        t = pa.table({"message": ["foobar"], "pri": [13]})
+        r = cfg.run(sources={"genmsg": t})
+        assert r.table("dest_true").column("message").to_pylist() == ["kept"]
