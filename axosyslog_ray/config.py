@@ -1008,11 +1008,16 @@ def _build_source(drivers: list[Driver]) -> pa.Table:
 
 # Built-in SCL library: re-expressions of reference scl/ blocks whose
 # semantics the engine's drivers cover (reference scl/apache/apache.conf
-# combined/common LogFormat branch, scl/iptables/iptables.conf). Parsed
-# into every config's block table before the user text, so a user
-# definition of the same name wins. The vhost branch and the
-# success/failure `if {parser{...}}` form of the full apache SCL are out
-# of this subset (documented).
+# combined/common LogFormat branch, scl/iptables/iptables.conf,
+# scl/rewrite/cc-mask.conf). Parsed into every config's block table
+# before the user text, so a user definition of the same name wins. The
+# vhost branch and the success/failure `if {parser{...}}` form of the
+# full apache SCL are out of this subset (documented). The credit-card
+# blocks keep the reference's block NAMES, default templates, and the
+# standard public card-IIN regex patterns (factual data; the Light
+# suite's expected outputs pin byte-parity) with an original block
+# structure; masked/hashed outputs are verified against the reference
+# Light suite's own expectations in tests/test_config.py.
 SCL_LIBRARY = """
 block parser apache-accesslog-parser(prefix("apache.")) {
     csv-parser(
