@@ -799,9 +799,16 @@ def _list_ctor(a: pd.Series = None) -> pd.Series:
 @lru_cache(maxsize=32)
 def _load_json_file(path: str):
     import json
+    import re as _re
 
     with open(path) as f:
-        return json.load(f)
+        text = f.read()
+    try:
+        return json.loads(text)
+    except ValueError:
+        # the reference's loader tolerates trailing commas (its own Light
+        # fixture cache_json_file.json carries them); strip and retry
+        return json.loads(_re.sub(r",\s*([}\]])", r"\1", text))
 
 
 def cache_json_file(a: pd.Series, default_value=None) -> pd.Series:

@@ -1376,3 +1376,43 @@ log {
         t = pa.table({"message": ["foobar"], "pri": [13]})
         r = cfg.run(sources={"genmsg": t})
         assert r.table("dest_true").column("message").to_pylist() == ["kept"]
+
+
+class TestCacheJsonFileLight:
+    """Port of Light filterx/test_filterx_cache_json_file.py — the
+    fixture carries trailing commas, which the loader tolerates like the
+    reference's."""
+
+    FIXTURE = """{
+  "foo":{
+    "foo/foo":"foo/foo_value",
+    "foo/bar":"foo/bar_value",
+    "foo":{
+      "foo/foo/foo":"foo/foo/foo_value",
+      "foo/foo/bar":"foo/foo/bar_value",
+    },
+  },
+  "bar":{
+    "bar/foo":"bar/foo_value",
+    "bar/bar":"bar/bar_value",
+  },
+}"""
+
+    def test_cache_json_file_lookup(self, tmp_path):
+        p = tmp_path / "cache_json_file.json"
+        p.write_text(self.FIXTURE)
+        cfg = compile_config(f"""
+source s {{ example-msg-generator(num(1) template("fooBARbAz")); }};
+destination d {{ file("o.log" template("'${{MESSAGE}}'")); }};
+log {{
+    source(s);
+    filterx {{
+        lookup = cache_json_file("{p}");
+        $MSG = lookup.foo["foo/foo"];
+    }};
+    destination(d);
+}};
+""")
+        r = cfg.run()
+        assert r.processed("d") == 1
+        assert r.table("d").column("message").to_pylist() == ["foo/foo_value"]
