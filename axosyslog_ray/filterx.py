@@ -726,16 +726,37 @@ def _arg_scalar(b: pd.Series):
     return nn.iloc[0] if len(nn) else ""
 
 
-def _startswith(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(a.astype("string").str.startswith(str(_arg_scalar(b))).fillna(False).to_numpy(), dtype=object)
+def _str_match_family(a: pd.Series, b, ignorecase, op) -> pd.Series:
+    """Shared startswith/endswith/includes core (reference
+    filterx-func-str.c): the needle may be one string or a LIST — true
+    if ANY element matches; ignorecase=true folds both sides."""
+    ic = bool(_arg_scalar(ignorecase)) if ignorecase is not None else False
+
+    def needles_of(row_b):
+        ns = row_b if isinstance(row_b, (list, tuple)) else [row_b]
+        return [str(x).lower() if ic else str(x) for x in ns if x is not None]
+
+    bs = b if isinstance(b, pd.Series) else pd.Series([b] * len(a), dtype=object)
+    out = []
+    for x, row_b in zip(a, bs):
+        if x is None or (not isinstance(x, (str, bytes)) and pd.isna(x)):
+            out.append(False)
+            continue
+        s = str(x).lower() if ic else str(x)
+        out.append(any(op(s, n) for n in needles_of(row_b)))
+    return pd.Series(out, dtype=object)
 
 
-def _endswith(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(a.astype("string").str.endswith(str(_arg_scalar(b))).fillna(False).to_numpy(), dtype=object)
+def _startswith(a: pd.Series, b, ignorecase=None) -> pd.Series:
+    return _str_match_family(a, b, ignorecase, lambda s, n: s.startswith(n))
 
 
-def _includes(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(a.astype("string").str.contains(str(_arg_scalar(b)), regex=False).fillna(False).to_numpy(), dtype=object)
+def _endswith(a: pd.Series, b, ignorecase=None) -> pd.Series:
+    return _str_match_family(a, b, ignorecase, lambda s, n: s.endswith(n))
+
+
+def _includes(a: pd.Series, b, ignorecase=None) -> pd.Series:
+    return _str_match_family(a, b, ignorecase, lambda s, n: n in s)
 
 
 def _get_one(v, key):
@@ -1338,11 +1359,21 @@ def _set_pri(ctx, pri: pd.Series) -> pd.Series:
 
 
 # functions that need the row context (count / variable scope / columns)
-_CTX_FUNCS = {"uuid", "uuid4", "uuid7", "vars", "load_vars", "set_pri"}
+def _json_fn(ctx, a=None):
+    """json(): zero-arg form constructs one EMPTY DICT per row (the
+    reference's object constructor, filterx-object-json.c); with an
+    argument it parses like parse_json()."""
+    if a is None:
+        return pd.Series([{} for _ in range(ctx.n)], dtype=object)
+    return _parse_json(a)
+
+
+_CTX_FUNCS = {"uuid", "uuid4", "uuid7", "vars", "load_vars", "set_pri", "json"}
 _FUNCS["uuid"] = _uuid4
 _FUNCS["uuid4"] = _uuid4
 _FUNCS["uuid7"] = _uuid7
 _FUNCS["vars"] = _vars
+_FUNCS["json"] = _json_fn
 _FUNCS["load_vars"] = _load_vars
 _FUNCS["set_pri"] = _set_pri
 

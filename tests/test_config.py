@@ -1416,3 +1416,40 @@ log {{
         r = cfg.run()
         assert r.processed("d") == 1
         assert r.table("d").column("message").to_pylist() == ["foo/foo_value"]
+
+
+class TestFilterXFuncsLight:
+    """Ports of Light filterx/test_filterx_funcs.py string-function
+    cases: list needles, ignorecase, json() constructor, upper/lower."""
+
+    def _run_fx(self, fx, msg):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log" template("'${MESSAGE}'")); };
+log { source(s); filterx { %s }; destination(d); };
+""" % fx)
+        t = pa.table({"message": [msg], "pri": [13]})
+        return cfg.run(sources={"s": t}).table("d").column("message").to_pylist()
+
+    def test_startswith_endswith_includes(self):
+        out = self._run_fx("""
+            result = json();
+            if (startswith($MSG, ["dummy_prefix", "foo"])) { result.startswith_foo = true; };
+            bar_var = "bar";
+            if (includes($MSG, bar_var, ignorecase=true)) { result.contains_bar = true; };
+            baz_var = "baz";
+            baz_list = ["dummy_suffix", baz_var];
+            if (endswith($MSG, baz_list, ignorecase=true)) { result.endswith_baz = true; };
+            $MSG = format_json(result);
+        """, "fooBARbAz")
+        import json as _json
+
+        assert _json.loads(out[0]) == {"startswith_foo": True,
+                                       "contains_bar": True,
+                                       "endswith_baz": True}
+
+    def test_upper_lower(self):
+        out = self._run_fx('$MSG = upper($MSG);', "almost")
+        assert out == ["ALMOST"]
+        out = self._run_fx('$MSG = lower($MSG);', "WHISPER")
+        assert out == ["whisper"]
