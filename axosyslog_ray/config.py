@@ -892,6 +892,12 @@ def _compile_parser(d: Driver):
                           source_col=_field(str(d.kw1("template", "MESSAGE"))
                                             .lstrip("$").strip("{}")),
                           time_zone=d.kw1("time-zone"))
+    if d.name == "cisco-parser":
+        from .stages.app_parsers import CiscoParser
+
+        tpl = str(d.kw1("template", "$MSG"))
+        return CiscoParser(source_col=_field(tpl.lstrip("$").strip("{}")),
+                           prefix=str(d.kw1("prefix", ".cisco.")))
     if d.name == "geoip2":
         from .enrich.geoip import GeoIP
 

@@ -73,6 +73,174 @@ class AppParserChain:
         return out.append_column("app_name", pa.array(app, type=pa.string()))
 
 
+# cisco-parser() timestamp patterns (reference scl/cisco/plugin.conf
+# @define cisco-parser-*-timestamp-pattern)
+_CISCO_TS = r"[A-Za-z]{3} [0-9 ]\d (?:\d{4} )?\d{2}:\d{2}:\d{2}(?:\.\d{3})?(?: (?:AM|PM))?"
+_CISCO_ISO_TS = r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"
+_CISCO_NXOS_TS = r"\d{4} [A-Za-z]{3} [0-9 ]\d \d{2}:\d{2}:\d{2}"
+
+# date-parser format list of the scl's cisco-timestamp-parser block
+_CISCO_TS_FORMATS = [
+    "%b %d %I:%M:%S %p.%f", "%b %d %I:%M:%S %p",
+    "%b %d %H:%M:%S.%f", "%b %d %H:%M:%S",
+    "%b %d %Y %H:%M:%S.%f", "%b %d %Y %H:%M:%S",
+    "%Y-%m-%dT%H:%M:%S", "%Y %b %d %H:%M:%S",
+]
+
+
+class CiscoParser:
+    """cisco-parser(): the full SCL cisco channel semantics (reference
+    scl/cisco/plugin.conf `block parser cisco-parser`, conformance spec =
+    tests/light/functional_tests/parsers/cisco-parser/test_cisco_parser.py).
+
+    One vectorized pass re-expressing the reference's csv/regexp/
+    date-parser channel as mask-combined pandas extracts:
+
+    1. leading ``<pri>`` -> pri column;
+    2. split at the first ``': %'`` -> header ($1) / rest; MSG becomes
+       ``'%' + rest``; rows without the split or without the
+       facility-severity-mnemonic triplet are dropped (the scl's
+       drop-invalid(yes) chain);
+    3. triplet from the rest: facility may itself contain '-'
+       (SYSMGR-STANDBY, SNMP-SNMP) -> `prefix`facility / severity /
+       mnemonic;
+    4. header decision tree, first match wins (branch effects are
+       transactional like reference channel branches — a branch whose
+       date parse fails contributes nothing):
+       a. [ISO-ts + tz + host | classic-ts + host] or bare timestamp
+          (seqno already stripped) -> stamp [+ HOST];
+       b. cpu_module head (``RP/x/...:`` / ``CLC x/y:``) + timestamp;
+       c. ``host: timestamp``; d. bare host; e. empty header.
+       A non-empty header matching none of these drops the row (the
+       scl's final ``regexp-parser(patterns("^$"))``).
+    """
+
+    def __init__(self, source_col: str = "message", prefix: str = ".cisco."):
+        import re
+
+        self.source_col = source_col
+        self.prefix = prefix
+        self.pri_re = re.compile(r"^<(\d{1,3})>(.*)$", re.DOTALL)
+        self.split_re = re.compile(r"^(?P<hdr>.*?): %(?P<rest>.*)$", re.DOTALL)
+        self.triplet_re = re.compile(
+            r"^%(?P<fac>[A-Z0-9_]+(?:-[A-Z0-9_]+)*?)-(?P<sev>\d)-(?P<mn>[A-Z0-9_]+)\s*:")
+        self.seq_re = re.compile(r"^(?:[0-9]+: |: )")
+        self.host_iso_re = re.compile(r"^(?P<ts>" + _CISCO_ISO_TS + r")\w+ (?P<h>\S+)\s*$")
+        self.host_classic_re = re.compile(r"^[\*\.]?(?P<ts>" + _CISCO_TS + r") (?P<h>\S+)\s*$")
+        self.cpu_re = re.compile(r"^(?:(?P<rp>RP/[0-9]/[^:]+):(?P<rrest>.*)|(?P<clc>CLC [0-9]/[0-9]): +(?P<crest>.*))$", re.DOTALL)
+        self.hostcolon_re = re.compile(r"^(?P<h>[^:]+): (?P<rest>.*)$", re.DOTALL)
+        self.hostonly_re = re.compile(r"^(?P<h>[^:]+)$")
+        self.ts_token_re = re.compile(
+            r"^[\*\.]?(" + _CISCO_TS + r")|^(" + _CISCO_ISO_TS + r")|^(" + _CISCO_NXOS_TS + r")")
+
+    def _parse_ts(self, s: pd.Series) -> pd.Series:
+        """cisco-timestamp-parser: extract the leading timestamp token,
+        then the scl's strptime format list, first match per row."""
+        ext = s.str.extract(self.ts_token_re)
+        tok = ext[0].fillna(ext[1]).fillna(ext[2])
+        n = len(s)
+        result = pd.Series(np.full(n, np.datetime64("NaT"), dtype="datetime64[us]"),
+                           index=s.index)
+        todo = tok.notna()
+        for fmt in _CISCO_TS_FORMATS:
+            if not todo.any():
+                break
+            parsed = pd.to_datetime(tok[todo], format=fmt, errors="coerce")
+            ok = parsed.notna()
+            result.loc[ok[ok].index] = parsed[ok].to_numpy(dtype="datetime64[us]")
+            todo.loc[ok[ok].index] = False
+        return result
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        s = table.column(self.source_col).to_pandas().astype("string")
+        prim = s.str.extract(self.pri_re)
+        body = prim[1].fillna(s)
+        pri = pd.to_numeric(prim[0], errors="coerce")
+
+        sp = body.str.extract(self.split_re)
+        hdr, rest = sp["hdr"], sp["rest"]
+        msg = "%" + rest
+        trip = msg.str.extract(self.triplet_re)
+        valid = rest.notna() & trip["fac"].notna()
+
+        hdr = hdr.str.replace(self.seq_re, "", regex=True)
+
+        # branch a: [ISO|classic] ts+host, else bare-timestamp header
+        a_iso = hdr.str.extract(self.host_iso_re)
+        a_cls = hdr.str.extract(self.host_classic_re)
+        a_host = a_iso["h"].fillna(a_cls["h"])
+        a_tsin = a_iso["ts"].fillna(a_cls["ts"]).fillna(hdr)
+        a_ts = self._parse_ts(a_tsin.astype("string"))
+        a_ok = a_ts.notna()
+
+        # branch b: cpu_module + ts
+        b = hdr.str.extract(self.cpu_re)
+        b_cpu = b["rp"].fillna(b["clc"])
+        b_ts = self._parse_ts(b["rrest"].fillna(b["crest"]).astype("string"))
+        b_ok = ~a_ok & b_cpu.notna() & b_ts.notna()
+
+        # branch c: "host: <ts...>"
+        c = hdr.str.extract(self.hostcolon_re)
+        c_ts = self._parse_ts(c["rest"].astype("string"))
+        c_ok = ~a_ok & ~b_ok & c["h"].notna() & c_ts.notna()
+
+        # branch d: bare host; branch e: empty header
+        d = hdr.str.extract(self.hostonly_re)
+        d_ok = ~a_ok & ~b_ok & ~c_ok & d["h"].notna()
+        e_ok = ~a_ok & ~b_ok & ~c_ok & ~d_ok & (hdr.fillna("") == "")
+        valid &= (a_ok | b_ok | c_ok | d_ok | e_ok).fillna(False)
+
+        host = a_host.where(a_ok).fillna(c["h"].where(c_ok)).fillna(d["h"].where(d_ok))
+        stamp = a_ts.where(a_ok, b_ts.where(b_ok, c_ts.where(c_ok)))
+        cpu = b_cpu.where(b_ok)
+
+        keep = valid.to_numpy(dtype=bool)
+        out = table
+        p = self.prefix
+
+        def _set(name, values, typ=pa.string()):
+            nonlocal out
+            vals = values.to_numpy(dtype=object)
+            vals[values.isna().to_numpy(dtype=bool)] = None
+            arr = pa.array(vals, type=typ)
+            if name in out.column_names:
+                out = out.set_column(out.column_names.index(name), name, arr)
+            else:
+                out = out.append_column(name, arr)
+
+        _set(self.source_col, msg.astype(object).where(msg.notna()))
+        _set(p + "facility", trip["fac"].astype(object).where(trip["fac"].notna()))
+        _set(p + "severity", trip["sev"].astype(object).where(trip["sev"].notna()))
+        _set(p + "mnemonic", trip["mn"].astype(object).where(trip["mn"].notna()))
+        if cpu.notna().any():
+            _set(p + "cpu_module", cpu.astype(object).where(cpu.notna()))
+        if pri.notna().any():
+            old = (out.column("pri").to_pandas() if "pri" in out.column_names
+                   else pd.Series(np.full(len(s), np.nan)))
+            merged = pri.fillna(old).astype("Int64")
+            arr = pa.Array.from_pandas(merged, type=pa.int64())
+            if "pri" in out.column_names:
+                out = out.set_column(out.column_names.index("pri"), "pri", arr)
+            else:
+                out = out.append_column("pri", arr)
+        if host.notna().any():
+            old = (out.column("host").to_pandas() if "host" in out.column_names
+                   else pd.Series(np.full(len(s), None, dtype=object)))
+            _set("host", host.astype(object).where(host.notna(), old))
+        if stamp.notna().any():
+            if "ts_stamp" in out.column_names:
+                old = out.column("ts_stamp").to_pandas()
+                merged = stamp.where(stamp.notna(), old)
+            else:
+                merged = stamp
+            arr = pa.array(merged.to_numpy(dtype="datetime64[us]"), type=pa.timestamp("us"))
+            if "ts_stamp" in out.column_names:
+                out = out.set_column(out.column_names.index("ts_stamp"), "ts_stamp", arr)
+            else:
+                out = out.append_column("ts_stamp", arr)
+        return out.filter(pa.array(keep))
+
+
 class MariadbAuditParser:
     """mariadb-audit-parser(): the MariaDB audit plugin's syslog payload
     (reference scl/mariadb/audit.conf — csv-parser with comma delimiter,

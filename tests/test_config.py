@@ -1453,3 +1453,79 @@ log { source(s); filterx { %s }; destination(d); };
         assert out == ["ALMOST"]
         out = self._run_fx('$MSG = lower($MSG);', "WHISPER")
         assert out == ["whisper"]
+
+
+class TestCiscoParserLight:
+    """Port of Light parsers/cisco-parser/test_cisco_parser.py: the SCL
+    cisco-parser() through the config front end, all ten corpus cases
+    with the reference suite's exact assertions (HOST = the engine's
+    local host name, 'localhost', where the reference expects
+    get_short_hostname())."""
+
+    CASES = [
+        (r"<189>29: foo: *Apr 29 13:58:40.411: %SYS-5-CONFIG_I: Configured from console by console",
+         {"PRI": "189", "HOST": "foo", "DATE": "Apr 29 13:58:40", "MSEC": "411",
+          "_cisco": {"facility": "SYS", "severity": "5", "mnemonic": "CONFIG_I"},
+          "MSG": r"%SYS-5-CONFIG_I: Configured from console by console"}),
+        (r"<190>30: foo: *Apr 29 13:58:46.411: %SYS-6-LOGGINGHOST_STARTSTOP: Logging to host 192.168.1.239 stopped - CLI initiated",
+         {"PRI": "190", "HOST": "foo", "DATE": "Apr 29 13:58:46", "MSEC": "411",
+          "_cisco": {"facility": "SYS", "severity": "6", "mnemonic": "LOGGINGHOST_STARTSTOP"},
+          "MSG": r"%SYS-6-LOGGINGHOST_STARTSTOP: Logging to host 192.168.1.239 stopped - CLI initiated"}),
+        (r"<190>31: foo: *Apr 29 13:58:46.411: %SYS-6-LOGGINGHOST_STARTSTOP: Logging to host 192.168.1.239 started - CLI initiated",
+         {"PRI": "190", "HOST": "foo", "DATE": "Apr 29 13:58:46", "MSEC": "411",
+          "_cisco": {"facility": "SYS", "severity": "6", "mnemonic": "LOGGINGHOST_STARTSTOP"},
+          "MSG": r"%SYS-6-LOGGINGHOST_STARTSTOP: Logging to host 192.168.1.239 started - CLI initiated"}),
+        (r"<189>35: *Apr 29 14:00:16.059: %SYS-5-CONFIG_I: Configured from console by console",
+         {"PRI": "189", "HOST": "localhost", "DATE": "Apr 29 14:00:16", "MSEC": "059",
+          "_cisco": {"facility": "SYS", "severity": "5", "mnemonic": "CONFIG_I"},
+          "MSG": r"%SYS-5-CONFIG_I: Configured from console by console"}),
+        (r"<190>32: foo: *Apr 29 13:58:46.411: %SYSMGR-STANDBY-3-SHUTDOWN_START: The System Manager has started the shutdown procedure.",
+         {"PRI": "190", "HOST": "foo", "DATE": "Apr 29 13:58:46", "MSEC": "411",
+          "_cisco": {"facility": "SYSMGR-STANDBY", "severity": "3", "mnemonic": "SHUTDOWN_START"},
+          "MSG": r"%SYSMGR-STANDBY-3-SHUTDOWN_START: The System Manager has started the shutdown procedure."}),
+        (r"<180>782431: machine1: .Nov 18 21:03:22.631 GMT: %CDP-4-NATIVE_VLAN_MISMATCH: Native VLAN mismatch discovered on TenGigabitEthernet.",
+         {"PRI": "180", "HOST": "machine1", "DATE": "Nov 18 21:03:22", "MSEC": "631",
+          "_cisco": {"facility": "CDP", "severity": "4", "mnemonic": "NATIVE_VLAN_MISMATCH"},
+          "MSG": r"%CDP-4-NATIVE_VLAN_MISMATCH: Native VLAN mismatch discovered on TenGigabitEthernet."}),
+        (r"<166>2022-02-16T15:31:53Z na-zy-int-fp1140-p02 : %FTD-6-305012: Teardown dynamic TCP translation from FOO-WAN_IN:10.44.60.80/59877 to FOO-OUTSIDE:6.7.8.9/59877 duration 0:01:01",
+         {"PRI": "166", "HOST": "na-zy-int-fp1140-p02", "DATE": "Feb 16 15:31:53", "MSEC": "000",
+          "_cisco": {"facility": "FTD", "severity": "6", "mnemonic": "305012"},
+          "MSG": r"%FTD-6-305012: Teardown dynamic TCP translation from FOO-WAN_IN:10.44.60.80/59877 to FOO-OUTSIDE:6.7.8.9/59877 duration 0:01:01"}),
+        (r"<190>123030: some-remote-host: %SYS-5-LOGGINGHOST_STARTSTOP: Logging to host 192.168.1.239 stopped - CLI initiated",
+         {"PRI": "190", "HOST": "some-remote-host",
+          "_cisco": {"facility": "SYS", "severity": "5", "mnemonic": "LOGGINGHOST_STARTSTOP"},
+          "MSG": r"%SYS-5-LOGGINGHOST_STARTSTOP: Logging to host 192.168.1.239 stopped - CLI initiated"}),
+        (r"<187>138076: RP/0/RP0/CPU0:Dec 11 12:43:29.227 EST: snmpd[1002]: %SNMP-SNMP-3-AUTH_FAIL : Received snmp request on unknown community from 0.0.0.0",
+         {"PRI": "187",
+          "_cisco": {"facility": "SNMP-SNMP", "severity": "3", "mnemonic": "AUTH_FAIL",
+                     "cpu_module": "RP/0/RP0/CPU0"},
+          "MSG": r"%SNMP-SNMP-3-AUTH_FAIL : Received snmp request on unknown community from 0.0.0.0"}),
+        (r"<187>3408: CLC 6/0: Dec 11 13:31:14.214 EST: %PKI-3-CERTIFICATE_INVALID_EXPIRED: Certificate chain validation has failed.  The certificate (SN: XXXXXXXX) has expired.    Validity period ended on 2025-01-23T00:00:00Z",
+         {"PRI": "187",
+          "_cisco": {"facility": "PKI", "severity": "3", "mnemonic": "CERTIFICATE_INVALID_EXPIRED",
+                     "cpu_module": "CLC 6/0"},
+          "MSG": r"%PKI-3-CERTIFICATE_INVALID_EXPIRED: Certificate chain validation has failed.  The certificate (SN: XXXXXXXX) has expired.    Validity period ended on 2025-01-23T00:00:00Z"}),
+    ]
+
+    @pytest.mark.parametrize("line,expected", CASES, ids=range(len(CASES)))
+    def test_cisco_parser(self, line, expected):
+        import json as _json
+
+        cfg = compile_config("""
+source s { example-msg-generator(num(1) template("%s")); };
+parser p { cisco-parser(); };
+destination d { file("output.log" template("$(format-json --scope all-nv-pairs PRI DATE MSEC MSG)\\n")); };
+log { source(s); parser(p); destination(d); };
+""" % line)
+        out = _json.loads(cfg.run().rendered("d")[0])
+        assert out["PRI"] == expected["PRI"]
+        if "HOST" in expected:
+            assert out["HOST"] == expected["HOST"]
+        if "DATE" in expected:
+            assert out["DATE"] == expected["DATE"]
+        if "MSEC" in expected:
+            assert out["MSEC"] == expected["MSEC"]
+        for k in ("facility", "severity", "mnemonic", "cpu_module"):
+            if k in expected["_cisco"]:
+                assert out["_cisco"][k] == expected["_cisco"][k]
+        assert out["MSG"] == expected["MSG"]
