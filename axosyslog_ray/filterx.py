@@ -210,15 +210,46 @@ class _Parser:
             return ("assign", ("name", nv), self.expr())
         if v == "unset":
             # unset($field); — reference lib/filterx/expr-unset.c: the
-            # value becomes unset (null here); isset() turns false
+            # value becomes unset (null here); isset() turns false.
+            # unset(d.k) / unset(d["k"]) removes the dict member
+            # (filterx_object_unset_key; Light test_filterx_dict.py)
             self.next()
             self.expect("(")
             fk, fv = self.next()
-            if fk != "field":
-                raise SyntaxError("filterx: unset() takes a $field")
+            if fk not in ("field", "name"):
+                raise SyntaxError("filterx: unset() takes a $field or variable")
+            path = self._lval_path()
             self.expect(")")
+            if path:
+                return ("unsetpath", (fk, fv), path)
+            if fk != "field":
+                raise SyntaxError("filterx: unset() on a bare variable needs a path")
             return ("unset", fv[1:])
-        if (k == "name" and v not in _KEYWORDS
+        if v == "dpath" and self.toks[self.i + 1][1] == "(":
+            # dpath(x.a.b) = e; / dpath(x.a.b) += e; — an lvalue that
+            # auto-creates missing intermediate dicts along the path
+            # (lib/filterx/filterx-dpath.c; Light test_filterx_dict.py
+            # test_filterx_dpath). This engine's setpath already creates
+            # intermediates, so dpath compiles onto it; += desugars to
+            # path = path + rhs ('+' is typed: dict merge, list concat).
+            self.next()
+            self.expect("(")
+            bk, bv = self.next()
+            if bk not in ("field", "name"):
+                raise SyntaxError("filterx: dpath() needs a variable or $field base")
+            path = self._lval_path()
+            self.expect(")")
+            if not path:
+                raise SyntaxError("filterx: dpath() needs at least one path element")
+            if self.accept("+="):
+                read = ("field", bv[1:]) if bk == "field" else ("var", bv)
+                for p in path:
+                    read = ("subscript", read, p)
+                return ("setpath", (bk, bv), path,
+                        ("arith", "+", read, self.expr()))
+            self.expect("=")
+            return ("setpath", (bk, bv), path, self.expr())
+        if (k == "name" and v not in _KEYWORDS and v != "dpath"
                 and self.toks[self.i + 1][1] == "("):
             # expression statement: a bare function call used for its
             # side effect (load_vars(...); set_pri(...); update-style
@@ -231,18 +262,7 @@ class _Parser:
             # subscript / attr lval: $d["k"] = e; d.k = e;
             # (lib/filterx/expr-set-subscript.c, expr-setattr; a dotted
             # FIELD token `$d.k` is one token — resolved at exec time)
-            path = []
-            while True:
-                if self.accept("["):
-                    path.append(self.expr())
-                    self.expect("]")
-                elif self.accept("."):
-                    nk, nv = self.next()
-                    if nk != "name":
-                        raise SyntaxError("filterx: expected name after '.'")
-                    path.append(("lit", nv))
-                else:
-                    break
+            path = self._lval_path()
             if path:
                 if self.accept("=??"):
                     # nullv set: only assign when the RHS is set
@@ -274,6 +294,21 @@ class _Parser:
         # accepts ANY expression as a step (expr-compound.c, pinned by
         # test_expr_condition.c's falsey-statement-interrupts case)
         return ("exprstmt", self.expr())
+
+    def _lval_path(self):
+        """Parse a (possibly empty) .name / [expr] lvalue path chain."""
+        path = []
+        while True:
+            if self.accept("["):
+                path.append(self.expr())
+                self.expect("]")
+            elif self.accept("."):
+                nk, nv = self.next()
+                if nk != "name":
+                    raise SyntaxError("filterx: expected name after '.'")
+                path.append(("lit", nv))
+            else:
+                return path
 
     def if_stmt(self):
         self.expect("if")
@@ -505,6 +540,8 @@ class _Parser:
             if not self.accept("]"):
                 items.append(self.expr())
                 while self.accept(","):
+                    if self.peek()[1] == "]":  # trailing comma
+                        break
                     items.append(self.expr())
                 self.expect("]")
             return ("listlit", items)
@@ -523,6 +560,8 @@ class _Parser:
                         self.expect(":")
                         pairs.append((key, self.expr(), False))
                     if not self.accept(","):
+                        break
+                    if self.peek()[1] == "}":  # trailing comma
                         break
                 self.expect("}")
             return ("dictlit", pairs)
@@ -1852,6 +1891,20 @@ class FilterX:
             ctx.cols[name] = cur
             ctx.assigned.add(name)
             return
+        if tag == "unsetpath":
+            # unset(d.k) — remove a dict member along a path
+            # (filterx_object_unset_key; Light dict unset-with-collision)
+            (kind, name), keyexprs = node[1], node[2]
+            keys_ = [_arg_scalar(self._eval(k, ctx)) for k in keyexprs]
+            if kind == "field":
+                fname = name[1:]
+                ctx.cols[fname] = _unset_path_series(
+                    ctx.col(fname), keys_, mask)
+                ctx.assigned.add(fname)
+            else:
+                base = ctx.vars.get(name, pd.Series([None] * ctx.n, dtype=object))
+                ctx.vars[name] = _unset_path_series(base, keys_, mask)
+            return
         if tag == "exprstmt":
             # expression statement: expose the active-row mask so ctx
             # functions (load_vars, set_pri) mutate only selected rows
@@ -1943,6 +1996,32 @@ def _set_path_series(cur: pd.Series, keys_, val: pd.Series,
             tgt = nxt
         tgt[keys_[-1]] = varr[i]
         arr[i] = d
+    return pd.Series(arr, dtype=object)
+
+
+def _unset_path_series(cur: pd.Series, keys_, mask: np.ndarray) -> pd.Series:
+    """Masked nested-key delete from a Series of dicts (expr-unset on a
+    subscript/attr lvalue): per selected row, copy-on-write the dict
+    chain and del the leaf key; missing intermediates are a no-op."""
+    arr = cur.to_numpy(dtype=object).copy()
+    for i in np.nonzero(mask)[0]:
+        d = arr[i]
+        if not isinstance(d, dict):
+            continue
+        d = dict(d)
+        tgt = d
+        ok = True
+        for k in keys_[:-1]:
+            nxt = tgt.get(k)
+            if not isinstance(nxt, dict):
+                ok = False
+                break
+            nxt = dict(nxt)
+            tgt[k] = nxt
+            tgt = nxt
+        if ok and keys_[-1] in tgt:
+            del tgt[keys_[-1]]
+            arr[i] = d
     return pd.Series(arr, dtype=object)
 
 

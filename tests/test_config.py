@@ -1529,3 +1529,81 @@ log { source(s); parser(p); destination(d); };
             if k in expected["_cisco"]:
                 assert out["_cisco"][k] == expected["_cisco"][k]
         assert out["MSG"] == expected["MSG"]
+
+
+class TestFilterXDictLight:
+    """Ports of Light filterx/test_filterx_dict.py: unset on a dict
+    member, message-value subscript keys, nullv (:??) dict elements with
+    a trailing comma, and dpath() auto-creating lvalues. Expected
+    strings are the reference suite's own assertions; the engine
+    renders dict-valued $MSG through format_json (explicit here where
+    the reference relies on implicit marshaling)."""
+
+    def _run_fx(self, fx, msg="-"):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log" template("${MESSAGE}")); };
+log { source(s); filterx { %s }; destination(d); };
+""" % fx)
+        t = pa.table({"message": [msg], "pri": [13]})
+        return cfg.run(sources={"s": t}).table("d").column("message").to_pylist()
+
+    def test_dict_unset_key(self):
+        # test_filterx_dict_unset_key_with_hash_collision
+        out = self._run_fx(
+            'log = {"id": "a", "m": "b"}; unset(log.id); $MSG = log.m;',
+            msg="id=a m=b")
+        assert out == ["b"]
+
+    def test_dict_message_value_key(self):
+        # test_filterx_dict_message_value_key
+        out = self._run_fx(
+            'd = {}; d["test_key"] = "test_value"; $MSG = d[$MSG];',
+            msg="test_key")
+        assert out == ["test_value"]
+
+    def test_dict_nullv_elements(self):
+        # test_filterx_dict_nullv_elements — ':??' elides null/error
+        # members; note the reference case ends with a trailing comma
+        out = self._run_fx("""
+            $MSG = format_json({
+              "null": null,
+              "nullidontwant":?? null,
+              "erroridontwant":?? nonexistingvar,
+              "value":?? 3,
+            });
+        """)
+        assert out == ['{"null":null,"value":3}']
+
+    def test_dpath(self):
+        # test_filterx_dpath — byte-identical to the reference assertion
+        out = self._run_fx("""
+            exist = {"orig": 1};
+            dpath(exist.path.to.create) = {"value": {"a": 1}};
+            newdict = {};
+            dpath(newdict.path.to.create) = {"value": 3};
+            dpath(newdict.path.to.create) += {"another": 4};
+            dpath(newdict.path.to.create.another) += 1;
+            d = {};
+            dpath(d.exist) = exist;
+            d.newdict = newdict;
+            $MSG = format_json(d);
+        """)
+        assert out == ['{"exist":{"orig":1,"path":{"to":{"create":{"value":'
+                       '{"a":1}}}}},"newdict":{"path":{"to":{"create":'
+                       '{"value":3,"another":5}}}}}']
+
+    def test_dpath_subscript_elements(self):
+        # dpath with [expr] path elements mixes with .attr elements
+        out = self._run_fx(
+            'd = {}; k = "mid"; dpath(d[k].leaf) = 7; $MSG = format_json(d);')
+        assert out == ['{"mid":{"leaf":7}}']
+
+    def test_unset_subscript_path(self):
+        out = self._run_fx(
+            'd = {"a": {"b": 1, "c": 2}}; unset(d["a"]["b"]); $MSG = format_json(d);')
+        assert out == ['{"a":{"c":2}}']
+
+    def test_list_trailing_comma(self):
+        out = self._run_fx('$MSG = format_json([1, 2, 3,]);')
+        assert out == ['[1,2,3]']
