@@ -268,6 +268,15 @@ class _Parser:
                     # nullv set: only assign when the RHS is set
                     # (expr-assign.c _do_nullv_assign)
                     return ("setpath", (k, v), path, self.expr(), True)
+                if self.accept("+="):
+                    # d.k += e desugars to d.k = d.k + e with the READ
+                    # taken before the write (expr-plus-assign.c; the
+                    # recursive-merge Light case stores the OLD version)
+                    read = ("field", v[1:]) if k == "field" else ("var", v)
+                    for p in path:
+                        read = ("subscript", read, p)
+                    return ("setpath", (k, v), path,
+                            ("arith", "+", read, self.expr()))
                 if self.peek()[1] != "=":
                     # e.g. `$d["k"] == 1;` — expression statement
                     self.i = start_i
@@ -296,10 +305,16 @@ class _Parser:
         return ("exprstmt", self.expr())
 
     def _lval_path(self):
-        """Parse a (possibly empty) .name / [expr] lvalue path chain."""
+        """Parse a (possibly empty) .name / [expr] lvalue path chain.
+        An EMPTY subscript `l[] = v` is the list-append lvalue
+        (filterx-grammar.ym LL_EMPTY_BRACKETS set-subscript with a
+        NULL key; Light test_filterx_cow.py list cases)."""
         path = []
         while True:
             if self.accept("["):
+                if self.accept("]"):
+                    path.append(("lit", _APPEND_KEY))
+                    continue
                 path.append(self.expr())
                 self.expect("]")
             elif self.accept("."):
@@ -600,6 +615,135 @@ class _Ctx:
         return s
 
 
+# sentinel key for the `l[] = v` append lvalue (an impossible real key)
+_APPEND_KEY = "\x00__fx_append__\x00"
+
+
+class Protobuf(bytes):
+    """FilterX protobuf object (lib/filterx/object-string.c
+    filterx_protobuf_new): opaque bytes with a distinct type label —
+    repr shows protobuf(...), JSON marshals as base64."""
+
+
+def _double_repr(dbl: float, prec: int = -1) -> str:
+    """Reference double rendering (lib/filterx/object-primitive.c:140
+    double_repr): %.17g when precision is unknown, trailing zeroes
+    truncated, a bare integer value gains '.0'."""
+    import math
+
+    if math.isnan(dbl):
+        return "NaN"
+    if math.isinf(dbl):
+        return "-Infinity" if dbl < 0 else "Infinity"
+    buf = f"{dbl:.{prec}f}" if prec >= 0 else f"{dbl:.17g}"
+    if "." not in buf and "e" not in buf:
+        return buf + ".0"
+    if "." in buf:
+        dot = buf.index(".")
+        last = dot + 1
+        for i in range(dot + 1, len(buf)):
+            if buf[i] != "0":
+                last = i
+        buf = buf[:last + 1]
+    return buf
+
+
+def _unix_6f(v) -> str:
+    """Unix-epoch rendering of a datetime with 6 fraction digits
+    (lib/timeutils append_format_unix_time TS_FMT_UNIX, frac_digits=6 —
+    the datetime string/JSON marshal, object-datetime.c:244-257)."""
+    ts = pd.Timestamp(v)
+    if ts.tzinfo is None:
+        ts = ts.tz_localize("UTC")
+    ns = ts.value
+    sec, frac_ns = divmod(ns, 1_000_000_000)
+    return f"{sec}.{frac_ns // 1000:06d}"
+
+
+def _escape_bin(b: bytes) -> str:
+    """append_unsafe_utf8_as_escaped_binary with AUTF8_UNSAFE_QUOTE:
+    printable UTF-8 passes through, quotes/backslashes escape, other
+    bytes render as \\xNN."""
+    out = []
+    for ch in bytes(b).decode("utf-8", "backslashreplace"):
+        if ch == '"':
+            out.append('\\"')
+        elif ch == "\\":
+            out.append("\\\\")
+        elif ch.isprintable() or ch in ("\t",):
+            out.append(ch)
+        else:
+            out.append(f"\\x{ord(ch):02x}")
+    return "".join(out)
+
+
+def _fx_render(v, mode: str) -> str:
+    """Reference value rendering, one scalar. mode: 'repr' (repr()),
+    'json' (format_json / dict-member marshal), 'str' (string() cast).
+    Matches the per-type repr/format_json/str methods in
+    lib/filterx/object-*.c, pinned by the Light types suite."""
+    import base64 as _b64
+    import datetime as _dt
+    import json as _json
+
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        return _double_repr(float(v))
+    if isinstance(v, Protobuf):
+        if mode == "repr":
+            return 'protobuf("' + _escape_bin(v) + '")'
+        if mode == "str":
+            return bytes(v).decode("utf-8", "replace")
+        return '"' + _b64.b64encode(bytes(v)).decode() + '"'
+    if isinstance(v, (bytes, bytearray)):
+        if mode == "repr":
+            return 'bytes("' + _escape_bin(v) + '")'
+        if mode == "str":
+            return bytes(v).decode("utf-8", "replace")
+        return '"' + _b64.b64encode(bytes(v)).decode() + '"'
+    if isinstance(v, (pd.Timestamp, np.datetime64, _dt.datetime)):
+        u = _unix_6f(v)
+        if mode == "repr":
+            return f"datetime({u})"
+        if mode == "str":
+            return u
+        return f'"{u}"'
+    if isinstance(v, str):
+        if mode == "str":
+            return v
+        return _json.dumps(v, ensure_ascii=False)
+    if isinstance(v, dict):
+        # dict repr/string render members via repr, format_json via
+        # the members' JSON marshal (Light test_type_dict: the same
+        # dict differs only in its datetime member)
+        inner = "json" if mode == "json" else "repr"
+        items = []
+        for k, val in v.items():
+            kv = _json.dumps(str(k), ensure_ascii=False)
+            if val is None or (np.ndim(val) == 0 and not isinstance(
+                    val, (dict, list, str, bytes)) and pd.isna(val)):
+                items.append(kv + ":null")
+            else:
+                items.append(kv + ":" + _fx_render(val, inner))
+        return "{" + ",".join(items) + "}"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        inner = "json" if mode == "json" else "repr"
+        items = []
+        for val in v:
+            if val is None or (np.ndim(val) == 0 and not isinstance(
+                    val, (dict, list, str, bytes)) and pd.isna(val)):
+                items.append("null")
+            else:
+                items.append(_fx_render(val, inner))
+        return "[" + ",".join(items) + "]"
+    if mode == "str":
+        return str(v)
+    return _json.dumps(str(v), ensure_ascii=False)
+
+
 def _fx_vt(v) -> str:
     """Runtime type label of a FilterX value (the evaluator's Python
     object model mapped to the reference's FILTERX_TYPE names)."""
@@ -611,6 +755,8 @@ def _fx_vt(v) -> str:
         return "integer"
     if isinstance(v, (float, np.floating)):
         return "double"
+    if isinstance(v, Protobuf):
+        return "protobuf"
     if isinstance(v, (bytes, bytearray)):
         return "bytes"
     if isinstance(v, str):
@@ -847,15 +993,55 @@ def _parse_json(a: pd.Series) -> pd.Series:
 
 
 def _format_json(a: pd.Series) -> pd.Series:
-    import json
-
+    """format_json(x): the per-type JSON marshal (object-*.c
+    format_json methods) — doubles as %.17g with trailing zeroes
+    trimmed, datetimes as quoted unix.usec strings, bytes/protobuf as
+    quoted base64 (pinned by Light test_filterx_types.py)."""
+    if pd.api.types.is_datetime64_any_dtype(a):
+        return pd.Series([None if pd.isna(v) else _fx_render(v, "json")
+                          for v in a], dtype=object)
     out = []
     for v in a:
         if v is None or (not isinstance(v, (dict, list, str, bytes)) and pd.isna(v)):
             out.append(None)
         else:
-            out.append(json.dumps(v, separators=(",", ":"), ensure_ascii=False))
+            out.append(_fx_render(v, "json"))
     return pd.Series(out, dtype=object)
+
+
+def _cast_string(a: pd.Series) -> pd.Series:
+    """string(x) typecast (filterx_typecast_string -> per-type str
+    marshal): doubles via double_repr, datetimes as unix.usec,
+    bytes decode raw, dict/list like repr (Light test_filterx_types.py
+    asserts string(dict) == repr(dict))."""
+    if pd.api.types.is_datetime64_any_dtype(a):
+        return pd.Series([None if pd.isna(v) else _unix_6f(v) for v in a],
+                         dtype=object)
+    return pd.Series(
+        [None if (v is None or (not isinstance(v, (dict, list, str, bytes))
+                                and np.ndim(v) == 0 and pd.isna(v)))
+         else _fx_render(v, "str") for v in a], dtype=object)
+
+
+def _cast_bytes(a: pd.Series) -> pd.Series:
+    """bytes(x) constructor (filterx_bytes_new): strings encode UTF-8,
+    bytes/protobuf pass through re-labeled."""
+    out = []
+    for v in a:
+        if v is None or (np.ndim(v) == 0 and not isinstance(v, (str, bytes)) and pd.isna(v)):
+            out.append(None)
+        elif isinstance(v, (bytes, bytearray)):
+            out.append(bytes(v))
+        else:
+            out.append(str(v).encode())
+    return pd.Series(out, dtype=object)
+
+
+def _cast_protobuf(a: pd.Series) -> pd.Series:
+    """protobuf(x) constructor (filterx_protobuf_new): opaque bytes
+    with the protobuf type label."""
+    return pd.Series([None if v is None else Protobuf(v)
+                      for v in _cast_bytes(a)], dtype=object)
 
 
 def _keys(a: pd.Series) -> pd.Series:
@@ -1026,6 +1212,8 @@ _TYPE_CHECKS = {
     "bool": lambda v: isinstance(v, bool),
     "dict": lambda v: isinstance(v, dict),
     "list": lambda v: isinstance(v, (list, tuple)),
+    "bytes": lambda v: isinstance(v, (bytes, bytearray)) and not isinstance(v, Protobuf),
+    "protobuf": lambda v: isinstance(v, Protobuf),
     "null": lambda v: v is None,
 }
 
@@ -1264,7 +1452,9 @@ _FUNCS = {
     "upper": lambda a: a.astype("string").str.upper().astype(object),
     "lower": lambda a: a.astype("string").str.lower().astype(object),
     "len": _len,
-    "string": lambda a: a.where(pd.isna(a), a.astype(str)),
+    "string": _cast_string,
+    "bytes": _cast_bytes,
+    "protobuf": _cast_protobuf,
     "int": lambda a: pd.to_numeric(a, errors="coerce").astype("Int64"),
     "double": lambda a: pd.to_numeric(a, errors="coerce").astype(float),
     "isset": lambda a: pd.Series(~pd.isna(a).to_numpy(), dtype=object),
@@ -1977,51 +2167,132 @@ def _align_types(a, b):
     return sa, sb
 
 
+def _cow_clone(c):
+    """Type-preserving shallow clone of a container (the object model's
+    copy-on-write: a write along a shared chain clones only the touched
+    levels — lib/filterx object COW, Light test_filterx_cow.py)."""
+    if isinstance(c, dict):
+        return dict(c)
+    if isinstance(c, (list, tuple, np.ndarray)):
+        return list(c)
+    return None
+
+
 def _set_path_series(cur: pd.Series, keys_, val: pd.Series,
                      mask: np.ndarray) -> pd.Series:
-    """Masked nested-key store into a Series of dicts (expr-set-subscript.c
-    / expr-setattr): per selected row, copy-on-write the dict chain and set
-    the leaf. A null/non-dict row becomes a fresh dict (the reference
-    errors; the columnar engine creates, matching set-subscript on unset)."""
+    """Masked nested-key store into a Series of dicts/lists
+    (expr-set-subscript.c / expr-setattr): per selected row,
+    copy-on-write the container chain and set the leaf. Lists index by
+    integer (exactly-one-past-the-end appends, other out-of-range
+    writes skip like an eval error); _APPEND_KEY is the `l[] = v`
+    append lvalue. A null/non-container row becomes a fresh dict (or
+    list for an append) — the reference errors, the columnar engine
+    creates, matching set-subscript on unset."""
     arr = cur.to_numpy(dtype=object).copy()
     varr = val.to_numpy(dtype=object)
     for i in np.nonzero(mask)[0]:
-        d = arr[i]
-        d = dict(d) if isinstance(d, dict) else {}
-        tgt = d
+        root = _cow_clone(arr[i])
+        if root is None:
+            root = [] if keys_[0] == _APPEND_KEY else {}
+        tgt = root
+        ok = True
         for k in keys_[:-1]:
-            nxt = tgt.get(k)
-            nxt = dict(nxt) if isinstance(nxt, dict) else {}
-            tgt[k] = nxt
-            tgt = nxt
-        tgt[keys_[-1]] = varr[i]
-        arr[i] = d
+            if isinstance(tgt, list):
+                if k == _APPEND_KEY:
+                    nxt = {}
+                    tgt.append(nxt)
+                    tgt = nxt
+                    continue
+                try:
+                    ik = int(k)
+                except (TypeError, ValueError):
+                    ok = False
+                    break
+                if not (-len(tgt) <= ik < len(tgt)):
+                    ok = False
+                    break
+                nxt = _cow_clone(tgt[ik])
+                if nxt is None:
+                    nxt = {}
+                tgt[ik] = nxt
+                tgt = nxt
+            else:
+                nxt = _cow_clone(tgt.get(k))
+                if nxt is None:
+                    nxt = {}
+                tgt[k] = nxt
+                tgt = nxt
+        if not ok:
+            continue
+        last = keys_[-1]
+        v = varr[i]
+        if isinstance(tgt, list):
+            if last == _APPEND_KEY:
+                tgt.append(v)
+            else:
+                try:
+                    ik = int(last)
+                except (TypeError, ValueError):
+                    continue
+                if -len(tgt) <= ik < len(tgt):
+                    tgt[ik] = v
+                elif ik == len(tgt):
+                    tgt.append(v)
+        else:
+            tgt[last] = v
+        arr[i] = root
     return pd.Series(arr, dtype=object)
 
 
 def _unset_path_series(cur: pd.Series, keys_, mask: np.ndarray) -> pd.Series:
-    """Masked nested-key delete from a Series of dicts (expr-unset on a
-    subscript/attr lvalue): per selected row, copy-on-write the dict
-    chain and del the leaf key; missing intermediates are a no-op."""
+    """Masked nested-key delete from a Series of dicts/lists (expr-unset
+    on a subscript/attr lvalue): per selected row, copy-on-write the
+    container chain and del the leaf key / list element; missing
+    intermediates are a no-op."""
     arr = cur.to_numpy(dtype=object).copy()
     for i in np.nonzero(mask)[0]:
-        d = arr[i]
-        if not isinstance(d, dict):
+        root = _cow_clone(arr[i])
+        if root is None:
             continue
-        d = dict(d)
-        tgt = d
+        tgt = root
         ok = True
         for k in keys_[:-1]:
-            nxt = tgt.get(k)
-            if not isinstance(nxt, dict):
-                ok = False
-                break
-            nxt = dict(nxt)
-            tgt[k] = nxt
-            tgt = nxt
-        if ok and keys_[-1] in tgt:
-            del tgt[keys_[-1]]
-            arr[i] = d
+            if isinstance(tgt, list):
+                try:
+                    ik = int(k)
+                except (TypeError, ValueError):
+                    ok = False
+                    break
+                if not (-len(tgt) <= ik < len(tgt)):
+                    ok = False
+                    break
+                nxt = _cow_clone(tgt[ik])
+                if nxt is None:
+                    ok = False
+                    break
+                tgt[ik] = nxt
+                tgt = nxt
+            else:
+                nxt = _cow_clone(tgt.get(k))
+                if nxt is None:
+                    ok = False
+                    break
+                tgt[k] = nxt
+                tgt = nxt
+        if not ok:
+            continue
+        last = keys_[-1]
+        if isinstance(tgt, list):
+            try:
+                ik = int(last)
+            except (TypeError, ValueError):
+                continue
+            if -len(tgt) <= ik < len(tgt):
+                del tgt[ik]
+                arr[i] = root
+        elif last in tgt:
+            del tgt[last]
+            arr[i] = root
     return pd.Series(arr, dtype=object)
 
 

@@ -639,23 +639,26 @@ def _cast_datetime(a: pd.Series) -> pd.Series:
 
 
 def _repr(a: pd.Series) -> pd.Series:
-    """repr(x): canonical string form — datetimes as isodate, bools
-    true/false, dict/list as compact JSON, others str()."""
-    import json
+    """repr(x): the reference per-type repr (lib/filterx/object-*.c
+    repr methods; Light test_filterx_types.py): datetimes as
+    datetime(unix.usec), doubles as %.17g trimmed, bytes/protobuf as
+    bytes("..."), dicts/lists JSON-shaped with member reprs. Strings
+    repr QUOTED in the reference (string_format_json) — kept bare here
+    where the value IS already a string column, matching marshal-on-
+    assignment (a quoted repr only appears for container members)."""
+    from .filterx import _fx_render
 
     if pd.api.types.is_datetime64_any_dtype(a):
-        out = a.dt.strftime("%Y-%m-%dT%H:%M:%S%z")
-        return out.astype(object).where(~pd.isna(out), None)
+        return pd.Series([None if pd.isna(v) else _fx_render(v, "repr")
+                          for v in a], dtype=object)
     out = []
     for v in a:
         if _null(v):
             out.append(None)
-        elif isinstance(v, bool):
-            out.append("true" if v else "false")
-        elif isinstance(v, (dict, list)):
-            out.append(json.dumps(v, separators=(",", ":"), ensure_ascii=False))
+        elif isinstance(v, str):
+            out.append(v)
         else:
-            out.append(str(v))
+            out.append(_fx_render(v, "repr"))
     return pd.Series(out, dtype=object)
 
 

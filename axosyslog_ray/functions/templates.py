@@ -58,7 +58,15 @@ class ValueRef:
     def eval(self, table: pa.Table) -> pd.Series:
         if self.name in table.column_names:
             col = table.column(self.name).to_pandas()
-            out = col.astype("string").astype(object)
+            if pd.api.types.is_bool_dtype(col):
+                # LM_VT_BOOLEAN marshals lowercase (lib/logmsg type
+                # hints; Light suites assert 'true'/'false')
+                out = pd.Series(
+                    np.where(col.fillna(False).to_numpy(dtype=bool),
+                             "true", "false"),
+                    dtype=object, index=col.index)
+            else:
+                out = col.astype("string").astype(object)
             fill = self.default if self.default is not None else ""
             return out.where(col.notna(), fill)
         if (self.name.isdigit() and self.name.isascii()

@@ -1607,3 +1607,213 @@ log { source(s); filterx { %s }; destination(d); };
     def test_list_trailing_comma(self):
         out = self._run_fx('$MSG = format_json([1, 2, 3,]);')
         assert out == ['[1,2,3]']
+
+
+class TestFilterXTypesLight:
+    """Ports of Light filterx/test_filterx_types.py: repr() / string()
+    / format_json() per type — dict (with a datetime member), bytes,
+    protobuf, int, double, bool, datetime. Expected strings are the
+    reference suite's own byte-exact assertions (%.17g doubles,
+    unix.usec datetimes, base64 bytes). otel_* types are out of scope
+    with the gRPC transports (COVERAGE.md)."""
+
+    def _run3(self, decl):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log" template("$repr\t$string\t$json")); };
+log { source(s); filterx { %s
+    $repr = repr(variable); $string = string(variable);
+    $json = format_json(variable); }; destination(d); };
+""" % decl)
+        t = pa.table({"message": ["-"], "pri": [13]})
+        line = cfg.run(sources={"s": t}).rendered("d")[0]
+        return line.split("\t")
+
+    def test_type_dict(self):
+        r, s, j = self._run3(
+            'variable={"foo":"foovalue", "bar": "barvalue", "int":5, '
+            '"null":null, "double": 3.14, '
+            "\"datetime\":datetime('2006-02-11T10:34:56.123+01:00')};")
+        assert r == ('{"foo":"foovalue","bar":"barvalue","int":5,"null":null,'
+                     '"double":3.1400000000000001,'
+                     '"datetime":datetime(1139650496.123000)}')
+        assert s == r
+        assert j == ('{"foo":"foovalue","bar":"barvalue","int":5,"null":null,'
+                     '"double":3.1400000000000001,'
+                     '"datetime":"1139650496.123000"}')
+
+    def test_type_bytes(self):
+        r, s, j = self._run3('variable=bytes("test message");')
+        assert r == 'bytes("test message")'
+        assert s == "test message"
+        assert j == '"dGVzdCBtZXNzYWdl"'
+
+    def test_type_protobuf(self):
+        r, s, j = self._run3('variable=protobuf(bytes("test message"));')
+        assert r == 'protobuf("test message")'
+        assert s == "test message"
+        assert j == '"dGVzdCBtZXNzYWdl"'
+
+    def test_type_int(self):
+        r, s, j = self._run3('variable=155;')
+        assert r == s == j == "155"
+
+    def test_type_double(self):
+        r, s, j = self._run3('variable=3.14;')
+        assert r == s == j == "3.1400000000000001"
+
+    def test_type_bool(self):
+        r, s, j = self._run3('variable=true;')
+        assert r == s == j == "true"
+
+    def test_type_datetime(self):
+        r, s, j = self._run3(
+            "variable=datetime('2006-02-11T10:34:56+01:00');")
+        assert r == "datetime(1139650496.000000)"
+        assert s == "1139650496.000000"
+        assert j == '"1139650496.000000"'
+
+    def test_istype_bytes_protobuf(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log" template("$a $b $c")); };
+log { source(s); filterx {
+    v = bytes("x"); p = protobuf(v);
+    $a = istype(v, "bytes"); $b = istype(p, "protobuf");
+    $c = istype(p, "bytes"); }; destination(d); };
+""")
+        t = pa.table({"message": ["-"], "pri": [13]})
+        assert cfg.run(sources={"s": t}).rendered("d")[0] == "true true false"
+
+
+class TestFilterXCowLight:
+    """Ports of Light filterx/test_filterx_cow.py: copy-on-write object
+    semantics — assigning a dict/list to a second variable then mutating
+    either side (setattr, set-subscript, unset, append, +=) must leave
+    the other untouched, and storing/merging a dict into itself stores
+    the OLD version. Expected strings are the reference suite's own."""
+
+    def _run(self, fx):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log" template("${MESSAGE}")); };
+log { source(s); filterx { %s }; destination(d); };
+""" % fx)
+        t = pa.table({"message": ["-"], "pri": [13]})
+        return cfg.run(sources={"s": t}).rendered("d")[0]
+
+    def test_dict_writes_cause_clone(self):
+        out = self._run("""
+            d = {'foo':'foovalue','bar':'barvalue',};
+            d2 = d; d2.bar = 'bar-changed';
+            $MSG = string(d) + '--' + string(d2);""")
+        assert out == ('{"foo":"foovalue","bar":"barvalue"}--'
+                       '{"foo":"foovalue","bar":"bar-changed"}')
+
+    def test_dict_unset_causes_clone(self):
+        out = self._run("""
+            d = {'foo':'foovalue','bar':'barvalue',};
+            d2 = d; unset(d2.bar);
+            $MSG = string(d) + '--' + string(d2);""")
+        assert out == '{"foo":"foovalue","bar":"barvalue"}--{"foo":"foovalue"}'
+
+    def test_dict_child_writes_cause_clone(self):
+        out = self._run("""
+            d = {'foo':'f','bar':'b',
+                 'child':{'child_foo':'f','child_bar':'barvalue'},};
+            d2 = d; d2.child.child_bar = 'bar-changed';
+            $MSG = d.child.child_bar + '--' + d2.child.child_bar;""")
+        assert out == "barvalue--bar-changed"
+
+    def test_dict_child_of_child_writes_cause_clone(self):
+        out = self._run("""
+            d = {'child':{'child2':{'child2_bar':'barvalue'}}};
+            d2 = d; d2.child.child2.child2_bar = 'bar-changed';
+            $MSG = d.child.child2.child2_bar + '--' + d2.child.child2.child2_bar;""")
+        assert out == "barvalue--bar-changed"
+
+    def test_list_writes_cause_clone(self):
+        out = self._run("""
+            l = [1,2,3]; l2 = l; l2[] = 4;
+            $MSG = string(l) + '--' + string(l2);""")
+        assert out == "[1,2,3]--[1,2,3,4]"
+
+    def test_list_child_writes_cause_clone(self):
+        out = self._run("""
+            l = [1,2,3,[4,5,6]]; l2 = l; l2[3][] = 10;
+            $MSG = string(l) + '--' + string(l2);""")
+        assert out == "[1,2,3,[4,5,6]]--[1,2,3,[4,5,6,10]]"
+
+    def test_list_child_of_child_writes_cause_clone(self):
+        out = self._run("""
+            l = [1,2,3,[4,5,6,{'foo':'foovalue','bar':'barvalue'}]];
+            l2 = l; l2[3][3].baz = 'bazvalue';
+            $MSG = string(l) + '--' + string(l2);""")
+        assert out == (
+            '[1,2,3,[4,5,6,{"foo":"foovalue","bar":"barvalue"}]]--'
+            '[1,2,3,[4,5,6,{"foo":"foovalue","bar":"barvalue","baz":"bazvalue"}]]')
+
+    def test_list_unset_causes_clone(self):
+        out = self._run("""
+            l = [1,2,3,[4,5,6,{'foo':'foovalue','bar':'barvalue'}]];
+            l2 = l; unset(l2[3][3]);
+            $MSG = string(l) + '--' + string(l2);""")
+        assert out == ('[1,2,3,[4,5,6,{"foo":"foovalue","bar":"barvalue"}]]'
+                       '--[1,2,3,[4,5,6]]')
+
+    DEEP = ("d = {'foo':'foovalue','bar':'barvalue','child':{'child_foo':"
+            "'foovalue','child_bar':'barvalue','child2':{'child2_foo':"
+            "'foovalue','child2_bar':'barvalue','child3':{'child3_foo':"
+            "'foovalue','child3_bar':'barvalue','child4':{'child4_foo':"
+            "'foovalue','child4_bar':'barvalue','child5':{'child5_foo':"
+            "'foovalue','child5_bar':'barvalue',},},},},},};"
+            "d.child.child2.child3.child4.child5.added_key = 'added_key';")
+    DEEP_WANT = (
+        '{"foo":"foovalue","bar":"barvalue","child":{"child_foo":"foovalue",'
+        '"child_bar":"barvalue","child2":{"child2_foo":"foovalue",'
+        '"child2_bar":"barvalue","child3":{"child3_foo":"foovalue",'
+        '"child3_bar":"barvalue","child4":{"child4_foo":"foovalue",'
+        '"child4_bar":"barvalue","child5":{"child5_foo":"foovalue",'
+        '"child5_bar":"barvalue","added_key":"added_key",'
+        '"recursive":{"foo":"foovalue","bar":"barvalue","child":'
+        '{"child_foo":"foovalue","child_bar":"barvalue","child2":'
+        '{"child2_foo":"foovalue","child2_bar":"barvalue","child3":'
+        '{"child3_foo":"foovalue","child3_bar":"barvalue","child4":'
+        '{"child4_foo":"foovalue","child4_bar":"barvalue","child5":'
+        '{"child5_foo":"foovalue","child5_bar":"barvalue",'
+        '"added_key":"added_key"}}}}}}}}}}}}')
+
+    def test_recursive_setattr_stores_old_version(self):
+        out = self._run(
+            self.DEEP +
+            "d.child.child2.child3.child4.child5.recursive = d;"
+            "$MSG = format_json(d);")
+        assert out == self.DEEP_WANT
+
+    def test_recursive_set_subscript_stores_old_version(self):
+        out = self._run(
+            self.DEEP +
+            "d.child.child2.child3.child4.child5['recursive'] = d;"
+            "$MSG = format_json(d);")
+        assert out == self.DEEP_WANT
+
+    def test_recursive_plus_assign_merges_old_version(self):
+        out = self._run("""
+            d = {'foo':'foovalue','bar':'barvalue','child':{'child_foo':'foovalue','child_bar':'barvalue','child2':{'child2_foo':'foovalue','child2_bar':'barvalue',},},};
+            d.child.child2.added_key = 'added_key';
+            d.child.child2 += d;
+            $MSG = format_json(d);""")
+        assert out == (
+            '{"foo":"foovalue","bar":"barvalue","child":{"child_foo":"foovalue",'
+            '"child_bar":"barvalue","child2":{"child2_foo":"foovalue",'
+            '"child2_bar":"barvalue","added_key":"added_key",'
+            '"foo":"foovalue","bar":"barvalue","child":{"child_foo":"foovalue",'
+            '"child_bar":"barvalue","child2":{"child2_foo":"foovalue",'
+            '"child2_bar":"barvalue","added_key":"added_key"}}}}}')
+
+    def test_plus_on_child_of_shared_hierarchy(self):
+        out = self._run("""
+            d = {'child':['foo','bar']};
+            result = d.child + ['foobar'];
+            $MSG = string(result) + '--' + string(d);""")
+        assert out == '["foo","bar","foobar"]--{"child":["foo","bar"]}'

@@ -198,7 +198,9 @@ def test_datetime_cast_and_repr():
     assert out.column("a").to_pylist()[0].isoformat() == "2024-01-02T03:04:05"
     assert out.column("b").to_pylist()[0].isoformat() == "2024-01-02T03:04:05"
     assert out.column("c").to_pylist()[0].isoformat() == "2024-01-02T03:04:05"
-    assert out.column("r").to_pylist() == ["2024-01-02T03:04:05", None]
+    # reference repr is datetime(<unix>.<usec>) (object-datetime.c:204,
+    # Light test_filterx_types.py test_type_datetime)
+    assert out.column("r").to_pylist() == ["datetime(1704164645.000000)", None]
 
 
 def test_repr_objects():
