@@ -518,6 +518,13 @@ class _Destination:
         self.tables: list[pa.Table] = []
 
     def write(self, table: pa.Table):
+        # declared-filterx-variable carrier columns are engine-internal
+        # (filterx.py _FXDECL) — they never reach a destination
+        from .filterx import _FXDECL
+
+        drop = [c for c in table.column_names if c.startswith(_FXDECL)]
+        if drop:
+            table = table.drop_columns(drop)
         self.counts += table.num_rows
         self.tables.append(table)
 
@@ -584,7 +591,10 @@ class Config:
         columns, like the reference's filterx log element."""
         from .filterx import FilterX
 
-        return FilterX(body)
+        # message semantics: container-valued fields marshal to JSON
+        # text at block egress (the reference's LogMessage write path),
+        # so junction branches with diverging dict members still merge
+        return FilterX(body, marshal_containers=True)
 
     def _compile_stage(self, kind: str, d: Driver):
         if kind == "parser":

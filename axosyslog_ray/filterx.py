@@ -199,15 +199,17 @@ class _Parser:
             self.next()
             return ("break",)
         if v == "declare":
-            # declare x = expr; (filterx-grammar.ym KW_DECLARE) — the
-            # declaration scope is the whole program here, which the
-            # per-batch variable table already provides
+            # declare x = expr; (filterx-grammar.ym KW_DECLARE): a
+            # DECLARED variable outlives its block — it is carried to
+            # later filterx blocks in the same log path (Light
+            # test_filterx_scope.py declared-retention cases), where a
+            # floating (plain) variable is dropped at end of scope
             self.next()
             nk, nv = self.next()
             if nk != "name":
                 raise SyntaxError("filterx: declare needs a variable name")
             self.expect("=")
-            return ("assign", ("name", nv), self.expr())
+            return ("declare", ("name", nv), self.expr())
         if v == "unset":
             # unset($field); — reference lib/filterx/expr-unset.c: the
             # value becomes unset (null here); isset() turns false.
@@ -603,6 +605,17 @@ class _Ctx:
         self.failure_collect_falsy = False
         self.failure_info: list = []
         self.failure_meta = None
+        # declared variables (filterx-grammar KW_DECLARE) arriving from
+        # an earlier filterx block travel as hidden _FXDECL-prefixed
+        # columns; seed them as variables and keep them declared
+        self.declared: set[str] = set()
+        for cn in table.column_names:
+            if cn.startswith(_FXDECL):
+                name = cn[len(_FXDECL):]
+                self.vars[name] = pd.Series(
+                    [_maybe_unmarshal(v)
+                     for v in table.column(cn).to_pandas()], dtype=object)
+                self.declared.add(name)
 
     def col(self, name: str) -> pd.Series:
         if name in self.cols:
@@ -617,6 +630,12 @@ class _Ctx:
 
 # sentinel key for the `l[] = v` append lvalue (an impossible real key)
 _APPEND_KEY = "\x00__fx_append__\x00"
+
+# hidden-column prefix carrying DECLARED filterx variables between
+# consecutive filterx blocks (filterx-grammar KW_DECLARE retention;
+# Light test_filterx_scope.py). Stripped by strip_declared_columns()
+# at the destination boundary.
+_FXDECL = "__fxdecl_"
 
 
 class Protobuf(bytes):
@@ -880,6 +899,14 @@ def _plus_typed(a, b):
     if isinstance(a, pd.Series) and a.dtype == object \
             and isinstance(b, pd.Series) and b.dtype == object:
         fa, fb = _first_nonnull(a), _first_nonnull(b)
+        # one side marshaled container text + other side container:
+        # unmarshal before the typed dispatch (LM_VT_JSON on access)
+        if isinstance(fa, str) and isinstance(fb, (dict, list, np.ndarray)):
+            a = pd.Series([_maybe_unmarshal(v) for v in a], dtype=object)
+            fa = _first_nonnull(a)
+        elif isinstance(fb, str) and isinstance(fa, (dict, list, np.ndarray)):
+            b = pd.Series([_maybe_unmarshal(v) for v in b], dtype=object)
+            fb = _first_nonnull(b)
         # Arrow list columns reach pandas as numpy arrays
         is_list = lambda v: isinstance(v, (list, np.ndarray))  # noqa: E731
         if is_list(fa) or is_list(fb):
@@ -944,8 +971,27 @@ def _includes(a: pd.Series, b, ignorecase=None) -> pd.Series:
     return _str_match_family(a, b, ignorecase, lambda s, n: n in s)
 
 
+def _maybe_unmarshal(v):
+    """LM_VT_JSON unmarshal-on-access: a container-valued message field
+    crosses filterx block boundaries as its marshaled JSON text (the
+    reference stores nv-pairs as typed strings and unmarshals on access,
+    lib/filterx/object-message-value.c). A string starting with '{' or
+    '[' that parses as JSON yields the container; anything else passes
+    through. (Without the reference's type-hint channel, a plain string
+    that happens to BE valid JSON unmarshals too — documented.)"""
+    if isinstance(v, str) and v[:1] in ("{", "["):
+        import json
+
+        try:
+            return json.loads(v)
+        except ValueError:
+            return v
+    return v
+
+
 def _get_one(v, key):
     """Single-value get: dict member, list index, else None."""
+    v = _maybe_unmarshal(v)
     if isinstance(v, dict):
         return v.get(key)
     if isinstance(v, (list, tuple)):
@@ -963,6 +1009,7 @@ def _get_key(s: pd.Series, key) -> pd.Series:
     evaluates to unset, which a filter treats as false.)"""
     out = []
     for v in s:
+        v = _maybe_unmarshal(v)
         if isinstance(v, dict):
             out.append(v.get(key))
         elif isinstance(v, (list, tuple)):
@@ -1590,10 +1637,15 @@ def _set_pri(ctx, pri: pd.Series) -> pd.Series:
 # functions that need the row context (count / variable scope / columns)
 def _json_fn(ctx, a=None):
     """json(): zero-arg form constructs one EMPTY DICT per row (the
-    reference's object constructor, filterx-object-json.c); with an
-    argument it parses like parse_json()."""
+    reference's object constructor, filterx-object-json.c); a dict/list
+    argument passes through (json({...}) literal construction, Light
+    test_filterx_scope.py); strings parse like parse_json()."""
     if a is None:
         return pd.Series([{} for _ in range(ctx.n)], dtype=object)
+    if isinstance(a, pd.Series) and a.dtype == object:
+        first = _first_nonnull(a)
+        if isinstance(first, (dict, list)):
+            return a
     return _parse_json(a)
 
 
@@ -1625,12 +1677,20 @@ _CTX_FUNCS |= set(_MSG_CTX_FUNCS)
 class FilterX:
     """Compiled FilterX program; callable as a map_batches stage."""
 
-    def __init__(self, src: str):
+    def __init__(self, src: str, marshal_containers: bool = False):
         self.ast = _Parser(src).program()
         # update_metric counters, merged per batch; per-actor in an
         # actor-pool map_batches (the Ray-native stats registry — a
         # pipeline aggregates snapshots instead of scraping a global)
         self.metrics: dict = {}
+        # marshal_containers=True is MESSAGE semantics (the config front
+        # end): dict/list fields leave the block as compact JSON text
+        # like the reference's LogMessage write path, and unmarshal on
+        # access in a later block — so parallel junction branches can't
+        # drift block schemas. False (the default) keeps the Ray-stage
+        # contract: containers egress as typed Arrow struct/list columns
+        # for downstream vectorized stages.
+        self.marshal_containers = marshal_containers
 
     # -- expression eval: returns pd.Series aligned with the batch --
     def _eval(self, node, ctx: _Ctx) -> pd.Series:
@@ -1966,6 +2026,12 @@ class FilterX:
         if tag == "break":
             ctx.break_rows = ctx.break_rows | mask
             return
+        if tag == "declare":
+            # execute as a variable assign, then mark the name declared
+            # so __call__ persists it for downstream filterx blocks
+            self._exec(("assign",) + node[1:], ctx, mask)
+            ctx.declared.add(node[1][1])
+            return
         if tag == "assign":
             (kind, name), valnode = node[1], node[2]
             # ctx funcs evaluated in the RHS (move, set_timestamp,
@@ -2138,11 +2204,24 @@ class FilterX:
         # demote nullable int64 to float64)
         for name in ctx.assigned:
             series = ctx.cols[name]
+            if self.marshal_containers:
+                series = _marshal_containers(series)
             arr = _series_to_arrow(series)
             if name in out.column_names:
                 out = out.set_column(out.column_names.index(name), name, arr)
             else:
                 out = out.append_column(name, arr)
+        # persist DECLARED variables for downstream filterx blocks —
+        # containers marshal to JSON text like message-tied values do
+        for name in ctx.declared:
+            series = _marshal_containers(ctx.vars.get(
+                name, pd.Series([None] * ctx.n, dtype=object)))
+            arr = _series_to_arrow(series)
+            cn = _FXDECL + name
+            if cn in out.column_names:
+                out = out.set_column(out.column_names.index(cn), cn, arr)
+            else:
+                out = out.append_column(cn, arr)
         if not ctx.kept.all():
             out = out.filter(pa.array(ctx.kept))
         return out
@@ -2191,7 +2270,7 @@ def _set_path_series(cur: pd.Series, keys_, val: pd.Series,
     arr = cur.to_numpy(dtype=object).copy()
     varr = val.to_numpy(dtype=object)
     for i in np.nonzero(mask)[0]:
-        root = _cow_clone(arr[i])
+        root = _cow_clone(_maybe_unmarshal(arr[i]))
         if root is None:
             root = [] if keys_[0] == _APPEND_KEY else {}
         tgt = root
@@ -2251,7 +2330,7 @@ def _unset_path_series(cur: pd.Series, keys_, mask: np.ndarray) -> pd.Series:
     intermediates are a no-op."""
     arr = cur.to_numpy(dtype=object).copy()
     for i in np.nonzero(mask)[0]:
-        root = _cow_clone(arr[i])
+        root = _cow_clone(_maybe_unmarshal(arr[i]))
         if root is None:
             continue
         tgt = root
@@ -2294,6 +2373,24 @@ def _unset_path_series(cur: pd.Series, keys_, mask: np.ndarray) -> pd.Series:
             del tgt[last]
             arr[i] = root
     return pd.Series(arr, dtype=object)
+
+
+def _marshal_containers(s: pd.Series) -> pd.Series:
+    """Block-egress marshal (the reference's LogMessage write path):
+    dict/list values leave a filterx block as their compact JSON text —
+    exactly what a destination template renders for an LM_VT_JSON value
+    — and unmarshal on access in a later block (_maybe_unmarshal).
+    Keeping containers as Arrow structs instead would drift block
+    schemas (branch A adds a member branch B lacks) and break
+    junction-merge concatenation."""
+    if s.dtype != object:
+        return s
+    has = any(isinstance(v, (dict, list)) for v in s)
+    if not has:
+        return s
+    return pd.Series(
+        [_fx_render(v, "json") if isinstance(v, (dict, list)) else v
+         for v in s], dtype=object)
 
 
 def _series_to_arrow(s: pd.Series) -> pa.Array:

@@ -67,7 +67,9 @@ class ValuePairs:
         for rx in self.include:
             cols += [c for c in table.column_names if rx.match(c) and c not in cols]
         cols = [c for c in cols if not any(rx.match(c) for rx in self.exclude)]
-        return cols
+        # engine-internal carrier columns (declared filterx variables)
+        # are not name-value pairs in any scope
+        return [c for c in cols if not c.startswith("__fxdecl_")]
 
     def rekey(self, name: str) -> str:
         out = name

@@ -1817,3 +1817,95 @@ log { source(s); filterx { %s }; destination(d); };
             result = d.child + ['foobar'];
             $MSG = string(result) + '--' + string(d);""")
         assert out == '["foo","bar","foobar"]--{"child":["foo","bar"]}'
+
+
+class TestFilterXScopeLight:
+    """Ports of Light filterx/test_filterx_scope.py: floating variables
+    are dropped at the end of their filterx block, declared variables
+    are retained across blocks (and junction branches), and changes in
+    abandoned if/else branches are ignored."""
+
+    def _run_path(self, blocks, msg="foobar"):
+        body = " ".join("filterx { %s };" % b for b in blocks)
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination dt { file("t.log" template("${MESSAGE}")); };
+destination df { file("f.log" template("${MESSAGE}")); };
+log { source(s);
+  log { %s destination(dt); flags(final); };
+  log { destination(df); };
+};
+""" % body)
+        t = pa.table({"message": [msg], "pri": [13]})
+        r = cfg.run(sources={"s": t})
+        return r.processed("dt"), r.processed("df"), r.rendered("dt")
+
+    def test_floating_variables_are_dropped_at_end_of_scope(self):
+        t, f, out = self._run_path(
+            ['foo = "kecske"; isset(foo);', 'not isset(foo);'])
+        assert (t, f) == (1, 0) and out == ["foobar"]
+
+    def test_floating_variables_dropped_but_can_be_recreated(self):
+        t, f, out = self._run_path(
+            ['foo = "kecske"; isset(foo);',
+             'not isset(foo); foo = "barka"; isset(foo); $MSG = foo;'])
+        assert (t, f) == (1, 0) and out == ["barka"]
+
+    def test_declared_variables_are_retained_across_scopes(self):
+        t, f, out = self._run_path(
+            ['declare foo = "kecske"; isset(foo);',
+             'isset(foo); foo = "barka";',
+             'isset(foo); $MSG = foo;'])
+        assert (t, f) == (1, 0) and out == ["barka"]
+
+    def _run_junction(self, init, true_exprs, false_exprs, final_exprs,
+                      msg="foobar"):
+        def fx(blocks):
+            return " ".join("filterx { %s };" % b for b in blocks)
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination dtrue { file("t.log" template("${MESSAGE}")); };
+destination dfalse { file("f.log" template("${MESSAGE}")); };
+destination dfinal { file("x.log" template("${MESSAGE}")); };
+log { source(s);
+  %s
+  if { %s destination(dtrue); } else { %s destination(dfalse); };
+  %s
+  destination(dfinal);
+};
+""" % (fx(init), fx(true_exprs), fx(false_exprs), fx(final_exprs)))
+        t = pa.table({"message": [msg], "pri": [13]})
+        return cfg.run(sources={"s": t})
+
+    def test_mutable_variables_inherited_and_cowed_in_parallel_branches(self):
+        r = self._run_junction(
+            ['declare foo = {"foo":{"foo2":"foovalue"}}; isset(foo);'],
+            ['isset(foo); foo.foo.foo2 == "foovalue"; foo.foo.bar2 = "barvalue";',
+             'isset(foo); foo.foo.foo2 == "foovalue"; foo.foo.bar2 == "barvalue"; false;'],
+            ['isset(foo); foo.foo.foo2 == "foovalue"; not isset(foo.foo.bar2); $MSG = "done";'],
+            ['isset(foo); foo.foo.foo2 == "foovalue"; not isset(foo.foo.bar2); $MSG == "done";'])
+        assert r.processed("dfalse") == 1
+        assert r.processed("dtrue") == 0
+        assert r.rendered("dfalse") == ["done"]
+        assert r.rendered("dfinal") == ["done"]
+
+    def test_declared_variables_retained_across_scopes_and_junctions(self):
+        r = self._run_junction(
+            ['declare foo = "kecske"; isset(foo);'],
+            ['isset(foo); foo = "barka";', 'isset(foo); $MSG = foo;'],
+            [], [])
+        assert r.processed("dtrue") == 1
+        assert r.processed("dfalse") == 0
+        assert r.rendered("dtrue") == ["barka"]
+
+    def test_changes_in_abandoned_branches_are_ignored(self):
+        r = self._run_junction(
+            ['$json = json({"common": "common"}); $variable = "something"; unset($variable);'],
+            ['$json += {"iftrue": "true"}; $json; false;'],
+            ['$json += {"iffalse": "false"}; $json;'],
+            ['$MSG = $json;'])
+        assert r.processed("dfalse") == 1
+        assert r.processed("dtrue") == 0
+        assert r.rendered("dfalse") == ["foobar"]
+        assert r.processed("dfinal") == 1
+        assert r.rendered("dfinal") == ['{"common":"common","iffalse":"false"}']
