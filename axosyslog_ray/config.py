@@ -283,10 +283,19 @@ class _FilterParser:
                 terms.append(Severity(lo, hi) if dots else Severity(a))
             return _or_chain(terms)
         if n in ("host", "program", "message"):
+            kind = str(d.kw1("type", "pcre"))
+            flags = frozenset(str(f) for f in d.kwargs.get("flags", []))
             return Match(d.args[0], {"host": "HOST", "program": "PROGRAM",
-                                     "message": "MESSAGE"}[n], "pcre")
+                                     "message": "MESSAGE"}[n], kind,
+                         flags=flags)
         if n == "match":
-            return Match(d.args[0], str(d.kw1("value", "MESSAGE")), "pcre")
+            # type(pcre|string|glob) selects the matcher implementation
+            # (lib/logmatcher.c); string is literal full-value equality
+            # unless prefix/substring flags say otherwise
+            kind = str(d.kw1("type", "pcre"))
+            flags = frozenset(str(f) for f in d.kwargs.get("flags", []))
+            return Match(d.args[0], str(d.kw1("value", "MESSAGE")), kind,
+                         flags=flags)
         if n == "netmask":
             return Netmask(d.args[0])
         if n == "tags":
@@ -454,11 +463,64 @@ def _parse_block_params(s: _Stream) -> dict[str, str]:
     return params
 
 
+def _generate_app_parser(cfg: "Config", d: Driver) -> str:
+    """app-parser(topic(T) allow-overlaps() auto-parse()): generate the
+    reference's framing config text verbatim (modules/appmodel/
+    app-parser-generator.c:182-262): without overlaps an if/else chain
+    ending in `filterx { false; }` (first matching application wins and
+    sets `.app.name` + its tag; no match drops the message); with
+    overlaps independent if statements (every matching application
+    runs, no-match passes through); auto-parse(no) is the empty frame
+    that drops everything."""
+    topic = str(d.kw1("topic", ""))
+    overlaps = str(d.kw1("allow-overlaps", "no")).lower() in ("yes", "on", "1", "true")
+    auto = str(d.kw1("auto-parse", "yes")).lower() not in ("no", "off", "0", "false")
+    apps = [(n, sec) for (n, t, sec) in cfg.applications if t == topic]
+    if not auto:
+        return "channel { filterx { false; }; }"
+
+    def app_body(name: str, sec: dict) -> str:
+        parts = []
+        for k in ("filter", "parser", "filterx", "rewrite"):
+            if k in sec:
+                parts.append("%s { %s };" % (k, sec[k]))
+        if not overlaps:
+            parts.append(
+                'rewrite { set-tag(".app.%s"); '
+                'set("%s" value(".app.name") condition("${.app.name}" eq "")); };'
+                % (name, name))
+        return " ".join(parts)
+
+    if overlaps:
+        body = " ".join("if { %s } else {};" % app_body(n, sec)
+                        for n, sec in apps)
+        return "channel { %s }" % body
+    gen = "filterx { false; };"
+    for n, sec in reversed(apps):
+        gen = "if { %s } else { %s };" % (app_body(n, sec), gen)
+    return "channel { %s }" % gen
+
+
 def _parse_driver_or_ref(s: _Stream, cfg: "Config | None", kind: str | None,
                          _depth: int = 0) -> list[Driver]:
     """One driver statement, or an SCL generator-block reference spliced
     into its generated drivers (reference cfg-block.c:147-180)."""
     name = s.peek()
+    if name == "app-parser" and kind == "parser" and cfg is not None:
+        d = _parse_driver(s)
+        gen = _generate_app_parser(cfg, d)
+        sub = _Stream(tokenize(gen), gen)
+        sub.expect("channel")
+        return [Driver("__channel__", args=[Channel(_parse_log_elements(sub, cfg))])]
+    if (name == "channel" and s.peek(1) == "{" and cfg is not None
+            and kind in ("parser", "rewrite")):
+        # compound channel driver inside a parser/rewrite context
+        # (reference logpipe channel: scl/sudo wraps kv+csv+filter in
+        # `channel { parser {...}; filter {...}; }`) — compiles to a
+        # stage that runs the inner sequence in-path (drops apply)
+        s.next()
+        elems = _parse_log_elements(s, cfg)
+        return [Driver("__channel__", args=[Channel(elems)])]
     if cfg is not None and kind is not None and (kind, name) in cfg.blocks:
         if _depth > 16:
             raise ConfigError(f"block reference too deep at {name}()")
@@ -556,6 +618,9 @@ class Config:
     def __init__(self):
         self.filterx: dict[str, object] = {}
         self.templates: dict[str, str] = {}
+        # application NAME[topic] { filter{}; parser{}; filterx{}; }
+        # registrations, in source order (modules/appmodel)
+        self.applications: list[tuple[str, str, dict[str, str]]] = []
         self.sources: dict[str, list[Driver]] = {}
         self.destinations: dict[str, _Destination] = {}
         self.filters: dict[str, FilterExpr] = {}
@@ -597,6 +662,8 @@ class Config:
         return FilterX(body, marshal_containers=True)
 
     def _compile_stage(self, kind: str, d: Driver):
+        if d.name == "__channel__":
+            return _ChannelStage(self, d.args[0])
         if kind == "parser":
             return _compile_parser(d)
         return _compile_rewrite(d, self.filters)
@@ -852,17 +919,151 @@ class _ExpandMap:
         return out.drop_columns([self.out_col])
 
 
+class _ChannelStage:
+    """A `channel { ... }` compound used as a parser/rewrite stage: runs
+    the inner element sequence in-path, so inner filters DROP rows from
+    the path (unlike a midpoint destination's channel, which runs in
+    its own context)."""
+
+    def __init__(self, cfg: "Config", channel: "Channel"):
+        self.cfg = cfg
+        self.channel = channel
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        return self.cfg._run_sequence(table, self.channel.elements)
+
+
+class _RegexpAlternatives:
+    """regexp-parser(patterns(p1, p2, ...)): patterns try in order,
+    first match wins per row (modules/regexp-parser multi-pattern).
+    Rows no pattern matches keep re_matched=False for _DropUnparsed."""
+
+    def __init__(self, stages: list):
+        self.stages = stages
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        outs = []
+        remaining = table
+        for st in self.stages:
+            if remaining.num_rows == 0:
+                break
+            out = st(remaining)
+            m = out.column("re_matched")
+            outs.append(out.filter(m))
+            remaining = remaining.filter(pc.invert(m))
+        if remaining.num_rows:
+            outs.append(remaining.append_column(
+                "re_matched", pa.array([False] * remaining.num_rows)))
+        res = pa.concat_tables(outs, promote_options="permissive")
+        if _ROW_ID in res.column_names and res.num_rows:
+            res = res.take(pc.sort_indices(res.column(_ROW_ID)))
+        return res
+
+
+class _DropUnparsed:
+    """Config-mode parser-failure drop: filter on the engine stage's
+    validity flag column and strip it (the reference's log_parser
+    process()==FALSE path-drop semantics)."""
+
+    def __init__(self, stage, flag_col: str):
+        self.stage = stage
+        self.flag_col = flag_col
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        out = self.stage(table)
+        if self.flag_col in out.column_names:
+            import pyarrow.compute as pc
+
+            out = out.filter(pc.fill_null(
+                pc.cast(out.column(self.flag_col), pa.bool_()), False))
+            out = out.drop_columns([self.flag_col])
+        return out
+
+
+class _PriOnlyParser:
+    """syslog-parser(flags(no-header)): take the <PRI> prefix off the
+    rendered input, set $PRI, and leave EVERYTHING after it in $MESSAGE
+    (lib/msg-format.c LP_NOPARSE-adjacent no-header flag — the
+    fortigate-parser's entry step). Reads the scratch column written by
+    _TemplateSourced."""
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        src = pc.cast(table.column("__tpl_src"), pa.string())
+        ext = pc.extract_regex(src, r"^<(?P<pri>\d{1,3})>(?P<rest>[\s\S]*)$")
+        pri_s = pc.struct_field(ext, "pri")
+        rest = pc.struct_field(ext, "rest")
+        pri = pc.if_else(pc.is_valid(pri_s),
+                         pc.cast(pri_s, pa.int64()),
+                         table.column("pri") if "pri" in table.column_names
+                         else pa.scalar(13, pa.int64()))
+        msg = pc.if_else(pc.is_valid(rest), rest, src)
+        out = table
+        for name, arr in (("pri", pri), ("message", msg)):
+            if name in out.column_names:
+                out = out.set_column(out.column_names.index(name), name, arr)
+            else:
+                out = out.append_column(name, arr)
+        return out
+
+
+class _TemplateSourced:
+    """Run a stage over a template-rendered scratch column (parser
+    template() inputs that aren't plain field references — e.g.
+    scl/sudo's csv-parser(template("$(list-head $0)"))). The scratch
+    column is dropped afterwards."""
+
+    def __init__(self, stage, tpl: str, col: str):
+        from .functions.templates import Template
+
+        self.stage = stage
+        self.tpl = Template(tpl)
+        self.col = col
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        table = table.append_column(self.col, self.tpl.eval_arrow(table))
+        out = self.stage(table)
+        if self.col in out.column_names:
+            out = out.drop_columns([self.col])
+        return out
+
+
 def _compile_parser(d: Driver):
     if d.name == "csv-parser":
         from .stages.csv_parser import CsvParser
 
         flags = [str(f) for f in d.kwargs.get("flags", [])]
         quotes = d.kw1("quote-pairs") or d.kw1("quotes") or '""'
+        pfx = str(d.kw1("prefix", ""))
+        # unprefixed hard-macro column names (HOST, PROGRAM, MSG...)
+        # write the engine's message columns, like setting the builtin
+        # nv-pair does in the reference (scl/checkpoint relies on
+        # columns("...","HOST","PROGRAM","MSG") re-writing the header)
+        cols = [str(c) if pfx else _field(str(c))
+                for c in d.kwargs.get("columns", [])]
         tpl = str(d.kw1("template", "$MESSAGE"))
-        src = _field(tpl.lstrip("$").strip("{}")) if tpl.startswith("$") \
-            else "message"
+        if re.fullmatch(r"\$\{?[A-Za-z0-9_.]*[A-Za-z_.][A-Za-z0-9_.]*\}?", tpl):
+            src = _field(tpl.lstrip("$").strip("{}"))
+        elif tpl == "$MESSAGE":
+            src = "message"
+        else:
+            # arbitrary template input (e.g. the sudo-parser's
+            # $(list-head $0)): render it into a scratch column first
+            src = "__csv_tpl_src"
+            inner = CsvParser(columns=cols,
+                              delimiters=str(d.kw1("delimiters", ",")),
+                              quotes=str(quotes),
+                              dialect=str(d.kw1("dialect", "escape-none")),
+                              strip_whitespace="strip-whitespace" in flags,
+                              greedy="greedy" in flags,
+                              prefix=str(d.kw1("prefix", "")),
+                              source_col=src)
+            return _TemplateSourced(inner, tpl, src)
         nul = d.kw1("null")
-        return CsvParser(columns=d.kwargs.get("columns", []),
+        return CsvParser(columns=cols,
                          delimiters=str(d.kw1("delimiters", ",")),
                          quotes=str(quotes),
                          dialect=str(d.kw1("dialect", "escape-none")),
@@ -877,14 +1078,60 @@ def _compile_parser(d: Driver):
         from .stages.kv_parser import KvParser
 
         prefix = str(d.kw1("prefix", ""))
-        return _ExpandMap(
+        ps = d.kw1("pair-separator")
+        stray_into = d.kw1("extract-stray-words-into")
+        tpl = str(d.kw1("template", "$MESSAGE"))
+        if re.fullmatch(r"\$\{?[A-Za-z0-9_.]*[A-Za-z_.][A-Za-z0-9_.]*\}?", tpl):
+            src = _field(tpl.lstrip("$").strip("{}"))
+            wrap = None
+        elif tpl == "$MESSAGE":
+            src, wrap = "message", None
+        else:
+            src, wrap = "__tpl_src", tpl
+        stage = _ExpandMap(
             KvParser(value_separator=str(d.kw1("value-separator", "=")),
                      prefix=prefix, out_col="__cfg_kv",
-                     dialect="scanner"), "__cfg_kv")
+                     dialect="scanner", source_col=src,
+                     pair_separator=str(ps) if ps is not None else None,
+                     stray_into=str(stray_into)
+                     if stray_into is not None else None), "__cfg_kv")
+        return _TemplateSourced(stage, wrap, src) if wrap else stage
+    if d.name == "regexp-parser":
+        from .stages.regexp_parser import RegexpParser
+
+        pats = [str(p) for p in (d.kwargs.get("patterns") or [])]
+        if not pats:
+            raise ConfigError("regexp-parser() needs patterns(...)")
+        pfx = str(d.kw1("prefix", ""))
+        tpl = str(d.kw1("template", "$MESSAGE"))
+        src = "message" if tpl == "$MESSAGE" else \
+            _field(tpl.lstrip("$").strip("{}"))
+        stages = []
+        for p in pats:
+            st = RegexpParser(p, prefix=pfx, source_col=src,
+                              emit_matches=True)
+            if not pfx:
+                st.name_map = dict(_FIELD_MAP)
+            stages.append(st)
+        alt = stages[0] if len(stages) == 1 else _RegexpAlternatives(stages)
+        # a non-matching regexp-parser drops the message from the path
+        # (modules/regexp-parser process FALSE)
+        return _DropUnparsed(alt, "re_matched")
     if d.name == "json-parser":
         from .stages.json_parser import JsonParser
 
-        return JsonParser(prefix=str(d.kw1("prefix", "")))
+        tpl = str(d.kw1("template", "$MESSAGE"))
+        src = "message" if tpl == "$MESSAGE" else \
+            _field(tpl.lstrip("$").strip("{}"))
+        ep = d.kw1("extract-prefix")
+        stage = _ExpandMap(
+            JsonParser(prefix=str(d.kw1("prefix", "")), source_col=src,
+                       extract_prefix=str(ep) if ep is not None else None,
+                       key_delimiter=str(d.kw1("key-delimiter", ".")),
+                       out_col="__cfg_jv"), "__cfg_jv")
+        # an unparsable payload drops the message (json-parser.c
+        # process FALSE)
+        return _DropUnparsed(stage, "json_valid")
     if d.name == "db-parser":
         from .pdbtool import load_ruleset
         from .stages.patterndb import PatternDB
@@ -898,10 +1145,29 @@ def _compile_parser(d: Driver):
         from .stages.date_parser import DateParser
 
         fmts = d.kwargs.get("format") or ["%Y-%m-%dT%H:%M:%S%z"]
-        return DateParser([str(f) for f in fmts],
-                          source_col=_field(str(d.kw1("template", "MESSAGE"))
-                                            .lstrip("$").strip("{}")),
-                          time_zone=d.kw1("time-zone"))
+        tpl = str(d.kw1("template", "$MESSAGE"))
+        if re.fullmatch(r"\$\{?[A-Za-z0-9_.]*[A-Za-z_.][A-Za-z0-9_.]*\}?", tpl) or not tpl.startswith("$"):
+            stage = DateParser([str(f) for f in fmts],
+                               source_col=_field(tpl.lstrip("$").strip("{}")),
+                               time_zone=d.kw1("time-zone"))
+        else:
+            # composite template input, e.g. the fortigate-parser's
+            # "${.fortigate.date} ${.fortigate.time}"
+            inner = DateParser([str(f) for f in fmts], source_col="__tpl_src",
+                               time_zone=d.kw1("time-zone"))
+            stage = _TemplateSourced(inner, tpl, "__tpl_src")
+        # a failed date parse DROPS the message from the path
+        # (date-parser.c process returns FALSE) — the if/else junction
+        # then routes the row to the else branch (scl/checkpoint)
+        return _DropUnparsed(stage, "date_parsed")
+    if d.name == "syslog-parser":
+        flags = [str(f) for f in d.kwargs.get("flags", [])]
+        tpl = str(d.kw1("template", "$RAWMSG"))
+        if "no-header" in flags:
+            return _TemplateSourced(_PriOnlyParser(), tpl, "__tpl_src")
+        raise ConfigError(
+            "syslog-parser() re-parse is supported with flags(no-header); "
+            "header parsing happens at the source (format() autodetect)")
     if d.name == "cisco-parser":
         from .stages.app_parsers import CiscoParser
 
@@ -919,7 +1185,7 @@ def _compile_parser(d: Driver):
 
 
 _FIELD_MAP = {"MESSAGE": "message", "MSG": "message", "HOST": "host",
-              "PROGRAM": "program", "PID": "pid"}
+              "PROGRAM": "program", "PID": "pid", "MSGID": "msgid"}
 
 
 def _field(name: str) -> str:
@@ -944,7 +1210,8 @@ def _compile_rewrite(d: Driver, named: dict | None = None):
 
     if d.name == "set":
         val, fld = d.args[0], _field(str(d.kw1("value", "MESSAGE")))
-        return lambda t: rw.set_value(t, fld, val)
+        cond = _rewrite_condition(d, named)
+        return lambda t: rw.set_value(t, fld, val, condition=cond)
     if d.name == "unset":
         fld = _field(str(d.kw1("value")))
         return lambda t: rw.unset(t, fld)
@@ -975,13 +1242,16 @@ def _compile_rewrite(d: Driver, named: dict | None = None):
         return _gs
     if d.name == "set-pri":
         tpl = d.args[0]
-        return lambda t: rw.set_pri(t, tpl)
+        cond = _rewrite_condition(d, named)
+        return lambda t: rw.set_pri(t, tpl, condition=cond)
     if d.name == "set-severity":
         tpl = d.args[0]
-        return lambda t: rw.set_severity(t, tpl)
+        cond = _rewrite_condition(d, named)
+        return lambda t: rw.set_severity(t, tpl, condition=cond)
     if d.name == "set-facility":
         tpl = d.args[0]
-        return lambda t: rw.set_facility(t, tpl)
+        cond = _rewrite_condition(d, named)
+        return lambda t: rw.set_facility(t, tpl, condition=cond)
     raise ConfigError(f"unsupported rewrite driver {d.name}()")
 
 
@@ -1048,6 +1318,86 @@ block parser apache-accesslog-parser(prefix("apache.")) {
 
 block parser iptables-parser(prefix("iptables.")) {
     kv-parser(prefix(`prefix`));
+};
+
+block parser sudo-parser(prefix(".sudo.")) {
+    channel {
+        parser {
+            kv-parser(prefix(`prefix`) pair-separator(";") extract-stray-words-into("0"));
+            csv-parser(columns("`prefix`SUBJECT") template("$(list-head ${`prefix`0})") delimiters(" "));
+        };
+        filter { not match("" value("`prefix`COMMAND") type(string)); };
+    };
+};
+
+block parser fortigate-parser(prefix(".fortigate.") template("$MSG")) {
+    channel {
+        parser {
+            syslog-parser(flags(no-header) template(`template`));
+            kv-parser(prefix(`prefix`) template("$MSG"));
+            date-parser(format("%Y-%m-%d %H:%M:%S") template("${`prefix`date} ${`prefix`time}"));
+        };
+        filter { "${`prefix`devname}" ne ""; };
+        rewrite { set("${`prefix`devname}" value("HOST")); };
+    };
+};
+
+block parser netskope-parser(prefix(".netskope.")) {
+    channel {
+        rewrite {
+            subst("^<[0-9]+>", "");
+        };
+        parser {
+            json-parser(prefix(`prefix`));
+        };
+    };
+};
+
+block parser pihole_ftl() {
+    channel {
+        parser {
+            regexp-parser(
+                patterns('^\\[([^ ]+ [^ ]+) [^ \\]]+\\] (?:(FATAL|ERR|ERROR|Error|WARN|WARNING|Warning|Notice|INFO|DEBUG):|) ?(?<MESSAGE>.*)')
+            );
+            date-parser(
+                template("$1")
+                format("%Y-%m-%d %H:%M:%S.%f")
+            );
+        };
+        rewrite {
+            set("Pi-hole" value("PROGRAM"));
+            set-severity("$2" condition("$2" ne ""));
+        };
+    };
+};
+
+block parser checkpoint-parser(prefix(".checkpoint.")) {
+    channel {
+        if {
+            filter { message("<" type(string) flags(prefix)); };
+            if {
+                parser {
+                    csv-parser(columns("1", "2", "HOST", "PROGRAM", "PID", "MSGID", "MSG")
+                               flags(greedy) delimiters(" ") null("-") dialect(escape-none));
+                    date-parser(format("%Y-%m-%dT%H:%M:%S%z",
+                                       "%Y-%m-%dT%H:%M:%S") template("$2"));
+                };
+            } else {
+                parser {
+                    csv-parser(columns("1", "2", "3", "HOST", "PROGRAM", "PID", "MSGID", "MSG")
+                               flags(greedy) delimiters(" ") null("-") dialect(escape-none));
+                    date-parser(format("%Y-%m-%d %H:%M:%S") template("$2 $3"));
+                };
+            };
+            parser {
+                kv-parser(prefix(`prefix`) value-separator(":") pair-separator(";"));
+            };
+            flags(final);
+        } else {
+            parser { kv-parser(prefix(`prefix`) value-separator("|") pair-separator("=")); };
+            flags(final);
+        };
+    };
 };
 
 block rewrite credit-card-brand(regex() value() template()) {
@@ -1146,6 +1496,28 @@ def compile_config(text: str, *, include_path: str | None = None,
             cfg.filters[name] = _FilterParser(s, cfg.filters).parse_block()
             s.expect("}")
             s.expect(";")
+        elif t == "application":
+            # application NAME[topic] { filter {}; parser {}; filterx {}; };
+            # (modules/appmodel/appmodel-parser.c) — sections stored as
+            # RAW text and spliced by the app-parser() generator
+            s.next()
+            nt = s.next()
+            m = re.fullmatch(r"([\w.-]+)\[([\w.-]+)\]", nt)
+            if not m:
+                raise ConfigError(f"application needs NAME[topic], got {nt!r}")
+            sections: dict[str, str] = {}
+            s.expect("{")
+            while s.peek() != "}":
+                kind2 = s.next()
+                if kind2 not in ("filter", "parser", "filterx", "rewrite"):
+                    raise ConfigError(
+                        f"unsupported application section {kind2!r}")
+                sections[kind2] = s.raw_block()
+                if s.peek() == ";":
+                    s.next()
+            s.expect("}")
+            s.expect(";")
+            cfg.applications.append((m.group(1), m.group(2), sections))
         elif t == "template":
             # named template statement (reference lib/cfg-grammar.y
             # template_stmt): block form `template NAME {
@@ -1178,7 +1550,7 @@ def compile_config(text: str, *, include_path: str | None = None,
         elif t == "parser":
             s.next()
             name = s.next()
-            cfg.parsers[name] = [_compile_parser(d)
+            cfg.parsers[name] = [cfg._compile_stage("parser", d)
                                  for d in _parse_driver_block(s, cfg, "parser")]
             s.expect(";")
         elif t == "rewrite":

@@ -323,6 +323,12 @@ MACROS["IP_PROTO"] = _ip_proto
 MACROS["PROTO"] = lambda t: _col_or(t, "proto", "0")
 MACROS["PROTO_NAME"] = _proto_name
 MACROS["RAWMSG_SIZE"] = lambda t: _col_or(t, "rawmsg_size", "0")
+# $RAWMSG: the unparsed original line (store-raw-message keeps it in
+# `rawmsg`; before any header parse the engine's `message` IS the raw
+# line, so that is the fallback)
+MACROS["RAWMSG"] = lambda t: (_col_or(t, "rawmsg", "")
+                              if "rawmsg" in t.column_names
+                              else _col_or(t, "message", ""))
 MACROS.update(_date_macros("ts_stamp"))
 MACROS.update(_date_macros("warc_ts", "R_"))
 # S_*: explicit sent-stamp prefix (same source as the unprefixed family)

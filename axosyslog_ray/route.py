@@ -89,7 +89,9 @@ class Match(FilterExpr):
         lib/tests/test_matcher.c string_match pins); flags 'prefix' /
         'substring' relax it, 'ignore-case' applies to every kind
         (LMF_PREFIX / LMF_SUBSTRING / LMF_ICASE)."""
-        self.tmpl = Template("$" + value if not value.startswith("$") else value)
+        # braced reference: value names may contain dots (.sudo.COMMAND)
+        self.tmpl = Template("${%s}" % value if not value.startswith("$")
+                             else value)
         self.kind = kind
         self.flags = set(flags)
         self.icase = bool({"icase", "ignore-case"} & self.flags)

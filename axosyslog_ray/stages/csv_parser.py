@@ -218,32 +218,43 @@ class CsvParser:
             bs = pc.match_substring(src, "\\").to_numpy(zero_copy_only=False)
             quoted = quoted | np.asarray(bs, dtype=bool)
 
+        # PARTIAL persistence on incomplete scans (csvparser.c:293-307:
+        # _iterate_columns sets each parsed column on the message even
+        # when the scan ends incomplete; only drop-invalid(yes) discards
+        # the row). Column j is populated whenever token j exists.
         out_cols: list[np.ndarray] = []
         starts = offsets[:-1]
-        safe = valid & ~quoted
         for j in range(ncol - 1 if self.greedy else ncol):
-            idx = np.where(safe, starts + j, 0)
+            has_j = (lens > j) & ~quoted
+            idx = np.where(has_j, starts + j, 0)
             col = pc.take(flat, pa.array(idx, type=pa.int64()))
-            out_cols.append(col.to_numpy(zero_copy_only=False).astype(object))
+            col = col.to_numpy(zero_copy_only=False).astype(object)
+            col[~has_j] = None
+            out_cols.append(col)
         if self.greedy:
             tail = pc.binary_join(pc.list_slice(lists, ncol - 1), self.delimiters[0])
-            out_cols.append(tail.to_numpy(zero_copy_only=False).astype(object))
+            tail = tail.to_numpy(zero_copy_only=False).astype(object)
+            tail[lens < ncol] = None
+            out_cols.append(tail)
 
         valid = valid.copy()
         if quoted.any():
             for i in np.nonzero(quoted)[0]:
-                row = self._assemble_raw(self.scan_tokens(src[int(i)].as_py()))
+                toks = self.scan_tokens(src[int(i)].as_py())
+                row = self._assemble_raw(toks)
                 if row is None:
                     valid[i] = False
+                    # partial: first ncol tokens, missing stay unset
+                    part = (toks[:ncol] + [None] * ncol)[:ncol]
+                    if self.greedy and len(toks) >= ncol:
+                        part = toks[: ncol - 1] + [
+                            self.delimiters[0].join(toks[ncol - 1:])]
+                    for j in range(ncol):
+                        out_cols[j][i] = part[j]
                 else:
                     valid[i] = True
                     for j in range(ncol):
                         out_cols[j][i] = row[j]
-
-        invalid = ~valid
-        if invalid.any():
-            for j in range(ncol):
-                out_cols[j][invalid] = None
 
         out = table
         for j, name in enumerate(self.columns):
@@ -252,7 +263,11 @@ class CsvParser:
                 arr = pc.utf8_trim_whitespace(arr)
             if self.null_value is not None:
                 arr = pc.if_else(pc.equal(arr, self.null_value), pa.scalar(None, pa.string()), arr)
-            out = out.append_column(self.prefix + name, arr)
+            cn = self.prefix + name
+            if cn in out.column_names:  # re-writing a builtin (HOST, MSG)
+                out = out.set_column(out.column_names.index(cn), cn, arr)
+            else:
+                out = out.append_column(cn, arr)
         out = out.append_column("csv_valid", pa.array(valid))
         if self.drop_invalid:
             out = out.filter(pa.array(valid))

@@ -48,12 +48,15 @@ def _scalar_repr(v) -> tuple[str, str]:
 def flatten_json(
     obj, prefix: str = "", key_delimiter: str = ".", out: list | None = None, types: list | None = None
 ):
+    """prefix() is prepended LITERALLY (json-parser.c:94-98 store_value
+    assigns prefix then appends the key with no separator); the
+    key_delimiter joins NESTING levels only (json-parser.c:190-194)."""
     out = [] if out is None else out
     types = [] if types is None else types
     for k, v in obj.items():
-        key = f"{prefix}{key_delimiter}{k}" if prefix else k
+        key = f"{prefix}{k}"
         if isinstance(v, dict):
-            flatten_json(v, key, key_delimiter, out, types)
+            flatten_json(v, key + key_delimiter, key_delimiter, out, types)
         else:
             r, t = _scalar_repr(v)
             out.append((key, r))

@@ -34,6 +34,8 @@ class KvParser:
         out_col: str = "kv",
         greedy_values: bool = False,
         dialect: str = "regex",
+        pair_separator: str | None = None,
+        stray_into: str | None = None,
     ):
         """dialect='scanner' runs the reference-exact kv-scanner state
         machine (stages/kv_scanner.py, pinned against the scanner's own
@@ -61,6 +63,16 @@ class KvParser:
                 rf"({_KEY}){vs}(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'|[^,\s]*)"
             )
         self.prefix = prefix
+        # pair-separator(';') / extract-stray-words-into('0')
+        # (kv-parser options, modules/kvformat/kv-parser.c): a custom
+        # pair separator or stray-into routes through the scanner FSM;
+        # stray_into emits the str_repr-encoded stray-word LIST as one
+        # extra pair under that key (the scl/sudo sudo-parser contract:
+        # csv-parser reads $(list-head $0) from it)
+        self.pair_separator = pair_separator
+        self.stray_into = stray_into
+        if stray_into is not None:
+            collect_stray = True
         self.collect_stray = collect_stray
         self.promote = promote or []
         self.source_col = source_col
@@ -75,7 +87,9 @@ class KvParser:
         if dialect == "scanner":
             self._fast_ok = (len(value_separator) == 1
                              and ord(value_separator) < 128
-                             and value_separator not in "\"'\\\n ")
+                             and value_separator not in "\"'\\\n "
+                             and pair_separator is None
+                             and stray_into is None)
             # rows of this shape parse identically under the regex and
             # scanner dialects (proof: every space-run is followed by
             # key=, values hold none of the chars whose handling
@@ -106,10 +120,13 @@ class KvParser:
 
             raw_pairs, stray, quoted = kv_scan(
                 line, value_separator=self.value_separator,
+                pair_separator=self.pair_separator,
                 stray_words_mode="collect" if self.collect_stray else None)
             out = [(self.prefix + k,
                     self._postprocess_value(v, q))
                    for (k, v), q in zip(raw_pairs, quoted)]
+            if self.stray_into is not None and stray:
+                out.append((self.prefix + self.stray_into, stray))
             return out, stray
         pairs, spans = [], []
         for m in self.pair_re.finditer(line):

@@ -50,6 +50,9 @@ class RegexpParser:
         dupnames: bool = False,
     ):
         pattern = _GROUP_SYNTAX.sub("(?P<", pattern)
+        # output-name remapping (config mode maps hard-macro group names
+        # like MESSAGE onto the engine's message columns)
+        self.name_map: dict[str, str] = {}
         self._dup_groups: dict[str, list[str]] = {}
         if dupnames:
             seen: dict[str, list[str]] = {}
@@ -98,8 +101,20 @@ class RegexpParser:
                             named_vals[name][i] = gd[u]
                             break
             for name in self.named:
-                out = out.append_column(
-                    self.prefix + name, pa.array(named_vals[name], type=pa.string()))
+                cn = self.prefix + self.name_map.get(name, name)
+                arr = pa.array(named_vals[name], type=pa.string())
+                if cn in out.column_names:
+                    # named group re-writes a builtin (e.g. (?<MESSAGE>...))
+                    # only where the row matched; unmatched rows keep theirs
+                    old = out.column(cn)
+                    arr = pa.compute.if_else(pa.array(matched),
+                                             pa.compute.cast(arr, old.type
+                                                             if pa.types.is_string(old.type)
+                                                             else pa.string()),
+                                             pa.compute.cast(old, pa.string()))
+                    out = out.set_column(out.column_names.index(cn), cn, arr)
+                else:
+                    out = out.append_column(cn, arr)
         if self.emit_matches:
             # numbered groups -> $1..$n list column; $0 -> match0
             lists = np.full(n, None, dtype=object)

@@ -197,14 +197,17 @@ def _set_pri_part(table: pa.Table, template: str, part: str, condition=None) -> 
         num = num.where((num >= 0) & (num <= 1023))
         new = np.where(num.notna(), num.fillna(0).astype(int), pri)
     elif part == "severity":
+        # name lookup is case-insensitive (lib/syslog-names.c strcasecmp)
         num = pd.to_numeric(
-            vals.map(lambda v: SEVERITY_NUM.get(v, int(v) if str(v).isdigit() else None)),
+            vals.map(lambda v: SEVERITY_NUM.get(
+                str(v).lower(), int(v) if str(v).isdigit() else None)),
             errors="coerce")
         num = num.where((num >= 0) & (num <= 7))
         new = np.where(num.notna(), (pri // 8) * 8 + num.fillna(0).astype(int), pri)
     else:  # facility
         num = pd.to_numeric(
-            vals.map(lambda v: FACILITY_NUM.get(v, int(v) if str(v).isdigit() else None)),
+            vals.map(lambda v: FACILITY_NUM.get(
+                str(v).lower(), int(v) if str(v).isdigit() else None)),
             errors="coerce")
         num = num.where((num >= 0) & (num <= 23))
         new = np.where(num.notna(), num.fillna(0).astype(int) * 8 + pri % 8, pri)

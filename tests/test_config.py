@@ -1909,3 +1909,279 @@ log { source(s);
         assert r.rendered("dfalse") == ["foobar"]
         assert r.processed("dfinal") == 1
         assert r.rendered("dfinal") == ['{"common":"common","iffalse":"false"}']
+
+
+class TestSudoParserScl:
+    """scl/sudo/sudo.conf sudo-parser(): kv-parser with pair-separator
+    ';' + extract-stray-words-into, csv-parser over $(list-head ...) for
+    the SUBJECT, and the no-COMMAND drop filter (pam noise excluded).
+    The channel-in-parser-block compound compiles in-path, so the inner
+    filter drops rows like the reference logpipe channel."""
+
+    LINES = [
+        ("alice : TTY=pts/0 ; PWD=/home/alice ; USER=root ; COMMAND=/usr/bin/ls -l",
+         ("alice", "root", "/usr/bin/ls -l")),
+        ("bob : TTY=pts/1 ; PWD=/tmp ; USER=postgres ; COMMAND=/usr/bin/psql",
+         ("bob", "postgres", "/usr/bin/psql")),
+        ("pam_unix(sudo:session): session opened for user root", None),
+        ("pam_unix(sudo:session): session closed for user root", None),
+    ]
+
+    def test_sudo_parser(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { sudo-parser(); };
+destination d { file("o.log" template("${.sudo.SUBJECT}|${.sudo.USER}|${.sudo.COMMAND}")); };
+log { source(s); parser(p); destination(d); };
+""")
+        t = pa.table({"message": [l for l, _ in self.LINES],
+                      "pri": [13] * len(self.LINES)})
+        r = cfg.run(sources={"s": t})
+        want = [e for _, e in self.LINES if e is not None]
+        assert r.processed("d") == len(want)
+        assert r.rendered("d") == ["|".join(e) for e in want]
+
+    def test_sudo_parser_custom_prefix(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { sudo-parser(prefix(".s.")); };
+destination d { file("o.log" template("${.s.SUBJECT} ${.s.TTY}")); };
+log { source(s); parser(p); destination(d); };
+""")
+        t = pa.table({"message": [self.LINES[0][0]], "pri": [13]})
+        r = cfg.run(sources={"s": t})
+        assert r.rendered("d") == ["alice pts/0"]
+
+    def test_csv_partial_persistence_on_incomplete_scan(self):
+        # csvparser.c: parsed columns persist even when the scan is
+        # incomplete; only drop-invalid discards the row
+        from axosyslog_ray.stages.csv_parser import CsvParser
+
+        p = CsvParser(columns=["a", "b"], delimiters=",", source_col="m")
+        out = p(pa.table({"m": ["1,2,3", "1", "x,y"]}))
+        assert out.column("a").to_pylist() == ["1", "1", "x"]
+        assert out.column("b").to_pylist() == ["2", None, "y"]
+        assert out.column("csv_valid").to_pylist() == [False, False, True]
+
+
+class TestFortigateParserScl:
+    """scl/fortigate/fortigate.conf fortigate-parser(): no-header
+    syslog re-parse of the raw line (PRI + body), kv extraction of the
+    FortiOS fields, date-parser over the composite date+time template,
+    devname -> HOST rewrite, and the no-devname drop filter."""
+
+    LINE = ('<189>date=2022-02-16 time=11:23:51 devname="FGT60E" '
+            'devid="FGT60E1234567890" logid="0000000013" type="traffic" '
+            'subtype="forward" level="notice" srcip=10.1.1.100 '
+            'srcport=54770 dstip=10.2.2.2 dstport=443 action="accept"')
+
+    def _run(self, lines):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { fortigate-parser(template("$RAWMSG")); };
+destination d { file("o.log" template("$HOST|$PRI|${.fortigate.srcip}|${.fortigate.dstport}|${.fortigate.action}|$ISODATE")); };
+log { source(s); parser(p); destination(d); };
+""")
+        t = pa.table({"rawmsg": lines, "message": ["-"] * len(lines),
+                      "pri": [13] * len(lines)})
+        return cfg.run(sources={"s": t})
+
+    def test_fortigate_traffic_log(self):
+        r = self._run([self.LINE])
+        assert r.processed("d") == 1
+        assert r.rendered("d") == [
+            "FGT60E|189|10.1.1.100|443|accept|2022-02-16T11:23:51+00:00"]
+
+    def test_no_devname_is_dropped(self):
+        r = self._run([self.LINE, "<1>not a fortigate line"])
+        assert r.processed("d") == 1
+
+    def test_custom_prefix(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { fortigate-parser(prefix(".fg.") template("$RAWMSG")); };
+destination d { file("o.log" template("${.fg.devname} ${.fg.level}")); };
+log { source(s); parser(p); destination(d); };
+""")
+        t = pa.table({"rawmsg": [self.LINE], "message": ["-"], "pri": [13]})
+        assert cfg.run(sources={"s": t}).rendered("d") == ["FGT60E notice"]
+
+
+class TestSyslogParserNoHeader:
+    def test_pri_only_reparse(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { syslog-parser(flags(no-header) template("$RAWMSG")); };
+destination d { file("o.log" template("$PRI:$MSG")); };
+log { source(s); parser(p); destination(d); };
+""")
+        t = pa.table({"rawmsg": ["<42>payload stays whole: x=1",
+                                 "no pri prefix"],
+                      "message": ["-", "-"], "pri": [13, 13]})
+        r = cfg.run(sources={"s": t})
+        assert r.rendered("d") == ["42:payload stays whole: x=1",
+                                   "13:no pri prefix"]
+
+
+class TestCheckpointParserLight:
+    """Port of Light parsers/checkpoint/test_checkpoint.py: the SCL
+    checkpoint-parser() — syslog-form lines route through the inner
+    if/else on DATE-PARSER SUCCESS (a failed date parse drops the row
+    inside that branch, sending it to the 8-column space-date variant),
+    then ':'/';' kv extraction; non-'<' lines take the splunk '|'/'='
+    kv branch. Expected strings are the reference suite's own."""
+
+    CASES = [
+        (r'''<134>1 2018-03-21 17:25:25 MDS-72 CheckPoint 13752 - [action:"Update"; flags:"150784"; ifdir:"inbound"; logid:"160571424"; origin:"192.168.32.91"; product:"Identity Awareness"; src:"192.168.32.69";]''',
+         "<CheckPoint><MDS-72><Mar 21 17:25:25>"),
+        (r'''<134>1 2018-03-21T17:25:25 MDS-72 CheckPoint 13752 - [action:"Update"; flags:"150784"; ifdir:"inbound"; origin:"192.168.32.91";]''',
+         "<CheckPoint><MDS-72><Mar 21 17:25:25>"),
+        (r'''<134>1 2019-11-27T02:58:25Z ABDP-CPLOG01 CheckPoint 22103 - [action:"Accept"; flags:"18692"; ifname:"bond1.734"; origin:"10.4.150.2"; dst:"124.156.190.9"; s_port:"64442"; service:"80"; src:"10.7.79.7";]''',
+         "<CheckPoint><ABDP-CPLOG01><Nov 27 02:58:25>"),
+        (r'''<134>1 2020-01-02T14:04:50Z fwmgmt CheckPoint 16559 - [action:"Accept"; flags:"411908"; origin:"172.16.0.2"; proto:"17"; s_port:"55263"; service:"53"; src:"10.126.0.154";]''',
+         "<CheckPoint><fwmgmt><Jan  2 14:04:50>"),
+    ]
+
+    def _run(self, lines, tpl="<${PROGRAM}><${HOST}><${S_DATE}>"):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { checkpoint-parser(); };
+destination d { file("o.log" template("%s")); };
+log { source(s); parser(p); destination(d); };
+""" % tpl)
+        t = pa.table({"message": lines, "pri": [13] * len(lines)})
+        return cfg.run(sources={"s": t})
+
+    @pytest.mark.parametrize("line,expected", CASES, ids=range(len(CASES)))
+    def test_checkpoint_parser(self, line, expected):
+        r = self._run([line])
+        assert r.processed("d") == 1
+        assert r.rendered("d") == [expected]
+
+    def test_kv_fields_extracted(self):
+        r = self._run([self.CASES[0][0]],
+                      tpl="${.checkpoint.action}/${.checkpoint.origin}/${.checkpoint.src}")
+        assert r.rendered("d") == ["Update/192.168.32.91/192.168.32.69"]
+
+    def test_splunk_format_branch(self):
+        # non-'<' line takes the splunk branch: key|value pairs joined
+        # by '=' (value-separator('|') pair-separator('='))
+        r = self._run(['time|1521645925=action|Update=orig|192.168.32.91'],
+                      tpl="${.checkpoint.action}:${.checkpoint.orig}")
+        assert r.rendered("d") == ["Update:192.168.32.91"]
+
+
+class TestNetskopePiholeScl:
+    """scl/netskope and scl/pihole parser blocks: PRI-strip + JSON
+    extraction (netskope-parser), and the Pi-hole FTL regexp + date +
+    conditional set-severity chain (pihole_ftl)."""
+
+    def test_netskope(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { netskope-parser(); };
+destination d { file("o.log" template("${.netskope.user}|${.netskope.app}")); };
+log { source(s); parser(p); destination(d); };
+""")
+        t = pa.table({"message": [
+            '<134>{"_insertion_epoch_timestamp": 1, "user": "u@x.com", "app": "Dropbox"}'],
+            "pri": [13]})
+        assert cfg.run(sources={"s": t}).rendered("d") == ["u@x.com|Dropbox"]
+
+    def test_pihole_ftl(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { pihole_ftl(); };
+destination d { file("o.log" template("${PROGRAM}|${SEVERITY}|${MESSAGE}|${S_DATE}")); };
+log { source(s); parser(p); destination(d); };
+""")
+        t = pa.table({"message": [
+            "[2024-01-05 11:22:33.456 12345] WARNING: Long-term load (15min avg) larger than number of processors",
+            "[2024-01-05 11:22:34.000 12345] FTL started!",
+            "no brackets here at all",   # regexp fails -> dropped
+        ], "pri": [13, 13, 13]})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d") == 2
+        assert r.rendered("d") == [
+            "Pi-hole|warning|Long-term load (15min avg) larger than number of processors|Jan  5 11:22:33",
+            "Pi-hole|notice|FTL started!|Jan  5 11:22:34",
+        ]
+
+    def test_regexp_parser_alternative_patterns(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { regexp-parser(patterns('^A:(?<a>.*)', '^B:(?<b>.*)')); };
+destination d { file("o.log" template("${a}-${b}")); };
+log { source(s); parser(p); destination(d); };
+""")
+        t = pa.table({"message": ["A:one", "B:two", "C:none"], "pri": [13] * 3})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d") == 2
+        assert r.rendered("d") == ["one-", "-two"]
+
+
+class TestAppParserLight:
+    """Port of Light parsers/app-parser/test_app_parser.py: application
+    NAME[topic] registrations + the app-parser() generator — first-match
+    if/elif/else framing without overlaps (sets .app.name + tag, drops
+    no-match), independent if-frames with allow-overlaps (all matching
+    apps run), and the auto-parse(no) empty frame (drops everything).
+    Expected values are the reference suite's own."""
+
+    PRE = """
+application foo[syslog] {
+    filter { program("foo"); };
+    parser { channel { rewrite { set("foo" value("FOOVALUE")); }; }; };
+};
+application bar[syslog] {
+    filter { program("bar"); };
+    parser { channel { rewrite { set("bar" value("BARVALUE")); }; }; };
+};
+source s { example-msg-generator(num(1)); };
+"""
+
+    def _run(self, appargs, tpl, programs):
+        cfg = compile_config(self.PRE + """
+parser p { app-parser(%s); };
+destination d { file("o.log" template("%s")); };
+log { source(s); parser(p); destination(d); };
+""" % (appargs, tpl))
+        t = pa.table({"message": [p + "message" for p in programs],
+                      "program": programs, "pri": [13] * len(programs)})
+        r = cfg.run(sources={"s": t})
+        return r.processed("d"), r.rendered("d")
+
+    def test_first_match_without_overlaps(self):
+        # "foobar" matches both program regexes; only the FIRST app runs
+        n, out = self._run("topic(syslog)", "${.app.name}",
+                           ["foo", "bar", "foobar"])
+        assert (n, out) == (3, ["foo", "bar", "foo"])
+
+    def test_allow_overlaps_traverses_all_apps(self):
+        n, out = self._run("topic(syslog) allow-overlaps(yes)",
+                           "${FOOVALUE} ${BARVALUE}", ["foo", "bar", "foobar"])
+        assert (n, out) == (3, ["foo ", " bar", "foo bar"])
+
+    def test_no_match_drops(self):
+        n, _ = self._run("topic(syslog)", "x", ["almafa"])
+        assert n == 0
+
+    def test_auto_parse_disabled_drops(self):
+        n, _ = self._run("topic(syslog) auto-parse(no)", "x", ["foo"])
+        assert n == 0
+
+    def test_auto_parse_disabled_plus_overlaps_drops(self):
+        n, _ = self._run("topic(syslog) auto-parse(no) allow-overlaps(yes)",
+                         "x", ["foo"])
+        assert n == 0
+
+    def test_app_tag_set(self):
+        cfg = compile_config(self.PRE + """
+parser p { app-parser(topic(syslog)); };
+destination d { file("o.log" template("$TAGS")); };
+log { source(s); parser(p); destination(d); };
+""")
+        t = pa.table({"message": ["foomessage"], "program": ["foo"],
+                      "pri": [13]})
+        out = cfg.run(sources={"s": t}).rendered("d")
+        assert ".app.foo" in out[0]

@@ -133,9 +133,11 @@ def test_json_extract_prefix_subtree():
 
 
 def test_json_prefix_and_key_delimiter():
-    p = JsonParser(prefix="j", key_delimiter="~")
+    # prefix is prepended literally (json-parser.c:94-98); the
+    # delimiter joins nesting levels only (json-parser.c:190-194)
+    p = JsonParser(prefix="j.", key_delimiter="~")
     r = p(_t('{"a":{"b":1}}')).to_pylist()[0]
-    assert dict(r["jv"]) == {"j~a~b": "1"}
+    assert dict(r["jv"]) == {"j.a~b": "1"}
 
 
 # ---------------- regexp ----------------
