@@ -434,15 +434,32 @@ def _parse_conditional(s: _Stream, cfg: "Config") -> tuple:
         cond = _FilterParser(s, cfg.filters).parse()
         s.expect(")")
     body = _parse_log_elements(s, cfg)
+    # elif chain: each becomes the false branch of the PREVIOUS if
+    # (cfg-grammar.y:910-925 log_expr_node_conditional_set_false_branch_
+    # of_the_last_if) — collect the arms, fold from the tail below
+    arms: list[tuple] = [(cond, body)]
+    while s.peek() == "elif":
+        s.next()
+        econd = None
+        if s.peek() == "(":
+            s.next()
+            econd = _FilterParser(s, cfg.filters).parse()
+            s.expect(")")
+        arms.append((econd, _parse_log_elements(s, cfg)))
     else_body: list = []
     if s.peek() == "else":
         s.next()
         else_body = _parse_log_elements(s, cfg)
     s.expect(";")
-    if cond is not None:
-        return ("conditional", (cond, body, else_body))
-    chans = [Channel(body, final=True), Channel(else_body, final=True)]
-    return ("junction", chans)
+    node: tuple | None = None
+    for acond, abody in reversed(arms):
+        false_elems = ([node] if node is not None else else_body)
+        if acond is not None:
+            node = ("conditional", (acond, abody, false_elems))
+        else:
+            node = ("junction", [Channel(abody, final=True),
+                                 Channel(false_elems, final=True)])
+    return node
 
 
 def _parse_block_params(s: _Stream) -> dict[str, str]:
@@ -1053,14 +1070,18 @@ def _compile_parser(d: Driver):
             # arbitrary template input (e.g. the sudo-parser's
             # $(list-head $0)): render it into a scratch column first
             src = "__csv_tpl_src"
+            nul = d.kw1("null")
             inner = CsvParser(columns=cols,
                               delimiters=str(d.kw1("delimiters", ",")),
                               quotes=str(quotes),
                               dialect=str(d.kw1("dialect", "escape-none")),
+                              null_value=str(nul) if nul is not None else None,
                               strip_whitespace="strip-whitespace" in flags,
                               greedy="greedy" in flags,
                               prefix=str(d.kw1("prefix", "")),
-                              source_col=src)
+                              source_col=src,
+                              drop_invalid=str(d.kw1("drop-invalid", "no"))
+                              in ("yes", "on", "1") or "drop-invalid" in flags)
             return _TemplateSourced(inner, tpl, src)
         nul = d.kw1("null")
         return CsvParser(columns=cols,
@@ -1165,9 +1186,21 @@ def _compile_parser(d: Driver):
         tpl = str(d.kw1("template", "$RAWMSG"))
         if "no-header" in flags:
             return _TemplateSourced(_PriOnlyParser(), tpl, "__tpl_src")
-        raise ConfigError(
-            "syslog-parser() re-parse is supported with flags(no-header); "
-            "header parsing happens at the source (format() autodetect)")
+        # full re-parse: render the template and run the format()
+        # autodetect header parse over it, overwriting the message
+        # columns (modules/syslogformat via parser: syslog-parser())
+        from .stages.syslog import parse_syslog_table
+
+        check = "check-program" in flags
+
+        class _SyslogReparse:
+            def __call__(self, table: pa.Table) -> pa.Table:
+                out = parse_syslog_table(table, col="__tpl_src",
+                                         recv_ts_col="recv_ts",
+                                         check_program=check)
+                return out.drop_columns(["__tpl_src"])
+
+        return _TemplateSourced(_SyslogReparse(), tpl, "__tpl_src")
     if d.name == "cisco-parser":
         from .stages.app_parsers import CiscoParser
 
@@ -1398,6 +1431,115 @@ block parser checkpoint-parser(prefix(".checkpoint.")) {
             flags(final);
         };
     };
+};
+
+block parser panos-parser(prefix(".panos.")) {
+    channel {
+        parser {
+            csv-parser(
+                columns("future_use1","receive_time","serial","type","subtype","future_use2","time_generated","tmp")
+                delimiters(',') prefix(`prefix`) flags(greedy) drop-invalid(yes)
+                template("${LEGACY_MSGHDR}${MESSAGE}"));
+        };
+        if (match('SYSTEM' value('`prefix`type') type(string))) {
+            parser {
+                csv-parser(
+                    columns("vsys","eventid","object","future_use3","future_use4","module","severity","opaque","seqno","actionflags",
+                            "dg_hier_level_1","dg_hier_level_2","dg_hier_level_3","dg_hier_level_4","vsys_name","device_name")
+                    prefix(`prefix`) template("${`prefix`tmp}") delimiters(','));
+            };
+            filter { "${`prefix`device_name}" ne ""; };
+        } elif (match('CONFIG' value('`prefix`type') type(string))) {
+            if {
+                parser {
+                    csv-parser(
+                        columns("host","vsys","cmd","admin","client","result","path","seqno","actionflags",
+                                "dg_hier_level_1","dg_hier_level_2","dg_hier_level_3","dg_hier_level_4","vsys_name","device_name")
+                        prefix(`prefix`) template("${`prefix`tmp}") delimiters(',') drop-invalid(yes));
+                };
+            } else {
+                parser {
+                    csv-parser(
+                        columns("host","vsys","cmd","admin","client","result","path",
+                                "before_change_detail","after_change_detail","seqno","actionflags",
+                                "dg_hier_level_1","dg_hier_level_2","dg_hier_level_3","dg_hier_level_4","vsys_name","device_name")
+                        prefix(`prefix`) template("${`prefix`tmp}") delimiters(','));
+                };
+                filter { "${`prefix`device_name}" ne ""; };
+            };
+        } elif (match('THREAT' value('`prefix`type') type(string))) {
+            parser {
+                csv-parser(
+                    columns("src","dst","natsrc","natdst","rule","srcuser","dstuser","app","vsys","from","to",
+                            "inbound_if","outbound_if","logset","future_use3","sessionid","repeatcnt",
+                            "sport","dport","natsport","natdport","flags","proto","action","misc",
+                            "threatid","category","severity","direction","seqno","actionflags",
+                            "srcloc","dstloc","future_use4","contenttype","pcap_id","filedigest",
+                            "cloud","url_idx","user_agent","filetype","xff","referer","sender","subject","recipient","reportid",
+                            "dg_hier_level_1","dg_hier_level_2","dg_hier_level_3","dg_hier_level_4","vsys_name","device_name","future_use5",
+                            "src_uuid","dst_uuid","http_method","tunnel_id/imsi","monitor_tag/imei",
+                            "parent_session_id","parent_start_time","tunnel","thr_category","contentver",
+                            "future_use6","assoc_id","ppid","http_headers","url_category_list",
+                            "rule_uuid","http2_connection")
+                    prefix(`prefix`) template("${`prefix`tmp}") delimiters(','));
+            };
+            filter { "${`prefix`device_name}" ne ""; };
+        } elif (match('TRAFFIC' value('`prefix`type') type(string))) {
+            parser {
+                csv-parser(
+                    columns("src","dst","natsrc","natdst","rule","srcuser","dstuser","app","vsys","from","to","inbound_if","outbound_if",
+                            "logset","future_use3","sessionid","repeatcnt","sport","dport","natsport","natdport","flags","proto","action",
+                            "bytes","bytes_sent","bytes_received","packets","start","sec","category","future_use4","seqno","actionflags",
+                            "srcloc","dstloc","future_use5","pkts_sent","pkts_received","session_end_reason",
+                            "dg_hier_level_1","dg_hier_level_2","dg_hier_level_3","dg_hier_level_4","vsys_name","device_name",
+                            "action_source","src_uuid","dst_uuid","tunnel_id/imsi","monitortag/imei",
+                            "parent_session_id","parent_start_time","tunnel","assoc_id",
+                            "chunks","chunks_sent","chunks_received","rule_uuid",
+                            "http2_connection","link_change_count",
+                            "policy_id","link_switches",
+                            "sdwan_cluster","sdwan_device_type","sdwan_cluster_type","sdwan_site","dynusergroup_name")
+                    prefix(`prefix`) template("${`prefix`tmp}") delimiters(','));
+            };
+            filter { "${`prefix`device_name}" ne ""; };
+        } elif (match('HIP-MATCH' value('`prefix`type') type(string))) {
+            parser {
+                csv-parser(
+                    columns("srcuser","vsys","machine_name","os","src","matchname","repeatcnt","matchtype","future_use3","future_use4","seqno","actionflags",
+                            "dg_hier_level_1","dg_hier_level_2","dg_hier_level_3","dg_hier_level_4","vsys_name","device_name",
+                            "vsys_id","srcipv6","hostid","serialnumber")
+                    prefix(`prefix`) template("${`prefix`tmp}") delimiters(','));
+            };
+            filter { "${`prefix`device_name}" ne ""; };
+        } elif (match('CORRELATION' value('`prefix`type') type(string))) {
+            parser {
+                csv-parser(
+                    columns("src","srcuser","vsys","category","severity",
+                            "dg_hier_level_1","dg_hier_level_2","dg_hier_level_3","dg_hier_level_4","vsys_name","device_name",
+                            "vsys_id","objectname","object_id","evidence")
+                    prefix(`prefix`) template("${`prefix`tmp}") delimiters(','));
+            };
+            filter { "${`prefix`device_name}" ne ""; };
+        } elif (match('USERID' value('`prefix`type') type(string))) {
+            parser {
+                csv-parser(
+                    columns("vsys","ip","user","datasourcename","eventid","repeatcnt","timeout","beginport","endport","datasource","datasourcetype","seqno","actionflags",
+                            "dg_hier_level_1","dg_hier_level_2","dg_hier_level_3","dg_hier_level_4","vsys_name","device_name",
+                            "vsys_id","factortype","factorcompletiontime","factorno","future_use3","future_use4","ugflags","userbysource")
+                    prefix(`prefix`) template("${`prefix`tmp}") delimiters(','));
+            };
+            filter { "${`prefix`device_name}" ne ""; };
+        };
+        rewrite {
+            set("${LEGACY_MSGHDR}${MESSAGE}" value("MESSAGE"));
+            set("paloalto_panos" value("PROGRAM"));
+            unset(value("`prefix`tmp"));
+        };
+    };
+};
+
+application panos[syslog] {
+    filter { match("1," value("PROGRAM") type(string) flags(prefix)); };
+    parser { panos-parser(); };
 };
 
 block rewrite credit-card-brand(regex() value() template()) {

@@ -237,6 +237,8 @@ def _bsdtag(t: pa.Table) -> pd.Series:
 
 
 def _msghdr(t: pa.Table) -> pd.Series:
+    """$MSGHDR: the stored LEGACY_MSGHDR raw header when present, else
+    reconstructed `program[pid]: ` (lib/template/macros.c:576-600)."""
     prog = _str(_col(t, "program")) if "program" in t.column_names else pd.Series([""] * t.num_rows, dtype=object)
     if "pid" in t.column_names:
         pid = _str(_col(t, "pid"))
@@ -246,6 +248,9 @@ def _msghdr(t: pa.Table) -> pd.Series:
     else:
         p = prog.to_numpy(dtype=object)
         hdr = np.where(p != "", p + ": ", "")
+    if "legacy_msghdr" in t.column_names:
+        leg = _str(_col(t, "legacy_msghdr")).to_numpy(dtype=object)
+        hdr = np.where(leg != "", leg, hdr)
     return pd.Series(hdr, dtype=object)
 
 
@@ -329,6 +334,9 @@ MACROS["RAWMSG_SIZE"] = lambda t: _col_or(t, "rawmsg_size", "0")
 MACROS["RAWMSG"] = lambda t: (_col_or(t, "rawmsg", "")
                               if "rawmsg" in t.column_names
                               else _col_or(t, "message", ""))
+# $LEGACY_MSGHDR: the raw header bytes the 3164 program-name scan
+# consumed (builtin value slot, logmsg.c:87; set by syslog-format.c:402)
+MACROS["LEGACY_MSGHDR"] = lambda t: _col_or(t, "legacy_msghdr", "")
 MACROS.update(_date_macros("ts_stamp"))
 MACROS.update(_date_macros("warc_ts", "R_"))
 # S_*: explicit sent-stamp prefix (same source as the unprefixed family)

@@ -268,7 +268,11 @@ class CsvParser:
                 out = out.set_column(out.column_names.index(cn), cn, arr)
             else:
                 out = out.append_column(cn, arr)
-        out = out.append_column("csv_valid", pa.array(valid))
+        if "csv_valid" in out.column_names:  # chained csv-parsers: last wins
+            out = out.set_column(out.column_names.index("csv_valid"),
+                                 "csv_valid", pa.array(valid))
+        else:
+            out = out.append_column("csv_valid", pa.array(valid))
         if self.drop_invalid:
             out = out.filter(pa.array(valid))
         return out

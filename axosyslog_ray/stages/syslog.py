@@ -47,10 +47,40 @@ RE_3164 = re.compile(
     re.S,
 )
 RE_TAG = re.compile(r"^(?P<prog>[^:\[\s]+)(?:\[(?P<pid>[^\]]*)\])?: ?(?P<msg>.*)$", re.S)
-# RE2 variant for Arrow extract_regex: the pid BRACKETS are captured so an
-# absent pid ("" group) is distinguishable from an empty "[]" one (RE2
-# returns "" for unmatched optional groups, not null)
-RE_TAG2 = re.compile(r"^(?P<prog>[^:\[\s]+)(?P<pidb>\[[^\]]*\])?: ?(?P<msg>.*)$", re.S)
+# Reference-exact legacy program-name scan (syslog-format.c:348-407
+# _syslog_format_parse_legacy_program_name): program = chars up to the
+# FIRST ' ', '[' or ':' (may be empty; no colon required — "<189>65536"
+# parses PROGRAM="65536"), pid = bracket chars up to ' ', ']' or ':'
+# (closing ']' consumed if present), then ONE optional ':' and ONE
+# optional ' ' are consumed; everything consumed is $LEGACY_MSGHDR.
+# Always matches — the bracket groups are captured raw so an absent pid
+# ("" group) is distinguishable from an empty "[]" one, and the consumed
+# header can be reassembled byte-exactly.
+RE_TAGX = re.compile(
+    r"^(?P<prog>[^:\[ ]*)(?P<pidb>\[[^\] :]*\]?)?(?P<colon>:?)(?P<sp> ?)(?P<msg>.*)$",
+    re.S,
+)
+
+
+def _extract_legacy_tag(rest: pd.Series) -> pd.DataFrame:
+    """Vectorized reference program-name scan over the post-header text.
+    Returns string-dtype columns prog / pid / legacy / msg; `pid` is NA
+    where no '[' was present OR the scan ran off the end of the data
+    (reference sets PID only `if (left)`, syslog-format.c:384-386)."""
+    t = _arrow_extract(rest, RE_TAGX)
+    prog = t["prog"].fillna("")
+    pidb = t["pidb"].fillna("")
+    colon = t["colon"].fillna("")
+    sp = t["sp"].fillna("")
+    msg = t["msg"].fillna("")
+    legacy = prog + pidb + colon + sp
+    has_pid = pidb != ""
+    # scan hit end-of-data inside the brackets: nothing after the pid
+    ran_off = has_pid & ~pidb.str.endswith("]") & (colon == "") & (sp == "") & (msg == "")
+    core = pidb.str.slice(1)  # pid body may itself contain '[' — slice, don't strip
+    core = core.where(~core.str.endswith("]"), core.str.slice(0, -1))
+    pid = core.where(has_pid & ~ran_off)
+    return pd.DataFrame({"prog": prog, "pid": pid, "legacy": legacy, "msg": msg})
 
 
 def _arrow_extract(strings: pd.Series, pattern: re.Pattern) -> pd.DataFrame:
@@ -141,6 +171,7 @@ def parse_syslog_table(
     pid = np.full(n, None, dtype=object)
     msgid = np.full(n, None, dtype=object)
     message = s.to_numpy(dtype=object).copy()
+    legacy = np.full(n, None, dtype=object)  # $LEGACY_MSGHDR raw header bytes
     sdata = np.full(n, None, dtype=object)
     parsed = np.zeros(n, dtype=bool)
     fmt = np.full(n, None, dtype=object)
@@ -222,10 +253,13 @@ def parse_syslog_table(
             ts[rows] = tparsed.to_numpy(dtype="datetime64[us]", na_value=np.datetime64("NaT"))
             host[rows] = _obj(exo["host"])
             rest = exo["rest"].astype("string")
-            tag = _arrow_extract(rest, RE_TAG2)
-            tag_ok = tag["prog"].notna().to_numpy()
-            if check_program and tag_ok.any():
-                progs = tag["prog"].astype("string")
+            tag = _extract_legacy_tag(rest)
+            # the legacy scan always parses (no colon required); under
+            # check_program an invalid name leaves PROGRAM/PID unset with
+            # the full tail as the message (reference early return)
+            tag_ok = np.ones(len(rows), dtype=bool)
+            if check_program:
+                progs = tag["prog"]
                 okp = (progs.str.fullmatch(r"[A-Za-z0-9._\-()/]+").fillna(False)
                        & progs.str.contains("[A-Za-z]", regex=True).fillna(False)
                        ).to_numpy(dtype=bool)
@@ -236,12 +270,11 @@ def parse_syslog_table(
                     tag_ok = tag_ok & okp
                     for i in rows[badp]:
                         tags_col[i] = ["syslog.rfc3164_invalid_program"]
-            program[rows[tag_ok]] = _obj(tag["prog"][tag_ok])
-            # bracket-captured pid: "" = no [pid] present -> None; "[]" -> ""
-            pidb = tag["pidb"]
-            pid_vals = _obj(pidb.str.slice(1, -1).where(pidb.notna() & (pidb != "")))
-            pid[rows[tag_ok]] = pid_vals[tag_ok]
-            message[rows] = np.where(tag_ok, _obj(tag["msg"].fillna("")), _obj(rest))
+            program[rows[tag_ok]] = _obj(tag["prog"])[tag_ok]
+            pid[rows[tag_ok]] = _obj(tag["pid"])[tag_ok]
+            message[rows] = np.where(tag_ok, _obj(tag["msg"]), _obj(rest))
+            leg = _obj(tag["legacy"].where(tag["legacy"] != ""))
+            legacy[rows[tag_ok]] = leg[tag_ok]
             parsed[rows] = True
             fmt[rows] = "rfc3164"
 
@@ -251,21 +284,33 @@ def parse_syslog_table(
     # tests/test_syslog_format.c rfc3164_error_missing_timestamp)
     nots = ~parsed & s.str.match(r"^<\d{1,3}>", na=False).to_numpy()
     if nots.any():
-        rest = s[nots].str.replace(r"^<\d{1,3}>\s*", "", regex=True).astype("string")
+        rest = s[nots].str.replace(r"^<\d{1,3}> *", "", regex=True).astype("string")
         pv = s[nots].str.extract(r"^<(\d{1,3})>")[0]
-        tag = rest.str.extract(RE_TAG)
-        tag_ok = tag["prog"].notna().to_numpy()
-        rows = np.flatnonzero(nots)[tag_ok]
-        if len(rows):
-            pri[rows] = pv[tag_ok].astype(int).to_numpy()
-            program[rows] = _obj(tag["prog"][tag["prog"].notna()])
-            pid[rows] = _obj(tag["pid"])[tag_ok]
-            message[rows] = _obj(tag["msg"].fillna(""))[tag_ok]
-            ts[rows] = recv.to_numpy(dtype="datetime64[us]")[rows]  # stamp = receive time
-            parsed[rows] = True
-            fmt[rows] = "rfc3164"
-            for i in rows:
-                tags_col[i] = ["syslog.missing_timestamp", "syslog.rfc3164_missing_header"]
+        tag = _extract_legacy_tag(rest)
+        rows = np.flatnonzero(nots)
+        # the legacy scan always runs here (reference parses the program
+        # name even in the missing-header branch: "<189>65536" yields
+        # PROGRAM="65536", syslog-format.c:978-981)
+        tag_ok = np.ones(len(rows), dtype=bool)
+        if check_program:
+            progs = tag["prog"]
+            okp = (progs.str.fullmatch(r"[A-Za-z0-9._\-()/]+").fillna(False)
+                   & progs.str.contains("[A-Za-z]", regex=True).fillna(False)
+                   ).to_numpy(dtype=bool)
+            tag_ok = okp
+        pri[rows] = pv.astype(int).to_numpy()
+        program[rows[tag_ok]] = _obj(tag["prog"])[tag_ok]
+        pid[rows[tag_ok]] = _obj(tag["pid"])[tag_ok]
+        message[rows] = np.where(tag_ok, _obj(tag["msg"]), _obj(rest))
+        leg = _obj(tag["legacy"].where(tag["legacy"] != ""))
+        legacy[rows[tag_ok]] = leg[tag_ok]
+        ts[rows] = recv.to_numpy(dtype="datetime64[us]")[rows]  # stamp = receive time
+        parsed[rows] = True
+        fmt[rows] = "rfc3164"
+        for k, i in enumerate(rows):
+            tags_col[i] = ["syslog.missing_timestamp", "syslog.rfc3164_missing_header"]
+            if not tag_ok[k]:
+                tags_col[i] = tags_col[i] + ["syslog.rfc3164_invalid_program"]
 
     # ---------- invalid PRI: a '<' prefix that never closes ----------
     # the reference accepts the line, shoves it whole into MSG and tags
@@ -294,6 +339,7 @@ def parse_syslog_table(
         ("pid", pid, pa.string()),
         ("msgid", msgid, pa.string()),
         ("message", message, pa.string()),
+        ("legacy_msghdr", legacy, pa.string()),
         ("sdata", sdata, pa.map_(pa.string(), pa.string())),
         ("syslog_parsed", parsed, pa.bool_()),
         ("msgformat", fmt, pa.string()),
@@ -312,12 +358,29 @@ def parse_syslog_table(
 # vectorized path; SURVEY.md §7.3). Never used in pipelines.
 # ---------------------------------------------------------------------------
 
+def _scan_legacy_tag(rest: str) -> tuple[str, str | None, str | None, str]:
+    """Scalar reference program-name scan -> (prog, pid, legacy, msg)."""
+    m = RE_TAGX.match(rest)
+    prog = m.group("prog") or ""
+    pidb = m.group("pidb") or ""
+    colon = m.group("colon") or ""
+    sp = m.group("sp") or ""
+    msg = m.group("msg") or ""
+    pid = None
+    if pidb:
+        ran_off = not pidb.endswith("]") and not colon and not sp and not msg
+        if not ran_off:
+            core = pidb[1:]
+            pid = core[:-1] if core.endswith("]") else core
+    return prog, pid, (prog + pidb + colon + sp) or None, msg
+
+
 def parse_syslog_line(line: str, recv_ts, check_program: bool = False) -> dict:
     recv = pd.Timestamp(recv_ts)
     out = {
         "pri": DEFAULT_PRI, "ts_stamp": None, "host": None, "program": None,
-        "pid": None, "msgid": None, "message": line, "sdata": None,
-        "syslog_parsed": False, "msgformat": None, "tags": None,
+        "pid": None, "msgid": None, "message": line, "legacy_msghdr": None,
+        "sdata": None, "syslog_parsed": False, "msgformat": None, "tags": None,
     }
     m = RE_5424.match(line)
     if m and re.match(r"^<\d{1,3}>\d ", line):
@@ -354,28 +417,33 @@ def parse_syslog_line(line: str, recv_ts, check_program: bool = False) -> dict:
                            errors="coerce")
         out["ts_stamp"] = None if pd.isna(t) else t
         out["host"] = m.group("host")
-        tm = RE_TAG.match(m.group("rest"))
-        if tm and check_program and not (
-                re.fullmatch(r"[A-Za-z0-9._\-()/]+", tm.group("prog"))
-                and re.search("[A-Za-z]", tm.group("prog"))):
+        prog, pidv, legacyv, msgv = _scan_legacy_tag(m.group("rest"))
+        if check_program and not (
+                re.fullmatch(r"[A-Za-z0-9._\-()/]+", prog)
+                and re.search("[A-Za-z]", prog)):
             out["message"] = m.group("rest")
             out["tags"] = ["syslog.rfc3164_invalid_program"]
-        elif tm:
-            out["program"], out["pid"], out["message"] = tm.group("prog"), tm.group("pid"), tm.group("msg")
         else:
-            out["message"] = m.group("rest")
+            out["program"], out["pid"], out["message"] = prog, pidv, msgv
+            out["legacy_msghdr"] = legacyv
         out["syslog_parsed"], out["msgformat"] = True, "rfc3164"
         return out
-    mp = re.match(r"^<(\d{1,3})>\s*(.*)$", line, re.S)
+    mp = re.match(r"^<(\d{1,3})> *(.*)$", line, re.S)
     if mp:
-        tm = RE_TAG.match(mp.group(2))
-        if tm:
-            out["pri"] = int(mp.group(1))
-            out["program"], out["pid"], out["message"] = tm.group("prog"), tm.group("pid"), tm.group("msg")
-            out["syslog_parsed"], out["msgformat"] = True, "rfc3164"
-            out["tags"] = ["syslog.missing_timestamp", "syslog.rfc3164_missing_header"]
-            out["ts_stamp"] = recv
-            return out
+        out["pri"] = int(mp.group(1))
+        out["ts_stamp"] = recv
+        out["syslog_parsed"], out["msgformat"] = True, "rfc3164"
+        out["tags"] = ["syslog.missing_timestamp", "syslog.rfc3164_missing_header"]
+        prog, pidv, legacyv, msgv = _scan_legacy_tag(mp.group(2))
+        if check_program and not (
+                re.fullmatch(r"[A-Za-z0-9._\-()/]+", prog)
+                and re.search("[A-Za-z]", prog)):
+            out["message"] = mp.group(2)
+            out["tags"] = out["tags"] + ["syslog.rfc3164_invalid_program"]
+        else:
+            out["program"], out["pid"], out["message"] = prog, pidv, msgv
+            out["legacy_msghdr"] = legacyv
+        return out
     if line.startswith("<") and not re.match(r"^<\d{1,3}>", line):
         out["syslog_parsed"], out["msgformat"] = True, "rfc3164"
         out["tags"] = ["syslog.invalid_pri"]

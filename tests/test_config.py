@@ -2185,3 +2185,83 @@ log { source(s); parser(p); destination(d); };
                       "pri": [13]})
         out = cfg.run(sources={"s": t}).rendered("d")
         assert ".app.foo" in out[0]
+
+
+class TestPanosParserScl:
+    """scl/paloalto/panos.conf panos-parser(): LEGACY_MSGHDR+MESSAGE
+    reassembly (the PAN-OS csv body has no syslog TAG colon, so the
+    header parse eats '1,DATE ' as PROGRAM), greedy entry csv into
+    .panos.tmp, per-type elif subtype csv, device_name drop filter, and
+    the MESSAGE/PROGRAM restore rewrite. Sample lines are the ones in
+    the reference conf's own comment header."""
+
+    SYSTEM = ("<12>Apr 14 16:48:54 paloalto.test.net 1,2020/04/14 16:48:54,"
+              "unknown,SYSTEM,auth,0,2020/04/14 16:48:54,,auth-fail,,0,0,"
+              "general,medium,failed authentication for user 'admin'. "
+              "Reason: Invalid username/password. From: 10.0.10.55.,"
+              "1718,0x0,0,0,0,0,,paloalto")
+    CONFIG = ("<14>Apr 14 16:54:18 paloalto.test.net 1,2020/04/14 16:54:18,"
+              "unknown,CONFIG,0,0,2020/04/14 16:54:18,10.0.10.55,,set,admin,"
+              "Web,Succeeded, deviceconfig system,127,0x0,0,0,0,0,,paloalto")
+
+    def _run(self, template):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { syslog-parser(); panos-parser(); };
+destination d { file("o.log" template("%s")); };
+log { source(s); parser(p); destination(d); };
+""" % template)
+        t = pa.table({"message": [self.SYSTEM, self.CONFIG],
+                      "pri": [13, 13]})
+        return cfg.run(sources={"s": t})
+
+    def test_system_fields(self):
+        r = self._run("${.panos.type}|${.panos.eventid}|${.panos.severity}"
+                      "|${.panos.device_name}|$PROGRAM")
+        assert r.processed("d") == 2
+        assert r.rendered("d")[0] == \
+            "SYSTEM|auth-fail|medium|paloalto|paloalto_panos"
+
+    def test_config_fields_non_custom_format(self):
+        r = self._run("${.panos.type}|${.panos.host}|${.panos.cmd}"
+                      "|${.panos.result}|${.panos.device_name}")
+        assert r.rendered("d")[1] == "CONFIG|10.0.10.55|set|Succeeded|paloalto"
+
+    def test_message_restored_and_tmp_unset(self):
+        r = self._run("$MESSAGE")
+        body = self.SYSTEM.split("paloalto.test.net ", 1)[1]
+        assert r.rendered("d")[0] == body
+        r2 = self._run("${.panos.tmp}x")
+        assert r2.rendered("d") == ["x", "x"]
+
+    def test_device_name_filter_drops(self):
+        # truncated SYSTEM line: no device_name -> dropped inside the
+        # simple conditional (no diversion to the elif arms)
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { syslog-parser(); panos-parser(); };
+destination d { file("o.log" template("$MESSAGE")); };
+log { source(s); parser(p); destination(d); };
+""")
+        short = ("<12>Apr 14 16:48:54 h 1,2020/04/14 16:48:54,unknown,"
+                 "SYSTEM,auth,0,2020/04/14 16:48:54,,auth-fail")
+        t = pa.table({"message": [short, self.SYSTEM], "pri": [13, 13]})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d") == 1
+
+    def test_app_parser_routes_panos_topic(self):
+        # the SCL library registers application panos[syslog]; the
+        # app-parser generator should pick it up by PROGRAM prefix "1,"
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { syslog-parser(); app-parser(topic(syslog)); };
+destination d { file("o.log" template("${.app.name}|${.panos.type}")); };
+log { source(s); parser(p); destination(d); };
+""")
+        t = pa.table({"message": [self.SYSTEM, "<13>Aug 17 05:02:28 h prog: hi"],
+                      "pri": [13, 13]})
+        r = cfg.run(sources={"s": t})
+        # non-matching message is dropped by the generated frame's
+        # final `filterx { false; }` arm
+        assert r.processed("d") == 1
+        assert r.rendered("d") == ["panos|SYSTEM"]

@@ -226,3 +226,80 @@ class TestCheckProgram:
                                    check_program=True)
             for k in ("program", "pid", "message", "tags", "msgformat"):
                 assert v[k] == sc[k], (line, k, v[k], sc[k])
+
+
+class TestLegacyMsgHdr:
+    """Reference-exact legacy program-name scan + $LEGACY_MSGHDR
+    (syslog-format.c:348-407 _syslog_format_parse_legacy_program_name;
+    test_syslog_format.c minimal_non_zero_terminated_numeric_message):
+    the first token becomes PROGRAM even with NO colon; the consumed
+    header bytes are stored as legacy_msghdr."""
+
+    def test_numeric_token_is_program_without_colon(self):
+        # test_syslog_format.c: "<189>65536" -> PROGRAM "65536"
+        r = _parse_one("<189>65536")
+        assert r["program"] == "65536"
+        assert r["message"] == ""
+        assert r["legacy_msghdr"] == "65536"
+
+    def test_no_colon_first_word_is_program(self):
+        r = _parse_one("<13>Aug 17 05:02:28 h 1,2020/04/14 16:48:54,unknown,SYSTEM")
+        assert r["program"] == "1,2020/04/14"
+        assert r["message"] == "16:48:54,unknown,SYSTEM"
+        assert r["legacy_msghdr"] == "1,2020/04/14 "
+
+    def test_legacy_msghdr_with_pid_and_colon(self):
+        r = _parse_one("<13>Aug 17 05:02:28 h prog[42]: body")
+        assert r["legacy_msghdr"] == "prog[42]: "
+        assert r["program"] == "prog" and r["pid"] == "42"
+
+    def test_pid_scan_stops_at_space(self):
+        # pid chars run to ' ', ']' or ':' — unclosed bracket, space stops
+        r = _parse_one("<13>Aug 17 05:02:28 h prog[12 34]: m")
+        assert r["program"] == "prog" and r["pid"] == "12"
+        assert r["message"] == "34]: m"
+        assert r["legacy_msghdr"] == "prog[12 "
+
+    def test_pid_unset_when_scan_runs_off_the_end(self):
+        # reference sets PID only `if (left)` — data ends inside brackets
+        r = _parse_one("<189>prog[123")
+        assert r["program"] == "prog" and r["pid"] is None
+
+    def test_colon_no_space(self):
+        r = _parse_one("<13>Aug 17 05:02:28 h prog:m")
+        assert r["program"] == "prog" and r["message"] == "m"
+        assert r["legacy_msghdr"] == "prog:"
+
+    def test_double_space_keeps_second_in_message(self):
+        # exactly ONE ' ' is consumed after the optional ':'
+        r = _parse_one("<13>Aug 17 05:02:28 h prog:  m")
+        assert r["message"] == " m"
+        assert r["legacy_msghdr"] == "prog: "
+
+    def test_msghdr_macro_prefers_stored_legacy(self):
+        from axosyslog_ray.functions.templates import Template
+
+        t = pa.table(
+            {
+                "url": ["u"],
+                "warc_ts": pa.array(pd.Series([RECV], dtype="datetime64[us]")),
+                "text": ["<13>Aug 17 05:02:28 h 1,comma/prog body here"],
+            }
+        )
+        out = parse_syslog_table(t)
+        hdr = Template("$MSGHDR").eval(out).tolist()
+        assert hdr == ["1,comma/prog "]  # raw consumed bytes, not "prog: "
+        leg = Template("${LEGACY_MSGHDR}${MESSAGE}").eval(out).tolist()
+        assert leg == ["1,comma/prog body here"]
+
+    def test_scalar_oracle_agrees_on_legacy_scan(self):
+        for line in ("<189>65536", "<189>prog[123",
+                     "<13>Aug 17 05:02:28 h first second third",
+                     "<13>Aug 17 05:02:28 h prog[12 34]: m",
+                     "<13>Aug 17 05:02:28 h prog:m",
+                     "<13>Aug 17 05:02:28 h [noname]: m"):
+            v = _parse_one(line)
+            sc = parse_syslog_line(line, RECV)
+            for k in ("program", "pid", "message", "legacy_msghdr", "tags"):
+                got = list(v[k]) if isinstance(v[k], (list, np.ndarray)) else v[k]
+                assert got == sc[k], (line, k, got, sc[k])
