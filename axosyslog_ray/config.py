@@ -591,8 +591,11 @@ class _Destination:
         self.template = None
         self.channel = channel
         for d in drivers:
-            if d.name == "file":
-                self.template = d.kw1("template")
+            # any driver's template() — or an http() body() — drives
+            # rendered(); file() is just the common case
+            t = d.kw1("template") or d.kw1("body")
+            if t is not None:
+                self.template = t
         self.counts = 0
         self.tables: list[pa.Table] = []
 
@@ -911,9 +914,10 @@ class _ExpandMap:
     (a kv/json pair IS a message field there). Last occurrence of a key
     in a row wins, like dict(pairs)."""
 
-    def __init__(self, stage, out_col: str):
+    def __init__(self, stage, out_col: str, field_map: dict | None = None):
         self.stage = stage
         self.out_col = out_col
+        self.field_map = field_map or {}
 
     def __call__(self, table: pa.Table) -> pa.Table:
         out = self.stage(table)
@@ -928,11 +932,17 @@ class _ExpandMap:
                     keys.append(k)
         for k in keys:
             vals = [dict(row or {}).get(k) for row in rows]
-            if k in out.column_names:
-                out = out.set_column(out.column_names.index(k), k,
+            cn = self.field_map.get(k, k)
+            if cn in out.column_names:
+                if cn != k:
+                    # builtin overwrite: rows whose parse produced no
+                    # value for this key keep their existing builtin
+                    old = out.column(cn).to_pylist()
+                    vals = [o if v is None else v for v, o in zip(vals, old)]
+                out = out.set_column(out.column_names.index(cn), cn,
                                      pa.array(vals, type=pa.string()))
             else:
-                out = out.append_column(k, pa.array(vals, type=pa.string()))
+                out = out.append_column(cn, pa.array(vals, type=pa.string()))
         return out.drop_columns([self.out_col])
 
 
@@ -1145,11 +1155,18 @@ def _compile_parser(d: Driver):
         src = "message" if tpl == "$MESSAGE" else \
             _field(tpl.lstrip("$").strip("{}"))
         ep = d.kw1("extract-prefix")
+        mk = d.kw1("marker")
+        pfx = str(d.kw1("prefix", ""))
         stage = _ExpandMap(
-            JsonParser(prefix=str(d.kw1("prefix", "")), source_col=src,
+            JsonParser(prefix=pfx, source_col=src,
                        extract_prefix=str(ep) if ep is not None else None,
                        key_delimiter=str(d.kw1("key-delimiter", ".")),
-                       out_col="__cfg_jv"), "__cfg_jv")
+                       marker=str(mk) if mk is not None else None,
+                       out_col="__cfg_jv"), "__cfg_jv",
+            # unprefixed keys named like hard macros overwrite the
+            # engine's message columns (the ewmm-parser contract:
+            # json-parser() restores MESSAGE/HOST/PROGRAM builtins)
+            field_map=_FIELD_MAP if not pfx else None)
         # an unparsable payload drops the message (json-parser.c
         # process FALSE)
         return _DropUnparsed(stage, "json_valid")
@@ -1181,9 +1198,18 @@ def _compile_parser(d: Driver):
         # (date-parser.c process returns FALSE) — the if/else junction
         # then routes the row to the else branch (scl/checkpoint)
         return _DropUnparsed(stage, "date_parsed")
+    if d.name == "tags-parser":
+        from .stages.tags_parser import TagsParser
+
+        tpl = str(d.kw1("template", "$MESSAGE"))
+        src = "message" if tpl == "$MESSAGE" else \
+            _field(tpl.lstrip("$").strip("{}"))
+        return TagsParser(source_col=src)
     if d.name == "syslog-parser":
         flags = [str(f) for f in d.kwargs.get("flags", [])]
-        tpl = str(d.kw1("template", "$RAWMSG"))
+        # parser input defaults to $MESSAGE (log_parser_process uses the
+        # MESSAGE value when no template() is set)
+        tpl = str(d.kw1("template", "$MESSAGE"))
         if "no-header" in flags:
             return _TemplateSourced(_PriOnlyParser(), tpl, "__tpl_src")
         # full re-parse: render the template and run the format()
@@ -1540,6 +1566,50 @@ block parser panos-parser(prefix(".panos.")) {
 application panos[syslog] {
     filter { match("1," value("PROGRAM") type(string) flags(prefix)); };
     parser { panos-parser(); };
+};
+
+block parser websense-parser(prefix(".websense.")) {
+    channel {
+        rewrite {
+            subst('([A-Za-z]{3} [0-9 ]\\d \\d{2}:\\d{2}:\\d{2}) [A-Z]{3,4}' "$1 " value("MSG"));
+            subst('(vendor=Websense)' "Websense: $1" value("MSG"));
+        };
+        parser {
+            syslog-parser();
+            kv-parser(prefix("`prefix`"));
+        };
+    };
+};
+
+application websense[syslog-raw] {
+    filter { message("vendor=Websense" type(string) flags(substring)); };
+    parser { websense-parser(); };
+};
+
+application cee[syslog] {
+    parser { json-parser(prefix('.cee.') marker('@cee:')); };
+};
+
+block destination sumologic-http(deployment() collector()
+                                 batch-lines(1000)
+                                 template("$(format-json --scope all-nv-pairs --exclude SOURCE)\\n")) {
+    http(url("https://collectors.`deployment`.sumologic.com/receiver/v1/http/`collector`")
+         method("POST") batch-lines(`batch-lines`) body(`template`));
+};
+
+block parser ewmm-parser() {
+    channel {
+        filter { program("@syslog-ng" type(string)); };
+        rewrite {
+            unset(value("PROGRAM"));
+            unset(value("RAWMSG"));
+        };
+        parser { json-parser(); };
+        parser { tags-parser(template("${._TAGS}")); };
+        rewrite {
+            unset(value("._TAGS"));
+        };
+    };
 };
 
 block rewrite credit-card-brand(regex() value() template()) {

@@ -74,7 +74,12 @@ class JsonParser:
         source_col: str = "message",
         out_col: str = "jv",
         with_types: bool = False,
+        marker: str | None = None,
     ):
+        # marker('@cee:'): input must START with the marker; the marker
+        # and following whitespace are stripped before tokenizing, a
+        # missing marker fails the parse (json-parser.c:341-354)
+        self.marker = marker
         self.prefix = prefix
         self.extract_prefix = extract_prefix
         self.key_delimiter = key_delimiter
@@ -85,6 +90,10 @@ class JsonParser:
 
     def parse_line(self, line: str):
         """Scalar path: (pairs, type_pairs) or None on failure."""
+        if self.marker is not None:
+            if not line.startswith(self.marker):
+                return None
+            line = line[len(self.marker):].lstrip()
         try:
             obj = _loads(line)
         except Exception:

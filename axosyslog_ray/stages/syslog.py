@@ -42,8 +42,12 @@ RE_SD_ELEM = re.compile(r'\[([^ \]"=]+)((?: [^ \]"=]+="(?:[^"\\]|\\.)*")*)\]')
 RE_SD_PARAM = re.compile(r'([^ \]"=]+)="((?:[^"\\]|\\.)*)"')
 
 RE_3164 = re.compile(
+    # separators after the timestamp are ' '-runs (the reference skips
+    # ALL spaces before the hostname and before the program name,
+    # syslog-format.c:923,955 _skip_chars " " -1); a line ending right
+    # after the hostname still parses (empty rest)
     r"^(?:<(?P<pri>\d{1,3})> ?)?(?P<mon>" + MONTHS + r") (?P<day>[ \d]\d) "
-    r"(?P<time>\d{2}:\d{2}:\d{2}) (?P<host>\S+) (?P<rest>.*)$",
+    r"(?P<time>\d{2}:\d{2}:\d{2}) +(?P<host>[^ ]+)(?: +(?P<rest>.*))?$",
     re.S,
 )
 RE_TAG = re.compile(r"^(?P<prog>[^:\[\s]+)(?:\[(?P<pid>[^\]]*)\])?: ?(?P<msg>.*)$", re.S)
@@ -252,7 +256,7 @@ def parse_syslog_table(
                 )
             ts[rows] = tparsed.to_numpy(dtype="datetime64[us]", na_value=np.datetime64("NaT"))
             host[rows] = _obj(exo["host"])
-            rest = exo["rest"].astype("string")
+            rest = exo["rest"].fillna("").astype("string")
             tag = _extract_legacy_tag(rest)
             # the legacy scan always parses (no colon required); under
             # check_program an invalid name leaves PROGRAM/PID unset with
@@ -417,11 +421,11 @@ def parse_syslog_line(line: str, recv_ts, check_program: bool = False) -> dict:
                            errors="coerce")
         out["ts_stamp"] = None if pd.isna(t) else t
         out["host"] = m.group("host")
-        prog, pidv, legacyv, msgv = _scan_legacy_tag(m.group("rest"))
+        prog, pidv, legacyv, msgv = _scan_legacy_tag(m.group("rest") or "")
         if check_program and not (
                 re.fullmatch(r"[A-Za-z0-9._\-()/]+", prog)
                 and re.search("[A-Za-z]", prog)):
-            out["message"] = m.group("rest")
+            out["message"] = m.group("rest") or ""
             out["tags"] = ["syslog.rfc3164_invalid_program"]
         else:
             out["program"], out["pid"], out["message"] = prog, pidv, msgv

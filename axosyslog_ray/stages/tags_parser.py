@@ -41,6 +41,8 @@ class TagsParser:
         self.tags_col = tags_col
 
     def __call__(self, table: pa.Table) -> pa.Table:
+        if self.source_col not in table.column_names:
+            return table  # nothing to parse (no row carried the field)
         s = table.column(self.source_col).to_pandas().astype("string").fillna("")
         parsed = s.map(_parse_list)
         if self.tags_col in table.column_names:

@@ -2265,3 +2265,99 @@ log { source(s); parser(p); destination(d); };
         # final `filterx { false; }` arm
         assert r.processed("d") == 1
         assert r.rendered("d") == ["panos|SYSTEM"]
+
+
+class TestWebsenseCeeEwmmScl:
+    """scl/websense/plugin.conf, scl/cee/adapter.conf and
+    scl/ewmm/ewmm.conf parser blocks: timezone-strip + program-insert
+    substs feeding a full syslog-parser() re-parse (websense), marker
+    json (cee), and the EWMM builtin-restoring json + tags re-parse."""
+
+    def test_websense_parser(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { websense-parser(); };
+destination d { file("o.log" template("$HOST|$PROGRAM|${.websense.vendor}|${.websense.action}")); };
+log { source(s); parser(p); destination(d); };
+""")
+        raw = ("Apr 14 16:48:54 EST wsgateway vendor=Websense "
+               "product=Security action=permitted src_host=10.0.0.1")
+        t = pa.table({"message": [raw], "pri": [13]})
+        r = cfg.run(sources={"s": t})
+        assert r.rendered("d") == ["wsgateway|Websense|Websense|permitted"]
+
+    def test_websense_application_topic(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { app-parser(topic(syslog-raw)); };
+destination d { file("o.log" template("${.app.name}|${.websense.product}")); };
+log { source(s); parser(p); destination(d); };
+""")
+        raw = ("Apr 14 16:48:54 EST wsgateway vendor=Websense "
+               "product=Security action=permitted")
+        t = pa.table({"message": [raw, "something else"], "pri": [13, 13]})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d") == 1
+        assert r.rendered("d") == ["websense|Security"]
+
+    def test_cee_application_marker_json(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { app-parser(topic(syslog)); };
+destination d { file("o.log" template("${.app.name}|${.cee.event}|${.cee.sev}")); };
+log { source(s); parser(p); destination(d); };
+""")
+        t = pa.table({"message": ['@cee: {"event":"login","sev":"3"}',
+                                  '{"event":"nomarker"}'],
+                      "pri": [13, 13],
+                      "program": ["app", "app"]})
+        r = cfg.run(sources={"s": t})
+        # no marker -> json-parser fails -> app frame's false arm drops
+        assert r.processed("d") == 1
+        assert r.rendered("d") == ["cee|login|3"]
+
+    def test_ewmm_parser_restores_builtins(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { syslog-parser(); ewmm-parser(); };
+destination d { file("o.log" template("$HOST|$PROGRAM|$MESSAGE|$TAGS")); };
+log { source(s); parser(p); destination(d); };
+""")
+        line = ('<13>1 2026-08-19T10:00:00Z relayhost @syslog-ng - - - '
+                '{"MESSAGE":"original body","HOST":"origin",'
+                '"PROGRAM":"app1","._TAGS":".source.s_net"}')
+        t = pa.table({"message": [line], "pri": [13]})
+        r = cfg.run(sources={"s": t})
+        out = r.rendered("d")[0]
+        assert out.startswith("origin|app1|original body|")
+        assert ".source.s_net" in out
+        # hop-by-hop field removed
+        r2 = cfg.run(sources={"s": t})
+        assert "._TAGS" not in r2.table("d").column_names or \
+            r2.table("d").column("._TAGS").null_count == 1
+
+    def test_ewmm_parser_drops_foreign_program(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { syslog-parser(); ewmm-parser(); };
+destination d { file("o.log" template("$MESSAGE")); };
+log { source(s); parser(p); destination(d); };
+""")
+        line = '<13>1 2026-08-19T10:00:00Z h otherapp - - - {"MESSAGE":"x"}'
+        t = pa.table({"message": [line], "pri": [13]})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d") == 0
+
+    def test_sumologic_http_destination_block(self):
+        # scl/sumologic sumologic-http(): block splices an http() dest;
+        # body() template drives the rendered output
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { sumologic-http(deployment(eu) collector(tok) template("$PROGRAM: $MESSAGE")); };
+log { source(s); destination(d); };
+""")
+        t = pa.table({"message": ["hello"], "pri": [13],
+                      "program": ["app"]})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d") == 1
+        assert r.rendered("d") == ["app: hello"]
