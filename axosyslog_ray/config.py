@@ -1340,10 +1340,30 @@ def _build_source(drivers: list[Driver]) -> pa.Table:
                     cols[key] = pa.array([val] * n, type=pa.string())
             parts.append(pa.table(cols))
         elif d.name in ("file", "wildcard-file"):
-            path = d.args[0]
-            with open(path) as fh:
-                lines = [ln.rstrip("\n") for ln in fh]
-            parts.append(pa.table({"message": pa.array(lines, type=pa.string())}))
+            import glob as _glob
+
+            path = str(d.args[0])
+            paths = sorted(_glob.glob(path)) if d.name == "wildcard-file" \
+                or any(c in path for c in "*?[") else [path]
+            if not paths:
+                raise ConfigError(f"{d.name}({path!r}): no files match")
+            lines: list[str] = []
+            for p in paths:
+                with open(p) as fh:
+                    lines.extend(ln.rstrip("\n") for ln in fh)
+            t = pa.table({"message": pa.array(lines, type=pa.string())})
+            flags = [str(f) for f in d.kwargs.get("flags", [])]
+            if "no-parse" not in flags:
+                # the reference's file() source runs the msg-format
+                # header parse on every line unless flags(no-parse)
+                # (lib/logproto + lib/msg-format.c default LP_* path)
+                from .stages.syslog import parse_syslog_table
+
+                t = t.rename_columns(["__raw"])
+                t = parse_syslog_table(t, col="__raw",
+                                       recv_ts_col="recv_ts")
+                t = t.drop_columns(["__raw"])
+            parts.append(t)
         else:
             raise ConfigError(f"unsupported source driver {d.name}()")
     return pa.concat_tables(parts, promote_options="permissive")
@@ -1708,6 +1728,32 @@ def compile_config(text: str, *, include_path: str | None = None,
             cfg.filters[name] = _FilterParser(s, cfg.filters).parse_block()
             s.expect("}")
             s.expect(";")
+        elif t == "template-function":
+            # template-function "name" "body"; — a user-defined template
+            # function: $(name) evaluates the body against the message;
+            # arguments are a compile error (lib/template/user-function.c
+            # :43-47). Registered in the engine-wide function table like
+            # the reference's plugin registry (a later definition of the
+            # same name wins).
+            s.next()
+            name = _unquote(s.next())
+            body = _unquote(s.next())
+            s.expect(";")
+            from .functions.strings import TEMPLATE_FUNCS
+            from .functions.templates import Template as _Tpl
+
+            cache: dict = {}
+
+            def _user_fn(table, *args, _body=body, _name=name, _c=cache):
+                if args:
+                    raise ValueError(
+                        f"User defined template function $({_name}) "
+                        "cannot have arguments")
+                if "t" not in _c:
+                    _c["t"] = _Tpl(_body)
+                return _c["t"].eval(table)
+
+            TEMPLATE_FUNCS[name] = _user_fn
         elif t == "application":
             # application NAME[topic] { filter {}; parser {}; filterx {}; };
             # (modules/appmodel/appmodel-parser.c) — sections stored as

@@ -87,7 +87,13 @@ class ValueRef:
                  for v in lst], dtype=object)
         m = eval_macro(self.name, table)
         if m is not None:
-            return m.astype(object)
+            out = m.astype(object)
+            if self.default is not None:
+                # MACRO default applies when the expansion appended
+                # nothing (eval.c:96-97 log_template_append_elem_macro),
+                # unlike VALUE defaults which need an unset value
+                out = out.where(out.notna() & (out != ""), self.default)
+            return out
         return pd.Series([self.default or ""] * table.num_rows, dtype=object)
 
 
@@ -96,9 +102,15 @@ class FuncCall:
         self.name = name
         self.args = args  # list of compiled Templates
         self.msg_ref = msg_ref
+        # Bind at compile time (the reference resolves the plugin in
+        # log_template_compiler_process_template_function, not per
+        # eval) — required for user template-functions registered by a
+        # config: the bound closure pickles into Ray workers, where a
+        # module-global lookup would only see the built-in table.
+        self.fn = TEMPLATE_FUNCS.get(name)
 
     def eval(self, table: pa.Table) -> pd.Series:
-        fn = TEMPLATE_FUNCS.get(self.name)
+        fn = self.fn
         if fn is None:
             raise KeyError(f"unknown template function $({self.name} ...)")
         if getattr(fn, "_lazy_first", False):

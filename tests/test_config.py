@@ -1103,6 +1103,67 @@ log { source(s); destination(d); };
         assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == \
                ["template with test.key1=value1"]
 
+    def test_file_source_parses_syslog_by_default(self, tmp_path):
+        # file() runs the msg-format header parse on every line unless
+        # flags(no-parse) (lib/msg-format.c default path)
+        p = tmp_path / "in.log"
+        p.write_text("<34>Oct 11 22:14:15 myhost sshd[42]: hi there\n")
+        cfg = compile_config(f"""
+source s {{ file("{p}"); }};
+destination d {{ file("o.log" template("$PRI|$HOST|$PROGRAM|$PID|$MSG\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == \
+               ["34|myhost|sshd|42|hi there"]
+
+    def test_file_source_no_parse_flag(self, tmp_path):
+        p = tmp_path / "in.log"
+        p.write_text("<34>Oct 11 22:14:15 myhost sshd[42]: hi there\n")
+        cfg = compile_config(f"""
+source s {{ file("{p}" flags(no-parse)); }};
+destination d {{ file("o.log" template("$MSG\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == \
+               ["<34>Oct 11 22:14:15 myhost sshd[42]: hi there"]
+
+    def test_wildcard_file_source_glob(self, tmp_path):
+        (tmp_path / "a.log").write_text("<13>Oct 11 22:14:15 h1 p1: one\n")
+        (tmp_path / "b.log").write_text("<13>Oct 11 22:14:15 h2 p2: two\n")
+        cfg = compile_config(f"""
+source s {{ wildcard-file("{tmp_path}/*.log"); }};
+destination d {{ file("o.log" template("$HOST $MSG\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+        assert sorted(x.rstrip("\n") for x in cfg.run().rendered("d")) == \
+               ["h1 one", "h2 two"]
+
+    def test_user_template_function_stmt(self):
+        # Light templates/test_template_stmt.py test_template_function:
+        # `template-function NAME "body";` registers $(NAME) which
+        # evaluates the body against the message
+        # (lib/template/user-function.c).
+        cfg = compile_config("""
+template-function test_template_fn "template with $(format-welf test.*)";
+source s { example-msg-generator(num(1) values("test.key1 => value1 test.key2 => value2")); };
+destination d { file("o.log" template("$(test_template_fn)\\n")); };
+log { source(s); destination(d); };
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == \
+               ["template with test.key1=value1 test.key2=value2"]
+
+    def test_user_template_function_rejects_arguments(self):
+        # user-function.c:43-47: argc != 1 is a compile error
+        import pytest as _pytest
+        cfg = compile_config("""
+template-function my_fn "$HOST";
+source s { example-msg-generator(num(1)); };
+destination d { file("o.log" template("$(my_fn extra)\\n")); };
+log { source(s); destination(d); };
+""")
+        with _pytest.raises(ValueError, match="cannot have arguments"):
+            cfg.run().rendered("d")
+
     def test_template_function_unknown_name_uses_fallback(self):
         cfg = compile_config("""
 source s { example-msg-generator(num(1)); };

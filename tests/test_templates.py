@@ -407,6 +407,18 @@ def test_template_compile_reference_pins():
     assert Template("$HOST test value").eval(t).tolist()[0] == "myhost test value"
 
 
+def test_macro_default_applies_when_expansion_empty():
+    # eval.c:96-97 log_template_append_elem_macro: a MACRO default kicks
+    # in when the expansion appended nothing — row 2's nginx line has no
+    # pid, row 1 keeps its real value.
+    t = _msg_table()
+    assert Template("${PID:-nopid}").eval(t).tolist() == ["1234", "nopid"]
+    assert Template("${SEQNUM:-0}").eval(t).tolist() == ["0", "0"]
+    # a macro that always expands keeps its value
+    assert Template("${MSGHDR:-hdr}").eval(t).tolist() == \
+        ["sshd[1234]: ", "nginx: "]
+
+
 def test_boolean_cast_first_char_reference_pins():
     # lib/logmsg/tests/test_type_hints.c test_bool_cast truth table
     from axosyslog_ray.functions.strings import bool_cast_first_char
