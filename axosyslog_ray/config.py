@@ -377,6 +377,16 @@ def _parse_log_elements(s: _Stream, cfg: "Config") -> list:
             body = _parse_driver_block(s, cfg, kind)
             s.expect(";")
             out.append((kind, [cfg._compile_stage(kind, d) for d in body]))
+        elif t == "source" and s.peek(1) == "{":
+            # inline source block (log { source { file(...); }; ... };
+            # and the `block source` channel shape) — registered as an
+            # anonymous named source, referenced like source(NAME)
+            s.next()
+            body = _parse_driver_block(s, cfg, "source")
+            s.expect(";")
+            name = f"_inline_src_{len(cfg.sources)}"
+            cfg.sources[name] = body
+            out.append(("source", name))
         elif t == "destination" and s.peek(1) == "{":
             s.next()
             drivers, chan = _parse_destination_body(s, cfg)
@@ -529,6 +539,15 @@ def _parse_driver_or_ref(s: _Stream, cfg: "Config | None", kind: str | None,
         sub = _Stream(tokenize(gen), gen)
         sub.expect("channel")
         return [Driver("__channel__", args=[Channel(_parse_log_elements(sub, cfg))])]
+    if (name == "channel" and s.peek(1) == "{" and cfg is not None
+            and kind == "source"):
+        # `block source` bodies wrap `source { ... }` + follow-up
+        # parser/rewrite/filter stages in a channel (reference
+        # scl/linux-audit, scl/osquery): compile to a pseudo-driver the
+        # source builder expands — inner sources feed the inner stages
+        s.next()
+        elems = _parse_log_elements(s, cfg)
+        return [Driver("__src_channel__", args=[Channel(elems)])]
     if (name == "channel" and s.peek(1) == "{" and cfg is not None
             and kind in ("parser", "rewrite")):
         # compound channel driver inside a parser/rewrite context
@@ -694,7 +713,7 @@ class Config:
             t = injected[name]
             t = pa.Table.from_pandas(t) if isinstance(t, pd.DataFrame) else t
         else:
-            t = _build_source(self.sources[name])
+            t = _build_source(self.sources[name], self)
         if _ROW_ID not in t.column_names:
             t = t.append_column(_ROW_ID, pa.array(np.arange(t.num_rows), type=pa.int64()))
         return t
@@ -1105,8 +1124,13 @@ def _compile_parser(d: Driver):
                          source_col=src,
                          drop_invalid=str(d.kw1("drop-invalid", "no"))
                          in ("yes", "on", "1") or "drop-invalid" in flags)
-    if d.name == "kv-parser":
-        from .stages.kv_parser import KvParser
+    if d.name in ("kv-parser", "linux-audit-parser"):
+        if d.name == "linux-audit-parser":
+            # kv variant with the audit hexdump value transform
+            # (modules/kvformat/linux-audit-parser.c)
+            from .stages.audit_parser import LinuxAuditParser as KvParser
+        else:
+            from .stages.kv_parser import KvParser
 
         prefix = str(d.kw1("prefix", ""))
         ps = d.kw1("pair-separator")
@@ -1314,10 +1338,29 @@ def _compile_rewrite(d: Driver, named: dict | None = None):
     raise ConfigError(f"unsupported rewrite driver {d.name}()")
 
 
-def _build_source(drivers: list[Driver]) -> pa.Table:
+def _build_source(drivers: list[Driver], cfg: "Config | None" = None) -> pa.Table:
     parts = []
     for d in drivers:
-        if d.name == "example-msg-generator":
+        if d.name == "__src_channel__":
+            # block-source channel: inner source(s) feed the channel's
+            # parser/rewrite/filter stages before joining the path
+            ch = d.args[0]
+            srcs = [a for k, a in ch.elements if k == "source"]
+            rest = [e for e in ch.elements if e[0] != "source"]
+            t = pa.concat_tables(
+                [_build_source(cfg.sources[sn], cfg) for sn in srcs],
+                promote_options="permissive")
+            if rest:
+                own_id = _ROW_ID not in t.column_names
+                if own_id:
+                    t = t.append_column(
+                        _ROW_ID, pa.array(np.arange(t.num_rows),
+                                          type=pa.int64()))
+                t = cfg._run_sequence(t, rest)
+                if own_id:
+                    t = t.drop_columns([_ROW_ID])
+            parts.append(t)
+        elif d.name == "example-msg-generator":
             from .functions.numbers import parse_int64_with_suffix
 
             # config numerics parse like the reference grammar (size
@@ -1341,8 +1384,15 @@ def _build_source(drivers: list[Driver]) -> pa.Table:
             parts.append(pa.table(cols))
         elif d.name in ("file", "wildcard-file"):
             import glob as _glob
+            import os as _os
 
-            path = str(d.args[0])
+            # wildcard-file(base-dir() filename-pattern()) — the
+            # reference driver's two-part glob (affile wildcard source)
+            base, fpat = d.kw1("base-dir"), d.kw1("filename-pattern")
+            if base is not None or fpat is not None:
+                path = _os.path.join(str(base or "."), str(fpat or "*"))
+            else:
+                path = str(d.args[0])
             paths = sorted(_glob.glob(path)) if d.name == "wildcard-file" \
                 or any(c in path for c in "*?[") else [path]
             if not paths:
@@ -1350,19 +1400,52 @@ def _build_source(drivers: list[Driver]) -> pa.Table:
             lines: list[str] = []
             for p in paths:
                 with open(p) as fh:
-                    lines.extend(ln.rstrip("\n") for ln in fh)
-            t = pa.table({"message": pa.array(lines, type=pa.string())})
+                    flines = [ln.rstrip("\n") for ln in fh]
+                mlm = d.kw1("multi-line-mode")
+                if mlm is not None:
+                    # multi-line-mode()/-prefix()/-garbage()/-suffix():
+                    # join continuation lines per file before the
+                    # header parse (lib/multi-line/multi-line-factory.c)
+                    from .sources.text import MultiLineJoiner
+
+                    pre = d.kw1("multi-line-prefix")
+                    garb = d.kw1("multi-line-garbage") \
+                        or d.kw1("multi-line-suffix")
+                    j = MultiLineJoiner(
+                        mode=str(mlm),
+                        prefix_re=str(pre) if pre is not None else None,
+                        garbage_re=str(garb) if garb is not None else None)
+                    flines = ["\n".join(g) for g in j._group(flines)]
+                lines.extend(flines)
             flags = [str(f) for f in d.kwargs.get("flags", [])]
-            if "no-parse" not in flags:
+            if "no-parse" in flags:
+                # whole line -> $MESSAGE; default PRI (user.notice) is
+                # still assigned (lib/msg-format.c defaults)
+                t = pa.table({
+                    "message": pa.array(lines, type=pa.string()),
+                    "pri": pa.array([13] * len(lines), type=pa.int64()),
+                })
+            else:
                 # the reference's file() source runs the msg-format
                 # header parse on every line unless flags(no-parse)
                 # (lib/logproto + lib/msg-format.c default LP_* path)
                 from .stages.syslog import parse_syslog_table
 
-                t = t.rename_columns(["__raw"])
+                t = pa.table({"__raw": pa.array(lines, type=pa.string())})
                 t = parse_syslog_table(t, col="__raw",
                                        recv_ts_col="recv_ts")
                 t = t.drop_columns(["__raw"])
+            # program-override()/host-override() (affile options):
+            # overwrite $PROGRAM/$HOST after the header parse
+            for opt, col in (("program-override", "program"),
+                             ("host-override", "host")):
+                ov = d.kw1(opt)
+                if ov is not None:
+                    arr = pa.array([str(ov)] * t.num_rows, type=pa.string())
+                    if col in t.column_names:
+                        t = t.set_column(t.column_names.index(col), col, arr)
+                    else:
+                        t = t.append_column(col, arr)
             parts.append(t)
         else:
             raise ConfigError(f"unsupported source driver {d.name}()")
@@ -1655,6 +1738,77 @@ block rewrite credit-card-hash(value("MESSAGE")
     credit-card-brand(regex("((?:2131|1800|35[0-9]{3})[0-9]{11})") value(`value`) template("`template`"));
     credit-card-brand(regex("(3(?:0[0-5]|[68][0-9])[0-9]{11})") value(`value`) template("`template`"));
     credit-card-brand(regex("(6(?:011|5[0-9]{2})[0-9]{12})") value(`value`) template("`template`"));
+};
+
+block source linux-audit(filename("/var/log/audit/audit.log") prefix(".auditd.") ...) {
+    channel {
+        source { file("`filename`" flags(no-parse) `__VARARGS__`); };
+        parser { linux-audit-parser(prefix("`prefix`")); };
+        parser { kv-parser(template("${`prefix`msg}") prefix("`prefix`msg.")); };
+        rewrite { unset(value("`prefix`msg")); };
+    };
+};
+
+block source osquery(file("/var/log/osquery/osqueryd.results.log") prefix(".osquery.") ...) {
+    channel {
+        source { file("`file`" program-override("osquery") flags(no-parse) `__VARARGS__`); };
+        parser { json-parser(prefix("`prefix`")); };
+    };
+};
+
+block parser jellyfin() {
+    channel {
+        parser {
+            regexp-parser(
+                patterns('^\\[([^\\]]*)\\] \\[([A-Z]{3})\\] \\[[0-9]+\\] (?<MESSAGE>(?:.|\\n)*)'));
+            date-parser(template("$1") format("%Y-%m-%d %H:%M:%S.%f %z"));
+        };
+        rewrite {
+            set("Jellyfin" value("PROGRAM"));
+            set-severity("$2");
+        };
+    };
+};
+
+block source jellyfin(base_dir() filename_pattern()) {
+    channel {
+        source {
+            wildcard-file(
+                base-dir("`base_dir`")
+                filename-pattern("`filename_pattern`")
+                multi-line-mode(regexp)
+                multi-line-prefix('^\\[[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}.[0-9]{3} ')
+                flags(no-parse)
+                `__VARARGS__`);
+        };
+        parser { jellyfin(); };
+    };
+};
+
+block parser qbittorrent() {
+    channel {
+        parser {
+            regexp-parser(patterns('^\\((.)\\) ([^ ]+) - (?<MESSAGE>.*)'));
+            date-parser(template("$2") format("%Y-%m-%dT%H:%M:%S"));
+        };
+        rewrite { set("qBittorrent" value("PROGRAM")); };
+        if (match("C" value("1") type(string))) {
+            rewrite { set-severity("critical"); };
+        } elif (match("W" value("1") type(string))) {
+            rewrite { set-severity("warning"); };
+        } elif (match("I" value("1") type(string))) {
+            rewrite { set-severity("info"); };
+        } elif (match("N" value("1") type(string))) {
+            rewrite { set-severity("notice"); };
+        };
+    };
+};
+
+block source qbittorrent(dir() ...) {
+    channel {
+        source { file("`dir`/qbittorrent.log" flags(no-parse) `__VARARGS__`); };
+        parser { qbittorrent(); };
+    };
 };
 """
 

@@ -28,7 +28,14 @@ SEVERITY_NAMES = ["emerg", "alert", "crit", "err", "warning", "notice", "info", 
 FACILITY_NUM = {n: i for i, n in enumerate(FACILITY_NAMES)}
 SEVERITY_NUM = {n: i for i, n in enumerate(SEVERITY_NAMES)}
 # accepted aliases (reference lib/syslog-names.c)
-SEVERITY_NUM.update({"panic": 0, "error": 3, "warn": 4})
+SEVERITY_NUM.update({"panic": 0, "emergency": 0, "critical": 2,
+                     "error": 3, "warn": 4, "informational": 6})
+# set-severity() additionally accepts app-log shorthands via the alias
+# gperf table (reference lib/severity-aliases.table, used by
+# rewrite-set-severity.c:59) — NOT valid in filter severity expressions
+SEVERITY_ALIASES = dict(SEVERITY_NUM)
+SEVERITY_ALIASES.update({"fatal": 2, "ftl": 2, "wrn": 4, "inf": 6,
+                         "log": 6, "dbg": 7, "vrb": 7, "trace": 7})
 
 BSD_MONTHS = np.array(["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"])
 

@@ -108,9 +108,12 @@ class KvParser:
             return re.sub(r"\\(.)", r"\1", v[1:-1])
         return v
 
-    def _postprocess_value(self, value: str, was_quoted: bool) -> str:
+    def _postprocess_value(self, value: str, was_quoted: bool,
+                           key: str = "") -> str:
         """Hook for kv variants (linux-audit hex decode); applied on BOTH
-        the scalar and the vectorized batch path."""
+        the scalar and the vectorized batch path. `key` is the raw
+        (unprefixed) key — reference kv_scanner_set_transform_value
+        hooks see the scanner's key too."""
         return value
 
     def parse_line(self, line: str) -> tuple[list[tuple[str, str]], str]:
@@ -123,7 +126,7 @@ class KvParser:
                 pair_separator=self.pair_separator,
                 stray_words_mode="collect" if self.collect_stray else None)
             out = [(self.prefix + k,
-                    self._postprocess_value(v, q))
+                    self._postprocess_value(v, q, k))
                    for (k, v), q in zip(raw_pairs, quoted)]
             if self.stray_into is not None and stray:
                 out.append((self.prefix + self.stray_into, stray))
@@ -133,7 +136,8 @@ class KvParser:
             raw = m.group(2)
             quoted = raw[:1] in ('"', "'")  # tuple: "" must NOT count as quoted
             pairs.append((self.prefix + m.group(1),
-                          self._postprocess_value(self._unquote(raw), quoted)))
+                          self._postprocess_value(self._unquote(raw), quoted,
+                                                  m.group(1))))
             spans.append(m.span())
         stray = ""
         if self.collect_stray:
@@ -204,9 +208,10 @@ class KvParser:
         if post_override and val_parts:
             post = self._postprocess_value
             val_parts = [
-                pa.array([post(v, False) for v in part.to_pylist()],
+                pa.array([post(v, False, k) for v, k in
+                          zip(vpart.to_pylist(), kpart.to_pylist())],
                          type=pa.string())
-                for part in val_parts
+                for vpart, kpart in zip(val_parts, key_parts)
             ]
 
         # scalar fallback rows (parse_line output is prefixed +
@@ -302,8 +307,11 @@ class KvParser:
                         .to_numpy(dtype=object))
                 if type(self)._postprocess_value is not KvParser._postprocess_value:
                     post = self._postprocess_value
-                    vals = np.array([post(x, q) for x, q in zip(vals, was_quoted)],
-                                    dtype=object)
+                    vals = np.array(
+                        [post(x, q, k) for x, q, k in
+                         zip(vals, was_quoted,
+                             raw_keys.to_numpy(dtype=object))],
+                        dtype=object)
                 out_keys = (self.prefix + raw_keys).to_numpy(dtype=object) \
                     if self.prefix else raw_keys.to_numpy(dtype=object)
             else:

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.macros import FACILITY_NUM, SEVERITY_NUM
+from ..functions.macros import FACILITY_NUM, SEVERITY_ALIASES, SEVERITY_NUM
 from ..functions.templates import Template
 
 
@@ -197,9 +197,11 @@ def _set_pri_part(table: pa.Table, template: str, part: str, condition=None) -> 
         num = num.where((num >= 0) & (num <= 1023))
         new = np.where(num.notna(), num.fillna(0).astype(int), pri)
     elif part == "severity":
-        # name lookup is case-insensitive (lib/syslog-names.c strcasecmp)
+        # name lookup is case-insensitive (lib/syslog-names.c
+        # strcasecmp) and set-severity also accepts the app-log alias
+        # table (severity-aliases.table: FTL/WRN/INF/DBG/TRACE...)
         num = pd.to_numeric(
-            vals.map(lambda v: SEVERITY_NUM.get(
+            vals.map(lambda v: SEVERITY_ALIASES.get(
                 str(v).lower(), int(v) if str(v).isdigit() else None)),
             errors="coerce")
         num = num.where((num >= 0) & (num <= 7))

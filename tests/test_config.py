@@ -1138,6 +1138,87 @@ log {{ source(s); destination(d); }};
         assert sorted(x.rstrip("\n") for x in cfg.run().rendered("d")) == \
                ["h1 one", "h2 two"]
 
+    def test_linux_audit_scl_source(self, tmp_path):
+        # scl/linux-audit/linux-audit.conf: file -> linux-audit-parser
+        # -> kv-parser over ${.auditd.msg} -> unset(.auditd.msg)
+        p = tmp_path / "audit.log"
+        p.write_text(
+            "type=USER_LOGIN msg=audit(1364481363.243:24287): pid=1021 "
+            "uid=0 msg='op=login acct=root res=success'\n"
+            "type=EXECVE msg=audit(1364481363.243:24288): argc=2 "
+            'a0="cat" a1=2F62696E2F7368202D6C\n')
+        cfg = compile_config(f"""
+source s {{ linux-audit(filename("{p}")); }};
+destination d {{ file("o.log" template("${{.auditd.type}}|${{.auditd.msg.op}}${{.auditd.a1}}|${{.auditd.msg}}\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == [
+            "USER_LOGIN|login|",       # msg.* promoted, msg unset
+            "EXECVE|/bin/sh -l|",      # aN hexdump decoded
+        ]
+
+    def test_osquery_scl_source(self, tmp_path):
+        # scl/osquery/plugin.conf: no-parse + program-override + json
+        p = tmp_path / "osq.log"
+        p.write_text('{"name":"pack_osquery","hostIdentifier":"h1"}\n')
+        cfg = compile_config(f"""
+source s {{ osquery(file("{p}")); }};
+destination d {{ file("o.log" template("$PROGRAM|${{.osquery.name}}|${{.osquery.hostIdentifier}}\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == \
+               ["osquery|pack_osquery|h1"]
+
+    def test_qbittorrent_scl_source(self, tmp_path):
+        # scl/qbittorrent/qbittorrent.conf: regexp + date + severity map
+        (tmp_path / "qbittorrent.log").write_text(
+            "(W) 2024-01-03T18:43:48 - Detected external IP\n"
+            "(N) 2024-01-03T18:44:00 - added new torrent\n"
+            "(C) 2024-01-03T18:45:00 - disk full\n")
+        cfg = compile_config(f"""
+source s {{ qbittorrent(dir("{tmp_path}")); }};
+destination d {{ file("o.log" template("$PROGRAM|$LEVEL|$ISODATE|$MSG\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == [
+            "qBittorrent|warning|2024-01-03T18:43:48+00:00|Detected external IP",
+            "qBittorrent|notice|2024-01-03T18:44:00+00:00|added new torrent",
+            "qBittorrent|crit|2024-01-03T18:45:00+00:00|disk full",
+        ]
+
+    def test_jellyfin_scl_source(self, tmp_path):
+        # scl/jellyfin/jellyfin.conf: wildcard-file(base-dir,
+        # filename-pattern, multi-line regexp) + jellyfin() parser;
+        # INF maps through the severity-aliases table
+        (tmp_path / "log_20240126.log").write_text(
+            "[2024-01-26 22:10:29.472 +00:00] [INF] [60] Jellyfin.App: hello\n"
+            "continuation\n"
+            "[2024-01-26 22:10:30.100 +00:00] [ERR] [61] Jellyfin.App: boom\n")
+        cfg = compile_config(f"""
+source s {{ jellyfin(base_dir("{tmp_path}") filename_pattern("log_*.log")); }};
+destination d {{ file("o.log" template("$PROGRAM|$LEVEL|$(length $MSG)\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+        out = [x.rstrip("\n") for x in cfg.run().rendered("d")]
+        assert out == [
+            "Jellyfin|info|32",   # "Jellyfin.App: hello\ncontinuation"
+            "Jellyfin|err|18",
+        ]
+
+    def test_set_severity_alias_table(self):
+        # lib/severity-aliases.table: FTL/WRN/INF/DBG/TRACE shorthands
+        for alias, level in [("FTL", "crit"), ("wrn", "warning"),
+                             ("INF", "info"), ("trace", "debug"),
+                             ("vrb", "debug"), ("LOG", "info")]:
+            cfg = compile_config(f"""
+source s {{ example-msg-generator(num(1)); }};
+rewrite r {{ set-severity("{alias}"); }};
+destination d {{ file("o.log" template("$LEVEL\\n")); }};
+log {{ source(s); rewrite(r); destination(d); }};
+""")
+            assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == \
+                   [level], alias
+
     def test_user_template_function_stmt(self):
         # Light templates/test_template_stmt.py test_template_function:
         # `template-function NAME "body";` registers $(NAME) which

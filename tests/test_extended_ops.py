@@ -87,12 +87,37 @@ def test_format_leef():
 # ---------------- audit hex decode ----------------
 
 def test_audit_hex_decoding():
+    # pins modules/kvformat/tests/test_linux_audit_scanner.c
     p = LinuxAuditParser(source_col="message")
-    r = p(_t(message=['type=EXECVE argc=2 a0="ls" a1=2F746D70 pid=123'])).to_pylist()[0]
+    r = p(_t(message=['type=EXECVE argc=2 a0="ls" a1=2F62696E2F7368202D6C pid=123'])).to_pylist()[0]
     d = dict(r["kv"])
-    assert d["a1"] == "/tmp"  # hex-decoded
+    assert d["a1"] == "/bin/sh -l"  # hex-decoded (contains a space byte)
     assert d["a0"] == "ls"  # quoted stays literal
     assert d["pid"] == "123"  # short number untouched
+
+
+def test_audit_hex_decoding_reference_pins():
+    # test_linux_audit_scanner.c corpus, byte-for-byte
+    p = LinuxAuditParser(source_col="message")
+
+    def one(line):
+        return dict(p(_t(message=[line])).to_pylist()[0]["kv"])
+
+    # all-printable bytes: kernel would not have hex-encoded -> literal
+    assert one("proctitle=41607E")["proctitle"] == "41607E"
+    # space (0x20) forces encoding -> decoded
+    assert one("proctitle=41204236")["proctitle"] == "A B6"
+    # high bytes (UTF-8) -> decoded
+    arv = "árvíztűrőtükörfúrógép".encode().hex().upper()
+    assert one(f"proctitle={arv}")["proctitle"] == "árvíztűrőtükörfúrógép"
+    # NUL separates argv words -> TAB
+    hx = "/bin/sh\x00-e\x00/etc/init.d/postfix\x00status".encode().hex().upper()
+    assert one(f"proctitle={hx}")["proctitle"] == \
+        "/bin/sh\t-e\t/etc/init.d/postfix\tstatus"
+    # odd number of hex chars -> literal
+    assert one("proctitle=41204")["proctitle"] == "41204"
+    # non-hexcoded field name -> literal even when decodable
+    assert one("foo=41204236")["foo"] == "41204236"
 
 
 # ---------------- correlation actions / group-lines ----------------
