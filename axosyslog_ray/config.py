@@ -147,6 +147,14 @@ class ConfigError(ValueError):
 
 # ------------------------------------------------------------------ parser
 
+def _nid(name: str) -> str:
+    """Identifier normalization: '-' and '_' are interchangeable in the
+    reference lexer (lib/cfg-lexer.c keyword normalization) — e.g.
+    splunk-hec-raw(batch_lines(...)) and splunk_hec_raw(batch-lines(...))
+    name the same block and option."""
+    return name.replace("_", "-")
+
+
 @dataclass
 class Driver:
     """A driver/function call: name(positional... key(nested...)...)."""
@@ -157,6 +165,12 @@ class Driver:
 
     def kw1(self, key: str, default=None):
         v = self.kwargs.get(key)
+        if v is None and ("-" in key or "_" in key):
+            nk = _nid(key)
+            for k2, v2 in self.kwargs.items():
+                if _nid(k2) == nk:
+                    v = v2
+                    break
         return v[0] if v else default
 
 
@@ -557,7 +571,7 @@ def _parse_driver_or_ref(s: _Stream, cfg: "Config | None", kind: str | None,
         s.next()
         elems = _parse_log_elements(s, cfg)
         return [Driver("__channel__", args=[Channel(elems)])]
-    if cfg is not None and kind is not None and (kind, name) in cfg.blocks:
+    if cfg is not None and kind is not None and (kind, _nid(name)) in cfg.blocks:
         if _depth > 16:
             raise ConfigError(f"block reference too deep at {name}()")
         s.next()
@@ -677,7 +691,10 @@ class Config:
         arguments are an error, like cfg-block.c's validation."""
         from .config_prep import BacktickSubst, CfgArgs
 
-        params, body = self.blocks[(kind, name)]
+        params, body = self.blocks[(kind, _nid(name))]
+        # option names normalize like identifiers: batch-lines == batch_lines
+        by_nid = {_nid(p): p for p in params}
+        overrides = {by_nid.get(_nid(k), k): v for k, v in overrides.items()}
         unknown = set(overrides) - set(params)
         if unknown:
             raise ConfigError(
@@ -1810,6 +1827,120 @@ block source qbittorrent(dir() ...) {
         parser { qbittorrent(); };
     };
 };
+
+template-function "format-gelf" "$(format-json --auto-cast --omit-empty-values version='1.1' host='${HOST:--}' short_message='${MSG:--}' level=int(${LEVEL_NUM}) timestamp=int64(${R_UNIXTIME}) _program='${PROGRAM}' _pid=int(${PID}) _facility='${FACILITY}' _class='${.classifier.class}' --key .* --key _*)$(binary 0x00)";
+
+template-function "format-cim" "$(format-json --auto-cast --pair @timestamp='${R_ISODATE}' --pair @message='${MSG}' --key .cim.* --shift 5 --key _* --key .* --replace-prefix .=_ --key *.*)\\n";
+
+application cim[syslog] {
+    parser { json-parser(prefix('.cim.') marker('@cim:')); };
+};
+
+block destination collectd(host("${HOST}") plugin() plugin_instance('')
+    type() type_instance('') interval(60) values('U')
+    socket("/var/run/collectd-unixsock") ...) {
+    unix-stream(`socket` close-on-input(no)
+        template("PUTVAL `host`/`plugin`$(if ('`plugin_instance`' eq '') '' '-`plugin_instance`')/`type`$(if ('`type_instance`' eq '') '' '-`type_instance`')$(if ('`interval`' eq '') '' ' interval=`interval`') ${UNIXTIME}:`values`\\n")
+        `__VARARGS__`);
+};
+
+block destination graylog2(host("127.0.0.1") port(12201) transport(tcp) template("$(format-gelf)") ...) {
+    network("`host`" port(`port`) transport(`transport`) template("`template`") `__VARARGS__`);
+};
+
+block destination loggly(token(TOKEN) tag("tag") host('logs-01.loggly.com') port(514) transport(tcp) template("$MSG") ...) {
+    network("`host`" port(`port`) transport(`transport`)
+        template("<${PRI}>1 ${ISODATE} ${HOST} ${PROGRAM} ${PID} ${MSGID} [`token`@41058 tag=\\"`tag`\\"] `template`\\n")
+        template_escape(no) `__VARARGS__`);
+};
+
+block destination logmatic(token(TOKEN) host('api.logmatic.io') port(10514) template("$MSG") ...) {
+    network("`host`" port(`port`) transport(tcp)
+        template("`token` <${PRI}>1 ${ISODATE} ${HOST:--} ${PROGRAM:--} ${PID:--} ${MSGID:--} ${SDATA:--} `template`\\n")
+        template_escape(no) so-keepalive(yes) `__VARARGS__`);
+};
+
+block destination slack(hook-url()
+    fallback('${MSG} - host: ${HOST} | program: ${PROGRAM}(${PID}) | severity: ${PRIORITY}')
+    colors('#512E5F,#B03A2E,#E74C3C,#F39C12,#F8C471,#7DCEA0,#5DADE2,#85929E')
+    color-chooser('${LEVEL_NUM}')
+    pretext('') author-name('host: ${HOST} | program: ${PROGRAM}(${PID}) | severity: ${PRIORITY}')
+    author-link('') author-icon('') title('') title-link('')
+    template('${MSG}') image-url('') thumb-url('') footer('') footer-icon('')
+    throttle(1) use-system-cert-store(yes) ...) {
+    http(url('`hook-url`') method('POST') headers('Content-type: application/json')
+        body-prefix('{"attachments":[')
+        body('$(format-json --cast fallback="`fallback`" color="$(list-nth `color-chooser` `colors`)" pretext="`pretext`" author_name="`author-name`" author_link="`author-link`" author_icon="`author-icon`" title="`title`" title_link="`title-link`" text="`template`" image_url="`image-url`" thumb_url="`thumb-url`" footer="`footer`" footer_icon="`footer-icon`" ts="${UNIXTIME}")')
+        body-suffix(']}') delimiter(',') throttle(`throttle`)
+        use-system-cert-store(`use-system-cert-store`) `__VARARGS__`);
+};
+
+block destination discord(url() template("${MSG:-[empty message]}")
+    max-msg-length(2000) throttle(5) username("") avatar-url("")
+    tts(false) use-system-cert-store(yes) ...) {
+    http(url('`url`') method("POST") headers("Content-type: application/json")
+        body("$(format-json --cast content=$(substr '`template`' 0 `max-msg-length`) username='`username`' avatar_url='`avatar-url`' tts=`tts`)")
+        throttle(`throttle`) use-system-cert-store(`use-system-cert-store`) `__VARARGS__`);
+};
+
+block destination telegram(bot-id() chat-id() template("${MSG}")
+    parse-mode("none") throttle(1) disable-web-page-preview("true")
+    disable-notification("false") extra-parameters("")
+    use-system-cert-store(yes) max-size(4096) ...) {
+    http(url("https://api.telegram.org/bot`bot-id`/sendMessage") method("POST")
+        body("disable_web_page_preview=`disable-web-page-preview`&disable_notification=`disable-notification`&parse_mode=`parse-mode`&chat_id=`chat-id`&`extra-parameters`&text=$(url-encode $(substr \\"`template`\\" 0 `max-size`))\\n")
+        throttle(`throttle`) use-system-cert-store(`use-system-cert-store`) `__VARARGS__`);
+};
+
+block destination splunk_hec_raw(url() token() channel()
+    default_index("main") default_source("axosyslog") default_sourcetype("syslog")
+    template("${S_ISODATE} ${HOST} ${MSGHDR}${MSG}\\n")
+    batch_lines(5000) batch_bytes(4096kB) batch_timeout(0) workers(8)
+    timeout(10) content_type("text/plain") extra_headers("") extra_queries("")
+    use_system_cert_store(yes) ...) {
+    http(url("`url`/services/collector/raw/1.0?channel=`channel`&index=`default_index`&source=`default_source`&sourcetype=`default_sourcetype``extra_queries`")
+        headers("Authorization: Splunk `token`" "Content-Type: `content_type`" "Connection: keep-alive" `extra_headers`)
+        body(`template`) batch-lines(`batch_lines`) batch-bytes(`batch_bytes`)
+        batch-timeout(`batch_timeout`) workers(`workers`) timeout(`timeout`)
+        use_system_cert_store(`use_system_cert_store`) `__VARARGS__`);
+};
+
+block destination splunk_hec_event(url() token()
+    default_index("main") default_source("axosyslog") default_sourcetype("nix:syslog")
+    index("") source("") sourcetype("") host("${HOST}")
+    time("${S_UNIXTIME}.${S_MSEC}") fields("") event("${MSG}")
+    batch_lines(5000) batch_bytes(4096kB) batch_timeout(0) workers(8)
+    timeout(10) content_type("application/json") extra_headers("") extra_queries("")
+    use_system_cert_store(yes) ...) {
+    http(url("`url`/services/collector/event/1.0?index=`default_index`&source=`default_source`&sourcetype=`default_sourcetype``extra_queries`")
+        headers("Authorization: Splunk `token`" "Content-Type: `content_type`" "Connection: keep-alive" `extra_headers`)
+        body('$(format-json --scope none --omit-empty-values index="`index`" source="`source`" sourcetype="`sourcetype`" host="`host`" time="`time`" event="`event`" fields=$(if ("`fields`" ne "") $(format-flat-json --scope none `fields`) ""))')
+        batch-lines(`batch_lines`) batch-bytes(`batch_bytes`) batch-timeout(`batch_timeout`)
+        timeout(`timeout`) workers(`workers`)
+        use_system_cert_store(`use_system_cert_store`) `__VARARGS__`);
+};
+
+block destination elasticsearch-http(url() index() custom_id("")
+    workers(4) type("") batch_lines(100) timeout(10)
+    template("$(format-json --scope rfc5424 --exclude DATE --key ISODATE @timestamp=${ISODATE})")
+    headers("Content-Type: application/x-ndjson") body_suffix("\\n") op_type("index") ...) {
+    http(url(`url`) headers(`headers`) workers(`workers`) batch_lines(`batch_lines`)
+        timeout(`timeout`) body_suffix(`body_suffix`)
+        body("$(format-json --scope none --omit-empty-values `op_type`._index=\\"`index`\\" `op_type`._id=\\"`custom_id`\\")\\n`template`")
+        `__VARARGS__`);
+};
+
+block destination openobserve-log(url() port(5080) user() password()
+    organization("default") stream("default") workers(4) batch_lines(100)
+    batch_timeout(0) timeout(10) headers("Connection: keep-alive")
+    record("--scope rfc5424 --exclude DATE --key ISODATE @timestamp=${ISODATE}")
+    body_prefix("[") body_suffix("]") delimiter(",") ...) {
+    http(url("`url`:`port`/api/`organization`/`stream`/_json")
+        user(`user`) password(`password`) headers(`headers`)
+        workers(`workers`) batch_lines(`batch_lines`) batch_timeout(`batch_timeout`)
+        timeout(`timeout`) body_prefix(`body_prefix`) body_suffix(`body_suffix`)
+        delimiter(`delimiter`) body("$(format-json --scope none `record`)") `__VARARGS__`);
+};
 """
 
 
@@ -1863,7 +1994,7 @@ def compile_config(text: str, *, include_path: str | None = None,
                 bs = _Stream(tokenize(btext), btext)
                 cfg.filters[name] = _FilterParser(bs, cfg.filters).parse_block()
             else:
-                cfg.blocks[(kind, name)] = (params, body)
+                cfg.blocks[(kind, _nid(name))] = (params, body)
         elif t == "source":
             s.next()
             name = s.next()

@@ -100,6 +100,9 @@ _VPS_SDATA = 0x40
 _VPS_EVERYTHING = 0x7F
 
 SCOPE_BITS = {
+    # scope "none" selects nothing — explicit --key/pairs only
+    # (value-pairs.c:910 scope_eval skips "none")
+    "none": 0,
     "nv-pairs": _VPS_NV_PAIRS,
     "dot-nv-pairs": _VPS_DOT_NV_PAIRS,
     "all-nv-pairs": _VPS_NV_PAIRS | _VPS_DOT_NV_PAIRS,
@@ -426,6 +429,14 @@ def _parse_vp_args(t: pa.Table, args):
             omit_empty = True
         elif flag == "--leave-initial-dot":
             leave_dot = True
+        elif flag in ("--cast", "--no-cast", "--auto-cast"):
+            # cast-to-strings switches (lib/value-pairs/cmdline.c:391-403).
+            # The engine's rendering already matches auto-cast: explicit
+            # type hints render typed, everything else as strings — so
+            # all three are accepted as no-op flags (hinted values keep
+            # their declared type even under --cast, like the
+            # reference's explicit hints)
+            pass
         elif flag == "--exclude" and i + 1 < len(arglist):
             i += 1
             excludes.append(arglist[i])
@@ -454,6 +465,17 @@ def _parse_vp_args(t: pa.Table, args):
                 cur_rekey["replace_prefix"] = (old, new)
             else:
                 cur_rekey["add_prefix"] = v
+        elif flag == "--pair" and i + 1 < len(arglist):
+            # --pair KEY=TEMPLATE (vp_cmdline_parse_pair) — same as the
+            # bare KEY=TEMPLATE form
+            i += 1
+            key, _, vspec = arglist[i].partition("=")
+            m = _TYPE_HINT.match(vspec)
+            if m:
+                pairs.append((key, ("__hint__", m.group(1),
+                                    _tpl_series(m.group(2)))))
+            else:
+                pairs.append((key, _tpl_series(vspec)))
         elif flag == "--key" and i + 1 < len(arglist):
             i += 1
             name = arglist[i]

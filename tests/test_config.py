@@ -2503,3 +2503,97 @@ log { source(s); destination(d); };
         r = cfg.run(sources={"s": t})
         assert r.processed("d") == 1
         assert r.rendered("d") == ["app: hello"]
+
+
+class TestSclHttpDestinationBlocks:
+    """Round-4 SCL destination ports (scl/telegram, scl/splunk,
+    scl/slack, scl/discord, scl/elasticsearch, scl/graylog2) — each
+    block splices into http()/network() and the body()/template()
+    drives rendered()."""
+
+    def _run(self, dest_stmt, row=None):
+        cfg = compile_config(f"""
+source s {{ example-msg-generator(num(1)); }};
+destination d {{ {dest_stmt} }};
+log {{ source(s); destination(d); }};
+""")
+        t = pa.table(row or {"message": ["hello world"], "pri": [13],
+                             "program": ["app"]})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d") == 1
+        return r.rendered("d")[0]
+
+    def test_telegram_body(self):
+        # scl/telegram/telegram.conf: text is substr'd then url-encoded
+        out = self._run(
+            'telegram(bot-id("B1") chat-id("C2") max-size(5));')
+        assert out == ("disable_web_page_preview=true&"
+                       "disable_notification=false&parse_mode=none&"
+                       "chat_id=C2&&text=hello\n")
+
+    def test_telegram_url_encodes(self):
+        out = self._run('telegram(bot-id("B") chat-id("C"));')
+        assert "text=hello%20world" in out
+
+    def test_splunk_hec_raw_underscore_dash_equivalence(self):
+        # cfg-lexer normalization: batch_lines == batch-lines both in
+        # the block definition and at the call site
+        out = self._run(
+            'splunk-hec-raw(url("https://sp") token(T) channel(ch)'
+            ' batch-lines(100) template("$MSG\\n"));')
+        assert out == "hello world\n"
+
+    def test_splunk_hec_event_json_body(self):
+        import json
+        out = self._run(
+            'splunk_hec_event(url("https://sp") token(T)'
+            ' source("src1") event("${MESSAGE}"));')
+        d = json.loads(out)
+        assert d["event"] == "hello world"
+        assert d["source"] == "src1"
+        assert "fields" not in d     # empty fields omitted
+
+    def test_slack_color_chooser(self):
+        # $(list-nth ${LEVEL_NUM} colors): notice(5) -> 6th color
+        import json
+        out = self._run('slack(hook-url("https://h"));')
+        d = json.loads(out)
+        assert d["color"] == "#7DCEA0"
+        assert d["text"] == "hello world"
+        assert d["author_name"].startswith("host: ")
+
+    def test_discord_truncates(self):
+        import json
+        out = self._run('discord(url("https://d") max-msg-length(5));')
+        assert json.loads(out)["content"] == "hello"
+
+    def test_elasticsearch_http_action_line(self):
+        out = self._run(
+            'elasticsearch-http(url("https://es") index("logs-idx")'
+            ' template("$MSG"));')
+        first = out.split("\n")[0]
+        import json
+        assert json.loads(first) == {"index": {"_index": "logs-idx"}}
+
+    def test_graylog2_gelf(self):
+        import json
+        out = self._run('graylog2(host("gl") port(12201));')
+        assert out.endswith("\x00")
+        d = json.loads(out[:-1])
+        assert d["version"] == "1.1"
+        assert d["short_message"] == "hello world"
+        assert d["_program"] == "app"
+        assert d["level"] == 5
+
+    def test_loggly_sdata_token(self):
+        out = self._run('loggly(token(TOK123) tag("t1"));')
+        assert '[TOK123@41058 tag="t1"]' in out
+        assert out.endswith("hello world\n")
+
+    def test_openobserve_record(self):
+        import json
+        out = self._run(
+            'openobserve-log(url("https://oo") user(u) password(p));')
+        d = json.loads(out)
+        assert d["MESSAGE"] == "hello world"
+        assert "@timestamp" in d
