@@ -598,6 +598,68 @@ def domain_mix(ds, weights: dict[str, int], source_col: str = "source",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def epoch_mix(ds, epochs: dict[str, float], source_col: str = "source",
+              key_col: str = "doc_id", method: str = "fast"):
+    """Deterministic epoch UPSAMPLING toward a training mixture — the
+    other half of domain_mix: where domain_mix can only downsample,
+    epoch_mix repeats high-value sources fractional-epoch-exactly
+    (e.g. {"wiki": 2.5} emits every wiki doc twice plus a deterministic
+    half of them a third time — the public LLaMA/Pile "epochs per
+    source" recipe). Sources absent from `epochs` are dropped.
+
+    Per row with e = epochs[source]: emit epoch = 0..floor(e)-1
+    unconditionally, plus epoch = floor(e) iff the row's hash
+    coordinate falls under frac16 = round((e - floor(e)) * 65536) —
+    EXACT integer threshold on the same 16-bit coordinate family as
+    domain_mix, so method='md5' is byte-reproducible by DuckDB
+    (docs_epoch_mix) and method='fast' (splitmix64/siphash top bits) is
+    the no-per-row-Python 100-TB path, same construction.
+
+    Scale shape: pure map-only row expansion (np.repeat + take inside
+    each batch) — no shuffle, no driver state, reproducible at any
+    partitioning; output size is sum(e_s * n_s) by construction."""
+    import hashlib
+
+    whole = {}
+    frac16 = {}
+    for s, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"negative epochs for {s!r}")
+        w = int(e)
+        f = int(round((e - w) * 65536))
+        if f >= 65536:
+            w, f = w + 1, 0
+        whole[s], frac16[s] = w, f
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        srcs = batch.column(source_col).to_pandas().to_numpy(dtype=object)
+        codes, uniq = pd.factorize(srcs)
+        wh = np.array([whole.get(s, 0) for s in uniq], dtype=np.int64)[codes] \
+            if len(uniq) else np.zeros(n, dtype=np.int64)
+        fr = np.array([frac16.get(s, 0) for s in uniq], dtype=np.int64)[codes] \
+            if len(uniq) else np.zeros(n, dtype=np.int64)
+        keys = batch.column(key_col).to_pandas().to_numpy()
+        if method == "md5":
+            hexes = md5_bucket_hex4(keys)
+            fthr = np.array([format(int(f), "04x") for f in fr], dtype=object)
+            fkeep = (fr > 0) & (hexes < fthr)
+        elif method == "fast":
+            u16 = (fast_sample_u64(keys) >> np.uint64(48)).astype(np.int64)
+            fkeep = (fr > 0) & (u16 < fr)
+        else:
+            raise ValueError("method must be 'fast' or 'md5'")
+        reps = wh + fkeep.astype(np.int64)
+        idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+        total = int(reps.sum())
+        starts = np.repeat(np.cumsum(reps) - reps, reps)
+        epoch = np.arange(total, dtype=np.int64) - starts
+        out = batch.take(pa.array(idx, type=pa.int64()))
+        return out.append_column("epoch", pa.array(epoch, type=pa.int64()))
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
 def dedup_lines_text(texts: pd.Series, sep: str = "\n") -> pd.Series:
     """C4-style within-document repetition removal: keep the FIRST
     occurrence of each exact line, preserve order, rejoin. Pure per-row

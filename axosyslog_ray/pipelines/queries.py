@@ -3334,7 +3334,159 @@ FROM events ORDER BY event_id
 """
 
 
+def _mk_c4_pages(b: pa.Table) -> pa.Table:
+    """Deterministic synthetic web page per doc (both sides of the
+    oracle build THE SAME page): words grouped 7-per-line, terminator
+    cycling . / none / ? / ! / ' javascript.' by (doc_id + line) % 5,
+    plus a 'lorem ipsum' line every 97th doc and a curly-brace line
+    every 89th — exercises every C4 rule."""
+    ids = b.column("doc_id").to_pylist()
+    txts = b.column("text").to_pylist()
+    pages = []
+    for d, t in zip(ids, txts):
+        ws = (t or "").split(" ")
+        lines = []
+        for i in range((len(ws) + 6) // 7):
+            term = (".", "", "?", "!", " javascript.")[(d + i) % 5]
+            lines.append(" ".join(ws[i * 7:i * 7 + 7]) + term)
+        page = "\n".join(lines)
+        if d % 97 == 0:
+            page += "\nlorem ipsum here it is."
+        elif d % 89 == 0:
+            page += "\ncurly { brace config."
+        pages.append(page)
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "text": pa.array(pages, type=pa.string())})
+
+
+def docs_c4_clean(sf_dir: str):
+    """C4-style page cleaning (textstats/c4.c4_clean — Raffel et al.
+    2020 §2.2): terminal-punctuation + min-word line filters, javascript
+    and boilerplate-phrase line drops, lorem-ipsum / curly-brace /
+    min-retained-lines page drops. One map-only vectorized stage, zero
+    shuffle. Input pages are synthesized deterministically from the
+    word stream (docs have no newlines); the DuckDB oracle rebuilds the
+    SAME pages and applies the SAME rules in SQL."""
+    from ..textstats.c4 import c4_clean
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(_mk_c4_pages, batch_format="pyarrow")
+    out = c4_clean(ds, min_words=5, min_lines=3).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_lines_kept"] = out["n_lines_kept"].astype("int64")
+    return out[["doc_id", "n_lines_kept", "clean_text"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_C4_CLEAN_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+n AS (SELECT doc_id, ws, len(ws) AS nw FROM t),
+ln AS (SELECT doc_id, i,
+              array_to_string(ws[i * 7 + 1 : i * 7 + 7], ' ')
+              || CASE (doc_id + i) % 5 WHEN 0 THEN '.' WHEN 1 THEN ''
+                      WHEN 2 THEN '?' WHEN 3 THEN '!'
+                      ELSE ' javascript.' END AS line
+       FROM n, LATERAL (SELECT unnest(range(0, (nw + 6) // 7)) AS i) r),
+page AS (SELECT doc_id,
+                string_agg(line, chr(10) ORDER BY i)
+                || CASE WHEN doc_id % 97 = 0
+                        THEN chr(10) || 'lorem ipsum here it is.'
+                        WHEN doc_id % 89 = 0
+                        THEN chr(10) || 'curly { brace config.'
+                        ELSE '' END AS text
+         FROM ln GROUP BY doc_id),
+pl AS (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls,
+              NOT (contains(lower(text), 'lorem ipsum')
+                   OR contains(text, '{')) AS page_ok
+       FROM page),
+fl AS (SELECT doc_id, page_ok, j, trim(ls[j]) AS line
+       FROM pl, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS j) r),
+kept AS (SELECT doc_id, j, line FROM fl
+         WHERE page_ok
+           AND regexp_matches(line, '[.!?"]$')
+           AND len(regexp_extract_all(line, '\\S+')) >= 5
+           AND NOT contains(lower(line), 'javascript')
+           AND NOT contains(lower(line), 'cookie policy')
+           AND NOT contains(lower(line), 'privacy policy')
+           AND NOT contains(lower(line), 'terms of use')
+           AND NOT contains(lower(line), 'uses cookies')),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+               string_agg(line, chr(10) ORDER BY j) AS clean_text
+        FROM kept GROUP BY doc_id)
+SELECT doc_id, n_lines_kept, clean_text FROM agg
+WHERE n_lines_kept >= 3 ORDER BY doc_id
+"""
+
+
+def docs_epoch_mix(sf_dir: str):
+    """Deterministic epoch upsampling toward a training mixture
+    (curation.epoch_mix — the LLaMA/Pile "epochs per source" recipe):
+    src0 x2.5, src1 x1, src2 x0.25, src3 x3; other sources dropped.
+    Whole epochs replicate unconditionally; the fractional epoch keeps
+    rows whose 16-bit hash coordinate falls under an exact integer
+    threshold. method='md5' so DuckDB reproduces the emitted multiset
+    byte-for-byte; method='fast' (splitmix64 top bits) is the 100-TB
+    path, same construction (tests/test_curation.py)."""
+    from ..curation import epoch_mix
+
+    out = epoch_mix(_read(sf_dir, "documents", ["doc_id", "source"]),
+                    {"src0": 2.5, "src1": 1.0, "src2": 0.25, "src3": 3.0},
+                    method="md5").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["epoch"] = out["epoch"].astype("int64")
+    return out.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+
+
+DOCS_EPOCH_MIX_SQL = """
+WITH e AS (SELECT * FROM (VALUES ('src0', 2, 32768), ('src1', 1, 0),
+                                 ('src2', 0, 16384), ('src3', 3, 0))
+           AS t(source, whole, frac16)),
+base AS (SELECT doc_id, d.source, whole, frac16
+         FROM documents d JOIN e USING (source)),
+whole_rows AS (SELECT doc_id, source,
+                      CAST(unnest(range(0, whole)) AS BIGINT) AS epoch
+               FROM base WHERE whole > 0),
+frac_rows AS (SELECT doc_id, source, CAST(whole AS BIGINT) AS epoch
+              FROM base
+              WHERE frac16 > 0
+                AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                    < printf('%04x', frac16))
+SELECT doc_id, source, epoch
+FROM (SELECT * FROM whole_rows UNION ALL SELECT * FROM frac_rows)
+ORDER BY doc_id, epoch
+"""
+
+
+def docs_bigram_topk(sf_dir: str):
+    """Top-40 corpus bigrams (textstats/vocab.bigram_topk — collocation
+    / boilerplate-phrase mining): vectorized adjacent-token pairing over
+    the flat token table, local (gram, cnt) combiner, ONE coarse-bucket
+    shuffle with bucket-local top-k, final sort+limit over candidates
+    only. Ties break gram-ascending on both sides."""
+    from ..textstats.vocab import bigram_topk
+
+    out = bigram_topk(_read(sf_dir, "documents", ["text"]), k=40).to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values(["cnt", "gram"], ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
+DOCS_BIGRAM_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents),
+nw AS (SELECT doc_id, ws, len(ws) AS n FROM toks),
+bi AS (SELECT array_to_string(ws[i : i + 1], ' ') AS gram
+       FROM nw, LATERAL (SELECT unnest(range(1, greatest(n, 1))) AS i) t),
+c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM bi GROUP BY gram)
+SELECT gram, cnt FROM c ORDER BY cnt DESC, gram LIMIT 40
+"""
+
+
 RAY_QUERIES = {
+    "docs_c4_clean": docs_c4_clean,
+    "docs_epoch_mix": docs_epoch_mix,
+    "docs_bigram_topk": docs_bigram_topk,
     "events_config_pipeline": events_config_pipeline,
     "events_interarrival": events_interarrival,
     "docs_full_curation": docs_full_curation,
@@ -3435,6 +3587,9 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "docs_c4_clean": DOCS_C4_CLEAN_SQL,
+    "docs_epoch_mix": DOCS_EPOCH_MIX_SQL,
+    "docs_bigram_topk": DOCS_BIGRAM_TOPK_SQL,
     "events_interarrival": EVENTS_INTERARRIVAL_SQL,
     "docs_full_curation": DOCS_FULL_CURATION_SQL,
     "events_iqr_outliers": EVENTS_IQR_SQL,

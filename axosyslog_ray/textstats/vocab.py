@@ -86,6 +86,50 @@ def vocab_topk(ds, k: int = 50, text_col: str = "text"):
     return cand.sort(["cnt", "word"], descending=[True, False]).limit(k)
 
 
+def _bigram_count_partial(batch: pa.Table, text_col: str) -> pa.Table:
+    """COMBINER: batch -> local (gram, cnt) over adjacent-token bigrams.
+
+    Bigram strings are built vectorized from the flat token table:
+    a doc-boundary mask over (toks[:-1], toks[1:]) pairs — no per-doc
+    Python loop beyond the shared _flat_tokens tokenizer."""
+    texts = batch.column(text_col).to_pandas().to_numpy(dtype=object)
+    toks, seg = _flat_tokens(texts)
+    empty = pa.table({"gram": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})
+    if len(toks) < 2:
+        return empty
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), np.diff(seg))
+    valid = doc_of[:-1] == doc_of[1:]
+    if not valid.any():
+        return empty
+    grams = (pd.Series(toks[:-1][valid]) + " "
+             + pd.Series(toks[1:][valid])).to_numpy(dtype=object)
+    gs, counts = np.unique(grams, return_counts=True)
+    return pa.table({"gram": pa.array(gs.astype(object), type=pa.string()),
+                     "cnt": pa.array(counts.astype(np.int64))})
+
+
+def bigram_topk(ds, k: int = 50, text_col: str = "text"):
+    """Top-k corpus BIGRAMS by total occurrences (ties: gram ascending)
+    — the collocation/phrase-mining companion to vocab_topk (filter-list
+    mining, boilerplate-phrase discovery). Identical scale shape: local
+    (gram, cnt) combiner -> ONE coarse-bucket shuffle on hash(gram) with
+    bucket-local sum + top-k -> final sort+limit over num_buckets*k rows.
+    """
+    from ..shuffle import bucketed_map_groups
+
+    partials = ds.map_batches(
+        lambda b: _bigram_count_partial(b, text_col), batch_format="pyarrow")
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("gram", as_index=False)["cnt"].sum()
+        return tot.sort_values(["cnt", "gram"], ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    cand = bucketed_map_groups(partials, "gram", bucket_topk)
+    return cand.sort(["cnt", "gram"], descending=[True, False]).limit(k)
+
+
 def _doc_term_counts(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
     """Explode a batch into unique (doc, word, tf) rows (per-doc combiner)."""
     texts = batch.column(text_col).to_pandas().to_numpy(dtype=object)
