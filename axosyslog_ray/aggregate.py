@@ -276,3 +276,114 @@ def hopping_window_counts(ds, ts_col: str = "ts", size_s: int = 7200, hop_s: int
 
     return pre_aggregated_count(ds.map_batches(explode, batch_format="pyarrow"),
                                 ["window_start", *keys], alias=alias, final=final)
+
+
+def funnel_counts(ds, stages: list[str], user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts"):
+    """Ordered funnel analysis — "how many users did A, then B strictly
+    after, then C strictly after" (the product-telemetry conversion
+    query; reference analogue: none — its correlation engine tracks
+    per-context state, this is the batch equivalent). A user reaches
+    stage k iff min-ts(stage 0) < min-ts(stage 1) < ... < min-ts(stage
+    k) — the standard first-touch funnel definition, exactly
+    SQL-reproducible with min() FILTER comparisons.
+
+    Scale shape: (1) per-batch combiner collapses to one row per
+    locally-seen user with per-stage min-ts (sentinel INT64_MAX for
+    absent — keeps the column int64 through the exchange, no NaT/float
+    widening); (2) ONE coarse-bucket shuffle on hash(user) where each
+    bucket finishes the per-user mins and reduces to per-stage partial
+    counts (bucket output is `len(stages)` rows, not per-user rows);
+    (3) a tiny final Sum groupby. Nothing user-cardinality-sized ever
+    leaves the bucket stage or touches the driver."""
+    from ray.data.aggregate import Sum
+
+    from .shuffle import bucketed_map_groups
+
+    sentinel = np.iinfo(np.int64).max
+    tcols = [f"_t{i}" for i in range(len(stages))]
+    labels = [f"{i + 1}_{s}" for i, s in enumerate(stages)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([user_col, type_col, ts_col]).to_pandas()
+        ts_us = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        cols = {user_col: df[user_col]}
+        tv = df[type_col].to_numpy(dtype=object)
+        for i, s in enumerate(stages):
+            cols[tcols[i]] = np.where(tv == s, ts_us, sentinel)
+        out = pd.DataFrame(cols).groupby(user_col, as_index=False).min()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(user_col, as_index=False)[tcols].min()
+        reached = np.ones(len(m), dtype=bool)
+        counts = []
+        prev = None
+        for i, c in enumerate(tcols):
+            cur = m[c].to_numpy(np.int64)
+            if i == 0:
+                reached &= cur != sentinel
+            else:
+                reached &= (cur != sentinel) & (cur > prev)
+            counts.append(int(reached.sum()))
+            prev = cur
+        return pd.DataFrame({"stage": labels,
+                             "partial": np.asarray(counts, dtype=np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_bucket = bucketed_map_groups(partials, user_col, bucket_counts)
+    return per_bucket.groupby("stage").aggregate(Sum("partial",
+                                                     alias_name="n_users"))
+
+
+def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts"):
+    """Cohort retention — users active on day `cohort + offset`, grouped
+    by signup cohort (= each user's first active day). The classic
+    telemetry retention triangle, exactly SQL-reproducible.
+
+    Scale shape: (1) per-batch combiner dedups to locally-distinct
+    (user, day) pairs — integer day numbers (us // 86400e6), no
+    timestamp objects in the exchange; (2) ONE coarse-bucket shuffle on
+    hash(user): each bucket dedups globally, takes each user's min day
+    as the cohort, and reduces to per-(cohort, offset) partial counts —
+    bucket output is O(cohorts x horizon), not O(users); (3) tiny final
+    Sum groupby. Output: (cohort_day 'YYYY-MM-DD', day_offset, n_users)."""
+    from ray.data.aggregate import Sum
+
+    from .shuffle import bucketed_map_groups
+
+    day_us = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([user_col, ts_col]).to_pandas()
+        day = (df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+               // day_us)
+        out = pd.DataFrame({user_col: df[user_col], "_day": day}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates([user_col, "_day"])
+        cohort = u.groupby(user_col)["_day"].transform("min")
+        off = u["_day"].to_numpy(np.int64) - cohort.to_numpy(np.int64)
+        out = pd.DataFrame({"_cohort": cohort.to_numpy(np.int64),
+                            "day_offset": off})
+        return out.groupby(["_cohort", "day_offset"], as_index=False) \
+            .size().rename(columns={"size": "partial"})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_bucket = bucketed_map_groups(partials, user_col, bucket_counts)
+    agg = per_bucket.groupby(["_cohort", "day_offset"]).aggregate(
+        Sum("partial", alias_name="n_users"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        days = np.asarray(b.column("_cohort"), dtype=np.int64) \
+            .astype("datetime64[D]")
+        return pa.table({
+            "cohort_day": pa.array(np.datetime_as_string(days, unit="D"),
+                                   type=pa.string()),
+            "day_offset": b.column("day_offset"),
+            "n_users": b.column("n_users"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -3483,7 +3483,71 @@ SELECT gram, cnt FROM c ORDER BY cnt DESC, gram LIMIT 40
 """
 
 
+def events_funnel(sf_dir: str):
+    """Ordered first-touch funnel (aggregate.funnel_counts): users whose
+    first 'view' precedes their first 'click' precedes their first
+    'purchase'. Per-batch per-user min-ts combiner (sentinel-int64, no
+    NaT widening), ONE hash(user) bucket shuffle that reduces straight
+    to per-stage partial counts, tiny Sum final."""
+    from ..aggregate import funnel_counts
+
+    out = funnel_counts(_read(sf_dir, "events",
+                              ["user_id", "event_type", "ts"]),
+                        ["view", "click", "purchase"]).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("stage").reset_index(drop=True)
+
+
+EVENTS_FUNNEL_SQL = """
+WITH m AS (SELECT user_id,
+    min(ts) FILTER (event_type = 'view') AS t0,
+    min(ts) FILTER (event_type = 'click') AS t1,
+    min(ts) FILTER (event_type = 'purchase') AS t2
+  FROM events GROUP BY user_id)
+SELECT stage, n_users FROM (
+  SELECT '1_view' AS stage,
+         CAST(count(*) FILTER (t0 IS NOT NULL) AS BIGINT) AS n_users FROM m
+  UNION ALL
+  SELECT '2_click',
+         CAST(count(*) FILTER (t0 IS NOT NULL AND t1 > t0) AS BIGINT) FROM m
+  UNION ALL
+  SELECT '3_purchase',
+         CAST(count(*) FILTER (t0 IS NOT NULL AND t1 > t0 AND t2 > t1)
+              AS BIGINT) FROM m)
+ORDER BY stage
+"""
+
+
+def events_retention(sf_dir: str):
+    """Cohort retention triangle (aggregate.cohort_retention): per
+    (first-active-day cohort, day offset) active-user counts. Distinct
+    (user, integer-day) combiner, ONE hash(user) bucket shuffle reducing
+    to per-(cohort, offset) partials, tiny Sum final."""
+    from ..aggregate import cohort_retention
+
+    out = cohort_retention(_read(sf_dir, "events",
+                                 ["user_id", "ts"])).to_pandas()
+    out["day_offset"] = out["day_offset"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_day", "day_offset"]) \
+        .reset_index(drop=True)
+
+
+EVENTS_RETENTION_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events),
+c AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', c.cohort, ud.day) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 RAY_QUERIES = {
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
     "docs_c4_clean": docs_c4_clean,
     "docs_epoch_mix": docs_epoch_mix,
     "docs_bigram_topk": docs_bigram_topk,
@@ -3587,6 +3651,8 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_retention": EVENTS_RETENTION_SQL,
     "docs_c4_clean": DOCS_C4_CLEAN_SQL,
     "docs_epoch_mix": DOCS_EPOCH_MIX_SQL,
     "docs_bigram_topk": DOCS_BIGRAM_TOPK_SQL,
