@@ -220,3 +220,71 @@ def lm_quality_scores(ds, num_buckets: int = 10_000, alpha: float = 0.5,
     return out.map_batches(
         lambda b: b.rename_columns([id_col, "n_feats", "logprob_micro"]),
         batch_format="pyarrow")
+
+
+def ccnet_buckets(ds, lang_col: str = "lang", text_col: str = "text",
+                  id_col: str = "doc_id", num_buckets: int = 10_000,
+                  alpha: float = 0.5, method: str = "fast"):
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al.
+    2020): score every document with the self-trained unigram LM
+    (lm_quality_scores machinery), normalize to an integer per-token
+    perplexity proxy, and split each language at its exact 1/3 and 2/3
+    DISCRETE quantiles — head = lowest perplexity third.
+
+    score_micro = (-logprob_micro * 1000) // max(n_feats, 1): pure
+    integer arithmetic, and the thresholds are actual data values
+    (window.group_quantile_disc = SQL quantile_disc), so bucket
+    assignment is drift-free and byte-reproducible by the DuckDB oracle
+    (docs_ccnet_buckets, method='md5'); method='fast' is the 100-TB
+    path (same machinery as DSIR).
+
+    Scale shape: one streaming tree aggregate (LM fit) + one scoring
+    pass materialized as the NARROW (id, lang, score) projection — the
+    multi-consumer precedent from curate_corpus — then one narrow
+    (lang, score) shuffle for thresholds (languages are bounded; use
+    group_quantile_sketch for unbounded keys) and a map-only broadcast
+    bucket assignment. Document text is never shuffled."""
+    import ray
+
+    from .window import group_quantile_disc
+
+    c = bucket_counts(ds, num_buckets, text_col, method, grams=(1,))
+    q = logprob_micro(c, alpha)
+    ref = ray.put(q)
+    inst = _DsirScorer(qlr_ref=ref, num_buckets=num_buckets, method=method,
+                       text_col=text_col, id_col=id_col, grams=(1,))
+
+    def score_batch(b):
+        out = inst(b).rename_columns([id_col, "n_feats", "logprob_micro"])
+        lp = out.column("logprob_micro").to_numpy(zero_copy_only=False)
+        nf = np.maximum(out.column("n_feats").to_numpy(zero_copy_only=False), 1)
+        score = (-lp) * 1000 // nf
+        return pa.table({
+            id_col: out.column(id_col),
+            lang_col: b.column(lang_col),
+            "score_micro": pa.array(score.astype(np.int64)),
+        })
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow").materialize()
+
+    thr = group_quantile_disc(scored, lang_col, "score_micro",
+                              {"q1": 1.0 / 3.0, "q2": 2.0 / 3.0}).to_pandas()
+    q1 = {r[lang_col]: int(r["q1"]) for _, r in thr.iterrows()}
+    q2 = {r[lang_col]: int(r["q2"]) for _, r in thr.iterrows()}
+
+    def assign(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        langs = b.column(lang_col).to_pandas().to_numpy(dtype=object)
+        score = b.column("score_micro").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(langs)
+        a1 = np.array([q1[s] for s in uniq], dtype=np.int64)[codes] \
+            if len(uniq) else np.empty(0, dtype=np.int64)
+        a2 = np.array([q2[s] for s in uniq], dtype=np.int64)[codes] \
+            if len(uniq) else np.empty(0, dtype=np.int64)
+        bucket = np.where(score <= a1, "head",
+                          np.where(score <= a2, "middle", "tail"))
+        return b.append_column("bucket",
+                               pa.array(bucket.astype(object), type=pa.string()))
+
+    return scored.map_batches(assign, batch_format="pyarrow")

@@ -3545,7 +3545,65 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def docs_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail quality buckets (dsir.ccnet_buckets,
+    Wenzek et al. 2020): self-trained unigram-LM scores -> integer
+    per-token perplexity proxy -> per-language exact DISCRETE tertile
+    split (window.group_quantile_disc = SQL quantile_disc: thresholds
+    are actual data values, no float interpolation drift). method='md5'
+    so DuckDB reproduces the LM byte-for-byte; method='fast' is the
+    100-TB path."""
+    from ..dsir import ccnet_buckets
+
+    out = ccnet_buckets(_read(sf_dir, "documents",
+                              ["doc_id", "text", "lang"]),
+                        method="md5").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score_micro"] = out["score_micro"].astype("int64")
+    return out[["doc_id", "lang", "score_micro", "bucket"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_CCNET_BUCKETS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents),
+uni AS (SELECT doc_id, unnest(ws) AS gram FROM toks),
+gb AS (SELECT doc_id,
+              CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT)
+                   % 10000 AS BIGINT) AS b
+       FROM uni),
+cnt AS (SELECT b, count(*) AS c FROM gb GROUP BY b),
+tot AS (SELECT coalesce(sum(c), 0) AS t FROM cnt),
+q AS (
+  SELECT bk.b,
+         CAST(round(ln((coalesce(cnt.c, 0) + 0.5) / (tot.t + 0.5 * 10000))
+                    * 1000000, 0) AS BIGINT) AS lp
+  FROM (SELECT unnest(range(0, 10000)) AS b) bk
+  CROSS JOIN tot
+  LEFT JOIN cnt ON bk.b = cnt.b),
+w AS (SELECT gb.doc_id, count(*) AS n_feats, sum(q.lp) AS lpm
+      FROM gb JOIN q ON gb.b = q.b GROUP BY gb.doc_id),
+s AS (SELECT t.doc_id,
+             CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats,
+             CAST(coalesce(w.lpm, 0) AS BIGINT) AS lpm
+      FROM toks t LEFT JOIN w USING (doc_id)),
+d AS (SELECT s.doc_id, doc.lang,
+             CAST(((-lpm) * 1000) // greatest(n_feats, 1) AS BIGINT)
+               AS score_micro
+      FROM s JOIN documents doc USING (doc_id)),
+thr AS (SELECT lang, quantile_disc(score_micro, 1.0 / 3) AS q1,
+               quantile_disc(score_micro, 2.0 / 3) AS q2
+        FROM d GROUP BY lang)
+SELECT d.doc_id, d.lang, d.score_micro,
+       CASE WHEN score_micro <= q1 THEN 'head'
+            WHEN score_micro <= q2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM d JOIN thr USING (lang) ORDER BY d.doc_id
+"""
+
+
 RAY_QUERIES = {
+    "docs_ccnet_buckets": docs_ccnet_buckets,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "docs_c4_clean": docs_c4_clean,
@@ -3651,6 +3709,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "docs_ccnet_buckets": DOCS_CCNET_BUCKETS_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "docs_c4_clean": DOCS_C4_CLEAN_SQL,

@@ -246,6 +246,57 @@ def _exact_group_quantiles_frame(g: pd.DataFrame, group_cols: list[str],
     return out
 
 
+def group_quantile_disc(ds, group_cols: list[str] | str, value_col: str,
+                        qs: dict[str, float],
+                        num_buckets: int | None = None):
+    """Exact per-key DISCRETE quantiles (inverted CDF): the order
+    statistic x_sorted[ceil(p*n)] (1-based) — SQL quantile_disc
+    semantics. Returns an actual data value (no interpolation), so
+    integer inputs stay integer-exact: the drift-free threshold choice
+    for bucketing pipelines (ccnet_buckets) where a float-interpolated
+    cut could flip boundary rows between engines. Same ONE narrow
+    (key, value) shuffle + vectorized segment gather as group_quantiles;
+    same bounded-group caveat (huge single-key groups belong to
+    group_quantile_sketch)."""
+    from .shuffle import bucketed_map_groups
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    names = list(qs)
+    probs = np.array([qs[n] for n in names], dtype=np.float64)
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(group_cols + [value_col])
+
+    def bucket_q(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(columns=group_cols + names)
+        codes = g.groupby(group_cols, sort=False, dropna=False).ngroup().to_numpy()
+        n_keys = int(codes.max()) + 1
+        vals = g[value_col]
+        valid = vals.notna().to_numpy()
+        vv, vc = vals.to_numpy()[valid], codes[valid]
+        order = np.lexsort((vv, vc))
+        sv, sc = vv[order], vc[order]
+        cnt = np.bincount(sc, minlength=n_keys)
+        starts = np.zeros(n_keys, dtype=np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        _, first_idx = np.unique(codes, return_index=True)
+        out = g.iloc[np.sort(first_idx)][group_cols].reset_index(drop=True)
+        last = max(len(sv) - 1, 0)
+        for name, p in zip(names, probs):
+            # 1-based ceil(p*n), clamped to [1, n] -> 0-based offset
+            off = np.maximum(np.ceil(p * cnt).astype(np.int64), 1) - 1
+            idx = np.minimum(starts + np.minimum(off, np.maximum(cnt - 1, 0)),
+                             last)
+            qv = sv[idx] if len(sv) else np.full(n_keys, np.nan)
+            out[name] = pd.array(np.where(cnt > 0, qv, None))
+        return out
+
+    projected = ds.map_batches(project, batch_format="pyarrow")
+    return bucketed_map_groups(projected, group_cols, bucket_q,
+                               num_buckets=num_buckets)
+
+
 def group_quantile_sketch(ds, group_cols: list[str] | str, value_col: str,
                           qs: dict[str, float], id_col: str,
                           sample_k: int = 1024,
