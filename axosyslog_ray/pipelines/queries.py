@@ -3602,7 +3602,47 @@ FROM d JOIN thr USING (lang) ORDER BY d.doc_id
 """
 
 
+def emb_int8_quantize(sf_dir: str):
+    """Symmetric per-vector int8 quantization (ann/quantize.int8_quantize):
+    scale = max|v|, codes = round_half_away(v*127/scale) — map-only, no
+    shuffle. The oracle recomputes every code in SQL (list lambdas);
+    qsum/qmin/qmax are integer-exact and scale is a bit-equal float32
+    max, so the value hash gates the full code grid."""
+    from ..ann.quantize import int8_quantize
+
+    out = int8_quantize(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                        codes=False).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    for c in ("qsum", "qmin", "qmax"):
+        out[c] = out[c].astype("int64")
+    return out[["vec_id", "scale", "qsum", "qmin", "qmax"]] \
+        .sort_values("vec_id").reset_index(drop=True)
+
+
+EMB_INT8_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS scale,
+         embedding
+  FROM embeddings),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * 127.0
+                      / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END))
+                AS BIGINT)) AS codes
+  FROM s)
+SELECT vec_id, scale,
+       CAST(list_sum(codes) AS BIGINT) AS qsum,
+       CAST(list_min(codes) AS BIGINT) AS qmin,
+       CAST(list_max(codes) AS BIGINT) AS qmax
+FROM q ORDER BY vec_id
+"""
+
+
 RAY_QUERIES = {
+    "emb_int8_quantize": emb_int8_quantize,
     "docs_ccnet_buckets": docs_ccnet_buckets,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
@@ -3709,6 +3749,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "emb_int8_quantize": EMB_INT8_QUANTIZE_SQL,
     "docs_ccnet_buckets": DOCS_CCNET_BUCKETS_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
