@@ -1930,6 +1930,22 @@ block destination elasticsearch-http(url() index() custom_id("")
         `__VARARGS__`);
 };
 
+block destination opensearch(url() index() custom_id("")
+    workers(4) batch_lines(100) timeout(10)
+    template("$(format-json --scope rfc5424 --exclude DATE --key ISODATE @timestamp=${ISODATE})")
+    headers("Content-Type: application/x-ndjson") body_suffix("\\n") op_type("index") ...) {
+    http(url(`url`) headers(`headers`) workers(`workers`) batch_lines(`batch_lines`)
+        timeout(`timeout`) body_suffix(`body_suffix`)
+        body("$(format-json --scope none --omit-empty-values `op_type`._index=\\"`index`\\" `op_type`._id=\\"`custom_id`\\")\\n`template`")
+        `__VARARGS__`);
+};
+
+block source mbox(filename() ...) {
+    file("`filename`" log-msg-size(10000000) log-fetch-limit(1)
+        flags(no-parse) multi-line-mode(prefix-suffix)
+        multi-line-prefix('^From ') `__VARARGS__`);
+};
+
 block destination openobserve-log(url() port(5080) user() password()
     organization("default") stream("default") workers(4) batch_lines(100)
     batch_timeout(0) timeout(10) headers("Connection: keep-alive")

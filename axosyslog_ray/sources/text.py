@@ -77,8 +77,10 @@ class MultiLineJoiner:
                  separator: str = "\n", garbage_re: str | None = None):
         if mode not in self.MODES:
             raise ValueError(mode)
-        if mode in ("prefix-garbage", "prefix-suffix") and not garbage_re:
-            raise ValueError(f"mode {mode!r} needs garbage_re")
+        # garbage/suffix may be omitted (multi_line_pattern_find on a
+        # NULL pattern returns FALSE, regexp-multi-line.c:86-87): the
+        # message then only ends at the next prefix — the mbox shape
+        # (scl/mbox/mbox.conf: prefix-suffix with prefix '^From ' only)
         self.mode = mode
         self.prefix = re.compile(prefix_re) if prefix_re else None
         self.garbage = re.compile(garbage_re) if garbage_re else None
@@ -100,7 +102,7 @@ class MultiLineJoiner:
         buf: list[str] = []
         for line in lines:
             line = line or ""
-            m = self.garbage.search(line)
+            m = self.garbage.search(line) if self.garbage else None
             if m is not None:
                 cut = m.end() if keep_end else m.start()
                 buf.append(line[:cut])

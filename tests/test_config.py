@@ -2597,3 +2597,49 @@ log {{ source(s); destination(d); }};
         d = json.loads(out)
         assert d["MESSAGE"] == "hello world"
         assert "@timestamp" in d
+
+
+class TestSclOpensearchMbox:
+    """scl/opensearch/opensearch.conf + scl/mbox/mbox.conf ports."""
+
+    def test_opensearch_action_line_and_custom_id(self):
+        import json
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { opensearch(url("https://os") index("web-idx")
+                           custom_id("id7") op_type("create")
+                           template("$MSG")); };
+log { source(s); destination(d); };
+""")
+        t = pa.table({"message": ["hello world"], "pri": [13]})
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d") == 1
+        lines = r.rendered("d")[0].split("\n")
+        assert json.loads(lines[0]) == {
+            "create": {"_index": "web-idx", "_id": "id7"}}
+        assert lines[1] == "hello world"
+
+    def test_mbox_source_groups_messages(self, tmp_path):
+        mbox = tmp_path / "inbox.mbox"
+        mbox.write_text(
+            "From alice@example.com Thu Jan  1 00:00:00 2024\n"
+            "Subject: first\n"
+            "\n"
+            "body line one\n"
+            "body line two\n"
+            "From bob@example.com Thu Jan  2 00:00:00 2024\n"
+            "Subject: second\n"
+            "\n"
+            "hi\n")
+        cfg = compile_config(f"""
+source s {{ mbox(filename("{mbox}")); }};
+destination d {{ file("/dev/null" template("$MSG")); }};
+log {{ source(s); destination(d); }};
+""")
+        r = cfg.run()
+        assert r.processed("d") == 2
+        msgs = r.rendered("d")
+        assert msgs[0].startswith("From alice@example.com")
+        assert "body line two" in msgs[0]
+        assert msgs[1].startswith("From bob@example.com")
+        assert msgs[1].endswith("hi")
