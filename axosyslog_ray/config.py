@@ -1414,6 +1414,25 @@ def _build_source(drivers: list[Driver], cfg: "Config | None" = None) -> pa.Tabl
                 or any(c in path for c in "*?[") else [path]
             if not paths:
                 raise ConfigError(f"{d.name}({path!r}): no files match")
+            if str(d.kw1("format") or "") == "pacct":
+                # format("pacct"): binary acct_v3 records -> .pacct.*
+                # values (modules/pacctformat; scl/pacct/plugin.conf)
+                from .stages.pacct import parse_pacct_records
+
+                tabs = []
+                for p in paths:
+                    with open(p, "rb") as fh:
+                        tabs.append(parse_pacct_records(fh.read()))
+                t = pa.concat_tables(tabs)
+                t = t.append_column(
+                    "pri", pa.array([13] * t.num_rows, type=pa.int64()))
+                tag_args = [str(x) for x in d.kwargs.get("tags", [])]
+                if tag_args:
+                    t = t.append_column(
+                        "tags", pa.array([tag_args] * t.num_rows,
+                                         type=pa.list_(pa.string())))
+                parts.append(t)
+                continue
             lines: list[str] = []
             for p in paths:
                 with open(p) as fh:
@@ -1938,6 +1957,11 @@ block destination opensearch(url() index() custom_id("")
         timeout(`timeout`) body_suffix(`body_suffix`)
         body("$(format-json --scope none --omit-empty-values `op_type`._index=\\"`index`\\" `op_type`._id=\\"`custom_id`\\")\\n`template`")
         `__VARARGS__`);
+};
+
+block source pacct(file("/var/log/account/pacct") follow-freq(1) ...) {
+    file("`file`" follow-freq(`follow-freq`) format("pacct")
+        tags(".pacct") `__VARARGS__`);
 };
 
 block source mbox(filename() ...) {

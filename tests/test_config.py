@@ -2643,3 +2643,25 @@ log {{ source(s); destination(d); }};
         assert "body line two" in msgs[0]
         assert msgs[1].startswith("From bob@example.com")
         assert msgs[1].endswith("hi")
+
+
+class TestSclPacct:
+    """scl/pacct/plugin.conf + modules/pacctformat via file(format(pacct))."""
+
+    def test_pacct_source_renders_fields(self, tmp_path):
+        from axosyslog_ray.stages.pacct import make_pacct_record
+        f = tmp_path / "pacct"
+        f.write_bytes(make_pacct_record(ac_pid=42, ac_uid=1000,
+                                        ac_comm=b"cron")
+                      + make_pacct_record(ac_pid=43, ac_uid=0,
+                                          ac_comm=b"sshd"))
+        cfg = compile_config(f"""
+source s {{ pacct(file("{f}")); }};
+destination d {{ file("/dev/null"
+    template("pid=${{.pacct.ac_pid}} uid=${{.pacct.ac_uid}} comm=${{.pacct.ac_comm}}")); }};
+log {{ source(s); filter {{ tags(".pacct"); }}; destination(d); }};
+""")
+        r = cfg.run()
+        assert r.processed("d") == 2
+        assert r.rendered("d") == ["pid=42 uid=1000 comm=cron",
+                                   "pid=43 uid=0 comm=sshd"]
