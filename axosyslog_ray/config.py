@@ -594,6 +594,42 @@ def _parse_driver_block(s: _Stream, cfg: "Config | None" = None,
     return out
 
 
+def _generate_load_balancer(d: "Driver") -> str:
+    """network-load-balancer() confgen (reference
+    scl/loadbalancer/gen-loadbalancer.sh + plugin.conf `@module confgen`):
+    one final-flagged branch per target selected by ${R_USEC} mod
+    target-count — the script's exact split rule. failover() carries
+    through into network() textually (a batch engine has no live
+    connection state to fail over; documented inert), with the script's
+    auto-generated servers() list when the user gave none. Branches are
+    embedded `log { ... flags(final) }` paths — consecutive embedded
+    paths form one junction, so first (only) match wins like the
+    script's channel/flags(final) output."""
+    raw = d.kwargs.get("targets", [])
+    targets: list[str] = []
+    for tok in raw:
+        t = _unquote(str(tok)).replace(",", " ").strip()
+        targets.extend(t.split())
+    if not targets:
+        raise ConfigError("network-load-balancer() needs targets()")
+    failover = str(d.kw1("failover") or "")
+    n = len(targets)
+    branches = []
+    for i, tgt in enumerate(targets):
+        if failover.lower() in ("", "off", "no") or n < 2:
+            fo = ""
+        elif "servers(" in failover:
+            fo = f"failover({failover})"
+        else:
+            others = ", ".join(f'"{t}"' for t in targets if t != tgt)
+            fo = f"failover(servers({others}) {failover})"
+        branches.append(
+            'log { filter { "%d" == "$(%% ${R_USEC} %d)" }; '
+            'destination { network("%s" %s); }; flags(final); };'
+            % (i, n, tgt, fo))
+    return "channel { %s };" % " ".join(branches)
+
+
 def _parse_destination_body(s: _Stream, cfg: "Config") -> tuple[list[Driver], "Channel | None"]:
     """Destination {} body: plain drivers, generator-block references,
     and the compound `channel { ... }` driver (reference logmpx: a
@@ -608,6 +644,16 @@ def _parse_destination_body(s: _Stream, cfg: "Config") -> tuple[list[Driver], "C
             elems = _parse_log_elements(s, cfg)
             s.expect(";")
             chan = Channel(elems)
+        elif _nid(s.peek()) == "network-load-balancer":
+            # confgen destination (scl/loadbalancer/gen-loadbalancer.sh
+            # via @module confgen): splice the generated channel
+            d = _parse_driver(s)
+            s.expect(";")
+            gen = _generate_load_balancer(d)
+            sub = _Stream(tokenize(gen), gen)
+            sub.expect("channel")
+            chan = Channel(_parse_log_elements(sub, cfg))
+            drivers.append(d)
         else:
             drivers.extend(_parse_driver_or_ref(s, cfg, "destination"))
             s.expect(";")

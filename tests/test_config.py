@@ -2665,3 +2665,63 @@ log {{ source(s); filter {{ tags(".pacct"); }}; destination(d); }};
         assert r.processed("d") == 2
         assert r.rendered("d") == ["pid=42 uid=1000 comm=cron",
                                    "pid=43 uid=0 comm=sshd"]
+
+
+class TestNetworkLoadBalancer:
+    """scl/loadbalancer confgen port (Light
+    config_change/test_confgen_network_load_balancer.py variants)."""
+
+    def _route(self, targets, n=30):
+        import datetime as dt
+        cfg = compile_config(f"""
+source s {{ example-msg-generator(num(1)); }};
+destination d_remote {{ network-load-balancer(targets({targets})); }};
+log {{ source(s); destination(d_remote); }};
+""")
+        ts = [dt.datetime(2024, 1, 1, 0, 0, 0, usec) for usec in range(n)]
+        t = pa.table({"message": [f"m{i}" for i in range(n)],
+                      "pri": [13] * n,
+                      "warc_ts": pa.array(ts, type=pa.timestamp("us"))})
+        r = cfg.run(sources={"s": t})
+        inner = {k: d.counts for k, d in cfg.destinations.items()
+                 if k.startswith("_inline")}
+        return r, cfg, inner
+
+    def test_minimal_space_separated(self):
+        r, cfg, inner = self._route("node1 node2 node3")
+        assert r.processed("d_remote") == 30
+        assert sorted(inner.values()) == [10, 10, 10]
+
+    def test_minimal_commas(self):
+        r, _, inner = self._route("node1, node2, node3")
+        assert sorted(inner.values()) == [10, 10, 10]
+
+    def test_minimal_quoted_commas(self):
+        r, _, inner = self._route('"node1", "node2", "node3"')
+        assert sorted(inner.values()) == [10, 10, 10]
+
+    def test_each_message_delivered_once(self):
+        r, cfg, inner = self._route("a b", n=7)
+        # usec 0..6 -> mod 2: 4 even, 3 odd; finals never double-deliver
+        assert sorted(inner.values()) == [3, 4]
+        assert sum(inner.values()) == 7
+
+    def test_single_target_no_failover(self):
+        r, _, inner = self._route("only1", n=5)
+        assert list(inner.values()) == [5]
+
+    def test_failover_servers_autogenerated(self):
+        from axosyslog_ray.config import Driver, _generate_load_balancer
+        d = Driver("network-load-balancer",
+                   kwargs={"targets": ["n1", "n2", "n3"],
+                           "failover": ["mode(round-robin)"]})
+        gen = _generate_load_balancer(d)
+        # per gen-loadbalancer.sh: each branch lists the OTHER targets
+        assert 'failover(servers("n2", "n3") mode(round-robin))' in gen
+        assert 'failover(servers("n1", "n3") mode(round-robin))' in gen
+
+    def test_failover_off_suppressed(self):
+        from axosyslog_ray.config import Driver, _generate_load_balancer
+        d = Driver("network-load-balancer",
+                   kwargs={"targets": ["n1", "n2"], "failover": ["off"]})
+        assert "failover" not in _generate_load_balancer(d)
