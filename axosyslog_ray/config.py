@@ -542,6 +542,72 @@ def _generate_app_parser(cfg: "Config", d: Driver) -> str:
     return "channel { %s }" % gen
 
 
+def _generate_app_transform(cfg: "Config", d: Driver) -> str:
+    """app-transform(filterx-app-variable(V) topic(T)
+    include-transforms() exclude-transforms() permissive(yes)):
+    generate the reference's switch/if-chain config text
+    (modules/appmodel/app-transform-generator.c:276-345): transformations
+    whose included steps are ALL filterx compile into ONE filterx
+    switch(V) with case 'app': <steps> break; — the vectorized fast
+    path — while transformations with parser steps get an if/elif
+    branch guarded by `filterx { V === 'app'; }`. permissive(no)
+    appends `else { filterx { false; }; }` (non-matching rows drop);
+    the default (yes) lets everything else pass through."""
+    topic = str(d.kw1("topic", "default"))
+    var = d.kw1("filterx-app-variable")
+    if var is None:
+        raise ConfigError(
+            "app-transform() requires a filterx-app-variable() argument")
+    var = str(var)
+    permissive = str(d.kw1("permissive", "yes")).lower() \
+        not in ("no", "off", "0", "false")
+
+    def _literals(key: str) -> list[str]:
+        out = []
+        for tok in d.kwargs.get(key, []):
+            out.extend(_unquote(str(tok)).replace(",", " ").split())
+        return out
+
+    inc, exc = _literals("include-transforms"), _literals("exclude-transforms")
+
+    def t_used(name: str) -> bool:
+        return (not inc or name in inc) and name not in exc
+
+    def fx_only(transforms) -> bool:
+        return all(k == "filterx" for tn, steps in transforms if t_used(tn)
+                   for _, k, _ in steps)
+
+    non_fx, fx_cases = [], []
+    for name, tpc, transforms in cfg.transformations:
+        if tpc != topic:
+            continue
+        steps = [(sn, k, body) for tn, ss in transforms if t_used(tn)
+                 for sn, k, body in ss]
+        if fx_only(transforms):
+            body = "\n".join(b for _, k, b in steps)
+            fx_cases.append("case '%s':\n%s\nbreak;" % (name, body))
+        else:
+            parts = ["filterx { %s === '%s'; };" % (var, name)]
+            parts += ["%s { %s };" % (k, b) for _, k, b in steps]
+            non_fx.append(" ".join(parts))
+
+    branches = []
+    for i, body in enumerate(non_fx):
+        branches.append("%s { %s }" % ("if" if i == 0 else "elif", body))
+    if fx_cases:
+        kw = "if" if not non_fx else "elif"
+        branches.append("%s { filterx { switch (%s) { %s }; }; }"
+                        % (kw, var, "\n".join(fx_cases)))
+    if not branches:
+        return "channel { };"
+    gen = " ".join(branches)
+    if permissive:
+        gen += ";"
+    else:
+        gen += " else { filterx { false; }; };"
+    return "channel { %s };" % gen
+
+
 def _parse_driver_or_ref(s: _Stream, cfg: "Config | None", kind: str | None,
                          _depth: int = 0) -> list[Driver]:
     """One driver statement, or an SCL generator-block reference spliced
@@ -550,6 +616,12 @@ def _parse_driver_or_ref(s: _Stream, cfg: "Config | None", kind: str | None,
     if name == "app-parser" and kind == "parser" and cfg is not None:
         d = _parse_driver(s)
         gen = _generate_app_parser(cfg, d)
+        sub = _Stream(tokenize(gen), gen)
+        sub.expect("channel")
+        return [Driver("__channel__", args=[Channel(_parse_log_elements(sub, cfg))])]
+    if name == "app-transform" and kind == "parser" and cfg is not None:
+        d = _parse_driver(s)
+        gen = _generate_app_transform(cfg, d)
         sub = _Stream(tokenize(gen), gen)
         sub.expect("channel")
         return [Driver("__channel__", args=[Channel(_parse_log_elements(sub, cfg))])]
@@ -720,6 +792,9 @@ class Config:
         # application NAME[topic] { filter{}; parser{}; filterx{}; }
         # registrations, in source order (modules/appmodel)
         self.applications: list[tuple[str, str, dict[str, str]]] = []
+        # transformation NAME[topic] { transform[T] { step["S"] {...} } }
+        # registrations (modules/appmodel/transformation.c)
+        self.transformations: list[tuple[str, str, list]] = []
         self.sources: dict[str, list[Driver]] = {}
         self.destinations: dict[str, _Destination] = {}
         self.filters: dict[str, FilterExpr] = {}
@@ -996,15 +1071,19 @@ class _ExpandMap:
     (a kv/json pair IS a message field there). Last occurrence of a key
     in a row wins, like dict(pairs)."""
 
-    def __init__(self, stage, out_col: str, field_map: dict | None = None):
+    def __init__(self, stage, out_col: str, field_map: dict | None = None,
+                 types_col: str | None = None):
         self.stage = stage
         self.out_col = out_col
         self.field_map = field_map or {}
+        self.types_col = types_col
 
     def __call__(self, table: pa.Table) -> pa.Table:
         out = self.stage(table)
         col = out.column(self.out_col)
         rows = col.to_pylist()
+        trows = out.column(self.types_col).to_pylist() \
+            if self.types_col and self.types_col in out.column_names else None
         keys: list[str] = []
         seen = set()
         for row in rows:
@@ -1023,9 +1102,31 @@ class _ExpandMap:
                     vals = [o if v is None else v for v, o in zip(vals, old)]
                 out = out.set_column(out.column_names.index(cn), cn,
                                      pa.array(vals, type=pa.string()))
-            else:
-                out = out.append_column(cn, pa.array(vals, type=pa.string()))
-        return out.drop_columns([self.out_col])
+                continue
+            # typed nv pairs (json-parser.c stores LM_VT_* value types;
+            # format-json auto-cast renders them typed): a key whose
+            # values are uniformly boolean/integer/double becomes a
+            # TYPED column; mixed-type keys stay strings (per-value
+            # types need row-level hints — disclosed narrowing)
+            atype = pa.string()
+            if trows is not None:
+                tset = {dict(tr or {}).get(k) for tr, row in zip(trows, rows)
+                        if dict(row or {}).get(k) is not None}
+                tset.discard(None)
+                if tset == {"boolean"}:
+                    vals = [None if v is None else v == "true" for v in vals]
+                    atype = pa.bool_()
+                elif tset == {"integer"}:
+                    vals = [None if v is None else int(v) for v in vals]
+                    atype = pa.int64()
+                elif tset == {"double"}:
+                    vals = [None if v is None else float(v) for v in vals]
+                    atype = pa.float64()
+            out = out.append_column(cn, pa.array(vals, type=atype))
+        drop = [self.out_col]
+        if self.types_col and self.types_col in out.column_names:
+            drop.append(self.types_col)
+        return out.drop_columns(drop)
 
 
 class _ChannelStage:
@@ -1239,8 +1340,16 @@ def _compile_parser(d: Driver):
         from .stages.json_parser import JsonParser
 
         tpl = str(d.kw1("template", "$MESSAGE"))
-        src = "message" if tpl == "$MESSAGE" else \
-            _field(tpl.lstrip("$").strip("{}"))
+        m_simple = re.fullmatch(r"\$\{?([\w.-]+)\}?", tpl)
+        if m_simple:
+            src = "message" if m_simple.group(1) in ("MSG", "MESSAGE") \
+                else _field(m_simple.group(1))
+            render_tpl = None
+        else:
+            # general template() input (json-parser.c evaluates a full
+            # LogTemplate): render per row into a scratch column
+            src = "__cfg_json_src"
+            render_tpl = tpl
         ep = d.kw1("extract-prefix")
         mk = d.kw1("marker")
         pfx = str(d.kw1("prefix", ""))
@@ -1249,14 +1358,30 @@ def _compile_parser(d: Driver):
                        extract_prefix=str(ep) if ep is not None else None,
                        key_delimiter=str(d.kw1("key-delimiter", ".")),
                        marker=str(mk) if mk is not None else None,
-                       out_col="__cfg_jv"), "__cfg_jv",
+                       with_types=True, out_col="__cfg_jv"), "__cfg_jv",
             # unprefixed keys named like hard macros overwrite the
             # engine's message columns (the ewmm-parser contract:
             # json-parser() restores MESSAGE/HOST/PROGRAM builtins)
-            field_map=_FIELD_MAP if not pfx else None)
+            field_map=_FIELD_MAP if not pfx else None,
+            types_col="__cfg_jv_types")
         # an unparsable payload drops the message (json-parser.c
         # process FALSE)
-        return _DropUnparsed(stage, "json_valid")
+        inner = _DropUnparsed(stage, "json_valid")
+        if render_tpl is None:
+            return inner
+        from .functions.templates import Template as _Tpl
+
+        _ct = _Tpl(render_tpl)
+
+        def _render_then_parse(table: pa.Table) -> pa.Table:
+            t = table.append_column(
+                "__cfg_json_src", pa.array(_ct.eval(table), type=pa.string()))
+            out = inner(t)
+            if "__cfg_json_src" in out.column_names:
+                out = out.drop_columns(["__cfg_json_src"])
+            return out
+
+        return _render_then_parse
     if d.name == "db-parser":
         from .pdbtool import load_ruleset
         from .stages.patterndb import PatternDB
@@ -2147,6 +2272,47 @@ def compile_config(text: str, *, include_path: str | None = None,
             s.expect("}")
             s.expect(";")
             cfg.applications.append((m.group(1), m.group(2), sections))
+        elif t == "transformation":
+            # transformation NAME[topic] { transform[T] { step["S"] {
+            # filterx{}|parser{} }; }; }; (modules/appmodel/transformation.c)
+            # — step bodies stored RAW, spliced by app-transform()
+            s.next()
+            nt = s.next()
+            m = re.fullmatch(r"([\w.-]+)\[([\w.-]+)\]", nt)
+            if not m:
+                raise ConfigError(f"transformation needs NAME[topic], got {nt!r}")
+            transforms: list[tuple[str, list]] = []
+            s.expect("{")
+            while s.peek() != "}":
+                tn = s.next()
+                tm = re.fullmatch(r"transform\[([\w.-]+)\]", tn)
+                if not tm:
+                    raise ConfigError(f"expected transform[NAME], got {tn!r}")
+                steps: list[tuple[str, str, str]] = []
+                s.expect("{")
+                while s.peek() != "}":
+                    if s.next() != "step[":
+                        raise ConfigError("expected step[\"NAME\"]")
+                    sname = _unquote(s.next())
+                    s.expect("]")
+                    s.expect("{")
+                    kind2 = s.next()
+                    if kind2 not in ("filterx", "parser"):
+                        raise ConfigError(
+                            f"unsupported step section {kind2!r}")
+                    steps.append((sname, kind2, s.raw_block()))
+                    if s.peek() == ";":
+                        s.next()
+                    s.expect("}")
+                    if s.peek() == ";":
+                        s.next()
+                transforms.append((tm.group(1), steps))
+                s.expect("}")
+                if s.peek() == ";":
+                    s.next()
+            s.expect("}")
+            s.expect(";")
+            cfg.transformations.append((m.group(1), m.group(2), transforms))
         elif t == "template":
             # named template statement (reference lib/cfg-grammar.y
             # template_stmt): block form `template NAME {

@@ -124,11 +124,15 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
                     # ${name-with-specials} message ref (cfg-lex.l
                     # LL_MESSAGE_REF) — same as $name after unwrapping
                     v = "$" + v[2:-1]
-                if kind == "field" and v[1:] in _BUILTIN_FIELDS:
+                if kind == "field":
                     # hard-macro aliases resolve to the engine's message
                     # columns ($MSG / $MESSAGE are the SAME nv in the
-                    # reference — lib/logmsg LM_V_MESSAGE)
-                    v = "$" + _BUILTIN_FIELDS[v[1:]]
+                    # reference — lib/logmsg LM_V_MESSAGE); a dotted
+                    # token aliases its BASE ($MSG.app -> $message.app,
+                    # the expr-getattr/setattr path)
+                    base, dot, rest = v[1:].partition(".")
+                    if base in _BUILTIN_FIELDS:
+                        v = "$" + _BUILTIN_FIELDS[base] + dot + rest
                 toks.append((kind, v))
                 break
     toks.append(("eof", ""))

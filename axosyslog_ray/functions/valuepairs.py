@@ -334,6 +334,14 @@ def format_json(table: pa.Table, vp: ValuePairs | None = None, out_col: str = "j
     return table.append_column(out_col, pa.array(out, type=pa.string()))
 
 
+def _typed_to_str(v) -> str:
+    """Reference nv stringification of a typed value (--cast / non-JSON
+    formatters): booleans render 'true'/'false', not Python repr."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 class _RawJson:
     __slots__ = ("text",)
 
@@ -414,6 +422,7 @@ def _parse_vp_args(t: pa.Table, args):
 
     pairs: list[tuple[str, object]] = []  # (key, rendered Series | hint tuple)
     omit_empty = leave_dot = False
+    cast_all = False
     excludes: list[str] = []
     rekeys: list[dict] = []  # {glob, shift, shift_levels, add_prefix}
     i, n_rows = 0, t.num_rows
@@ -421,6 +430,18 @@ def _parse_vp_args(t: pa.Table, args):
 
     def _tpl_series(spec: str) -> pd.Series:
         return Template(spec).eval(t)
+
+    def _key_series(col_name: str):
+        # NV selection by name: a TYPED column (bool/int/float — e.g.
+        # json-parser output, the reference's LM_VT_* typed nv pairs)
+        # passes its values through for auto-cast typed rendering;
+        # string columns render through the template engine as before
+        if col_name in t.column_names:
+            typ = t.column(col_name).type
+            if (pa.types.is_boolean(typ) or pa.types.is_integer(typ)
+                    or pa.types.is_floating(typ)):
+                return ("__typed__", t.column(col_name).to_pylist())
+        return _tpl_series("${" + col_name + "}")
 
     cur_rekey: dict | None = None
     while i < len(arglist):
@@ -431,12 +452,11 @@ def _parse_vp_args(t: pa.Table, args):
             leave_dot = True
         elif flag in ("--cast", "--no-cast", "--auto-cast"):
             # cast-to-strings switches (lib/value-pairs/cmdline.c:391-403).
-            # The engine's rendering already matches auto-cast: explicit
-            # type hints render typed, everything else as strings — so
-            # all three are accepted as no-op flags (hinted values keep
-            # their declared type even under --cast, like the
-            # reference's explicit hints)
-            pass
+            # auto-cast (the default): values that CARRY a type — explicit
+            # hints and typed nv columns (json-parser keeps LM_VT_*
+            # types) — render typed; --cast forces strings (hinted
+            # values keep their declared type, like the reference)
+            cast_all = flag == "--cast"
         elif flag == "--exclude" and i + 1 < len(arglist):
             i += 1
             excludes.append(arglist[i])
@@ -486,9 +506,9 @@ def _parse_vp_args(t: pa.Table, args):
                 rekeys.append(cur_rekey)
                 for col in sorted(t.column_names):
                     if _fn.fnmatchcase(col, name):
-                        pairs.append((col, _tpl_series("${" + col + "}")))
+                        pairs.append((col, _key_series(col)))
             else:
-                pairs.append((name, _tpl_series("${" + name + "}")))
+                pairs.append((name, _key_series(name)))
         elif flag == "--scope" and i + 1 < len(arglist):
             i += 1
             # reference scope semantics: macro sets + nv classification
@@ -512,9 +532,9 @@ def _parse_vp_args(t: pa.Table, args):
             if any(ch in name for ch in "*?["):
                 for col in sorted(t.column_names):
                     if _fn.fnmatchcase(col, name):
-                        pairs.append((col, _tpl_series("${" + col + "}")))
+                        pairs.append((col, _key_series(col)))
             else:
-                pairs.append((name, _tpl_series("${" + name + "}")))
+                pairs.append((name, _key_series(name)))
         i += 1
 
     def xform_key(k: str) -> str:
@@ -545,6 +565,12 @@ def _parse_vp_args(t: pa.Table, args):
                 continue
             if isinstance(val, tuple) and val[0] == "__hint__":
                 v = _apply_hint(val[1], str(val[2].iloc[r]))
+            elif isinstance(val, tuple) and val[0] == "__typed__":
+                v = val[1][r]
+                if v is None:
+                    continue
+                if cast_all:
+                    v = _typed_to_str(v)
             else:
                 v = str(val.iloc[r])
             if omit_empty and (v == "" or v == []):

@@ -2725,3 +2725,93 @@ log {{ source(s); destination(d_remote); }};
         d = Driver("network-load-balancer",
                    kwargs={"targets": ["n1", "n2"], "failover": ["off"]})
         assert "failover" not in _generate_load_balancer(d)
+
+
+APP_TRANSFORM_CFG = """
+transformation filterx_only[default] {
+    transform[filterx_1] {
+        step["step_1"] { filterx { $MSG.filterx_only___filterx_1___step_1 = true; }; };
+        step["step_2"] { filterx { $MSG.filterx_only___filterx_1___step_2 = true; }; };
+    };
+    transform[filterx_2] {
+        step["step_1"] { filterx { $MSG.filterx_only___filterx_2___step_1 = true; }; };
+        step["step_2"] { filterx { $MSG.filterx_only___filterx_2___step_2 = true; }; };
+    };
+};
+transformation parser_only[default] {
+    transform[parser_1] {
+        step["step_1"] { parser { json-parser(template('{"parser_only___parser_1___step_1": true}') prefix(".json.")); }; };
+        step["step_2"] { parser { json-parser(template('{"parser_only___parser_1___step_2": true}') prefix(".json.")); }; };
+    };
+    transform[parser_2] {
+        step["step_1"] { parser { json-parser(template('{"parser_only___parser_2___step_1": true}') prefix(".json.")); }; };
+        step["step_2"] { parser { json-parser(template('{"parser_only___parser_2___step_2": true}') prefix(".json.")); }; };
+    };
+};
+transformation mixed[default] {
+    transform[filterx_1] {
+        step["step_1"] { filterx { $MSG.mixed___filterx_1___step_1 = true; }; };
+        step["step_2"] { filterx { $MSG.mixed___filterx_1___step_2 = true; }; };
+    };
+    transform[parser_1] {
+        step["step_1"] { parser { json-parser(template('{"mixed___parser_1___step_1": true}') prefix(".json.")); }; };
+        step["step_2"] { parser { json-parser(template('{"mixed___parser_1___step_2": true}') prefix(".json.")); }; };
+    };
+    transform[mixed_1] {
+        step["step_1"] { filterx { $MSG.mixed___mixed_1___step_1 = true; }; };
+        step["step_2"] { parser { json-parser(template('{"mixed___mixed_1___step_2": true}') prefix(".json.")); }; };
+    };
+};
+source s { example-msg-generator(num(1)); };
+destination d { file("/dev/null" template("$MSG\\n")); };
+log { source(s);
+      filterx { declare app = "%s"; $MSG = json(); };
+      parser { app-transform(filterx-app-variable(app) topic(default) %s); };
+      rewrite { set("$(format-json .json.* --shift-levels 2)" value(logmsg_json)); };
+      filterx { logmsg_json = json($logmsg_json); $MSG += logmsg_json; };
+      destination(d); };
+"""
+
+
+class TestAppTransform:
+    """modules/appmodel app-transform() port (Light
+    parsers/app-transform/test_app_transform_parser_and_filterx.py)."""
+
+    CASES = [
+        ("non_existing_app", "", {}),
+        ("filterx_only", "", {
+            "filterx_only___filterx_1___step_1": True,
+            "filterx_only___filterx_1___step_2": True,
+            "filterx_only___filterx_2___step_1": True,
+            "filterx_only___filterx_2___step_2": True}),
+        ("filterx_only", "include-transforms(filterx_1)", {
+            "filterx_only___filterx_1___step_1": True,
+            "filterx_only___filterx_1___step_2": True}),
+        ("parser_only", "", {
+            "parser_only___parser_1___step_1": True,
+            "parser_only___parser_1___step_2": True,
+            "parser_only___parser_2___step_1": True,
+            "parser_only___parser_2___step_2": True}),
+        ("parser_only", "include-transforms(parser_1)", {
+            "parser_only___parser_1___step_1": True,
+            "parser_only___parser_1___step_2": True}),
+        ("mixed", "", {
+            "mixed___filterx_1___step_1": True,
+            "mixed___filterx_1___step_2": True,
+            "mixed___parser_1___step_1": True,
+            "mixed___parser_1___step_2": True,
+            "mixed___mixed_1___step_1": True,
+            "mixed___mixed_1___step_2": True}),
+        ("mixed", "exclude-transforms(parser_1 mixed_1)", {
+            "mixed___filterx_1___step_1": True,
+            "mixed___filterx_1___step_2": True}),
+    ]
+
+    @pytest.mark.parametrize("app,opts,expected", CASES,
+                             ids=[f"{c[0]}_{i}" for i, c in enumerate(CASES)])
+    def test_parser_and_filterx(self, app, opts, expected):
+        import json
+        cfg = compile_config(APP_TRANSFORM_CFG % (app, opts))
+        out = cfg.run().rendered("d")
+        assert len(out) == 1
+        assert json.loads(out[0]) == expected

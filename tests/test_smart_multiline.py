@@ -192,9 +192,15 @@ class TestRegexpGarbageModes:
 
     def test_mode_validation(self):
         with pytest.raises(ValueError):
-            MultiLineJoiner(mode="prefix-garbage")  # needs garbage_re
-        with pytest.raises(ValueError):
             MultiLineJoiner(mode="nope")
+
+    def test_null_garbage_groups_on_prefix_only(self):
+        # multi_line_pattern_find on a NULL pattern returns FALSE
+        # (regexp-multi-line.c:86-87): without garbage/suffix a message
+        # ends only at the next prefix — the mbox shape
+        j = MultiLineJoiner(mode="prefix-garbage", prefix_re="^From ")
+        assert j._group(["From a", "x", "From b"]) == [["From a", "x"],
+                                                       ["From b"]]
 
 
 class TestSmartModeInJoiner:
