@@ -1382,6 +1382,44 @@ def _compile_parser(d: Driver):
             return out
 
         return _render_then_parse
+    if d.name == "sdata-parser":
+        # sdata-parser(): run the RFC5424 STRUCTURED-DATA parse over a
+        # rendered input (default $MESSAGE) into the sdata pairs
+        # (modules/syslogformat/sdata-parser.c -> _syslog_format_parse_sd;
+        # unparsable input drops the message). prefix() other than
+        # .SDATA. creates one column per pair under that prefix.
+        from .functions.templates import Template as _Tpl
+        from .stages.syslog import parse_sdata
+
+        tpl = _Tpl(str(d.kw1("template", "${MESSAGE}")))
+        prefix = str(d.kw1("prefix", ".SDATA."))
+
+        def _sdata_stage(table: pa.Table) -> pa.Table:
+            vals = tpl.eval(table)
+            parsed = [parse_sdata(v) if isinstance(v, str)
+                      and v.startswith("[") else None
+                      for v in vals.tolist()]
+            keep = pa.array([p is not None for p in parsed])
+            table = table.filter(keep)
+            parsed = [p for p in parsed if p is not None]
+            if prefix == ".SDATA.":
+                arr = pa.array(parsed, type=pa.map_(pa.string(), pa.string()))
+                if "sdata" in table.column_names:
+                    return table.set_column(
+                        table.column_names.index("sdata"), "sdata", arr)
+                return table.append_column("sdata", arr)
+            keys: list[str] = []
+            for p in parsed:
+                for k, _v in p:
+                    if prefix + k not in keys:
+                        keys.append(prefix + k)
+            for key in keys:
+                col = [dict(p).get(key[len(prefix):]) for p in parsed]
+                table = table.append_column(
+                    key, pa.array(col, type=pa.string()))
+            return table
+
+        return _sdata_stage
     if d.name == "db-parser":
         from .pdbtool import load_ruleset
         from .stages.patterndb import PatternDB

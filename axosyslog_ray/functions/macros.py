@@ -168,6 +168,12 @@ def _week_sunday_start(s: pd.Series) -> pd.Series:
     return _str(pd.Series(np.char.zfill(wk.astype(str), 2), index=s.index).where(s.notna(), ""))
 
 
+def _sd_fmt(v) -> str:
+    from ..filterx_msg import _format_sdata_value
+
+    return _format_sdata_value(list(v) if v is not None else None)
+
+
 def _passthrough(col: str):
     return lambda t: _str(_col(t, col)) if col in t.column_names else pd.Series([""] * t.num_rows, dtype=object)
 
@@ -213,7 +219,13 @@ MACROS: dict = {
     "UNIQID": _passthrough("uniqid"),
     "SYSUPTIME": _passthrough("sysuptime"),
     "CONTEXT_ID": _passthrough("context_id"),
-    "SDATA": _passthrough("sdata"),
+    # $SDATA re-serializes the parsed pairs to RFC5424 SD text
+    # (log_msg_append_format_sdata); empty -> "" like any unset macro
+    "SDATA": lambda t: (
+        t.column("sdata").to_pandas().map(
+            lambda v: (lambda s: "" if s == "-" else s)(_sd_fmt(v)))
+        if "sdata" in t.column_names
+        else pd.Series([""] * t.num_rows, dtype=object)),
     # reference falls back to 127.0.0.1 when the source has no IP address
     # (macros.c:614-629 M_SOURCE_IP)
     "SOURCEIP": lambda t: _col_or(t, "sourceip", "127.0.0.1"),

@@ -106,8 +106,11 @@ def _unescape_sd(v: str) -> str:
 
 
 # single-pass scanner: one finditer per block instead of per-element +
-# per-param engine invocations (flagship hot path, ~12% of the fused stage)
-RE_SD_TOKEN = re.compile(r'\[([^ \]"=]+)|([^ \]"=]+)="((?:[^"\\]|\\.)*)"')
+# per-param engine invocations (flagship hot path, ~12% of the fused
+# stage). Values may be quoted OR unquoted-until-space/']' — the
+# reference accepts both (syslog-format.c:711-769 sd-param-value)
+RE_SD_TOKEN = re.compile(
+    r'\[([^ \]"=]+)|([^ \]"=]+)=(?:"((?:[^"\\]|\\.)*)"|([^ \]]*))')
 
 
 def parse_sdata(sd: str) -> list[tuple[str, str]] | None:
@@ -124,10 +127,15 @@ def parse_sdata(sd: str) -> list[tuple[str, str]] | None:
             sdid = m.group(1)
         else:
             v = m.group(3)
-            if "\\" in v:
-                v = _unescape_sd(v)
+            if v is not None:
+                if "\\" in v:
+                    v = _unescape_sd(v)
+            else:
+                v = m.group(4)  # unquoted value, verbatim
             out.append((f"{sdid}.{m.group(2)}", v))
     return out
+
+
 
 
 def guess_year(mon_num: np.ndarray, recv: pd.Series) -> np.ndarray:

@@ -2815,3 +2815,43 @@ class TestAppTransform:
         out = cfg.run().rendered("d")
         assert len(out) == 1
         assert json.loads(out[0]) == expected
+
+
+class TestSdataParser:
+    """modules/syslogformat sdata-parser() (Light
+    parsers/sdata-parser/test_sdata_parser.py)."""
+
+    def test_light_roundtrip(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)
+    template("[Originator@6876 sub=Vimsvc.ha-eventmgr opID=esxui-13c6-6b16 sid=5214bde6 user=root]")); };
+parser p { sdata-parser(prefix(".SDATA.")); };
+destination d { file("/dev/null" template("$SDATA\\n")); };
+log { source(s); parser(p); destination(d); };
+""")
+        r = cfg.run()
+        assert r.processed("d") == 1
+        assert r.rendered("d")[0].strip() == (
+            '[Originator@6876 sub="Vimsvc.ha-eventmgr" '
+            'opID="esxui-13c6-6b16" sid="5214bde6" user="root"]')
+
+    def test_unparsable_drops(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1) template("no sdata here")); };
+parser p { sdata-parser(); };
+destination d { file("/dev/null"); };
+log { source(s); parser(p); destination(d); };
+""")
+        r = cfg.run()
+        assert r.processed("d") == 0
+
+    def test_custom_prefix_columns(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)
+    template("[a@1 x=\\"1\\"][b@2 y=\\"2\\"]")); };
+parser p { sdata-parser(prefix(".sd.")); };
+destination d { file("/dev/null" template("${.sd.a@1.x}|${.sd.b@2.y}\\n")); };
+log { source(s); parser(p); destination(d); };
+""")
+        r = cfg.run()
+        assert r.rendered("d")[0].strip() == "1|2"
