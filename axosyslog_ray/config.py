@@ -2168,6 +2168,70 @@ block destination opensearch(url() index() custom_id("")
         `__VARARGS__`);
 };
 
+application junos[syslog] {
+    filter { "${.SDATA.junos@2636.1.1.1.2.129.reason}" ne "" };
+};
+
+block parser extract-solaris-msgid() {
+    channel {
+        if {
+            filter { message("[ID" type(string) flags(prefix)); };
+            parser {
+                csv-parser(columns("0", "MESSAGE") delimiters(" ")
+                           flags(greedy) quote-pairs('[]'));
+                csv-parser(columns("", ".solaris.msgid", "")
+                           template("$0") delimiters(" "));
+            };
+        };
+    };
+};
+
+block parser arr_internal(program() prefix()) {
+    channel {
+        parser {
+            regexp-parser(
+                patterns('^([^|]*)\\|([^|]*)\\|([^|]*)\\|(?<MESSAGE>(?:.|\\n)*)'));
+            date-parser(template("$1") format("%Y-%m-%d %H:%M:%S.%f"));
+        };
+        rewrite {
+            set("`program`" value("PROGRAM"));
+            set-severity("$2");
+            set("$3" value("`prefix`module"));
+        };
+    };
+};
+
+block source arr_internal(program() dir() filename() prefix() ...) {
+    channel {
+        source {
+            file("`dir`/`filename`"
+                multi-line-mode(regexp)
+                multi-line-prefix('^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}.[0-9]{1}')
+                multi-line-timeout(2) flags(no-parse) `__VARARGS__`);
+        };
+        parser { arr_internal(program("`program`") prefix("`prefix`")); };
+    };
+};
+
+block source radarr(dir() prefix(".radarr.")) {
+    arr_internal(program("Radarr") dir("`dir`") filename("radarr.txt") prefix("`prefix`"));
+};
+block source sonarr(dir() prefix(".sonarr.")) {
+    arr_internal(program("Sonarr") dir("`dir`") filename("sonarr.txt") prefix("`prefix`"));
+};
+block source lidarr(dir() prefix(".lidarr.")) {
+    arr_internal(program("Lidarr") dir("`dir`") filename("lidarr.txt") prefix("`prefix`"));
+};
+block source prowlarr(dir() prefix(".prowlarr.")) {
+    arr_internal(program("Prowlarr") dir("`dir`") filename("prowlarr.txt") prefix("`prefix`"));
+};
+block source readarr(dir() prefix(".readarr.")) {
+    arr_internal(program("Readarr") dir("`dir`") filename("readarr.txt") prefix("`prefix`"));
+};
+block source whisparr(dir() prefix(".whisparr.")) {
+    arr_internal(program("Whisparr") dir("`dir`") filename("whisparr.txt") prefix("`prefix`"));
+};
+
 block source pacct(file("/var/log/account/pacct") follow-freq(1) ...) {
     file("`file`" follow-freq(`follow-freq`) format("pacct")
         tags(".pacct") `__VARARGS__`);

@@ -69,6 +69,15 @@ class ValueRef:
                 out = col.astype("string").astype(object)
             fill = self.default if self.default is not None else ""
             return out.where(col.notna(), fill)
+        if self.name.startswith(".SDATA.") and "sdata" in table.column_names:
+            # dynamic SDATA nv lookup (lib/logmsg sdata handles):
+            # ${.SDATA.<sdid>.<param>} reads the parsed pair map
+            key = self.name[len(".SDATA."):]
+            fill = self.default if self.default is not None else ""
+            sd = table.column("sdata").to_pandas()
+            return sd.map(
+                lambda v: dict(v).get(key, fill) if v is not None else fill
+            ).astype(object)
         if (self.name.isdigit() and self.name.isascii()
                 and "matches" in table.column_names):
             idx = int(self.name) - 1

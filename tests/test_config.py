@@ -2855,3 +2855,63 @@ log { source(s); parser(p); destination(d); };
 """)
         r = cfg.run()
         assert r.rendered("d")[0].strip() == "1|2"
+
+
+class TestSclArrSolarisJunos:
+    """scl/arr, scl/solaris, scl/junos ports."""
+
+    def test_radarr_source(self, tmp_path):
+        log = tmp_path / "radarr.txt"
+        log.write_text(
+            "2024-01-02 03:04:05.6|Info|DownloadService|Grabbed thing\n"
+            "continuation line\n"
+            "2024-01-02 03:04:06.7|Warn|Api|Slow response\n")
+        cfg = compile_config(f"""
+source s {{ radarr(dir("{tmp_path}")); }};
+destination d {{ file("/dev/null"
+    template("$PROGRAM|$LEVEL|${{.radarr.module}}|$MSG")); }};
+log {{ source(s); destination(d); }};
+""")
+        r = cfg.run()
+        assert r.processed("d") == 2
+        out = r.rendered("d")
+        assert out[0] == "Radarr|info|DownloadService|Grabbed thing\ncontinuation line"
+        assert out[1] == "Radarr|warning|Api|Slow response"
+
+    def test_extract_solaris_msgid(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)
+    template("[ID 123456 kern.notice] real message text")); };
+parser p { extract-solaris-msgid(); };
+destination d { file("/dev/null"
+    template("${.solaris.msgid}|$MSG")); };
+log { source(s); parser(p); destination(d); };
+""")
+        out = cfg.run().rendered("d")
+        assert out == ["123456|real message text"]
+
+    def test_extract_solaris_msgid_passthrough(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1) template("plain message")); };
+parser p { extract-solaris-msgid(); };
+destination d { file("/dev/null" template("${.solaris.msgid}|$MSG")); };
+log { source(s); parser(p); destination(d); };
+""")
+        assert cfg.run().rendered("d") == ["|plain message"]
+
+    def test_junos_application(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+parser p { syslog-parser(flags(syslog-protocol)); };
+parser ap { app-parser(topic(syslog)); };
+destination d { file("/dev/null" template("${.app.name}")); };
+log { source(s); parser(p); parser(ap); destination(d); };
+""")
+        line = ('<14>1 2024-01-01T00:00:00Z fw RT_FLOW - RT_FLOW_SESSION_DENY '
+                '[junos@2636.1.1.1.2.129 reason="policy deny"] session denied')
+        t = pa.table({"message": [line, "plain unmatched line"],
+                      "pri": [13, 13]})
+        r = cfg.run(sources={"s": t})
+        # only the junos row matches an application; app-parser drops
+        # the rest (no-overlap chain ends in filterx false)
+        assert r.rendered("d") == ["junos"]
