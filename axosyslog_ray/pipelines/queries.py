@@ -3641,7 +3641,48 @@ FROM q ORDER BY vec_id
 """
 
 
+def emb_centroid_outliers(sf_dir: str):
+    """Per-label centroid-distance outliers (ann/centroid.py): integer
+    micro-unit coordinates, half-away-rounded rational-mean centroids,
+    integer squared distances, per-label quantile_disc(0.95) cut — all
+    byte-reproducible in SQL. Two map-only passes + one narrow
+    (label, d2) shuffle; vectors never shuffle."""
+    from ..ann.centroid import centroid_outliers
+
+    out = centroid_outliers(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        q=0.95).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["label"] = out["label"].astype("int64")
+    out["d2_micro2"] = out["d2_micro2"].astype("int64")
+    return out[["vec_id", "label", "d2_micro2", "is_outlier"]] \
+        .sort_values("vec_id").reset_index(drop=True)
+
+
+EMB_CENTROID_OUTLIERS_SQL = """
+WITH e AS (
+  SELECT vec_id, label, i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t),
+c AS (SELECT label, dim, sum(xm) AS s, count(*) AS n
+      FROM e GROUP BY label, dim),
+m AS (SELECT label, dim,
+             CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                       ELSE -((2 * (-s) + n) // (2 * n)) END AS BIGINT) AS mu
+      FROM c),
+d AS (SELECT vec_id, e.label,
+             CAST(sum((xm - mu) * (xm - mu)) AS BIGINT) AS d2
+      FROM e JOIN m USING (label, dim) GROUP BY vec_id, e.label),
+thr AS (SELECT label, quantile_disc(d2, 0.95) AS qv FROM d GROUP BY label)
+SELECT vec_id, CAST(d.label AS BIGINT) AS label, d2 AS d2_micro2,
+       d2 > qv AS is_outlier
+FROM d JOIN thr USING (label) ORDER BY vec_id
+"""
+
+
 RAY_QUERIES = {
+    "emb_centroid_outliers": emb_centroid_outliers,
     "emb_int8_quantize": emb_int8_quantize,
     "docs_ccnet_buckets": docs_ccnet_buckets,
     "events_funnel": events_funnel,
@@ -3749,6 +3790,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "emb_centroid_outliers": EMB_CENTROID_OUTLIERS_SQL,
     "emb_int8_quantize": EMB_INT8_QUANTIZE_SQL,
     "docs_ccnet_buckets": DOCS_CCNET_BUCKETS_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
