@@ -197,3 +197,58 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "the graph's diameter exceeds max_iters; raise it for chain-shaped graphs")
+
+
+def dedup_keep_best(docs, pairs, quality_col: str = "n_chars",
+                    id_col: str = "doc_id", src: str = "id_a",
+                    dst: str = "id_b"):
+    """Quality-aware near-dup dedup: one SURVIVOR per duplicate cluster
+    — the highest-`quality_col` document (ties: smallest id), instead
+    of exact-dedup's arbitrary "first". The public "keep the best copy"
+    recipe (quality-ranked MinHash dedup); clusters come from
+    connected_components over any candidate pair set.
+
+    Scale shape: components output is O(duplicated docs), joined back
+    by a LEFT coarse-bucket hash join on the id (docs without an edge
+    are their own singleton cluster), then ONE bucketed shuffle on the
+    component id with a vectorized per-group argmax — no text moves,
+    only (id, quality, component) triples.
+
+    Returns (id_col, component, quality_col) for survivors only."""
+    import pyarrow as pa
+
+    from ..join import hash_join
+    from ..shuffle import bucketed_map_groups
+
+    comp = connected_components(pairs, src=src, dst=dst)
+    id_type = pa.int64()
+    # hash_join joins on a shared key column; rename comp's node -> id
+    comp = comp.map_batches(
+        lambda b: b.rename_columns([id_col, "component"]),
+        batch_format="pyarrow")
+    joined = hash_join(
+        docs, comp, key=id_col, how="left",
+        left_schema=pa.schema([(id_col, id_type), (quality_col, id_type)]),
+        right_schema=pa.schema([(id_col, id_type), ("component", id_type)]))
+
+    def fill_singleton(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        compv = b.column("component").to_pandas()
+        filled = np.where(compv.isna().to_numpy(), ids,
+                          compv.fillna(0).to_numpy(dtype=np.int64))
+        return b.set_column(b.column_names.index("component"), "component",
+                            pa.array(filled.astype(np.int64)))
+
+    filled = joined.map_batches(fill_singleton, batch_format="pyarrow")
+
+    def best(g):
+        s = g.sort_values([quality_col, id_col], ascending=[False, True],
+                          kind="mergesort")
+        return s.drop_duplicates("component", keep="first")
+
+    out = bucketed_map_groups(filled, "component", best)
+    return out.map_batches(
+        lambda b: b.select([id_col, "component", quality_col]),
+        batch_format="pyarrow")

@@ -3681,7 +3681,56 @@ FROM d JOIN thr USING (label) ORDER BY vec_id
 """
 
 
+def docs_dedup_keep_best(sf_dir: str):
+    """Quality-aware near-dup dedup (dedup/components.dedup_keep_best):
+    n-gram Jaccard pairs -> connected components -> keep the LONGEST
+    doc per cluster (ties: smallest doc_id); singletons survive as
+    their own cluster. Oracled by the recursive-CTE transitive closure
+    + a window argmax over the identical pair set."""
+    from ..dedup.components import dedup_keep_best
+    from ..dedup.ngram import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, shingle=3)
+    meta = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = dedup_keep_best(meta, pairs, quality_col="n_chars").to_pandas()
+    for c in ("doc_id", "component", "n_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_DEDUP_KEEP_BEST_SQL = r"""
+WITH RECURSIVE
+t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+idx AS (SELECT doc_id, w, UNNEST(range(1, GREATEST(len(w) - 2, 1) + 1)) AS i FROM t),
+sh AS (SELECT DISTINCT doc_id, CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+        ELSE array_to_string(w[i:i+2], ' ') END AS s FROM idx),
+sz AS (SELECT doc_id, COUNT(*) AS size FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+          WHERE n * 1.0 / (sa.size + sb.size - n) >= 0.5),
+und AS (SELECT id_a AS node, id_b AS nbr FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT node, node AS r FROM (SELECT DISTINCT node FROM und)
+  UNION
+  SELECT u.node, reach.r FROM und u JOIN reach ON u.nbr = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+alld AS (SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+                CAST(d.n_chars AS BIGINT) AS n_chars
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+rk AS (SELECT *, row_number() OVER (PARTITION BY component
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+       FROM alld)
+SELECT doc_id, component, n_chars FROM rk WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 RAY_QUERIES = {
+    "docs_dedup_keep_best": docs_dedup_keep_best,
     "emb_centroid_outliers": emb_centroid_outliers,
     "emb_int8_quantize": emb_int8_quantize,
     "docs_ccnet_buckets": docs_ccnet_buckets,
@@ -3790,6 +3839,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "docs_dedup_keep_best": DOCS_DEDUP_KEEP_BEST_SQL,
     "emb_centroid_outliers": EMB_CENTROID_OUTLIERS_SQL,
     "emb_int8_quantize": EMB_INT8_QUANTIZE_SQL,
     "docs_ccnet_buckets": DOCS_CCNET_BUCKETS_SQL,

@@ -93,3 +93,50 @@ class TestConnectedComponents:
         fast = _cc(e)
         slow = _cc(e, driver_threshold=0)
         pd.testing.assert_frame_equal(fast, slow)
+
+
+class TestDedupKeepBest:
+    def test_keeps_best_per_cluster_and_singletons(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from axosyslog_ray.dedup.components import dedup_keep_best
+
+        # clusters: {1,2,3} (chain), {5,6}; singletons: 9
+        pairs = rd.from_items([
+            {"id_a": 1, "id_b": 2}, {"id_a": 2, "id_b": 3},
+            {"id_a": 5, "id_b": 6},
+        ])
+        docs = rd.from_pandas(pd.DataFrame({
+            "doc_id": [1, 2, 3, 5, 6, 9],
+            "n_chars": [10, 30, 30, 7, 7, 1],
+        }))
+        out = dedup_keep_best(docs, pairs).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # cluster {1,2,3}: max n_chars tie 2 vs 3 -> smallest id (2)
+        # cluster {5,6}: tie -> 5; singleton 9 survives
+        assert out["doc_id"].tolist() == [2, 5, 9]
+        assert out["n_chars"].tolist() == [30, 7, 1]
+
+    def test_partitioning_invariant(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from axosyslog_ray.dedup.components import dedup_keep_best
+
+        rng = np.random.RandomState(2)
+        pairs = pd.DataFrame({
+            "id_a": rng.randint(0, 50, 40),
+            "id_b": rng.randint(0, 50, 40),
+        })
+        pairs = pairs[pairs.id_a != pairs.id_b]
+        docs = pd.DataFrame({"doc_id": np.arange(80),
+                             "n_chars": rng.randint(1, 100, 80)})
+        a = dedup_keep_best(rd.from_pandas(docs),
+                            rd.from_pandas(pairs)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = dedup_keep_best(rd.from_pandas(docs).repartition(7),
+                            rd.from_pandas(pairs).repartition(5)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
