@@ -3729,7 +3729,47 @@ SELECT doc_id, component, n_chars FROM rk WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def events_running_total(sf_dir: str):
+    """Per-user running value total in time order
+    (window.group_running_sum = SUM() OVER (PARTITION BY user ORDER BY
+    ts, id ROWS UNBOUNDED PRECEDING)): micro-unit integer values so the
+    running sum is drift-free across engines; one bucketed shuffle on
+    hash(user), vectorized segment cumsum."""
+    from ..window import group_running_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_micro(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        vm = (np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)).astype(np.int64)
+        return b.drop_columns(["value"]).append_column(
+            "value_micro", pa.array(vm))
+
+    out = group_running_sum(ds.map_batches(to_micro, batch_format="pyarrow"),
+                            "user_id", ["ts", "event_id"], "value_micro",
+                            alias="running_micro").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    for c in ("value_micro", "running_micro"):
+        out[c] = out[c].astype("int64")
+    return out[["event_id", "user_id", "value_micro", "running_micro"]] \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_RUNNING_TOTAL_SQL = """
+WITH m AS (SELECT event_id, user_id, ts,
+                  CAST(round(value * 1000000) AS BIGINT) AS value_micro
+           FROM events)
+SELECT event_id, user_id, value_micro,
+       CAST(sum(value_micro) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS running_micro
+FROM m ORDER BY event_id
+"""
+
+
 RAY_QUERIES = {
+    "events_running_total": events_running_total,
     "docs_dedup_keep_best": docs_dedup_keep_best,
     "emb_centroid_outliers": emb_centroid_outliers,
     "emb_int8_quantize": emb_int8_quantize,
@@ -3839,6 +3879,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "events_running_total": EVENTS_RUNNING_TOTAL_SQL,
     "docs_dedup_keep_best": DOCS_DEDUP_KEEP_BEST_SQL,
     "emb_centroid_outliers": EMB_CENTROID_OUTLIERS_SQL,
     "emb_int8_quantize": EMB_INT8_QUANTIZE_SQL,

@@ -376,3 +376,44 @@ def group_quantiles(ds, group_cols: list[str] | str, value_col: str,
     projected = ds.map_batches(project, batch_format="pyarrow")
     return bucketed_map_groups(projected, group_cols, bucket_q,
                                num_buckets=num_buckets)
+
+
+def group_running_sum(ds, group_cols: list[str] | str,
+                      order_cols: list[str] | str, value_col: str,
+                      alias: str = "running_sum",
+                      num_buckets: int | None = None):
+    """Per-key RUNNING total in event order — the classic cumulative
+    window aggregate (SQL SUM() OVER (PARTITION BY key ORDER BY ord
+    ROWS UNBOUNDED PRECEDING); reference analogue: none — its
+    stateful counters aggregate, they don't annotate).
+
+    Works on integer values for cross-engine exactness (quantize
+    floats to micro-units first — window-function engines disagree on
+    float summation trees, integers cannot drift). ONE bucketed
+    shuffle on hash(key): each key's full row set co-locates, sorts
+    vectorized by (key, order), and cumsums per segment via the
+    subtract-segment-base trick — no per-key Python loop."""
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    from .shuffle import bucketed_map_groups, key_segments
+
+    def bucket_cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            g[alias] = pd.Series([], dtype="int64")
+            return g
+        s = g.sort_values(group_cols + order_cols, kind="mergesort")
+        vals = s[value_col].to_numpy(np.int64)
+        csum = np.cumsum(vals)
+        seg = key_segments(s, group_cols)
+        # running sum restarts at each key segment: subtract the
+        # cumulative total just before the segment start (exact for
+        # negative values too — no monotonicity assumption)
+        starts = np.flatnonzero(seg)
+        segid = np.cumsum(seg) - 1
+        base = (csum[starts] - vals[starts])[segid]
+        s[alias] = csum - base
+        return s
+
+    return bucketed_map_groups(ds, group_cols, bucket_cumsum,
+                               num_buckets=num_buckets)

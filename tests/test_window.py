@@ -327,3 +327,46 @@ def test_group_quantile_sketch_partitioning_invariant(ray_session):
     true = df.groupby("k")["v"].median()
     for _, row in a.iterrows():
         assert abs(row.p50 - true[row.k]) / true[row.k] < 0.25
+
+
+class TestGroupRunningSum:
+    def test_restarts_per_key_and_handles_negatives(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from axosyslog_ray.window import group_running_sum
+
+        df = pd.DataFrame({
+            "k": ["a", "a", "a", "b", "b"],
+            "o": [1, 2, 3, 1, 2],
+            "v": [5, -3, 10, 7, 7],
+        })
+        out = group_running_sum(rd.from_pandas(df).repartition(3),
+                                "k", "o", "v", alias="rs").to_pandas() \
+            .sort_values(["k", "o"]).reset_index(drop=True)
+        assert out["rs"].tolist() == [5, 2, 12, 7, 14]
+
+    def test_matches_duckdb_window(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from axosyslog_ray.window import group_running_sum
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame({
+            "k": rng.randint(0, 7, 300),
+            "o": np.arange(300),
+            "v": rng.randint(-50, 50, 300).astype(np.int64),
+        })
+        got = group_running_sum(rd.from_pandas(df).repartition(6),
+                                "k", "o", "v").to_pandas() \
+            .sort_values("o").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.execute(
+            "SELECT k, o, v, sum(v) OVER (PARTITION BY k ORDER BY o "
+            "ROWS UNBOUNDED PRECEDING) rs FROM t ORDER BY o").df()
+        assert got["running_sum"].astype("int64").tolist() == \
+            want["rs"].astype("int64").tolist()
