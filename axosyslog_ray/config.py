@@ -1428,7 +1428,28 @@ def _compile_parser(d: Driver):
         if not path:
             raise ConfigError("db-parser() needs file(\"ruleset.pdb\")")
         rules, _ = load_ruleset(str(path))
-        return PatternDB(rules, selection="radix")
+        pdb = PatternDB(rules, selection="radix")
+        drop = str(d.kw1("drop-unmatched", "no")).lower() in ("yes", "on",
+                                                              "1", "true")
+
+        def _pdb_stage(table: pa.Table) -> pa.Table:
+            out = pdb(table)
+            if drop:
+                # db-parser(drop-unmatched(yes)): unclassified messages
+                # drop (modules/correlation/db-parser.c drop_unmatched)
+                out = out.filter(pa.compute.is_valid(out.column("pdb_rule")))
+            # config-level nv names: extracted values become message
+            # columns and the classifier pair gets its reference names
+            # (.classifier.class / .classifier.rule_id — pdb-ruleset.c)
+            vm = out.column("pdb_values")
+            out = _ExpandMap(lambda t: t, "pdb_values")(out)
+            out = out.append_column("pdb_values", vm)
+            out = out.append_column(".classifier.rule_id",
+                                    out.column("pdb_rule"))
+            return out.append_column(".classifier.class",
+                                     out.column("pdb_class"))
+
+        return _pdb_stage
     if d.name == "date-parser":
         from .stages.date_parser import DateParser
 
@@ -2166,6 +2187,12 @@ block destination opensearch(url() index() custom_id("")
         timeout(`timeout`) body_suffix(`body_suffix`)
         body("$(format-json --scope none --omit-empty-values `op_type`._index=\\"`index`\\" `op_type`._id=\\"`custom_id`\\")\\n`template`")
         `__VARARGS__`);
+};
+
+block parser windows-eventlog-parser(file()) {
+    channel {
+        parser { db-parser(file("`file`") drop-unmatched(yes)); };
+    };
 };
 
 application junos[syslog] {

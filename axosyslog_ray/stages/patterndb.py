@@ -54,13 +54,29 @@ _TYPE_PATTERNS = {
 }
 
 
+def _enc_name(name: str) -> str:
+    """Regex group names must be identifiers; PatternDB value names may
+    be dotted (.win.TargetUserName, .dict.string — pdb v4/v5 rulesets).
+    Non-identifier names encode reversibly as px_<hex>."""
+    return name if name.isidentifier() else "px_" + name.encode().hex()
+
+
+def _dec_name(name: str) -> str:
+    if name.startswith("px_"):
+        try:
+            return bytes.fromhex(name[3:]).decode()
+        except ValueError:
+            return name
+    return name
+
+
 def compile_pattern(pattern: str) -> re.Pattern:
     """Compile a PatternDB pattern string into an anchored regex."""
     out, pos = [], 0
     for m in _WILDCARD.finditer(pattern):
         out.append(re.escape(pattern[pos : m.start()]))
         ptype, name, param = m.group(1), m.group(2) or "", m.group(3)
-        grp = f"(?P<{name}>" if name else "(?:"
+        grp = f"(?P<{_enc_name(name)}>" if name else "(?:"
         if ptype == "ESTRING":
             # match up to the terminator string; empty terminator -> to end
             if param:
@@ -155,9 +171,10 @@ class PatternDB:
         }
         self._prog_memo: dict = {}
         self.value_names = sorted(
-            {n for _, rx in self.compiled for n in rx.groupindex}
+            {_dec_name(n) for _, rx in self.compiled for n in rx.groupindex}
             | {n for r in self.rules for n in r.values}
-            | {n for rx in self._prog_rx.values() for n in rx.groupindex}
+            | {_dec_name(n) for rx in self._prog_rx.values()
+               for n in rx.groupindex}
         )
         if selection == "radix":
             from .radix import RadixTree
@@ -190,7 +207,8 @@ class PatternDB:
         for u in uniq:
             m = rx.match(u) if isinstance(u, str) else None
             per_uniq.append(
-                [(k, v) for k, v in m.groupdict().items() if v is not None]
+                [(_dec_name(k), v) for k, v in m.groupdict().items()
+                 if v is not None]
                 if m else None)
         mask = np.array([c >= 0 and per_uniq[c] is not None for c in codes],
                         dtype=bool)
@@ -397,7 +415,7 @@ class PatternDB:
                 for nm in names:
                     v = cols[nm][k]
                     if v is not None:
-                        pairs.append((nm, v))
+                        pairs.append((_dec_name(nm), v))
                 vmaps[i] = pairs
         # partial winners: values come from the trie walk's captures
         for i, caps in walk_caps.items():
@@ -460,7 +478,7 @@ class PatternDB:
                 for nm in names:
                     v = cols[nm][k]
                     if v is not None:
-                        pairs.append((nm, v))
+                        pairs.append((_dec_name(nm), v))
                 vmaps[i] = pairs
                 if rule_tags:
                     tag_lists[i] = sorted(set(tag_lists[i]) | set(rule_tags)) if tag_lists[i] else rule_tags

@@ -2915,3 +2915,41 @@ log { source(s); parser(p); parser(ap); destination(d); };
         # only the junos row matches an application; app-parser drops
         # the rest (no-overlap chain ends in filterx false)
         assert r.rendered("d") == ["junos"]
+
+
+class TestWindowsEventlogParser:
+    """scl/windowseventlog block shape (db-parser + drop-unmatched); the
+    reference ships a big patterndb XML — the block here takes file()
+    (the ruleset is site data), exercised with a same-shape ruleset."""
+
+    def test_block_parses_and_drops_unmatched(self, tmp_path):
+        xml = tmp_path / "winevt.xml"
+        xml.write_text("""<?xml version='1.0' encoding='UTF-8'?>
+<patterndb version='4' pub_date='2024-01-01'>
+  <ruleset name='WinAudit' id='11111111-1111-1111-1111-111111111111'>
+    <pattern>winsec</pattern>
+    <rules>
+      <rule id='22222222-2222-2222-2222-222222222222' provider='user' class='logon'>
+        <patterns>
+          <pattern>logon ok user @NLSTRING:.win.TargetUserName@</pattern>
+        </patterns>
+      </rule>
+    </rules>
+  </ruleset>
+</patterndb>
+""")
+        cfg = compile_config(f"""
+source s {{ example-msg-generator(num(1)); }};
+parser p {{ windows-eventlog-parser(file("{xml}")); }};
+destination d {{ file("/dev/null"
+    template("${{.win.TargetUserName}}|${{.classifier.class}}")); }};
+log {{ source(s); parser(p); destination(d); }};
+""")
+        t = pa.table({
+            "message": ["logon ok user ADMIN", "unrelated text"],
+            "program": ["winsec", "winsec"],
+            "pri": [13, 13],
+        })
+        r = cfg.run(sources={"s": t})
+        assert r.processed("d") == 1
+        assert r.rendered("d") == ["ADMIN|logon"]
