@@ -3768,7 +3768,83 @@ FROM m ORDER BY event_id
 """
 
 
+# geoip oracle fixture: 16 /24 nets + one nested /25 (longest-prefix
+# case); the SAME table drives write_mmdb (engine side) and the SQL
+# VALUES range join (oracle side)
+_GEO_CC = ["US", "DE", "FR", "JP", "BR", "IN", "GB", "AU"]
+GEO_NETWORKS = [("203.0.%d.0/24" % i, {"country": _GEO_CC[i % 8]})
+                for i in range(16)] + \
+    [("203.0.3.128/25", {"country": "NL"})]
+
+
+def _geo_values_sql() -> str:
+    import ipaddress
+
+    rows = []
+    for cidr, attrs in GEO_NETWORKS:
+        net = ipaddress.ip_network(cidr)
+        rows.append("(%d, %d, %d, '%s')" % (
+            int(net.network_address), int(net.broadcast_address),
+            net.prefixlen, attrs["country"]))
+    return ", ".join(rows)
+
+
+def events_geoip(sf_dir: str):
+    """GeoIP enrichment under the oracle gate (enrich/geoip.GeoIP over
+    a from-spec .mmdb written by enrich/mmdb_write — the geoip2()
+    parser path end-to-end): per-event IPs synthesized from user_id,
+    looked up against a 17-network fixture (incl. one nested /25 to
+    pin longest-prefix-wins). Engine side: write_mmdb -> mmdb reader ->
+    flattened disjoint intervals -> vectorized searchsorted per batch
+    (broadcast-small db, map-only). Oracle: integer BETWEEN range join
+    + max-prefix pick over the SAME network table."""
+    import os
+    import tempfile
+
+    from ..enrich.geoip import GeoIP
+    from ..enrich.mmdb_write import write_mmdb
+
+    path = os.path.join(tempfile.gettempdir(), "axoray_geoip_fixture.mmdb")
+    write_mmdb(path, GEO_NETWORKS)
+
+    def mk_ip(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        third = (u // 256) % 16
+        last = u % 256
+        ips = pd.Series(["203.0."] * len(u)).str.cat(
+            pd.Series(third).astype(str)).str.cat(
+            pd.Series(last).astype(str), sep=".")
+        return pa.table({"event_id": b.column("event_id"),
+                         "ip": pa.array(ips, type=pa.string())})
+
+    stage = GeoIP(mmdb_path=path, source_col="ip", prefix="geo_")
+    out = _read(sf_dir, "events", ["event_id", "user_id"]) \
+        .map_batches(mk_ip, batch_format="pyarrow") \
+        .map_batches(stage, batch_format="pyarrow").to_pandas()
+    out = out.rename(columns={"geo_country": "country"})
+    out["event_id"] = out["event_id"].astype("int64")
+    return out[["event_id", "ip", "country"]] \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_GEOIP_SQL = """
+WITH ip AS (SELECT event_id,
+        '203.0.' || CAST((user_id // 256) %% 16 AS VARCHAR) || '.'
+                 || CAST(user_id %% 256 AS VARCHAR) AS ip,
+        CAST(203 AS BIGINT) * 16777216 + ((user_id // 256) %% 16) * 256
+            + user_id %% 256 AS ipi
+    FROM events),
+nets(lo, hi, plen, country) AS (VALUES %s),
+j AS (SELECT event_id, ip, country,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY plen DESC) AS rn
+      FROM ip JOIN nets ON ipi BETWEEN lo AND hi)
+SELECT event_id, ip, country FROM j WHERE rn = 1 ORDER BY event_id
+""" % _geo_values_sql()
+
+
 RAY_QUERIES = {
+    "events_geoip": events_geoip,
     "events_running_total": events_running_total,
     "docs_dedup_keep_best": docs_dedup_keep_best,
     "emb_centroid_outliers": emb_centroid_outliers,
@@ -3879,6 +3955,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "events_geoip": EVENTS_GEOIP_SQL,
     "events_running_total": EVENTS_RUNNING_TOTAL_SQL,
     "docs_dedup_keep_best": DOCS_DEDUP_KEEP_BEST_SQL,
     "emb_centroid_outliers": EMB_CENTROID_OUTLIERS_SQL,

@@ -90,3 +90,19 @@ class TestGeoIPIntegration:
         assert us["country.names.en"] == "United States"
         assert us["is_anycast"] == "true"
         assert us["location.latitude"] == "37.5"
+
+
+class TestGeoipOracleFixture:
+    def test_nested_25_longest_prefix_wins(self, ray_session):
+        from axosyslog_ray.pipelines.queries import events_geoip
+
+        out = events_geoip("/root/testdata/sf0.001")
+        third = out["ip"].str.split(".").str[2].astype(int)
+        last = out["ip"].str.split(".").str[3].astype(int)
+        nested = (third == 3) & (last >= 128)
+        if nested.any():
+            assert (out.loc[nested, "country"] == "NL").all()
+        outer = (third == 3) & (last < 128)
+        if outer.any():
+            assert (out.loc[outer, "country"] == "JP").all()
+        assert out["country"].notna().all()
