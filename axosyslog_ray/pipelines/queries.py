@@ -3843,7 +3843,138 @@ SELECT event_id, ip, country FROM j WHERE rn = 1 ORDER BY event_id
 """ % _geo_values_sql()
 
 
+def lineitem_q6_revenue(sf_dir: str):
+    """TPC-H Q6 shape (forecast revenue change): filtered map-only scan
+    + ONE tree-reduce sum, zero shuffle — the canonical predicate-
+    pushdown aggregate. Revenue counts in integer CENTS per row
+    (round half-away of price*discount*100) so the sum is
+    order-independent and drift-free across engines."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        m = ((ship >= np.datetime64("1996-01-01")) &
+             (ship < np.datetime64("1997-01-01")) &
+             (disc >= 0.03) & (disc <= 0.05) & (qty < 24))
+        v = price[m] * disc[m] * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        return pa.table({"rev_cents": pa.array([int(cents.sum())],
+                                               type=pa.int64()),
+                         "n_rows": pa.array([int(m.sum())], type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("rev_cents", alias_name="revenue_cents"),
+                   Sum("n_rows", alias_name="n_rows"))
+    return pd.DataFrame({"revenue_cents": [int(out["revenue_cents"])],
+                         "n_rows": [int(out["n_rows"])]})
+
+
+LINEITEM_Q6_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+"""
+
+
+def orders_q3_shipping(sf_dir: str):
+    """TPC-H Q3 shape (shipping priority): BUILDING-segment customers
+    join date-filtered orders join shipdate-filtered lineitem, revenue
+    per (orderkey, orderdate, orderpriority) in integer cents, top 10
+    by revenue (ties: orderkey). Two coarse-bucket hash joins
+    (join.hash_join, static schemas — no probe execution) + per-batch
+    partial cents + one small groupby Sum + sort/limit on the
+    aggregate only."""
+    from ray.data.aggregate import Sum
+
+    from ..join import hash_join
+
+    cutoff = "1998-01-01"
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'") \
+        .map_batches(lambda b: b.select(["c_custkey"])
+                     .rename_columns(["o_custkey"]),
+                     batch_format="pyarrow")
+    _cut = pa.scalar(np.datetime64(cutoff, "us"), type=pa.timestamp("us"))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"]) \
+        .map_batches(lambda b: b.filter(pa.compute.less(
+            pa.compute.cast(b.column("o_orderdate"), pa.timestamp("us")),
+            _cut)), batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        m = ship >= np.datetime64(cutoff)
+        t = b.filter(pa.array(m))
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        v = price * (1.0 - disc) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "cents": pa.array(cents)})
+
+    li_c = li.map_batches(li_partial, batch_format="pyarrow")
+    co = hash_join(
+        orders, cust, key="o_custkey", how="inner",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_orderdate", pa.timestamp("us")),
+                               ("o_orderpriority", pa.string())]),
+        right_schema=pa.schema([("o_custkey", pa.int64())]))
+    j = hash_join(
+        li_c, co, key="o_orderkey", how="inner",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_orderdate", pa.timestamp("us")),
+                               ("o_orderpriority", pa.string())]))
+    agg = j.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    out = agg.sort(["revenue_cents", "o_orderkey"],
+                   descending=[True, False]).limit(10).to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["o_orderdate"] = pd.to_datetime(out["o_orderdate"]) \
+        .dt.strftime("%Y-%m-%d")
+    return out[["o_orderkey", "o_orderdate", "o_orderpriority",
+                "revenue_cents"]].reset_index(drop=True)
+
+
+ORDERS_Q3_SQL = """
+SELECT l.l_orderkey AS o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+"""
+
+
 RAY_QUERIES = {
+    "lineitem_q6_revenue": lineitem_q6_revenue,
+    "orders_q3_shipping": orders_q3_shipping,
     "events_geoip": events_geoip,
     "events_running_total": events_running_total,
     "docs_dedup_keep_best": docs_dedup_keep_best,
@@ -3955,6 +4086,8 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "lineitem_q6_revenue": LINEITEM_Q6_SQL,
+    "orders_q3_shipping": ORDERS_Q3_SQL,
     "events_geoip": EVENTS_GEOIP_SQL,
     "events_running_total": EVENTS_RUNNING_TOTAL_SQL,
     "docs_dedup_keep_best": DOCS_DEDUP_KEEP_BEST_SQL,
