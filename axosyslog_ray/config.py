@@ -2264,6 +2264,19 @@ block source pacct(file("/var/log/account/pacct") follow-freq(1) ...) {
         tags(".pacct") `__VARARGS__`);
 };
 
+block destination logscale(url("https://cloud.humio.com") token()
+    rawstring("${MESSAGE}") timestamp("${S_ISODATE}") timezone("")
+    attributes("--scope rfc5424 --exclude MESSAGE --exclude DATE --leave-initial-dot")
+    batch_lines(1000) timeout(10) workers(20)
+    content_type("application/json") ...) {
+    http(url("`url`/api/v1/ingest/humio-structured")
+        headers("Authorization: Bearer `token`" "Content-Type: `content_type`")
+        delimiter(",") body-prefix('[{"events":[')
+        body("$(format-json --scope none --omit-empty-values rawstring=`rawstring` timestamp=`timestamp` timezone=`timezone` attributes=$(if (\\"`attributes`\\" ne \\"\\") $(format-json --scope none `attributes`) \\"\\"))")
+        body-suffix(']}]') batch-lines(`batch_lines`) timeout(`timeout`)
+        workers(`workers`) `__VARARGS__`);
+};
+
 block source mbox(filename() ...) {
     file("`filename`" log-msg-size(10000000) log-fetch-limit(1)
         flags(no-parse) multi-line-mode(prefix-suffix)

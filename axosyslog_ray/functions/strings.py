@@ -212,9 +212,32 @@ def tf_explode(t, sep, *args):
 
 # ---- conditional (cond-funcs.c) ----
 
-def tf_if(t, cond, then, els):
-    c = _s(cond).isin(["1", "true", "TRUE", "True", "yes"])
-    return pd.Series(np.where(c, _s(then), _s(els)), dtype=object)
+def tf_if(t, cond_spec, then_spec, else_spec=""):
+    """$(if (FILTER-EXPR) then else): the condition is a FILTER
+    expression compiled with the config filter grammar and evaluated
+    per row (modules/basicfuncs/cond-funcs.c tf_if_prepare builds a
+    FilterExprNode; tf_if_call filter_expr_eval's it). A condition the
+    grammar rejects falls back to truthy-string evaluation ('1'/'true'/
+    'yes'), the shape $(if $(echo 1) a b) relies on."""
+    from .templates import Template
+
+    try:
+        from ..config import _FilterParser, _Stream, tokenize
+
+        src = "{ %s; }" % cond_spec.strip()
+        s = _Stream(tokenize(src), src)
+        s.expect("{")
+        expr = _FilterParser(s, {}).parse_block()
+        m = np.asarray(expr.mask(t), dtype=bool)
+    except Exception:
+        c = Template(cond_spec).eval(t)
+        m = c.isin(["1", "true", "TRUE", "True", "yes"]).to_numpy()
+    thenv = Template(then_spec).eval(t).to_numpy(dtype=object)
+    elsev = Template(else_spec).eval(t).to_numpy(dtype=object)
+    return pd.Series(np.where(m, thenv, elsev), dtype=object)
+
+
+tf_if._lazy_all = True  # type: ignore[attr-defined]
 
 
 def tf_default(t, a, fallback):

@@ -2953,3 +2953,31 @@ log {{ source(s); parser(p); destination(d); }};
         r = cfg.run(sources={"s": t})
         assert r.processed("d") == 1
         assert r.rendered("d") == ["ADMIN|logon"]
+
+
+class TestSclLogscale:
+    """scl/logscale port + the filter-grammar $(if) condition."""
+
+    def test_logscale_body(self):
+        import json
+        cfg = compile_config("""
+source s { example-msg-generator(num(1)); };
+destination d { logscale(token("TOK1")); };
+log { source(s); destination(d); };
+""")
+        t = pa.table({"message": ["hello world"], "pri": [13],
+                      "program": ["app"]})
+        r = cfg.run(sources={"s": t})
+        d = json.loads(r.rendered("d")[0])
+        assert d["rawstring"] == "hello world"
+        attrs = json.loads(d["attributes"])
+        assert attrs["PROGRAM"] == "app"
+        assert "MESSAGE" not in attrs  # --exclude MESSAGE
+
+    def test_if_filter_grammar_condition(self):
+        from axosyslog_ray.functions.templates import Template
+        t = pa.table({"message": ["m"], "pri": [13], "program": ["app"]})
+        assert Template('$(if ("x" ne "") y n)').eval(t).tolist() == ["y"]
+        assert Template("$(if ('' eq '') y n)").eval(t).tolist() == ["y"]
+        assert Template('$(if (program("app")) y n)').eval(t).tolist() == ["y"]
+        assert Template('$(if (program("zz")) y n)').eval(t).tolist() == ["n"]
