@@ -22,6 +22,7 @@ import uuid
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def _s(x) -> pd.Series:
@@ -212,6 +213,22 @@ def tf_explode(t, sep, *args):
 
 # ---- conditional (cond-funcs.c) ----
 
+def _filter_cond_mask(t, cond_spec: str) -> np.ndarray | None:
+    """Compile a template-function condition with the config FILTER
+    grammar (cond-funcs.c builds a FilterExprNode); None when the
+    grammar rejects it (caller falls back to truthy-string)."""
+    try:
+        from ..config import _FilterParser, _Stream, tokenize
+
+        src = "{ %s; }" % cond_spec.strip()
+        s = _Stream(tokenize(src), src)
+        s.expect("{")
+        expr = _FilterParser(s, {}).parse_block()
+        return np.asarray(expr.mask(t), dtype=bool)
+    except Exception:
+        return None
+
+
 def tf_if(t, cond_spec, then_spec, else_spec=""):
     """$(if (FILTER-EXPR) then else): the condition is a FILTER
     expression compiled with the config filter grammar and evaluated
@@ -221,15 +238,8 @@ def tf_if(t, cond_spec, then_spec, else_spec=""):
     'yes'), the shape $(if $(echo 1) a b) relies on."""
     from .templates import Template
 
-    try:
-        from ..config import _FilterParser, _Stream, tokenize
-
-        src = "{ %s; }" % cond_spec.strip()
-        s = _Stream(tokenize(src), src)
-        s.expect("{")
-        expr = _FilterParser(s, {}).parse_block()
-        m = np.asarray(expr.mask(t), dtype=bool)
-    except Exception:
+    m = _filter_cond_mask(t, cond_spec)
+    if m is None:
         c = Template(cond_spec).eval(t)
         m = c.isin(["1", "true", "TRUE", "True", "yes"]).to_numpy()
     thenv = Template(then_spec).eval(t).to_numpy(dtype=object)
@@ -238,6 +248,130 @@ def tf_if(t, cond_spec, then_spec, else_spec=""):
 
 
 tf_if._lazy_all = True  # type: ignore[attr-defined]
+
+
+def _grep_like(t, raw_args, list_encode: bool):
+    """Shared $(grep) / $(context-lookup) body (cond-funcs.c tf_grep_call,
+    context-funcs.c tf_context_lookup_call): evaluate the filter per
+    context message and append each value template's rendering,
+    comma-joined. The batch engine's message context is ONE message
+    (the reference's, too, outside a correlation trigger — its comment:
+    "the message context is just one message"); grouping-by/correlate
+    own the multi-message windows. context-lookup LIST-encodes elements
+    (str_repr_encode), grep appends raw."""
+    from .templates import Template
+
+    args = list(raw_args)
+    max_count = 0
+    while args and (args[0] in ("-m", "--max-count")
+                    or args[0].startswith("--max-count=")):
+        if "=" in args[0]:
+            max_count = int(args[0].split("=", 1)[1])
+            args = args[1:]
+        else:
+            max_count = int(args[1])
+            args = args[2:]
+    if len(args) < 2:
+        raise ValueError("$(grep) requires at least two arguments")
+    cond, tmpls = args[0], args[1:]
+    m = _filter_cond_mask(t, cond)
+    if m is None:
+        from .templates import Template as _T
+
+        m = _T(cond).eval(t).isin(["1", "true", "TRUE", "True", "yes"]) \
+            .to_numpy()
+    # (max-count: with a 1-message context any positive cap is >= 1)
+    vals = [Template(x).eval(t).to_numpy(dtype=object) for x in tmpls]
+    out = np.empty(t.num_rows, dtype=object)
+    for i in range(t.num_rows):
+        if m[i]:
+            elems = [str(v[i]) for v in vals]
+            if list_encode:
+                elems = [_ser_elem(e) for e in elems]
+            out[i] = ",".join(elems)
+        else:
+            out[i] = ""
+    return pd.Series(out, dtype=object)
+
+
+def tf_grep(t, *raw_args):
+    return _grep_like(t, raw_args, list_encode=False)
+
+
+def tf_context_lookup(t, *raw_args):
+    return _grep_like(t, raw_args, list_encode=True)
+
+
+def tf_context_length(t, *raw_args):
+    # number of messages in the evaluation context — 1 per row here
+    # (context-funcs.c tf_context_length_call)
+    return pd.Series(["1"] * t.num_rows, dtype=object)
+
+
+def tf_context_values(t, *args):
+    """$(context-values $nv...): LIST of the named values across the
+    context's messages (context-funcs.c tf_context_values_call)."""
+    if not args:
+        return pd.Series([""] * t.num_rows, dtype=object)
+    cols = [ _s(a).to_numpy(dtype=object) for a in args]
+    out = np.empty(t.num_rows, dtype=object)
+    for i in range(t.num_rows):
+        out[i] = ",".join(_ser_elem(str(c[i])) for c in cols)
+    return pd.Series(out, dtype=object)
+
+
+tf_grep._lazy_all = True  # type: ignore[attr-defined]
+tf_context_lookup._lazy_all = True  # type: ignore[attr-defined]
+
+
+_GEOIP2_CACHE: dict = {}
+
+
+def tf_geoip2(t, *raw_args):
+    """$(geoip2 --database db.mmdb [--field path.child] ${HOST}):
+    per-row mmdb lookup (modules/geoip2/tfgeoip.c; default field
+    country.iso_code). The database loads once per process via the
+    repo's from-spec mmdb reader and the vectorized searchsorted
+    range-lookup kernel (enrich/geoip.GeoIP)."""
+    from .templates import Template
+
+    args = list(raw_args)
+    db = field = None
+    rest: list[str] = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a in ("-d", "--database") and i + 1 < len(args):
+            db, i = args[i + 1], i + 2
+        elif a.startswith("--database="):
+            db, i = a.split("=", 1)[1], i + 1
+        elif a in ("-f", "--field") and i + 1 < len(args):
+            field, i = args[i + 1], i + 2
+        elif a.startswith("--field="):
+            field, i = a.split("=", 1)[1], i + 1
+        else:
+            rest.append(a)
+            i += 1
+    if not db or not rest:
+        raise ValueError("geoip2: format must be: $(geoip2 --database "
+                         "<db.mmdb> [ --field path.child ] ${HOST})")
+    field = field or "country.iso_code"
+    stage = _GEOIP2_CACHE.get(db)
+    if stage is None:
+        from ..enrich.geoip import GeoIP
+
+        stage = _GEOIP2_CACHE[db] = GeoIP(mmdb_path=db, source_col="__ip",
+                                          prefix="")
+    ips = Template(" ".join(rest)).eval(t)
+    tbl = pa.table({"__ip": pa.array(ips.astype(object), type=pa.string())})
+    out = stage(tbl)
+    if field not in out.column_names:
+        return pd.Series([""] * t.num_rows, dtype=object)
+    col = out.column(field).to_pandas()
+    return col.astype(object).where(col.notna(), "")
+
+
+tf_geoip2._lazy_all = True  # type: ignore[attr-defined]
 
 
 def tf_default(t, a, fallback):
@@ -1036,6 +1170,11 @@ TEMPLATE_FUNCS = {
     "implode": tf_implode,
     "explode": tf_explode,
     "if": tf_if,
+    "grep": tf_grep,
+    "context-lookup": tf_context_lookup,
+    "context-length": tf_context_length,
+    "context-values": tf_context_values,
+    "geoip2": tf_geoip2,
     "default": tf_default,
     "+": _binop(lambda a, b: a + b),
     "-": _binop(lambda a, b: a - b),

@@ -429,3 +429,47 @@ def test_boolean_cast_first_char_reference_pins():
         assert bool_cast_first_char(v) is want, v
     assert bool_cast_first_char("booyah") is None
     assert bool_cast_first_char("") is None
+
+
+class TestContextAndGeoipFuncs:
+    """cond-funcs.c $(grep), context-funcs.c $(context-*), tfgeoip.c
+    $(geoip2) — single-message context semantics (the reference's own
+    comment: "the message context is just one message" outside a
+    correlation trigger)."""
+
+    def _t(self):
+        import pyarrow as pa
+        return pa.table({"message": ["m1", "m2"], "pri": [13, 13],
+                         "program": ["app", "db"],
+                         "host": ["10.1.2.3", "192.168.1.1"]})
+
+    def test_grep(self):
+        t = self._t()
+        assert Template('$(grep (program("app")) ${PROGRAM} ${HOST})') \
+            .eval(t).tolist() == ["app,10.1.2.3", ""]
+
+    def test_grep_max_count_flag_parses(self):
+        t = self._t()
+        assert Template('$(grep --max-count 1 (program("app")) ${HOST})') \
+            .eval(t).tolist() == ["10.1.2.3", ""]
+
+    def test_context_lookup_and_length_and_values(self):
+        t = self._t()
+        assert Template('$(context-lookup (program("app")) ${PROGRAM})') \
+            .eval(t).tolist() == ["app", ""]
+        assert Template('$(context-length)').eval(t).tolist() == ["1", "1"]
+        assert Template('$(context-values ${PROGRAM} ${HOST})') \
+            .eval(t).tolist() == ["app,10.1.2.3", "db,192.168.1.1"]
+
+    def test_geoip2(self, tmp_path):
+        from axosyslog_ray.enrich.mmdb_write import write_mmdb
+        db = str(tmp_path / "geo.mmdb")
+        write_mmdb(db, [("10.0.0.0/8",
+                         {"country": {"iso_code": "US",
+                                      "names": {"en": "United States"}}})])
+        t = self._t()
+        assert Template('$(geoip2 --database %s ${HOST})' % db) \
+            .eval(t).tolist() == ["US", ""]
+        assert Template('$(geoip2 --database %s --field country.names.en'
+                        ' ${HOST})' % db).eval(t).tolist() == \
+            ["United States", ""]
