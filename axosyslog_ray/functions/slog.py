@@ -389,3 +389,48 @@ def verify_shard(out_dir: str, shard: str, master_key: bytes,
     mac = read_mac(base + ".mac")
     return verify_entries(lines, k0, 0, expected_count=len(lines),
                           big_mac=mac)
+
+
+def tf_slog(t, *raw_args):
+    """$(slog -k keyfile -m macfile $MSG): the reference's stateful
+    encrypting template function (secure-logging.c tf_slog_call) —
+    rows encrypt SEQUENTIALLY against the evolving key persisted in the
+    key/MAC files, exactly the on-disk contract slogverify consumes.
+    Single-process semantics by construction (the config engine renders
+    destination templates driver-side); the distributed form is
+    encrypt_shards (one chain per shard). An empty message renders the
+    reference's serialization error text."""
+    import pandas as pd
+
+    from .templates import Template
+
+    args = list(raw_args)
+    keyfile = macfile = None
+    rest = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a in ("-k", "--key-file") and i + 1 < len(args):
+            keyfile, i = args[i + 1], i + 2
+        elif a in ("-m", "--mac-file") and i + 1 < len(args):
+            macfile, i = args[i + 1], i + 2
+        else:
+            rest.append(a)
+            i += 1
+    if not keyfile or not macfile or not rest:
+        raise ValueError("$(slog) usage: $(slog -k keyfile -m macfile $MSG)")
+    texts = Template(" ".join(rest)).eval(t)
+    w = SlogWriter.from_files(keyfile,
+                              macfile if os.path.exists(macfile) else None)
+    out = []
+    for x in texts.tolist():
+        if not x:
+            # tf_slog_call's empty-input branch
+            out.append("Error: Empty log message invalid")
+            continue
+        out.append(w.entry(x))
+    w.save(keyfile, macfile)
+    return pd.Series(out, dtype=object)
+
+
+tf_slog._lazy_all = True  # type: ignore[attr-defined]

@@ -1145,6 +1145,8 @@ tf_list_map._lazy_first = True  # type: ignore[attr-defined]
 tf_list_filter._lazy_first = True  # type: ignore[attr-defined]
 
 
+from .slog import tf_slog  # noqa: E402
+from .valuepairs import tf_format_cef_extension  # noqa: E402
 from .valuepairs import (tf_format_flat_json,  # noqa: E402 (template-function forms)
                          tf_format_json, tf_format_welf, tf_graphite_output)
 
@@ -1175,6 +1177,7 @@ TEMPLATE_FUNCS = {
     "context-length": tf_context_length,
     "context-values": tf_context_values,
     "geoip2": tf_geoip2,
+
     "default": tf_default,
     "+": _binop(lambda a, b: a + b),
     "-": _binop(lambda a, b: a - b),
@@ -1239,3 +1242,6 @@ TEMPLATE_FUNCS = {
     "bool": tf_cast_bool,
     "string": tf_cast_string,
 }
+
+TEMPLATE_FUNCS["format-cef-extension"] = tf_format_cef_extension
+TEMPLATE_FUNCS["slog"] = tf_slog

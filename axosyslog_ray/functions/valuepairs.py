@@ -873,3 +873,40 @@ def parse_cef(table: pa.Table, source_col: str = "message", out_col: str = "cef"
         maps[i], valid[i] = pairs, True
     out = table.append_column(out_col, pa.array(maps, type=pa.map_(pa.string(), pa.string())))
     return out.append_column("cef_valid", pa.array(valid))
+
+
+def tf_format_cef_extension(t: pa.Table, *args):
+    """$(format-cef-extension ...value-pairs args...): extension-only
+    CEF pair serialization of the declarative selection (reference
+    modules/cef/format-cef-extension.c tf_cef): fully-alphanumeric keys
+    only, values escape \\ = \\n \\r and control chars as \\uXXXX,
+    space-joined in sorted key order."""
+    n_rows, iter_row_pairs = _parse_vp_args(t, args)
+
+    def esc(v: str) -> str:
+        out = []
+        for ch in v:
+            if ch == "\\":
+                out.append("\\\\")
+            elif ch == "=":
+                out.append("\\=")
+            elif ch == "\n":
+                out.append("\\n")
+            elif ch == "\r":
+                out.append("\\r")
+            elif ord(ch) < 32:
+                out.append(f"\\u{ord(ch):04x}")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    out: list[str] = []
+    for r in range(n_rows):
+        pairs = {k: v for k, v in iter_row_pairs(r)
+                 if k.isalnum() and k.isascii()}
+        out.append(" ".join(f"{k}={esc(_typed_to_str(v) if not isinstance(v, str) else v)}"
+                            for k, v in sorted(pairs.items())))
+    return pd.Series(out, dtype=object)
+
+
+tf_format_cef_extension._lazy_all = True  # type: ignore[attr-defined]

@@ -473,3 +473,49 @@ class TestContextAndGeoipFuncs:
         assert Template('$(geoip2 --database %s --field country.names.en'
                         ' ${HOST})' % db).eval(t).tolist() == \
             ["United States", ""]
+
+
+class TestSlogAndCefExtensionFuncs:
+    def test_format_cef_extension(self):
+        import pyarrow as pa
+        t = pa.table({"message": ["m"], "pri": [13],
+                      ".cef.foo": ["a=b"], ".cef.ba r": ["x"],
+                      ".cef.nl": ["a\nb"]})
+        out = Template('$(format-cef-extension --key .cef.* --shift 5)') \
+            .eval(t).tolist()
+        # 'ba r' key dropped (non-alnum); '=' and newline escaped;
+        # sorted key order
+        assert out == ["foo=a\\=b nl=a\\nb"]
+
+    def test_slog_template_function_roundtrip(self, tmp_path):
+        import pyarrow as pa
+        from axosyslog_ray.functions.slog import (derive_host_key,
+                                                  generate_master_key,
+                                                  read_mac, verify_entries,
+                                                  write_key)
+        kf, mf = str(tmp_path / "k"), str(tmp_path / "m")
+        k0 = derive_host_key(generate_master_key(), "00:11", "s1")
+        write_key(kf, k0, 0)
+        t = pa.table({"message": ["msg one", "msg two"], "pri": [13, 13]})
+        lines = Template(f"$(slog -k {kf} -m {mf} $MSG)").eval(t).tolist()
+        rec, ok, problems = verify_entries(lines, k0, 0, expected_count=2,
+                                           big_mac=read_mac(mf))
+        assert ok and problems == []
+        assert [r.split(": ", 1)[1] for r in rec] == ["msg one", "msg two"]
+        # a SECOND eval continues the evolved chain from the key file
+        t2 = pa.table({"message": ["msg three"], "pri": [13]})
+        more = Template(f"$(slog -k {kf} -m {mf} $MSG)").eval(t2).tolist()
+        rec2, ok2, _ = verify_entries(lines + more, k0, 0, expected_count=3,
+                                      big_mac=read_mac(mf))
+        assert ok2 and len(rec2) == 3
+
+    def test_slog_empty_message_error_text(self, tmp_path):
+        import pyarrow as pa
+        from axosyslog_ray.functions.slog import (derive_host_key,
+                                                  generate_master_key,
+                                                  write_key)
+        kf, mf = str(tmp_path / "k"), str(tmp_path / "m")
+        write_key(kf, derive_host_key(generate_master_key(), "0", "0"), 0)
+        t = pa.table({"message": [""], "pri": [13]})
+        out = Template(f"$(slog -k {kf} -m {mf} $MSG)").eval(t).tolist()
+        assert out == ["Error: Empty log message invalid"]
