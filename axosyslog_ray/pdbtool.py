@@ -163,9 +163,42 @@ def run_conformance(rules: list[PdbRule] | None = None, examples: list[PdbExampl
 
 
 def main(argv: list[str]) -> int:
-    if not argv or argv[0] not in ("test", "match"):
+    if not argv or argv[0] not in ("test", "match", "patternize"):
         print(__doc__)
         return 2
+    if argv[0] == "patternize":
+        # pdbtool patternize --support N FILE... : frequent-word
+        # skeleton mining (pdbtool.c patternize mode; stages/patternize)
+        import ray
+        import ray.data as rd
+
+        from .stages.patternize import patternize
+
+        support, files = 10, []
+        args = argv[1:]
+        while args:
+            if args[0] in ("-S", "--support") and len(args) > 1:
+                support = int(args[1])
+                args = args[2:]
+            else:
+                files.append(args[0])
+                args = args[1:]
+        if not files:
+            print("pdbtool patternize: no input files", file=sys.stderr)
+            return 2
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR")
+        lines: list[str] = []
+        for f in files:
+            with open(f) as fh:
+                lines.extend(ln.rstrip("\n") for ln in fh)
+        ds = rd.from_items([{"message": ln} for ln in lines])
+        out = patternize(ds, support=support).to_pandas() \
+            .sort_values(["support", "pattern"], ascending=[False, True])
+        for _, r in out.iterrows():
+            print(f"{int(r['support'])}\t{r['pattern']}")
+        return 0
     if argv[0] == "test":
         if len(argv) > 1:
             try:

@@ -3972,7 +3972,59 @@ ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
 """
 
 
+def events_patternize(sf_dir: str):
+    """pdbtool-patternize log-template mining (stages/patternize.py —
+    LogHash/SLCT family): synthesize log lines from events, mine the
+    frequent-word skeletons (support >= 50), wildcard the variable
+    positions, count clusters. One narrow word-df aggregate + broadcast
+    frequent set + map-only skeleton render + pattern count."""
+    from ..stages.patternize import patternize
+
+    def mk(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_pandas().astype(str)
+        uid = b.column("user_id").to_pandas().astype(str)
+        val = b.column("value").to_numpy(zero_copy_only=False)
+        msg = ("svc " + et + " user u" + uid + " took "
+               + pd.Series((val * 1000).astype(np.int64)).astype(str)
+               + " ms")
+        return pa.table({"message": pa.array(msg, type=pa.string())})
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"]) \
+        .map_batches(mk, batch_format="pyarrow")
+    out = patternize(ds, support=50).to_pandas()
+    out["support"] = out["support"].astype("int64")
+    return out.sort_values(["support", "pattern"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+EVENTS_PATTERNIZE_SQL = """
+WITH msg AS (
+  SELECT event_id,
+         'svc ' || event_type || ' user u' || CAST(user_id AS VARCHAR)
+         || ' took ' || CAST(CAST(trunc(value * 1000) AS BIGINT) AS VARCHAR)
+         || ' ms' AS m
+  FROM events),
+toks AS (SELECT event_id, i, ws[i] AS w
+         FROM (SELECT event_id, string_split(m, ' ') AS ws FROM msg) t,
+              LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) r),
+dfq AS (SELECT w, count(DISTINCT event_id) AS df FROM toks GROUP BY w),
+freq AS (SELECT w FROM dfq WHERE df >= 50),
+marked AS (SELECT event_id, i,
+                  CASE WHEN w IN (SELECT w FROM freq) THEN w
+                       ELSE '@ANYSTRING@' END AS mk
+           FROM toks),
+pat AS (SELECT event_id, string_agg(mk, ' ' ORDER BY i) AS p
+        FROM marked GROUP BY event_id),
+collapsed AS (SELECT regexp_replace(p, '@ANYSTRING@( @ANYSTRING@)+',
+                                    '@ANYSTRING@', 'g') AS pattern
+              FROM pat)
+SELECT pattern, CAST(count(*) AS BIGINT) AS support
+FROM collapsed GROUP BY pattern ORDER BY support DESC, pattern
+"""
+
+
 RAY_QUERIES = {
+    "events_patternize": events_patternize,
     "lineitem_q6_revenue": lineitem_q6_revenue,
     "orders_q3_shipping": orders_q3_shipping,
     "events_geoip": events_geoip,
@@ -4086,6 +4138,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "events_patternize": EVENTS_PATTERNIZE_SQL,
     "lineitem_q6_revenue": LINEITEM_Q6_SQL,
     "orders_q3_shipping": ORDERS_Q3_SQL,
     "events_geoip": EVENTS_GEOIP_SQL,
