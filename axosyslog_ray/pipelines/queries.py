@@ -4023,7 +4023,66 @@ FROM collapsed GROUP BY pattern ORDER BY support DESC, pattern
 """
 
 
+def docs_readability(sf_dir: str):
+    """Flesch reading-ease scores (textstats.flesch_scores) over the
+    synthesized C4-style pages (sentence variety): map-only vectorized
+    regex counting, exact integer micro-unit scores (float formula is
+    a fixed op-order expression — bit-equal across engines; rounding
+    half-away matches SQL round)."""
+    from ..textstats.analysis import flesch_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(_mk_c4_pages, batch_format="pyarrow") \
+        .map_batches(flesch_scores, batch_format="pyarrow")
+    out = ds.to_pandas()
+    for c in ("doc_id", "n_words", "n_sentences", "n_syllables",
+              "flesch_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_READABILITY_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+n AS (SELECT doc_id, ws, len(ws) AS nw FROM t),
+ln AS (SELECT doc_id, i,
+              array_to_string(ws[i * 7 + 1 : i * 7 + 7], ' ')
+              || CASE (doc_id + i) % 5 WHEN 0 THEN '.' WHEN 1 THEN ''
+                      WHEN 2 THEN '?' WHEN 3 THEN '!'
+                      ELSE ' javascript.' END AS line
+       FROM n, LATERAL (SELECT unnest(range(0, (nw + 6) // 7)) AS i) r),
+page AS (SELECT doc_id,
+                string_agg(line, chr(10) ORDER BY i)
+                || CASE WHEN doc_id % 97 = 0
+                        THEN chr(10) || 'lorem ipsum here it is.'
+                        WHEN doc_id % 89 = 0
+                        THEN chr(10) || 'curly { brace config.'
+                        ELSE '' END AS text
+         FROM ln GROUP BY doc_id),
+c AS (SELECT doc_id, lower(text) AS low FROM page),
+m AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(low, '\\S+')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(low, '[.!?]+(\\s*\\S)')) + 1
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(low, '[aeiouy]+')) AS BIGINT)
+               AS n_syllables
+      FROM c)
+SELECT doc_id, n_words,
+       CASE WHEN n_words > 0 THEN n_sentences ELSE 0 END AS n_sentences,
+       n_syllables,
+       CASE WHEN n_words > 0 THEN
+         CAST(round((206.835
+                     - 1.015 * (CAST(greatest(n_words, 1) AS DOUBLE)
+                                / greatest(n_sentences, 1))
+                     - 84.6 * (CAST(n_syllables AS DOUBLE)
+                               / greatest(n_words, 1))) * 1000000)
+              AS BIGINT)
+       ELSE 0 END AS flesch_micro
+FROM m ORDER BY doc_id
+"""
+
+
 RAY_QUERIES = {
+    "docs_readability": docs_readability,
     "events_patternize": events_patternize,
     "lineitem_q6_revenue": lineitem_q6_revenue,
     "orders_q3_shipping": orders_q3_shipping,
@@ -4138,6 +4197,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "docs_readability": DOCS_READABILITY_SQL,
     "events_patternize": EVENTS_PATTERNIZE_SQL,
     "lineitem_q6_revenue": LINEITEM_Q6_SQL,
     "orders_q3_shipping": ORDERS_Q3_SQL,

@@ -103,3 +103,25 @@ class TestBigramTopk:
         # ordering: count desc, gram asc
         assert out.iloc[0]["gram"] == "alpha beta"
         assert list(out["gram"][1:]) == sorted(out["gram"][1:])
+
+
+class TestFleschScores:
+    def test_known_text(self, ray_session):
+        import ray.data as rd
+
+        from axosyslog_ray.textstats.analysis import flesch_scores
+
+        ds = rd.from_items([
+            {"doc_id": 1, "text": "the cat sat. the dog ran!"},
+            {"doc_id": 2, "text": ""},
+        ])
+        out = ds.map_batches(flesch_scores, batch_format="pyarrow") \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        r = out.iloc[0]
+        # 6 words, 2 sentences ('.' then text; trailing '!' has none),
+        # vowel groups: e,a,a,e,o,a = 6
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+        score = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+        assert r["flesch_micro"] == round(score * 1e6)
+        assert out.iloc[1]["flesch_micro"] == 0
+        assert out.iloc[1]["n_sentences"] == 0
