@@ -897,3 +897,29 @@ EXT_FUNCS = {
     "list": _list_ctor,
     "json_array": _list_ctor,
 }
+
+
+def protobuf_message(a: pd.Series, schema_file=None) -> pd.Series:
+    """protobuf_message(dict, schema_file="x.proto"): serialize a dict
+    to protobuf wire bytes against the schema's first message
+    (modules/grpc/filterx/func-protobuf-message.cpp — re-created on the
+    repo's from-spec proto3 codec, functions/protowire.py). Non-dict
+    input is a per-row eval error (null result), like the reference's
+    type check."""
+    from .functions.protowire import encode_message, load_schema
+
+    path = _sc(schema_file)
+    if not path:
+        raise ValueError('protobuf_message() needs schema_file="x.proto"')
+    msgs = load_schema(str(path))
+    first = msgs["__first__"]
+    out = []
+    for v in a:
+        if _null(v) or not isinstance(v, dict):
+            out.append(None)
+        else:
+            out.append(encode_message(msgs, first, v))
+    return pd.Series(out, dtype=object)
+
+
+EXT_FUNCS["protobuf_message"] = protobuf_message
