@@ -4081,7 +4081,43 @@ FROM m ORDER BY doc_id
 """
 
 
+def events_heavy_hitters(sf_dir: str):
+    """Top-20 heaviest users, exact, PLUS the Count-Min estimates
+    gate (sketch.cms_build_column): the CMS is the unbounded-key path
+    (depth*width*8 bytes of state however many users exist); here its
+    estimates for the exact top-20 are pinned inside the documented
+    one-sided tolerance (exact <= est <= exact + tol, tol = 16 at the
+    test scales — deterministic coordinates, so the verdict is stable).
+    The oracle recomputes the exact side and pins approx_ok TRUE — the
+    CMS analogue of events_distinct_users_hll's tolerance gate."""
+    from ..aggregate import pre_aggregated_count
+    from ..sketch import cms_build_column, cms_key_counts
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    exact = pre_aggregated_count(ds, ["user_id"], alias="n") \
+        .sort(["n", "user_id"], descending=[True, False]).limit(20) \
+        .to_pandas()
+    cms = cms_build_column(_read(sf_dir, "events", ["user_id"]), "user_id")
+    est = cms_key_counts(cms, exact["user_id"].to_numpy())
+    exact["user_id"] = exact["user_id"].astype("int64")
+    exact["n"] = exact["n"].astype("int64")
+    exact["approx_ok"] = (est >= exact["n"].to_numpy()) & \
+        (est <= exact["n"].to_numpy() + 16)
+    return exact[["user_id", "n", "approx_ok"]] \
+        .sort_values(["n", "user_id"], ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
+EVENTS_HEAVY_HITTERS_SQL = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n, TRUE AS approx_ok
+FROM events GROUP BY user_id
+ORDER BY n DESC, user_id LIMIT 20
+"""
+
+
 RAY_QUERIES = {
+    "events_heavy_hitters": events_heavy_hitters,
     "docs_readability": docs_readability,
     "events_patternize": events_patternize,
     "lineitem_q6_revenue": lineitem_q6_revenue,
@@ -4197,6 +4233,7 @@ RAY_QUERIES = {
 }
 
 ORACLE_SQLS = {
+    "events_heavy_hitters": EVENTS_HEAVY_HITTERS_SQL,
     "docs_readability": DOCS_READABILITY_SQL,
     "events_patternize": EVENTS_PATTERNIZE_SQL,
     "lineitem_q6_revenue": LINEITEM_Q6_SQL,

@@ -241,3 +241,45 @@ def cms_word_counts(table: np.ndarray, words) -> np.ndarray:
     """Estimated corpus counts for a list/array of words."""
     arr = np.asarray(words, dtype=object)
     return cms_query(table, hash_str_array(arr))
+
+
+def cms_build_column(ds, col: str, width: int = 1 << 16,
+                     depth: int = 4) -> np.ndarray:
+    """Stream ANY key column's counts into a Count-Min table (the
+    generic companion to cms_build_words): per-block np.unique
+    pre-aggregation, element-wise-add tree merge, depth*width*8 bytes
+    of state regardless of key cardinality."""
+    from ray.data.aggregate import AggregateFnV2
+
+    from .curation import fast_sample_u64
+
+    class _CmsBuild(AggregateFnV2):
+        def __init__(self):
+            super().__init__(name="cms", on=None, ignore_nulls=False,
+                             zero_factory=lambda: np.zeros((depth, width),
+                                                           dtype=np.int64))
+
+        def aggregate_block(self, block):
+            t = block if isinstance(block, pa.Table) \
+                else pa.Table.from_pandas(block)
+            acc = np.zeros((depth, width), dtype=np.int64)
+            if t.num_rows:
+                keys = t.column(col).to_pandas().dropna().to_numpy()
+                if len(keys):
+                    uniq, counts = np.unique(keys, return_counts=True)
+                    cms_add(acc, fast_sample_u64(uniq), counts)
+            return acc
+
+        def combine(self, a, b):
+            return np.asarray(a, dtype=np.int64) + np.asarray(b, dtype=np.int64)
+
+    return np.asarray(ds.aggregate(_CmsBuild())["cms"],
+                      dtype=np.int64).reshape(depth, width)
+
+
+def cms_key_counts(table: np.ndarray, keys) -> np.ndarray:
+    """Estimated counts for an array of keys (same coordinate family
+    as cms_build_column)."""
+    from .curation import fast_sample_u64
+
+    return cms_query(table, fast_sample_u64(np.asarray(keys)))

@@ -160,3 +160,36 @@ def test_hll_group_distinct(ray_session):
     # partitioning invariance
     g2 = hll_group_distinct(_ds(df, blocks=1), "k", "v", p=12).to_pandas()
     pd.testing.assert_frame_equal(got, g2.sort_values("k").reset_index(drop=True))
+
+
+class TestCmsColumn:
+    def test_estimates_upper_bound_exact(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from axosyslog_ray.sketch import cms_build_column, cms_key_counts
+
+        rng = np.random.RandomState(9)
+        keys = rng.zipf(1.5, 5000).astype(np.int64)
+        ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(5)
+        cms = cms_build_column(ds, "k", width=1 << 14, depth=4)
+        uniq, counts = np.unique(keys, return_counts=True)
+        est = cms_key_counts(cms, uniq)
+        assert (est >= counts).all()          # CMS never undercounts
+        assert (est - counts).max() <= 16     # comfortable at this width
+        # total mass per row equals N
+        assert cms.sum(axis=1).tolist() == [len(keys)] * 4
+
+    def test_merge_equals_single_pass(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from axosyslog_ray.sketch import cms_build_column
+
+        df = pd.DataFrame({"k": np.arange(300) % 7})
+        a = cms_build_column(rd.from_pandas(df), "k", width=256, depth=3)
+        b = cms_build_column(rd.from_pandas(df).repartition(9), "k",
+                             width=256, depth=3)
+        assert (a == b).all()
