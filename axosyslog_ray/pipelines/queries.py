@@ -3891,11 +3891,13 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 def orders_q3_shipping(sf_dir: str):
     """TPC-H Q3 shape (shipping priority): BUILDING-segment customers
     join date-filtered orders join shipdate-filtered lineitem, revenue
-    per (orderkey, orderdate, orderpriority) in integer cents, top 10
-    by revenue (ties: orderkey). Two coarse-bucket hash joins
-    (join.hash_join, static schemas — no probe execution) + per-batch
-    partial cents + one small groupby Sum + sort/limit on the
-    aggregate only."""
+    per order in integer cents, top 10 by revenue (ties: orderkey).
+    Scale shape: per-batch cents COMBINER + one coarse-bucket revenue
+    aggregate BEFORE the join (the join ships one row per order, not
+    per line item; no post-join groupby), then two static-schema
+    coarse-bucket hash joins and a sort/limit over per-order rows only.
+    Toy-scale wall time is 3 chained exchanges' fixed cost (~5 s each
+    at sf0.1 — the docs_substring_dedup regime), not compute."""
     from ray.data.aggregate import Sum
 
     from ..join import hash_join
@@ -3925,10 +3927,23 @@ def orders_q3_shipping(sf_dir: str):
         disc = t.column("l_discount").to_numpy(zero_copy_only=False)
         v = price * (1.0 - disc) * 100.0
         cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
-        return pa.table({"o_orderkey": t.column("l_orderkey"),
+        # COMBINER: collapse to per-orderkey partial sums before the
+        # exchange — the revenue aggregate finishes BEFORE the join, so
+        # the join ships one row per order, not per line item, and no
+        # post-join groupby exchange is needed (orderkey is unique)
+        part = pa.table({"o_orderkey": t.column("l_orderkey"),
                          "cents": pa.array(cents)})
+        return part.group_by("o_orderkey").aggregate([("cents", "sum")]) \
+            .rename_columns(["o_orderkey", "cents"])
 
-    li_c = li.map_batches(li_partial, batch_format="pyarrow")
+    from ..shuffle import bucketed_map_groups
+
+    def bucket_sum(g):
+        return g.groupby("o_orderkey", as_index=False)["cents"].sum()
+
+    li_c = bucketed_map_groups(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        "o_orderkey", bucket_sum)
     co = hash_join(
         orders, cust, key="o_custkey", how="inner",
         left_schema=pa.schema([("o_orderkey", pa.int64()),
@@ -3944,10 +3959,12 @@ def orders_q3_shipping(sf_dir: str):
                                ("o_custkey", pa.int64()),
                                ("o_orderdate", pa.timestamp("us")),
                                ("o_orderpriority", pa.string())]))
-    agg = j.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"]) \
-        .aggregate(Sum("cents", alias_name="revenue_cents"))
-    out = agg.sort(["revenue_cents", "o_orderkey"],
-                   descending=[True, False]).limit(10).to_pandas()
+    j = j.map_batches(
+        lambda b: b.rename_columns(
+            ["revenue_cents" if c == "cents" else c for c in b.column_names]),
+        batch_format="pyarrow")
+    out = j.sort(["revenue_cents", "o_orderkey"],
+                 descending=[True, False]).limit(10).to_pandas()
     out["o_orderkey"] = out["o_orderkey"].astype("int64")
     out["revenue_cents"] = out["revenue_cents"].astype("int64")
     out["o_orderdate"] = pd.to_datetime(out["o_orderdate"]) \

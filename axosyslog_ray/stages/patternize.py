@@ -40,13 +40,18 @@ def word_doc_frequencies(ds, text_col: str = "message"):
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
-        texts = b.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
-        seen: dict = {}
-        for t in texts:
-            for w in set(t.split()):
-                seen[w] = seen.get(w, 0) + 1
-        return pa.table({"word": pa.array(list(seen), type=pa.string()),
-                         "_df": pa.array(list(seen.values()), type=pa.int64())})
+        texts = b.column(text_col).to_pandas().fillna("")
+        parts = texts.str.split()
+        lens = parts.str.len().fillna(0).astype(np.int64).to_numpy()
+        flat = (np.concatenate([np.asarray(p, dtype=object) for p in parts])
+                if len(parts) else np.empty(0, dtype=object))
+        doc = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        # distinct (doc, word) then per-word counts — all C-level
+        dd = pd.DataFrame({"d": doc, "w": flat}).drop_duplicates()
+        vc = dd["w"].value_counts()
+        return pa.table({"word": pa.array(vc.index.to_numpy(dtype=object),
+                                          type=pa.string()),
+                         "_df": pa.array(vc.to_numpy(np.int64))})
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("word").aggregate(Sum("_df", alias_name="df"))
@@ -61,18 +66,20 @@ def skeleton_series(texts: pd.Series, frequent: frozenset) -> pd.Series:
             if len(parts) else np.empty(0, dtype=object))
     keep = pd.Series(flat, dtype=object).isin(frequent).to_numpy() \
         if len(flat) else np.zeros(0, dtype=bool)
-    mapped = np.where(keep, flat, WILDCARD)
+    # vectorized wildcard-run collapse: drop a wildcard token unless it
+    # STARTS a run (previous token kept literal, or doc boundary)
+    is_wild = ~keep
+    doc = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    prev_wild = np.zeros(len(flat), dtype=bool)
+    prev_wild[1:] = is_wild[:-1] & (doc[1:] == doc[:-1])
+    keep_tok = keep | (is_wild & ~prev_wild)
+    mapped = np.where(keep, flat, WILDCARD)[keep_tok]
+    kept_doc = doc[keep_tok]
+    starts = np.searchsorted(kept_doc, np.arange(len(texts)))
+    ends = np.searchsorted(kept_doc, np.arange(len(texts)), side="right")
     out = np.empty(len(texts), dtype=object)
-    pos = 0
-    for i, n in enumerate(lens):
-        toks = mapped[pos:pos + n]
-        pos += n
-        sk: list = []
-        for w in toks:
-            if w == WILDCARD and sk and sk[-1] == WILDCARD:
-                continue
-            sk.append(w)
-        out[i] = " ".join(sk)
+    for i in range(len(texts)):
+        out[i] = " ".join(mapped[starts[i]:ends[i]])
     return pd.Series(out, dtype=object)
 
 
