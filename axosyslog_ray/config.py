@@ -406,7 +406,8 @@ def _parse_log_elements(s: _Stream, cfg: "Config") -> list:
             drivers, chan = _parse_destination_body(s, cfg)
             s.expect(";")
             name = f"_inline_dest_{len(cfg.destinations)}"
-            cfg.destinations[name] = _Destination(name, drivers, chan)
+            cfg.destinations[name] = _Destination(
+                name, drivers, chan, user_funcs=cfg.user_template_funcs)
             out.append(("destination", name))
         else:
             d = _parse_driver(s)
@@ -684,13 +685,16 @@ def _generate_load_balancer(d: "Driver") -> str:
         targets.extend(t.split())
     if not targets:
         raise ConfigError("network-load-balancer() needs targets()")
-    failover = str(d.kw1("failover") or "")
+    # full token list, not kw1() (multi-token options like
+    # failover(servers("a" "b") failback(...)) must carry through whole);
+    # the reference script greps case-insensitively for servers(
+    failover = " ".join(str(x) for x in d.kwargs.get("failover", []))
     n = len(targets)
     branches = []
     for i, tgt in enumerate(targets):
         if failover.lower() in ("", "off", "no") or n < 2:
             fo = ""
-        elif "servers(" in failover:
+        elif "servers(" in failover.lower().replace(" (", "("):
             fo = f"failover({failover})"
         else:
             others = ", ".join(f'"{t}"' for t in targets if t != tgt)
@@ -735,9 +739,35 @@ def _parse_destination_body(s: _Stream, cfg: "Config") -> tuple[list[Driver], "C
 
 # ---------------------------------------------------------------- compiler
 
+def _with_user_funcs(method):
+    """Install the config's user template-function table as the active
+    overlay for the duration of a Config/destination method, so lazily
+    compiled templates (destination rendered(), run-time FuncCall
+    binding) resolve $(user-fn) config-scoped rather than from a
+    process-global table (cross-config contamination guard)."""
+    import functools
+
+    @functools.wraps(method)
+    def wrapper(self, *a, **k):
+        from .functions.strings import ACTIVE_USER_FUNCS
+
+        funcs = getattr(self, "user_template_funcs", None)
+        if funcs is None:
+            return method(self, *a, **k)
+        tok = ACTIVE_USER_FUNCS.set(funcs)
+        try:
+            return method(self, *a, **k)
+        finally:
+            ACTIVE_USER_FUNCS.reset(tok)
+
+    return wrapper
+
+
 class _Destination:
     def __init__(self, name: str, drivers: list[Driver],
-                 channel: "Channel | None" = None):
+                 channel: "Channel | None" = None,
+                 user_funcs: dict | None = None):
+        self.user_template_funcs = user_funcs
         self.name = name
         self.template = None
         self.channel = channel
@@ -770,6 +800,7 @@ class _Destination:
             table = cfg._run_sequence(table, self.channel.elements)
         self.write(table.drop_columns([_ROW_ID]))
 
+    @_with_user_funcs
     def rendered(self) -> list[str]:
         """Lines the file destination would write (template applied)."""
         from .functions.templates import Template
@@ -788,6 +819,10 @@ _ROW_ID = "__cfg_row_id"
 class Config:
     def __init__(self):
         self.filterx: dict[str, object] = {}
+        # user template-function registrations, scoped to THIS config
+        # (consulted first by template FuncCall binding via the
+        # ACTIVE_USER_FUNCS overlay; lib/template/user-function.c)
+        self.user_template_funcs: dict[str, object] = {}
         self.templates: dict[str, str] = {}
         # application NAME[topic] { filter{}; parser{}; filterx{}; }
         # registrations, in source order (modules/appmodel)
@@ -856,6 +891,7 @@ class Config:
             t = t.append_column(_ROW_ID, pa.array(np.arange(t.num_rows), type=pa.int64()))
         return t
 
+    @_with_user_funcs
     def run(self, sources: dict | None = None) -> "RunResult":
         injected = sources or {}
         self.path_stats: dict[str, list[int]] = {}
@@ -2304,12 +2340,27 @@ def compile_config(text: str, *, include_path: str | None = None,
     backtick references are expanded first (config_prep, the
     cfg-lexer-subst.c / pragma-grammar.ym layer); `defines` is the
     command-line -D equivalent and `include_path` extends @include's
-    search path."""
+    search path. User `template-function` registrations are scoped to
+    the returned Config (installed as the active overlay while its
+    templates compile), never to the process-global function table."""
+    from .functions.strings import ACTIVE_USER_FUNCS
+
+    cfg = Config()
+    tok = ACTIVE_USER_FUNCS.set(cfg.user_template_funcs)
+    try:
+        return _compile_config_inner(cfg, text, include_path, defines, env)
+    finally:
+        ACTIVE_USER_FUNCS.reset(tok)
+
+
+def _compile_config_inner(cfg: Config, text: str,
+                          include_path: str | None,
+                          defines: dict | None,
+                          env: dict | None) -> Config:
     prep = preprocess_config(SCL_LIBRARY + text, include_path=include_path,
                              defines=defines, env=env)
     text = prep.text
     s = _Stream(tokenize(text), text)
-    cfg = Config()
     cfg.version = prep.version
     cfg.defines = prep.defines
     while s.peek() is not None:
@@ -2357,7 +2408,8 @@ def compile_config(text: str, *, include_path: str | None = None,
             s.next()
             name = s.next()
             drivers, chan = _parse_destination_body(s, cfg)
-            cfg.destinations[name] = _Destination(name, drivers, chan)
+            cfg.destinations[name] = _Destination(
+                name, drivers, chan, user_funcs=cfg.user_template_funcs)
             s.expect(";")
         elif t == "filter":
             s.next()
@@ -2377,7 +2429,6 @@ def compile_config(text: str, *, include_path: str | None = None,
             name = _unquote(s.next())
             body = _unquote(s.next())
             s.expect(";")
-            from .functions.strings import TEMPLATE_FUNCS
             from .functions.templates import Template as _Tpl
 
             cache: dict = {}
@@ -2391,7 +2442,10 @@ def compile_config(text: str, *, include_path: str | None = None,
                     _c["t"] = _Tpl(_body)
                 return _c["t"].eval(table)
 
-            TEMPLATE_FUNCS[name] = _user_fn
+            # Config-scoped (NOT the process-global table): consulted
+            # first by FuncCall binding while THIS config compiles/runs,
+            # so user functions never contaminate other configs.
+            cfg.user_template_funcs[name] = _user_fn
         elif t == "application":
             # application NAME[topic] { filter {}; parser {}; filterx {}; };
             # (modules/appmodel/appmodel-parser.c) — sections stored as

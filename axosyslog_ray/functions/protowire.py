@@ -29,7 +29,7 @@ import struct
 _SCALARS = {
     # name -> (wire_type, kind)
     "int32": (0, "varint"), "int64": (0, "varint"),
-    "uint32": (0, "varint"), "uint64": (0, "varint"),
+    "uint32": (0, "uvarint"), "uint64": (0, "uvarint"),
     "sint32": (0, "zigzag"), "sint64": (0, "zigzag"),
     "bool": (0, "bool"),
     "fixed64": (1, "f64"), "sfixed64": (1, "sf64"), "double": (1, "double"),
@@ -159,7 +159,7 @@ def _tag(num: int, wire: int) -> bytes:
 
 
 def _enc_scalar(kind: str, v) -> bytes:
-    if kind == "varint":
+    if kind in ("varint", "uvarint"):
         return _varint(int(v))
     if kind == "zigzag":
         n = int(v)
@@ -260,8 +260,10 @@ def _dec_scalar(kind: str, wire: int, buf: bytes, i: int):
             return (v >> 1) ^ -(v & 1), i
         if kind == "bool":
             return bool(v), i
-        if v >= 1 << 63:
-            v -= 1 << 64  # two's complement for signed int32/64
+        if kind == "varint" and v >= 1 << 63:
+            v -= 1 << 64  # two's complement only for SIGNED int32/64;
+            # uint32/uint64 ("uvarint") stay unsigned so values >= 2^63
+            # round-trip exactly
         return v, i
     if wire == 1:
         raw = buf[i:i + 8]
@@ -292,7 +294,21 @@ def decode_message(msgs: dict, msg_fields: dict[str, Field],
         num, wire = key >> 3, key & 7
         f = by_num.get(num)
         if f is None:
-            raise ProtoSchemaError(f"unknown field number {num}")
+            # Wire-format spec: unknown fields are skipped by wire type,
+            # not rejected (forward compatibility).
+            if wire == 0:
+                _, i = _read_varint(buf, i)
+            elif wire == 1:
+                i += 8
+            elif wire == 2:
+                ln, i = _read_varint(buf, i)
+                i += ln
+            elif wire == 5:
+                i += 4
+            else:
+                raise ProtoSchemaError(
+                    f"unknown field {num} with unsupported wire type {wire}")
+            continue
         if f.type == "map":
             ln, i = _read_varint(buf, i)
             entry = buf[i:i + ln]

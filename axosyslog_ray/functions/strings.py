@@ -15,6 +15,7 @@ The reference's list values are comma-separated string-repr lists
 from __future__ import annotations
 
 import base64
+import contextvars as _contextvars
 import hashlib
 import math
 import urllib.parse
@@ -224,9 +225,11 @@ def _filter_cond_mask(t, cond_spec: str) -> np.ndarray | None:
         s = _Stream(tokenize(src), src)
         s.expect("{")
         expr = _FilterParser(s, {}).parse_block()
-        return np.asarray(expr.mask(t), dtype=bool)
     except Exception:
+        # Only PARSE failures fall back (the reference compiles the
+        # FilterExprNode at config time and fails loudly at eval time):
         return None
+    return np.asarray(expr.mask(t), dtype=bool)
 
 
 def tf_if(t, cond_spec, then_spec, else_spec=""):
@@ -269,8 +272,12 @@ def _grep_like(t, raw_args, list_encode: bool):
             max_count = int(args[0].split("=", 1)[1])
             args = args[1:]
         else:
+            if len(args) < 2:
+                raise ValueError("$(grep) requires at least two arguments")
             max_count = int(args[1])
             args = args[2:]
+        if max_count <= 0:
+            raise ValueError("$(grep) --max-count must be >= 1")
     if len(args) < 2:
         raise ValueError("$(grep) requires at least two arguments")
     cond, tmpls = args[0], args[1:]
@@ -1245,3 +1252,23 @@ TEMPLATE_FUNCS = {
 
 TEMPLATE_FUNCS["format-cef-extension"] = tf_format_cef_extension
 TEMPLATE_FUNCS["slog"] = tf_slog
+
+
+# Per-config user template functions (`template-function "name" "body";`
+# in config.py): installed as a scoped OVERLAY while that config compiles
+# and runs its templates, so one compile_config()'s user functions never
+# leak into another config compiled in the same process, and can only
+# shadow built-ins for templates belonging to that config (the reference
+# scopes user functions to the GlobalConfig's plugin context,
+# lib/template/user-function.c).
+ACTIVE_USER_FUNCS = _contextvars.ContextVar("ACTIVE_USER_FUNCS",
+                                            default=None)
+
+
+def lookup_template_func(name: str):
+    """Resolve a template function: the active config's user-function
+    overlay first, then the engine-wide built-in table."""
+    ov = ACTIVE_USER_FUNCS.get()
+    if ov is not None and name in ov:
+        return ov[name]
+    return TEMPLATE_FUNCS.get(name)

@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from ..hashutil import hash_str_array
 from .macros import eval_macro
-from .strings import TEMPLATE_FUNCS
+from .strings import TEMPLATE_FUNCS, lookup_template_func  # noqa: F401
 
 class TemplateCompileError(ValueError):
     """Compile failure with the reference's message text
@@ -115,8 +115,10 @@ class FuncCall:
         # log_template_compiler_process_template_function, not per
         # eval) — required for user template-functions registered by a
         # config: the bound closure pickles into Ray workers, where a
-        # module-global lookup would only see the built-in table.
-        self.fn = TEMPLATE_FUNCS.get(name)
+        # module-global lookup would only see the built-in table. The
+        # active config's user-function overlay is consulted FIRST so
+        # template-function registrations stay config-scoped.
+        self.fn = lookup_template_func(name)
 
     def eval(self, table: pa.Table) -> pd.Series:
         fn = self.fn
@@ -326,7 +328,7 @@ class _Compiler:
         if not args:
             return  # $() compiles to nothing (add_func_elem argc==0)
         name = args[0]
-        if name not in TEMPLATE_FUNCS:
+        if lookup_template_func(name) is None:
             raise TemplateCompileError(
                 f'Unknown template function "{name}"')
         self._flush_text()

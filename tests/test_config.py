@@ -2981,3 +2981,49 @@ log { source(s); destination(d); };
         assert Template("$(if ('' eq '') y n)").eval(t).tolist() == ["y"]
         assert Template('$(if (program("app")) y n)').eval(t).tolist() == ["y"]
         assert Template('$(if (program("zz")) y n)').eval(t).tolist() == ["n"]
+
+
+class TestUserTemplateFunctionScoping:
+    """r5 ADVICE: `template-function` registrations are scoped to the
+    compiling Config (lib/template/user-function.c registers into the
+    GlobalConfig's plugin context) — one config's user functions must
+    not leak into a later config compiled in the same process, nor
+    shadow built-ins engine-wide."""
+
+    SRC = 'source s { example-msg-generator(num(1) values("HOST => h1")); };'
+
+    def test_no_cross_config_leak(self):
+        cfg1 = compile_config(f"""
+template-function scoped_fn "from-cfg1";
+{self.SRC}
+destination d {{ file("o.log" template("$(scoped_fn)\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+        assert [x.rstrip("\n") for x in cfg1.run().rendered("d")] == \
+               ["from-cfg1"]
+        # a second config using the same name must NOT see cfg1's fn
+        import pytest as _pytest
+        from axosyslog_ray.functions.templates import TemplateCompileError
+        with _pytest.raises(TemplateCompileError, match="scoped_fn"):
+            cfg2 = compile_config(f"""
+{self.SRC}
+destination d {{ file("o.log" template("$(scoped_fn)\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+            cfg2.run().rendered("d")
+
+    def test_builtin_shadow_is_config_local(self):
+        cfg1 = compile_config(f"""
+template-function lowercase "shadowed";
+{self.SRC}
+destination d {{ file("o.log" template("$(lowercase)\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+        assert [x.rstrip("\n") for x in cfg1.run().rendered("d")] == \
+               ["shadowed"]
+        cfg2 = compile_config(f"""
+{self.SRC}
+destination d {{ file("o.log" template("$(lowercase ABC)\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+        assert [x.rstrip("\n") for x in cfg2.run().rendered("d")] == ["abc"]

@@ -184,3 +184,25 @@ class TestFilterXFunction:
         got = decode_message(msgs, msgs["TestMessage"], bytes(buf))
         assert got == {"string_field": "app", "sint64_field": -3,
                        "repeated_string_field": ["x", "y"]}
+
+
+class TestWireEdgeCases:
+    def test_uint64_above_2_63_round_trips_unsigned(self):
+        # uint64 >= 2^63 must decode unsigned (no two's-complement wrap)
+        msgs = parse_proto("syntax = \"proto3\";\n"
+                           "message M { uint64 u = 1; int64 s = 2; }")
+        data = {"u": (1 << 64) - 7, "s": -7}
+        wire = encode_message(msgs, msgs["M"], data)
+        assert decode_message(msgs, msgs["M"], wire) == data
+
+    def test_unknown_fields_skipped_by_wire_type(self):
+        # wire-format spec: unknown tags are skipped, not rejected —
+        # encode with a WIDER schema, decode with a narrower one
+        wide = parse_proto("syntax = \"proto3\";\n"
+                           "message M { string a = 1; uint64 x = 2; "
+                           "fixed64 y = 3; fixed32 z = 4; bytes w = 5; }")
+        narrow = parse_proto("syntax = \"proto3\";\n"
+                             "message M { string a = 1; }")
+        wire = encode_message(wide, wide["M"], {
+            "a": "keep", "x": 300, "y": 9, "z": 4, "w": b"\x00\x01"})
+        assert decode_message(narrow, narrow["M"], wire) == {"a": "keep"}

@@ -7,6 +7,7 @@ lib/template/tests/test_template_speed.c:42-56 template list).
 
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 from axosyslog_ray.functions.templates import Template, template_hash
 from axosyslog_ray.stages.syslog import parse_syslog_table
@@ -519,3 +520,33 @@ class TestSlogAndCefExtensionFuncs:
         t = pa.table({"message": [""], "pri": [13]})
         out = Template(f"$(slog -k {kf} -m {mf} $MSG)").eval(t).tolist()
         assert out == ["Error: Empty log message invalid"]
+
+
+class TestAdviceR5CondFuncs:
+    """r5 ADVICE fixes: $(grep) arg guards and $(if) eval-error
+    propagation (cond-funcs.c compiles the FilterExprNode at config
+    time and fails loudly at eval time)."""
+
+    def _t(self):
+        import pyarrow as pa
+        return pa.table({"message": ["m1"], "pri": [13],
+                         "program": ["app"], "host": ["10.1.2.3"]})
+
+    def test_grep_max_count_last_arg_raises_usage_error(self):
+        t = self._t()
+        with pytest.raises(ValueError, match="at least two arguments"):
+            Template("$(grep --max-count)").eval(t)
+
+    def test_grep_max_count_zero_rejected(self):
+        t = self._t()
+        with pytest.raises(ValueError, match="max-count"):
+            Template('$(grep --max-count 0 (program("app")) ${HOST})') \
+                .eval(t)
+
+    def test_if_eval_error_of_compiled_filter_propagates(self):
+        # a condition the filter grammar ACCEPTS but whose evaluation
+        # raises must surface, not silently fall back to truthy-string
+        t = self._t()
+        with pytest.raises(Exception, match="nosuch|unknown|Unknown"):
+            Template('$(if (match("x" template("$(nosuchfn)"))) a b)') \
+                .eval(t)
