@@ -143,10 +143,15 @@ GROUP BY r.r_name, n.n_name
 
 
 def docs_topk(sf_dir: str):
-    """Global sort + limit (ds.sort/limit; reference has no global sort —
-    SURVEY.md §2.7 — provided as engine capability)."""
+    """Global top-k via the tree aggregate (window.global_topk: per-block
+    local top-k combiner + driver merge of num_blocks x k rows — no
+    AllToAll[Sort] for k=10; reference analogue is the bounded-state
+    stats-aggregator maxima, lib/stats/aggregator/stats-maximum.c)."""
+    from ..window import global_topk
+
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10).to_pandas()
+    out = global_topk(ds, ["n_chars", "doc_id"], 10,
+                      descending=[True, False])
     return out[["doc_id", "n_chars"]]
 
 
@@ -3963,8 +3968,10 @@ def orders_q3_shipping(sf_dir: str):
         lambda b: b.rename_columns(
             ["revenue_cents" if c == "cents" else c for c in b.column_names]),
         batch_format="pyarrow")
-    out = j.sort(["revenue_cents", "o_orderkey"],
-                 descending=[True, False]).limit(10).to_pandas()
+    from ..window import global_topk
+
+    out = global_topk(j, ["revenue_cents", "o_orderkey"], 10,
+                      descending=[True, False])
     out["o_orderkey"] = out["o_orderkey"].astype("int64")
     out["revenue_cents"] = out["revenue_cents"].astype("int64")
     out["o_orderdate"] = pd.to_datetime(out["o_orderdate"]) \
@@ -4109,11 +4116,13 @@ def events_heavy_hitters(sf_dir: str):
     CMS analogue of events_distinct_users_hll's tolerance gate."""
     from ..aggregate import pre_aggregated_count
     from ..sketch import cms_build_column, cms_key_counts
+    from ..window import global_topk
 
     ds = _read(sf_dir, "events", ["user_id"])
-    exact = pre_aggregated_count(ds, ["user_id"], alias="n") \
-        .sort(["n", "user_id"], descending=[True, False]).limit(20) \
-        .to_pandas()
+    # top-20 by the tree aggregate (global_topk combiner + driver
+    # merge), not a full sort exchange of the per-user table
+    exact = global_topk(pre_aggregated_count(ds, ["user_id"], alias="n"),
+                        ["n", "user_id"], 20, descending=[True, False])
     cms = cms_build_column(_read(sf_dir, "events", ["user_id"]), "user_id")
     est = cms_key_counts(cms, exact["user_id"].to_numpy())
     exact["user_id"] = exact["user_id"].astype("int64")

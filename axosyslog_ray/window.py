@@ -77,6 +77,45 @@ def topk_per_group(ds, group_cols: list[str] | str, order_col: str, k: int,
                                num_buckets=num_buckets)
 
 
+def global_topk(ds, order_cols: list[str] | str, k: int,
+                descending: bool | list[bool] = True) -> pd.DataFrame:
+    """Global top-k as a TREE AGGREGATE, not a sort exchange: each input
+    block keeps only its own top-k rows (a per-batch combiner — the
+    global top-k is a subset of the union of per-block top-k's), then
+    the driver merges the surviving num_blocks × k rows and takes the
+    final k. No AllToAll[Sort] appears in the plan; the only data
+    movement is <= k rows per block to the driver — bounded state
+    exactly like the reference's stats-aggregator maxima
+    (lib/stats/aggregator/stats-maximum.c keeps one running extremum
+    per aggregator instead of sorting its inputs).
+
+    `order_cols` must be a TOTAL order (include a unique tiebreaker
+    column) for a deterministic result — the same caveat as
+    sort().limit(k) and the SQL ORDER BY ... LIMIT oracle.
+
+    Use this instead of ds.sort(cols).limit(k) whenever k is small:
+    at 100 TB a full sort moves every block across the cluster twice
+    (sample + exchange) to keep 10 rows; the combiner form moves k
+    rows per block once."""
+    order_cols = [order_cols] if isinstance(order_cols, str) \
+        else list(order_cols)
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_cols)
+    asc = [not d for d in descending]
+
+    def local_prune(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        g = b.to_pandas()
+        s = g.sort_values(order_cols, ascending=asc, kind="mergesort") \
+            .head(k)
+        return pa.Table.from_pandas(s, preserve_index=False)
+
+    merged = ds.map_batches(local_prune, batch_format="pyarrow").to_pandas()
+    return merged.sort_values(order_cols, ascending=asc, kind="mergesort") \
+        .head(k).reset_index(drop=True)
+
+
 def budget_capped_select(ds, group_col: str, weight_col: str, budget: float,
                          order_col: str = None, cum_col: str = "cum_weight",
                          num_buckets: int | None = None):

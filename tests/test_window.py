@@ -370,3 +370,33 @@ class TestGroupRunningSum:
             "ROWS UNBOUNDED PRECEDING) rs FROM t ORDER BY o").df()
         assert got["running_sum"].astype("int64").tolist() == \
             want["rs"].astype("int64").tolist()
+
+
+class TestGlobalTopK:
+    """global_topk: the bounded-state tree aggregate replacing
+    ds.sort().limit(k) — pinned against DuckDB ORDER BY ... LIMIT."""
+
+    def test_matches_sql_order_by_limit(self):
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({"id": np.arange(2000),
+                           "v": rng.integers(0, 500, 2000)})
+        from axosyslog_ray.window import global_topk
+        got = global_topk(_ds(df, blocks=8), ["v", "id"], 15,
+                          descending=[True, False])
+        want = duckdb.sql(
+            "SELECT * FROM df ORDER BY v DESC, id LIMIT 15").df()
+        pd.testing.assert_frame_equal(got[["id", "v"]], want[["id", "v"]])
+
+    def test_k_larger_than_input(self):
+        df = pd.DataFrame({"id": [3, 1, 2], "v": [30, 10, 20]})
+        from axosyslog_ray.window import global_topk
+        got = global_topk(_ds(df, blocks=2), "v", 100, descending=False)
+        assert got["v"].tolist() == [10, 20, 30]
+
+    def test_no_sort_exchange_in_plan(self):
+        # the whole point: the plan must not contain an AllToAll sort
+        df = pd.DataFrame({"id": np.arange(100), "v": np.arange(100)})
+        ds = _ds(df, blocks=4)
+        from axosyslog_ray.window import global_topk
+        global_topk(ds, ["v", "id"], 5)
+        assert "Sort" not in ds.stats()
