@@ -75,12 +75,17 @@ def skeleton_series(texts: pd.Series, frequent: frozenset) -> pd.Series:
     keep_tok = keep | (is_wild & ~prev_wild)
     mapped = np.where(keep, flat, WILDCARD)[keep_tok]
     kept_doc = doc[keep_tok]
-    starts = np.searchsorted(kept_doc, np.arange(len(texts)))
-    ends = np.searchsorted(kept_doc, np.arange(len(texts)), side="right")
-    out = np.empty(len(texts), dtype=object)
-    for i in range(len(texts)):
-        out[i] = " ".join(mapped[starts[i]:ends[i]])
-    return pd.Series(out, dtype=object)
+    # one Arrow binary_join over a ListArray (tokens stay (doc, pos)
+    # ordered, so offsets are just the per-doc cumulative counts) —
+    # zero per-doc interpreter iterations
+    counts = np.bincount(kept_doc, minlength=len(texts))
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    list_arr = pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()),
+        pa.array(mapped, type=pa.string()))
+    joined = pa.compute.binary_join(list_arr, " ").cast(pa.string())
+    return pd.Series(joined.to_pandas().to_numpy(dtype=object), dtype=object)
 
 
 def patternize(ds, support: int, text_col: str = "message"):
