@@ -301,8 +301,11 @@ class JaccardDecontaminator:
     """Task/actor stage: per corpus doc, the MAX exact Jaccard similarity
     of its distinct n-gram set vs every eval doc's set. The eval index
     (sorted hash + doc-code arrays) broadcasts once; per batch the
-    matching is two searchsorted passes + a per-(doc, eval) count matrix
-    (batch_docs x n_eval ints — the eval side is small by contract)."""
+    matching is two searchsorted passes + a SPARSE per-(doc, eval) pair
+    accumulation — peak memory is O(matched gram occurrences), the same
+    order as the match-position arrays themselves, NOT
+    O(batch_docs x n_eval), so a 100k-doc eval set costs nothing extra
+    for corpus docs that don't overlap it."""
 
     def __init__(self, index_ref=None, index=None, n: int = 3,
                  text_col: str = "text", id_col: str = "doc_id",
@@ -346,12 +349,18 @@ class JaccardDecontaminator:
                     np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
                 codes = e_code[starts + offs]
                 docs = np.repeat(D, reps)
-                inter = np.zeros((nd, len(e_sizes)), dtype=np.int64)
-                np.add.at(inter, (docs, codes), 1)
-                union = a_sizes[:, None] + e_sizes[None, :] - inter
+                # sparse (doc, eval) intersection counts: one np.unique
+                # over the matched pair keys — O(m log m) time, O(m)
+                # memory, no dense nd x n_eval allocation
+                n_eval = len(e_sizes)
+                pair_keys, inter = np.unique(docs * n_eval + codes,
+                                             return_counts=True)
+                pd_ = pair_keys // n_eval
+                pc_ = pair_keys - pd_ * n_eval
+                union = a_sizes[pd_] + e_sizes[pc_] - inter
                 with np.errstate(invalid="ignore", divide="ignore"):
                     jac = np.where(union > 0, inter / union, 0.0)
-                mj = jac.max(axis=1)
+                np.maximum.at(mj, pd_, jac)
         return pa.table({
             self.id_col: batch.column(self.id_col),
             "max_jaccard": pa.array(mj),
@@ -365,7 +374,9 @@ def jaccard_decontaminate(ds, eval_ds, n: int = 3, threshold: float = 0.5,
     word-n-gram set is >= `threshold` Jaccard-similar to ANY eval doc's
     set. The exhaustive doc x eval comparison is the honest scale path
     when the eval side is a bounded benchmark suite (the corpus streams;
-    per batch it's vectorized searchsorted + one count matrix); for an
+    per batch it's vectorized searchsorted + a sparse matched-pair
+    accumulation — memory scales with actual overlap, not with
+    batch_docs x n_eval); for an
     UNBOUNDED reference side use dedup.minhash/dedup.ngram's LSH
     machinery instead — this operator is the exact semantics that an
     independent SQL oracle can reproduce (distinct-gram intersection /

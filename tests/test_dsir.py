@@ -162,3 +162,37 @@ def test_lm_quality_fast_md5_rank_agreement(ray_session):
     ra = a.logprob_micro.rank().to_numpy()
     rb = b.logprob_micro.rank().to_numpy()
     assert np.corrcoef(ra, rb)[0, 1] > 0.9
+
+
+def test_jaccard_decontaminator_sparse_memory():
+    """Peak memory of one batch must scale with ACTUAL overlap, not
+    batch_docs x n_eval: a 5000-eval-doc / 50k-gram index vs a mostly
+    disjoint 1024-doc batch must stay far below the 41 MB dense count
+    matrix the pre-r5 implementation allocated (VERDICT r4 #3)."""
+    import tracemalloc
+
+    import pyarrow as pa
+
+    from axosyslog_ray.curation import JaccardDecontaminator
+
+    rng = np.random.default_rng(11)
+    n_eval, per = 5000, 10
+    e_hash = rng.integers(0, 2**63, size=n_eval * per, dtype=np.uint64)
+    e_code = np.repeat(np.arange(n_eval, dtype=np.int32), per)
+    order = np.argsort(e_hash, kind="stable")
+    index = (e_hash[order], e_code[order],
+             np.full(n_eval, per, dtype=np.int64))
+    texts = [" ".join(f"w{rng.integers(0, 50_000)}" for _ in range(30))
+             for _ in range(1024)]
+    batch = pa.table({"doc_id": pa.array(range(1024), type=pa.int64()),
+                      "text": pa.array(texts)})
+    dec = JaccardDecontaminator(index=index, n=3)
+    dec(batch)  # warm import/compile paths outside the measurement
+    tracemalloc.start()
+    out = dec(batch)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    dense_bytes = 1024 * n_eval * 8
+    assert peak < dense_bytes // 4, f"peak {peak} vs dense {dense_bytes}"
+    assert out.num_rows == 1024
+    assert not out.column("contaminated").to_pandas().any()
