@@ -66,3 +66,36 @@ class TestPdbtoolPatternize:
         out = capsys.readouterr().out
         assert f"20\tconn from {WILDCARD} accepted" in out
         assert f"20\tconn from {WILDCARD} dropped" in out
+
+
+class TestSemijoinFallback:
+    """VERDICT r4 #6: a pathological (wide) vocabulary must not broadcast —
+    broadcast_limit=0 forces the hash-bucketed semi-join path, which must
+    agree EXACTLY with the broadcast path on the same input."""
+
+    def _wide_logs(self):
+        import ray.data as rd
+        rng = np.random.default_rng(42)
+        vocab = (["sshd", "accepted", "password", "for", "from", "port"]
+                 + [f"u{i}" for i in range(300)])
+        msgs = [" ".join(rng.choice(vocab, size=rng.integers(3, 9)))
+                for _ in range(2000)] + ["", "   ", "solo"]
+        return rd.from_pandas(pd.DataFrame({"message": msgs})).repartition(4)
+
+    def test_semijoin_equals_broadcast(self, ray_session):
+        ds = self._wide_logs()
+        a = patternize(ds, support=40).to_pandas() \
+            .sort_values("pattern").reset_index(drop=True)
+        b = patternize(ds, support=40, broadcast_limit=0).to_pandas() \
+            .sort_values("pattern").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a[["pattern", "support"]], b[["pattern", "support"]],
+            check_dtype=False)
+
+    def test_semijoin_wildcard_only_and_empty(self, ray_session):
+        import ray.data as rd
+        ds = rd.from_items([{"message": "x y z"}, {"message": ""},
+                            {"message": "x y z"}])
+        out = patternize(ds, support=2, broadcast_limit=0).to_pandas()
+        got = dict(zip(out["pattern"], out["support"]))
+        assert got == {"x y z": 2, "": 1}
