@@ -40,6 +40,7 @@ reference's Light suite asserts on (file destination stats counters).
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -1463,6 +1464,14 @@ def _compile_parser(d: Driver):
         path = d.kw1("file")
         if not path:
             raise ConfigError("db-parser() needs file(\"ruleset.pdb\")")
+        path = str(path)
+        if not os.path.isabs(path) and not os.path.exists(path):
+            # bundled rulesets resolve against the package data dir,
+            # like the reference's include-path scl resolution
+            cand = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "data", path)
+            if os.path.exists(cand):
+                path = cand
         rules, _ = load_ruleset(str(path))
         pdb = PatternDB(rules, selection="radix")
         drop = str(d.kw1("drop-unmatched", "no")).lower() in ("yes", "on",
@@ -1540,6 +1549,19 @@ def _compile_parser(d: Driver):
         tpl = str(d.kw1("template", "$MSG"))
         return CiscoParser(source_col=_field(tpl.lstrip("$").strip("{}")),
                            prefix=str(d.kw1("prefix", ".cisco.")))
+    if d.name == "snmptrapd-parser":
+        from .stages.app_parsers import SnmptrapdParser
+
+        tpl = str(d.kw1("template", "$MESSAGE"))
+        setmsg = str(d.kw1("set-message-macro", "yes")).lower() \
+            not in ("no", "off", "0", "false")
+        stage = SnmptrapdParser(
+            source_col=_field(tpl.lstrip("$").strip("{}")),
+            prefix=str(d.kw1("prefix", ".snmp.")),
+            set_message_macro=setmsg, set_program=True)
+        # failed header parse drops the row (snmptrapd_parser_process
+        # returns FALSE, modules/afsnmp/snmptrapd-parser.c:205)
+        return _DropUnparsed(stage, "snmp_valid")
     if d.name == "geoip2":
         from .enrich.geoip import GeoIP
 
@@ -2058,6 +2080,19 @@ block source osquery(file("/var/log/osquery/osqueryd.results.log") prefix(".osqu
     };
 };
 
+block source snmptrap(filename() prefix(".snmp.") set-message-macro(yes) ...) {
+    channel {
+        source {
+            file("`filename`"
+                multi-line-mode("prefix-garbage")
+                multi-line-prefix('^[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}[ T]([0-9]{1,2}:){2}[0-9]{2}')
+                `__VARARGS__`
+                flags(no-parse));
+        };
+        parser { snmptrapd-parser(prefix("`prefix`") set-message-macro(`set-message-macro`)); };
+    };
+};
+
 block parser jellyfin() {
     channel {
         parser {
@@ -2225,9 +2260,23 @@ block destination opensearch(url() index() custom_id("")
         `__VARARGS__`);
 };
 
-block parser windows-eventlog-parser(file()) {
+block parser windows-eventlog-parser(file("windowseventlog.xml")) {
     channel {
         parser { db-parser(file("`file`") drop-unmatched(yes)); };
+    };
+};
+
+block source windowsevent(filename() ...) {
+    channel {
+        source {
+            file("`filename`"
+                program-override("Microsoft_Windows_security_auditing.")
+                multi-line-mode("prefix-garbage")
+                multi-line-prefix('^\\S+: Security Microsoft Windows security auditing')
+                `__VARARGS__`
+                flags(no-parse));
+        };
+        parser { windows-eventlog-parser(); };
     };
 };
 

@@ -369,9 +369,51 @@ class SnmptrapdParser:
         r"(?P<oid>\S+)\s*=\s*(?:(?P<vtype>[A-Za-z0-9-]+):\s*)?(?P<value>\"[^\"]*\"|[^\t\n]*?)(?=\s*[\t\n]|\s{4,}|$)"
     )
 
-    def __init__(self, source_col: str = "message", prefix: str = "snmp_"):
+    # header name-values in reference add_name_value call order
+    # (snmptrapd-header-parser.c steps: hostname, transport_info, then
+    # v1 info: enterprise_oid, type, subtype, uptime)
+    _MSG_KEY_ORDER = ("hostname", "transport_info", "enterprise_oid",
+                      "type", "subtype", "uptime")
+
+    def __init__(self, source_col: str = "message", prefix: str = "snmp_",
+                 set_message_macro: bool | None = None,
+                 set_program: bool = False):
+        """set_message_macro: None leaves $MESSAGE untouched (library
+        default); True rebuilds it as "key='value', ..." over header
+        fields + varbinds (snmptrapd-parser.c:187
+        _append_name_value_to_generated_message); False unsets it
+        (process() else-branch :225). set_program=True pins
+        PROGRAM="snmptrapd" (snmptrapd-parser.c:200)."""
         self.source_col = source_col
         self.prefix = prefix
+        self.set_message_macro = set_message_macro
+        self.set_program = set_program
+
+    @staticmethod
+    def _escape_value(v: str) -> str:
+        """lib/utf8utils.c append_unsafe_utf8_as_escaped_text with
+        AUTF8_UNSAFE_APOSTROPHE: named control escapes, backslash
+        doubling, \\xHH for other controls, backslash before '."""
+        out = []
+        named = {"\b": "\\b", "\f": "\\f", "\n": "\\n", "\r": "\\r",
+                 "\t": "\\t", "\\": "\\\\"}
+        for ch in v:
+            if ch in named:
+                out.append(named[ch])
+            elif ord(ch) < 32:
+                out.append("\\x%x" % ord(ch))
+            elif ch == "'":
+                out.append("\\'")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    def _generated_message(self, r: dict) -> str:
+        parts = [f"{k}='{self._escape_value(str(r[k]))}'"
+                 for k in self._MSG_KEY_ORDER if r.get(k) is not None]
+        parts += [f"{oid}='{self._escape_value(val)}'"
+                  for oid, val in r.get("varbinds", [])]
+        return ", ".join(parts)
 
     def parse_one(self, text: str) -> dict | None:
         m = self.HEADER_RE.match(text)
@@ -406,12 +448,15 @@ class SnmptrapdParser:
                           "type", "subtype", "uptime", "ts")}
         maps = np.full(n, None, dtype=object)
         valid = np.zeros(n, dtype=bool)
+        gen_msgs = np.full(n, "", dtype=object)
         for i, text in enumerate(s.to_numpy()):
             r = self.parse_one(text)
             if r is None:
                 maps[i] = []
                 continue
             valid[i] = True
+            if self.set_message_macro:
+                gen_msgs[i] = self._generated_message(r)
             maps[i] = r.pop("varbinds")
             for k, v in r.items():
                 cols[k][i] = v
@@ -422,4 +467,27 @@ class SnmptrapdParser:
         ts = pd.to_datetime(pd.Series(cols["ts"]), format="%Y-%m-%d %H:%M:%S", errors="coerce")
         out = out.append_column(p + "ts", pa.array(ts.astype("datetime64[ns]")))
         out = out.append_column(p + "varbinds", pa.array(maps.tolist(), type=pa.map_(pa.string(), pa.string())))
+        if self.set_message_macro is not None and "message" in out.column_names:
+            idx = out.column_names.index("message")
+            new_msg = gen_msgs if self.set_message_macro \
+                else np.full(n, "", dtype=object)
+            # only valid rows are rewritten; invalid rows drop anyway in
+            # config mode (_DropUnparsed) but keep their text standalone
+            old = out.column("message").to_pandas().to_numpy(dtype=object)
+            out = out.set_column(idx, "message", pa.array(
+                np.where(valid, new_msg, old), type=pa.string()))
+        if self.set_program:
+            if "program" in out.column_names:
+                idx = out.column_names.index("program")
+                old = out.column("program").to_pandas() \
+                    .to_numpy(dtype=object)
+                out = out.set_column(idx, "program", pa.array(
+                    np.where(valid,
+                             np.full(n, "snmptrapd", dtype=object), old),
+                    type=pa.string()))
+            else:
+                out = out.append_column("program", pa.array(
+                    np.where(valid,
+                             np.full(n, "snmptrapd", dtype=object), None),
+                    type=pa.string()))
         return out.append_column("snmp_valid", pa.array(valid))

@@ -1169,6 +1169,75 @@ log {{ source(s); destination(d); }};
         assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == \
                ["osquery|pack_osquery|h1"]
 
+    def test_snmptrap_scl_source(self, tmp_path):
+        # scl/snmptrap/snmptrapd-source.conf: multi-line prefix-garbage
+        # file -> snmptrapd-parser (PROGRAM pin + generated $MESSAGE)
+        p = tmp_path / "traps.log"
+        p.write_text(
+            "2017-05-10 12:46:14 web2 "
+            "[UDP: [127.0.0.1]:34257->[127.0.0.1]:162]:\n"
+            "iso.3.6.1.2.1.1.3.0 = Timeticks: (875496867) 101 days, "
+            "7:56:08.67\tiso.3.6.1.6.3.1.1.4.1.0 = OID: "
+            "iso.3.6.1.4.1.8072.2.3.0.1\n"
+            "2017-05-10 12:47:00 web3 "
+            "[UDP: [10.0.0.2]:1000->[127.0.0.1]:162]:\n"
+            "iso.3.6.1.2.1.1.3.0 = Timeticks: (1) 0:00:00.01\n")
+        cfg = compile_config(f"""
+source s {{ snmptrap(filename("{p}")); }};
+destination d {{ file("o.log" template("$PROGRAM|${{.snmp.hostname}}|$MESSAGE\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+        out = [x.rstrip("\n") for x in cfg.run().rendered("d")]
+        assert len(out) == 2
+        assert out[0] == (
+            "snmptrapd|web2|hostname='web2', "
+            "transport_info='UDP: [127.0.0.1]:34257->[127.0.0.1]:162', "
+            "iso.3.6.1.2.1.1.3.0='(875496867) 101 days, 7:56:08.67', "
+            "iso.3.6.1.6.3.1.1.4.1.0='iso.3.6.1.4.1.8072.2.3.0.1'")
+        assert out[1].startswith("snmptrapd|web3|hostname='web3'")
+
+    def test_snmptrap_scl_source_no_message_macro(self, tmp_path):
+        p = tmp_path / "traps.log"
+        p.write_text(
+            "2017-05-10 12:46:14 web2 [UDP: [127.0.0.1]:1->[127.0.0.1]:162]:\n"
+            "iso.3.6.1.2.1.1.3.0 = INTEGER: 5\n")
+        cfg = compile_config(f"""
+source s {{ snmptrap(filename("{p}") set-message-macro(no)); }};
+destination d {{ file("o.log" template("$PROGRAM|$MESSAGE|\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+        # set-message-macro(no) UNSETS $MESSAGE (snmptrapd-parser.c:225)
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == \
+               ["snmptrapd||"]
+
+    def test_windowsevent_scl_source(self, tmp_path):
+        # windowsevent() source -> bundled windowseventlog.xml db-parser
+        # (scl/windowseventlog/plugin.conf); unmatched events drop
+        ev1 = (
+            "BSP-WIN2K8R2-EN\\Administrator: Security Microsoft Windows "
+            "security auditing.: [Success Audit] An account was logged "
+            "off.\n\nSubject:\n Security ID:  BSP-WIN2K8R2-EN\\"
+            "Administrator\n Account Name:  Administrator\n Account "
+            "Domain:  BSP-WIN2K8R2-EN\n Logon ID:  0xdeadbeef\n\nLogon "
+            "Type:   10\n\nThis event is generated when a logon session "
+            "is destroyed. It may be positively correlated with a logon "
+            "event using the Logon ID value. Logon IDs are only unique "
+            "between reboots on the same computer. (EventID 4634)\n")
+        ev2 = ("OTHER\\user: Security Microsoft Windows security "
+               "auditing.: [Failure Audit] Something unmodeled. (EventID "
+               "9999)\n")
+        p = tmp_path / "winevents.log"
+        p.write_text(ev1 + ev2)
+        cfg = compile_config(f"""
+source s {{ windowsevent(filename("{p}")); }};
+destination d {{ file("o.log" template("${{.classifier.class}}|${{.win.EventID}}|${{.win.TargetUserName}}|${{.win.TargetLogonId}}\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+        # routed counts: 2 events read, 1 matches a bundled rule, the
+        # unmodeled one drops (drop-unmatched yes)
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == \
+               ["logoff|4634|Administrator|0xdeadbeef"]
+
     def test_qbittorrent_scl_source(self, tmp_path):
         # scl/qbittorrent/qbittorrent.conf: regexp + date + severity map
         (tmp_path / "qbittorrent.log").write_text(
