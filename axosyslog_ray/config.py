@@ -820,6 +820,10 @@ _ROW_ID = "__cfg_row_id"
 class Config:
     def __init__(self):
         self.filterx: dict[str, object] = {}
+        # options { stats(level(N)); } — gates update_metric(level=)
+        self.stats_level: int = 0
+        # every compiled filterx block, for metrics() aggregation
+        self._filterx_stages: list = []
         # user template-function registrations, scoped to THIS config
         # (consulted first by template FuncCall binding via the
         # ACTIVE_USER_FUNCS overlay; lib/template/user-function.c)
@@ -872,7 +876,10 @@ class Config:
         # message semantics: container-valued fields marshal to JSON
         # text at block egress (the reference's LogMessage write path),
         # so junction branches with diverging dict members still merge
-        return FilterX(body, marshal_containers=True)
+        fx = FilterX(body, marshal_containers=True,
+                     stats_level=getattr(self, "stats_level", 0))
+        self._filterx_stages.append(fx)
+        return fx
 
     def _compile_stage(self, kind: str, d: Driver):
         if d.name == "__channel__":
@@ -893,6 +900,16 @@ class Config:
         return t
 
     @_with_user_funcs
+    def metrics(self) -> dict:
+        """Merged update_metric counters across every filterx block —
+        the batch analogue of scraping the reference's prometheus
+        endpoint (Light get_prometheus_samples)."""
+        out: dict = {}
+        for fx in self._filterx_stages:
+            for k, v in getattr(fx, "metrics", {}).items():
+                out[k] = out.get(k, 0) + v
+        return out
+
     def run(self, sources: dict | None = None) -> "RunResult":
         injected = sources or {}
         self.path_stats: dict[str, list[int]] = {}
@@ -2416,8 +2433,14 @@ def _compile_config_inner(cfg: Config, text: str,
         t = s.peek()
         if t == "options":
             s.next()
-            s.skip_balanced()
+            raw = s.raw_block()
             s.expect(";")
+            # stats(level(N)) gates update_metric(level=) registration
+            # (lib/stats/stats.c stats_check_level); other options are
+            # runtime/transport knobs with no batch analogue
+            m = re.search(r"stats\s*\(\s*level\s*\(\s*(\d+)\s*\)", raw)
+            if m:
+                cfg.stats_level = int(m.group(1))
         elif t == "block":
             # `block KIND NAME(param(default)...) { body };` — the SCL
             # block shape (reference cfg-block.c, scl/*/). Bodies are

@@ -1681,8 +1681,12 @@ _CTX_FUNCS |= set(_MSG_CTX_FUNCS)
 class FilterX:
     """Compiled FilterX program; callable as a map_batches stage."""
 
-    def __init__(self, src: str, marshal_containers: bool = False):
+    def __init__(self, src: str, marshal_containers: bool = False,
+                 stats_level: int = 0):
         self.ast = _Parser(src).program()
+        # options { stats(level(N)); } gate for update_metric(level=)
+        # (lib/filterx/filterx-metrics.c stats_check_level)
+        self.stats_level = stats_level
         # update_metric counters, merged per batch; per-actor in an
         # actor-pool map_batches (the Ray-native stats registry — a
         # pipeline aggregates snapshots instead of scraping a global)
@@ -2185,6 +2189,14 @@ class FilterX:
                 falsey = ~_truthy(res) & ~_isnull(res)
                 drop = mask & falsey
                 if drop.any():
+                    if ctx.failure_enabled and ctx.failure_collect_falsy:
+                        # failure_info_enable(collect_falsy=true): a
+                        # bailing falsy statement records an entry too
+                        # (func-failure-info.c / Light failure_info)
+                        ctx.failure_info.append({
+                            "meta": ctx.failure_meta,
+                            "error":
+                                "bailing out due to a falsy expr: false"})
                     ctx.kept &= ~drop
                     ctx.active &= ~drop
             return
@@ -2199,6 +2211,7 @@ class FilterX:
 
     def __call__(self, table: pa.Table) -> pa.Table:
         ctx = _Ctx(table)
+        ctx.stats_level = self.stats_level
         self._exec(self.ast, ctx, np.ones(table.num_rows, dtype=bool))
         for mk, mv in ctx.metrics.items():
             self.metrics[mk] = self.metrics.get(mk, 0) + mv

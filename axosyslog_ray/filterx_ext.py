@@ -800,7 +800,7 @@ def _list_ctor(a: pd.Series = None) -> pd.Series:
 
 
 @lru_cache(maxsize=32)
-def _load_json_file(path: str):
+def _load_json_file(path: str, mtime_ns: int):
     import json
     import re as _re
 
@@ -816,14 +816,24 @@ def _load_json_file(path: str):
 
 def cache_json_file(a: pd.Series, default_value=None) -> pd.Series:
     """cache_json_file("/path.json"): the file parsed ONCE per worker
-    process (lru_cache) and replicated as a constant column — the
-    broadcast-lookup pattern; combine with subscript access for
-    enrichment joins. Missing/invalid file -> default_value."""
+    process per mtime (lru_cache keyed on (path, mtime) — the batch
+    analogue of the reference's inotify reload-on-write-close, so both
+    plain rewrites and atomic renames pick up new content on the next
+    batch) and replicated as a constant column — the broadcast-lookup
+    pattern. Missing file -> default_value, which must be a dict
+    (filterx-func-cache-json-file.c rejects non-dict defaults at config
+    parse; Light test_cache_json_file_default_value_non_dict)."""
+    import os as _os
+
     path = str(_sc(a, ""))
+    dv = _sc(default_value)
+    if default_value is not None and not isinstance(dv, dict):
+        raise ValueError(
+            "cache_json_file(): default_value must be a dict literal")
     try:
-        obj = _load_json_file(path)
+        obj = _load_json_file(path, _os.stat(path).st_mtime_ns)
     except (OSError, ValueError):
-        obj = _sc(default_value)
+        obj = dv
     n = len(a) if isinstance(a, pd.Series) else 1
     return pd.Series([obj] * n, dtype=object)
 

@@ -414,8 +414,14 @@ def update_metric(ctx, key, labels=None, increment=None, level=None) -> pd.Serie
     (ctx.metrics -> FilterX.metrics merged per batch); a pipeline
     publishes them by reading stage.metrics after/inside map_batches —
     the Ray-native replacement for the reference's global stats
-    registry (level is accepted and ignored: no stats-level gate)."""
+    registry. `level` gates against the stage's stats_level
+    (options { stats(level(N)); } — lib/filterx/filterx-metrics.c
+    stats_check_level); null/empty-string label values are dropped,
+    not failures (filterx-metrics-labels.c _is_value_empty)."""
     name = str(_arg_scalar(key))
+    lvl = _arg_scalar(level) if level is not None else 0
+    if int(lvl or 0) > getattr(ctx, "stats_level", 0):
+        return _null_series(ctx.n)
     inc = pd.to_numeric(increment, errors="coerce") if increment is not None else None
     rows = np.nonzero(ctx.mask)[0]
     if labels is None:
@@ -423,14 +429,21 @@ def update_metric(ctx, key, labels=None, increment=None, level=None) -> pd.Serie
             else (int(inc) if inc is not None else 1) * len(rows)
         ctx.metrics[(name, ())] = ctx.metrics.get((name, ()), 0) + total
         return _null_series(ctx.n)
+
+    def _pairs(items):
+        # drop null / empty-string label values, keep the label order
+        return tuple((str(k), str(v)) for k, v in items
+                     if not (v is None or (isinstance(v, float)
+                                           and pd.isna(v)) or v == ""))
+
     larr = labels.to_numpy(dtype=object) if isinstance(labels, pd.Series) \
         else np.full(ctx.n, labels, dtype=object)
     for i in rows:
         lv = larr[i]
         if isinstance(lv, dict):
-            lkey = tuple((str(k), str(v)) for k, v in lv.items())
+            lkey = _pairs(lv.items())
         elif isinstance(lv, list):
-            lkey = tuple((str(k), str(v)) for k, v in lv)
+            lkey = _pairs(lv)
         else:
             lkey = ()
         step = 1
