@@ -856,10 +856,24 @@ def quota_head(ds, key_col: str, order_col: str, k: int, num_buckets: int | None
     return bucketed_map_groups(ds, key_col, cap, num_buckets=num_buckets)
 
 
-def token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """(id_col, n_tokens) per document — lower + [a-z0-9]+ run count,
-    the corpus-wide single-source-of-truth tokenization (decontaminate,
-    textstats.vocab). Map-only."""
+def token_counts(ds, text_col: str = "text", id_col: str = "doc_id",
+                 bpe_merges: list | None = None):
+    """(id_col, n_tokens) per document. Default: lower + [a-z0-9]+ run
+    count, the corpus-wide single-source-of-truth tokenization
+    (decontaminate, textstats.vocab). With `bpe_merges` (a GPT-2-style
+    rank-ordered merge list), counts come from the from-spec BPE
+    tokenizer instead (textstats/bpe.py) — budgets and packing then
+    match what a training run actually consumes. Map-only either way."""
+    if bpe_merges is not None:
+        from .textstats.bpe import bpe_token_counts
+
+        counts = bpe_token_counts(ds, bpe_merges, text_col=text_col,
+                                  id_col=id_col)
+        return counts.map_batches(
+            lambda b: b.rename_columns(
+                [("n_tokens" if c == "n_tokens_bpe" else c)
+                 for c in b.column_names]),
+            batch_format="pyarrow")
 
     def count(b: pa.Table) -> pa.Table:
         texts = b.column(text_col).to_pandas().fillna("")
@@ -871,7 +885,7 @@ def token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def pack_sequences(ds, window: int, text_col: str = "text", id_col: str = "doc_id",
-                   range_size: int = 4096):
+                   range_size: int = 4096, bpe_merges: list | None = None):
     """Greedy concat-and-chunk sequence packing: documents in id order
     are laid end to end in token space; each doc's training sequence is
     `seq_bin = floor(start_offset / window)` where start_offset is the
@@ -895,7 +909,7 @@ def pack_sequences(ds, window: int, text_col: str = "text", id_col: str = "doc_i
     of (id order, token counts, window)."""
     import ray
 
-    counts = token_counts(ds, text_col, id_col)
+    counts = token_counts(ds, text_col, id_col, bpe_merges=bpe_merges)
 
     def add_rng(b: pa.Table) -> pa.Table:
         rng = b.column(id_col).to_numpy() // range_size

@@ -2771,6 +2771,90 @@ FROM c WHERE cum_chars <= 2000 ORDER BY source, doc_id
 """
 
 
+# fixed demo merge table (rank order) shared verbatim by the Ray query
+# and the DuckDB oracle — a vocab artifact, synthesized deterministically
+# (learn_bpe on a sample produces tables of exactly this shape)
+_BPE_MERGES = [
+    ("e", "r"), ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("o", "n"), ("e", "s"), ("t", "i"), ("a", "t"),
+    ("s", "t"), ("r", "e"), ("in", "g"), ("l", "l"), ("e", "d"),
+    ("o", "r"), ("a", "r"), ("e", "n"), ("o", "u"), ("c", "h"),
+]
+
+
+def docs_token_budget_bpe(sf_dir: str):
+    """Per-source token-budget selection where tokens are counted by a
+    from-spec BPE tokenizer (textstats/bpe.py — Sennrich-2016 apply
+    loop, GPT-2 merges.txt rank semantics) instead of whitespace runs:
+    each distinct word encodes once per actor (Zipf cache), counts
+    scatter back map-only, then the same two-level budget scan as
+    docs_token_budget. The DuckDB oracle replays the EXACT tokenizer
+    with a recursive CTE over the same literal merge table (lowest-rank
+    pair present, merged via boundary-safe string replace, iterated to
+    fixpoint)."""
+    from ..textstats.bpe import bpe_token_counts
+    from ..window import budget_capped_select
+
+    ds = _read(sf_dir, "documents", ["source", "doc_id", "text"])
+    counts = bpe_token_counts(ds, _BPE_MERGES, keep_cols=["source"])
+    out = budget_capped_select(counts, "source", "n_tokens_bpe",
+                               budget=1500, order_col="doc_id",
+                               cum_col="cum_tokens").to_pandas()
+    for c in ("doc_id", "n_tokens_bpe", "cum_tokens"):
+        out[c] = out[c].astype("int64")
+    return out[["source", "doc_id", "n_tokens_bpe", "cum_tokens"]] \
+        .sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+_BPE_MERGES_SQL_VALUES = ", ".join(
+    f"({i + 1}, '{a}', '{b}')" for i, (a, b) in enumerate(_BPE_MERGES))
+
+DOCS_TOKEN_BUDGET_BPE_SQL = f"""
+WITH RECURSIVE merges(rank, a, b) AS (VALUES {_BPE_MERGES_SQL_VALUES}),
+words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''),
+dw(w) AS (SELECT DISTINCT w FROM words),
+init AS (
+  SELECT w, array_to_string(regexp_split_to_array(w, ''), ' ') AS s
+  FROM dw),
+bpe(w, s, it) AS (
+  SELECT w, s, 0 FROM init
+  UNION ALL
+  SELECT b.w,
+         trim(replace(' ' || b.s || ' ',
+                      ' ' || m.a || ' ' || m.b || ' ',
+                      ' ' || m.a || m.b || ' ')),
+         b.it + 1
+  FROM bpe b JOIN merges m ON m.rank = (
+      SELECT min(m2.rank) FROM merges m2
+      WHERE strpos(' ' || b.s || ' ',
+                   ' ' || m2.a || ' ' || m2.b || ' ') > 0)),
+wtok AS (
+  SELECT w, len(string_split(s, ' ')) AS n FROM (
+    SELECT w, s,
+           row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn
+    FROM bpe) WHERE rn = 1),
+doc_tok AS (
+  SELECT d.source, d.doc_id,
+         CAST(coalesce(sum(wtok.n), 0) AS BIGINT) AS n_tokens_bpe
+  FROM documents d
+  LEFT JOIN words ON words.doc_id = d.doc_id
+  LEFT JOIN wtok ON wtok.w = words.w
+  GROUP BY d.source, d.doc_id),
+c AS (
+  SELECT source, doc_id, n_tokens_bpe,
+         sum(n_tokens_bpe) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM doc_tok)
+SELECT source, doc_id, n_tokens_bpe, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 1500 ORDER BY source, doc_id
+"""
+
+
 def events_quantiles(sf_dir: str):
     """Exact per-group quantiles (window.group_quantiles): p50/p90/p99
     of `value` per event_type via one narrow (key, value) shuffle +
@@ -4176,6 +4260,7 @@ RAY_QUERIES = {
     "docs_jaccard_decontaminate": docs_jaccard_decontaminate,
     "docs_topk_per_lang": docs_topk_per_lang,
     "docs_token_budget": docs_token_budget,
+    "docs_token_budget_bpe": docs_token_budget_bpe,
     "events_quantiles": events_quantiles,
     "events_quantiles_sketch": events_quantiles_sketch,
     "q1_pricing": q1_pricing,
@@ -4299,6 +4384,7 @@ ORACLE_SQLS = {
     "docs_jaccard_decontaminate": DOCS_JACCARD_DECON_SQL,
     "docs_topk_per_lang": DOCS_TOPK_PER_LANG_SQL,
     "docs_token_budget": DOCS_TOKEN_BUDGET_SQL,
+    "docs_token_budget_bpe": DOCS_TOKEN_BUDGET_BPE_SQL,
     "events_quantiles": EVENTS_QUANTILES_SQL,
     "events_quantiles_sketch": EVENTS_QUANTILES_SKETCH_SQL,
     "events_config_pipeline": EVENTS_CONFIG_PIPELINE_SQL,
