@@ -2441,6 +2441,21 @@ def _compile_config_inner(cfg: Config, text: str,
             m = re.search(r"stats\s*\(\s*level\s*\(\s*(\d+)\s*\)", raw)
             if m:
                 cfg.stats_level = int(m.group(1))
+        elif t == "python":
+            # python { ... } code block (modules/python/python-confgen):
+            # executes into a per-config namespace; $(python fname ...)
+            # resolves against it through the config-scoped overlay
+            s.next()
+            code = s.raw_block()
+            s.expect(";")
+            from .functions.python_udf import (exec_python_block,
+                                               make_python_tf)
+
+            if not hasattr(cfg, "python_ns") or cfg.python_ns is None:
+                cfg.python_ns = {}
+            exec_python_block(code, cfg.python_ns)
+            cfg.user_template_funcs["python"] = \
+                make_python_tf(cfg.python_ns)
         elif t == "block":
             # `block KIND NAME(param(default)...) { body };` — the SCL
             # block shape (reference cfg-block.c, scl/*/). Bodies are

@@ -3096,3 +3096,74 @@ destination d {{ file("o.log" template("$(lowercase ABC)\\n")); }};
 log {{ source(s); destination(d); }};
 """)
         assert [x.rstrip("\n") for x in cfg2.run().rendered("d")] == ["abc"]
+
+
+class TestPythonTemplateFunction:
+    """$(python) from a config python{} block (modules/python/python-tf.c):
+    fname(msg, b"arg", ...) with the dict-like msg view, stringified
+    return, '<error>' on lookup/invoke failure, config-scoped."""
+
+    def test_call_args_bytes_and_msg_access(self):
+        cfg = compile_config("""
+python {
+def shout(msg, suffix):
+    assert isinstance(suffix, bytes)
+    return msg['MESSAGE'].upper() + suffix.decode()
+};
+source s { example-msg-generator(num(1) template("abc")); };
+destination d { file("o.log" template("$(python shout !)\\n")); };
+log { source(s); destination(d); };
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == ["ABC!"]
+
+    def test_error_and_unknown_yield_error_literal(self):
+        cfg = compile_config("""
+python {
+def boom(msg):
+    raise RuntimeError("nope")
+};
+source s { example-msg-generator(num(1) template("x")); };
+destination d { file("o.log" template("$(python boom)|$(python nosuch)\\n")); };
+log { source(s); destination(d); };
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == \
+               ["<error>|<error>"]
+
+    def test_non_string_return_stringifies(self):
+        cfg = compile_config("""
+python {
+def count(msg):
+    return len(msg['MESSAGE'])
+};
+source s { example-msg-generator(num(1) template("abcd")); };
+destination d { file("o.log" template("$(python count)\\n")); };
+log { source(s); destination(d); };
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == ["4"]
+
+    def test_blocks_accumulate_and_scope_per_config(self):
+        cfg = compile_config("""
+python {
+A = "left"
+};
+python {
+def f(msg):
+    return A + "-" + msg['MESSAGE']
+};
+source s { example-msg-generator(num(1) template("m")); };
+destination d { file("o.log" template("$(python f)\\n")); };
+log { source(s); destination(d); };
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == ["left-m"]
+        # a second config without a python block must not see $(python)
+        import pytest as _pytest
+
+        from axosyslog_ray.functions.templates import TemplateCompileError
+        cfg2 = compile_config("""
+source s { example-msg-generator(num(1) template("m")); };
+destination d { file("o.log" template("$(python f)\\n")); };
+log { source(s); destination(d); };
+""")
+        with _pytest.raises(TemplateCompileError,
+                            match='Unknown template function "python"'):
+            cfg2.run().rendered("d")
