@@ -1579,6 +1579,20 @@ def _compile_parser(d: Driver):
         # failed header parse drops the row (snmptrapd_parser_process
         # returns FALSE, modules/afsnmp/snmptrapd-parser.c:205)
         return _DropUnparsed(stage, "snmp_valid")
+    if d.name == "mariadb-audit-parser":
+        from .stages.app_parsers import MariadbAuditParser
+
+        tpl = str(d.kw1("template", "$MESSAGE"))
+        return MariadbAuditParser(
+            source_col=_field(tpl.lstrip("$").strip("{}")),
+            prefix=str(d.kw1("prefix", ".mariadb.audit.")))
+    if d.name == "postgresql-csvlog-parser":
+        from .stages.app_parsers import PostgresqlCsvlogParser
+
+        tpl = str(d.kw1("template", "$MESSAGE"))
+        return PostgresqlCsvlogParser(
+            source_col=_field(tpl.lstrip("$").strip("{}")),
+            prefix=str(d.kw1("prefix", ".pgsql.")))
     if d.name == "geoip2":
         from .enrich.geoip import GeoIP
 
@@ -1697,11 +1711,12 @@ def _build_source(drivers: list[Driver], cfg: "Config | None" = None) -> pa.Tabl
                 "host": pa.array(["localhost"] * n, type=pa.string()),
                 "program": pa.array(["example-msg-generator"] * n, type=pa.string()),
             }
-            # values("k => v k2 => v2"): seeded name-value pairs
-            # (reference modules/examples/sources/msg-generator)
-            vals = d.kw1("values")
+            # values("k" => "v" "k2" => "v2"): seeded name-value pairs
+            # (reference modules/examples/sources/msg-generator) — join
+            # the FULL token list, kw1() would truncate multi-token args
+            vals = " ".join(str(x) for x in d.kwargs.get("values", []))
             if vals:
-                for key, val in re.findall(r"(\S+)\s*=>\s*(\S+)", str(vals)):
+                for key, val in re.findall(r"(\S+)\s*=>\s*(\S+)", vals):
                     cols[key] = pa.array([val] * n, type=pa.string())
             parts.append(pa.table(cols))
         elif d.name in ("file", "wildcard-file"):
@@ -2275,6 +2290,72 @@ block destination opensearch(url() index() custom_id("")
         timeout(`timeout`) body_suffix(`body_suffix`)
         body("$(format-json --scope none --omit-empty-values `op_type`._index=\\"`index`\\" `op_type`._id=\\"`custom_id`\\")\\n`template`")
         `__VARARGS__`);
+};
+
+block destination azure-monitor(dce_uri() dcr_id() stream_name()
+    template("$MESSAGE") auth("") ...) {
+    http(method("POST")
+        url("`dce_uri`/dataCollectionRules/`dcr_id`/streams/`stream_name`?api-version=2023-01-01")
+        headers("Content-Type: application/json")
+        persist_name("azure-monitor,`dce_uri`,`dcr_id`,`stream_name`")
+        body_prefix("[") body(`template`) delimiter(",") body_suffix("]")
+        `__VARARGS__`);
+};
+
+block destination azure-monitor-builtin(dce_uri() dcr_id() table_name()
+    template("$MESSAGE") auth("") ...) {
+    azure-monitor(dce_uri(`dce_uri`) dcr_id(`dcr_id`)
+        stream_name(`table_name`) template(`template`) auth(`auth`)
+        `__VARARGS__`);
+};
+
+block destination google-pubsub(project() topic()
+    service_endpoint("https://pubsub.googleapis.com")
+    data("${MESSAGE}")
+    attributes("--scope rfc5424,all-nv-pairs --exclude MESSAGE")
+    batch_lines(1000) batch_timeout(0) workers(8) timeout(10) ...) {
+    http(url("`service_endpoint`/v1/projects/`project`/topics/`topic`:publish")
+        method("POST")
+        headers("Content-Type: application/json")
+        body('$(format-json --omit-empty-values data=$(base64-encode `data`) attributes=literal($(format-flat-json `attributes`)))')
+        body_prefix('{"messages":[') body_suffix(']}') delimiter(',')
+        batch-lines(`batch_lines`) batch-timeout(`batch_timeout`)
+        workers(`workers`) timeout(`timeout`) `__VARARGS__`);
+};
+
+block destination graphite(host("localhost") port(2003) payload("") ...) {
+    network("`host`" port(`port`) transport(tcp)
+            template("$(graphite-output `payload`)") `__VARARGS__`);
+};
+
+block destination loggly(token() tag("tag") host("logs-01.loggly.com")
+    port(514) transport(tcp) template("$MSG") ...) {
+    network("`host`" port(`port`) transport(`transport`)
+            template("<${PRI}>1 ${ISODATE} ${HOST} ${PROGRAM} ${PID} ${MSGID} [`token`@41058 tag=\\"`tag`\\"] `template`\\n")
+            template_escape(no) `__VARARGS__`);
+};
+
+block destination logmatic(token() host("api.logmatic.io") port(10514)
+    template("$MSG") ...) {
+    network("`host`" port(`port`) transport(tcp)
+            template("`token` <${PRI}>1 ${ISODATE} ${HOST:--} ${PROGRAM:--} ${PID:--} ${MSGID:--} ${SDATA:--} `template`\\n")
+            template_escape(no) so-keepalive(yes) `__VARARGS__`);
+};
+
+block destination hdfs(hdfs_uri() hdfs_file()
+    template("${ISODATE} ${HOST} ${MSGHDR}${MESSAGE}\\n") ...) {
+    file("`hdfs_uri`/`hdfs_file`" template(`template`) `__VARARGS__`);
+};
+
+block source nodejs(filename() prefix(".nodejs.winston.") ...) {
+    channel {
+        source { file("`filename`" flags(no-parse) `__VARARGS__`); };
+        parser { json-parser(extract-prefix("[1]") prefix("`prefix`")); };
+        rewrite {
+            set("${`prefix`message}" value("MESSAGE"));
+            set("" value("`prefix`message"));
+        };
+    };
 };
 
 block parser windows-eventlog-parser(file("windowseventlog.xml")) {

@@ -99,10 +99,26 @@ class JsonParser:
         except Exception:
             return None
         if self.extract_prefix:
+            import re as _re
+
             for part in self.extract_prefix.split(self.key_delimiter):
-                if not isinstance(obj, dict) or part not in obj:
+                # "[N]" array indices (json-parser.c extract-prefix path
+                # syntax, e.g. scl/nodejs extract-prefix("[1]")) compose
+                # with plain keys: "key", "[1]", "key[2]" all valid
+                m = _re.fullmatch(r"([^\[\]]*)((?:\[\d+\])*)", part)
+                if m is None:
                     return None
-                obj = obj[part]
+                key, idxs = m.group(1), _re.findall(r"\[(\d+)\]",
+                                                    m.group(2))
+                if key:
+                    if not isinstance(obj, dict) or key not in obj:
+                        return None
+                    obj = obj[key]
+                for ix in idxs:
+                    i = int(ix)
+                    if not isinstance(obj, list) or i >= len(obj):
+                        return None
+                    obj = obj[i]
         if not isinstance(obj, dict):
             return None  # non-object root rejected (json-parser.c:329)
         pairs, types = flatten_json(obj, self.prefix, self.key_delimiter)

@@ -3167,3 +3167,100 @@ log { source(s); destination(d); };
         with _pytest.raises(TemplateCompileError,
                             match='Unknown template function "python"'):
             cfg2.run().rendered("d")
+
+
+class TestRound5SclWrappers:
+    """Thin SCL wrappers around transport dests (scl/azure, scl/google,
+    scl/graphite, scl/loggly, scl/logmatic, scl/hdfs, scl/nodejs) —
+    transports are inert in the batch engine; what is pinned here is
+    that every wrapper compiles, routes, counts, and renders the same
+    payload template the reference splices."""
+
+    def _run_one(self, dest_stmt, n=2):
+        cfg = compile_config(f"""
+source s {{ example-msg-generator(num({n}) template("hello")); }};
+destination d {{ {dest_stmt} }};
+log {{ source(s); destination(d); }};
+""")
+        r = cfg.run()
+        assert r.processed("d") == n
+        return r
+
+    def test_azure_monitor(self):
+        r = self._run_one(
+            'azure-monitor(dce_uri("https://dce.example") dcr_id("dcr1") '
+            'stream_name("Custom-Table") template("$MESSAGE"));')
+        assert r.rendered("d") == ["hello", "hello"]
+
+    def test_azure_monitor_builtin_delegates(self):
+        r = self._run_one(
+            'azure-monitor-builtin(dce_uri("https://dce.example") '
+            'dcr_id("dcr1") table_name("Syslog") template("$MESSAGE"));')
+        assert r.rendered("d") == ["hello", "hello"]
+
+    def test_google_pubsub_body_renders_base64(self):
+        import base64
+        import json as _json
+        r = self._run_one(
+            'google-pubsub(project("p1") topic("t1"));', n=1)
+        body = _json.loads(r.rendered("d")[0])
+        assert base64.b64decode(body["data"]).decode() == "hello"
+
+    def test_graphite_renders_graphite_output(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1) template("x") values("kpi.load" => "1.5")); };
+destination d { graphite(payload("--key kpi.*")); };
+log { source(s); destination(d); };
+""")
+        r = cfg.run()
+        out = r.rendered("d")[0]
+        assert out.startswith("kpi.load 1.5 ")
+
+    def test_loggly_and_logmatic_render_frames(self):
+        r = self._run_one('loggly(token("TOK") tag("t"));')
+        assert '[TOK@41058 tag="t"] hello' in r.rendered("d")[0]
+        r2 = self._run_one('logmatic(token("TOK"));')
+        assert r2.rendered("d")[0].startswith("TOK <")
+
+    def test_hdfs_file_analogue(self):
+        r = self._run_one(
+            'hdfs(hdfs_uri("hdfs://nn:8020") hdfs_file("logs/out.txt") '
+            'template("$MESSAGE\\n"));')
+        assert [x.rstrip("\n") for x in r.rendered("d")] == ["hello", "hello"]
+
+    def test_nodejs_source(self, tmp_path):
+        # scl/nodejs: winston JSON array payload; [1] element is the
+        # record, .message promoted to $MESSAGE then cleared
+        p = tmp_path / "node.log"
+        p.write_text('["info", {"message": "boot ok", "level": "info"}]\n')
+        cfg = compile_config(f"""
+source s {{ nodejs(filename("{p}")); }};
+destination d {{ file("o.log" template("$MESSAGE|${{.nodejs.winston.level}}|${{.nodejs.winston.message}}\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == \
+               ["boot ok|info|"]
+
+    def test_mariadb_and_postgresql_parsers_resolve(self):
+        # scl/mariadb/audit.conf example payload
+        cfg = compile_config("""
+source s { example-msg-generator(num(1) template("columnstore-1 eff8a68bcd7f,user1,172.18.0.1,32,394,QUERY,syslog_ng,'SELECT 1',0")); };
+parser p { mariadb-audit-parser(prefix(".mariadb.audit.")); };
+destination d { file("o.log" template("${.mariadb.audit.username}|${.mariadb.audit.database}|${.mariadb.audit.operation}|${.mariadb.audit.serverhost}\n")); };
+log { source(s); parser(p); destination(d); };
+""")
+        out = [x.rstrip("\n") for x in cfg.run().rendered("d")]
+        assert out == ["user1|syslog_ng|QUERY|eff8a68bcd7f"]
+        # postgresql-csvlog-parser resolves through the config too
+        csv = ('2023-08-08 12:05:52.805 UTC,appuser,mydb,22113,'
+               '"10.0.0.1:5432",64d221e0.5661,1,"SELECT",'
+               '2023-08-08 12:05:20 UTC,6/117,0,LOG,00000,'
+               '"duration: 1.2 ms",,,,,,,,,"psql","client backend",,0')
+        cfg2 = compile_config(f"""
+source s {{ example-msg-generator(num(1) template('{csv}')); }};
+parser p {{ postgresql-csvlog-parser(prefix(".pgsql.")); }};
+destination d {{ file("o.log" template("${{.pgsql.username}}|${{.pgsql.database}}|${{.pgsql.severity}}\\n")); }};
+log {{ source(s); parser(p); destination(d); }};
+""")
+        out2 = [x.rstrip("\n") for x in cfg2.run().rendered("d")]
+        assert out2 == ["appuser|mydb|LOG"]
