@@ -2855,6 +2855,40 @@ FROM c WHERE cum_tokens <= 1500 ORDER BY source, doc_id
 """
 
 
+def docs_chunk(sf_dir: str):
+    """Fixed-token-window chunking with overlap (textstats/chunk.py):
+    window 10 / overlap 2 whitespace-token chunks per document, chunk
+    text reassembled via one Arrow binary_join — map-only, no shuffle.
+    The RAG / long-context preprocessing step; SQL replay is
+    generate_series + list_slice + array_to_string."""
+    from ..textstats.chunk import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(ds, window=10, overlap=2).to_pandas()
+    for c in ("doc_id", "chunk_id", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+DOCS_CHUNK_SQL = """
+WITH tl AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents),
+c AS (
+  SELECT doc_id, t, len(t) AS n,
+         unnest(generate_series(
+             0, CAST(ceil(len(t) / 8.0) AS BIGINT) - 1)) AS k
+  FROM tl WHERE len(t) > 0)
+SELECT doc_id, k AS chunk_id,
+       CAST(least(k * 8 + 10, n) - k * 8 AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(t, k * 8 + 1,
+                                  least(k * 8 + 10, n)), ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 def events_quantiles(sf_dir: str):
     """Exact per-group quantiles (window.group_quantiles): p50/p90/p99
     of `value` per event_type via one narrow (key, value) shuffle +
@@ -4261,6 +4295,7 @@ RAY_QUERIES = {
     "docs_topk_per_lang": docs_topk_per_lang,
     "docs_token_budget": docs_token_budget,
     "docs_token_budget_bpe": docs_token_budget_bpe,
+    "docs_chunk": docs_chunk,
     "events_quantiles": events_quantiles,
     "events_quantiles_sketch": events_quantiles_sketch,
     "q1_pricing": q1_pricing,
@@ -4385,6 +4420,7 @@ ORACLE_SQLS = {
     "docs_topk_per_lang": DOCS_TOPK_PER_LANG_SQL,
     "docs_token_budget": DOCS_TOKEN_BUDGET_SQL,
     "docs_token_budget_bpe": DOCS_TOKEN_BUDGET_BPE_SQL,
+    "docs_chunk": DOCS_CHUNK_SQL,
     "events_quantiles": EVENTS_QUANTILES_SQL,
     "events_quantiles_sketch": EVENTS_QUANTILES_SKETCH_SQL,
     "events_config_pipeline": EVENTS_CONFIG_PIPELINE_SQL,
