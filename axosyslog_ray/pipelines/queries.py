@@ -2889,6 +2889,43 @@ FROM c ORDER BY doc_id, chunk_id
 """
 
 
+def docs_winnow(sf_dir: str):
+    """Winnowing fingerprints (textstats/winnow.py — the MOSS
+    algorithm, Schleimer et al. 2003): distinct per-document minima of
+    md5 word-3-gram hashes over 4-gram windows; any shared 6-word run
+    between documents shares a fingerprint while only ~2/(w+1) of the
+    grams are stored. Map-only; SQL replay is the same md5 over
+    list_slice grams + min() OVER a 4-row window + DISTINCT."""
+    from ..textstats.winnow import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = winnow_fingerprints(ds, k=3, w=4).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["doc_id", "fingerprint"]) \
+        .reset_index(drop=True)
+
+
+DOCS_WINNOW_SQL = """
+WITH tl AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, i,
+         md5(array_to_string(list_slice(t, i, i + 2), ' ')) AS h
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM tl WHERE len(t) >= 3)),
+wm AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mh
+  FROM g)
+SELECT DISTINCT doc_id, mh AS fingerprint FROM wm WHERE i >= 4
+ORDER BY doc_id, fingerprint
+"""
+
+
 def events_quantiles(sf_dir: str):
     """Exact per-group quantiles (window.group_quantiles): p50/p90/p99
     of `value` per event_type via one narrow (key, value) shuffle +
@@ -4296,6 +4333,7 @@ RAY_QUERIES = {
     "docs_token_budget": docs_token_budget,
     "docs_token_budget_bpe": docs_token_budget_bpe,
     "docs_chunk": docs_chunk,
+    "docs_winnow": docs_winnow,
     "events_quantiles": events_quantiles,
     "events_quantiles_sketch": events_quantiles_sketch,
     "q1_pricing": q1_pricing,
@@ -4421,6 +4459,7 @@ ORACLE_SQLS = {
     "docs_token_budget": DOCS_TOKEN_BUDGET_SQL,
     "docs_token_budget_bpe": DOCS_TOKEN_BUDGET_BPE_SQL,
     "docs_chunk": DOCS_CHUNK_SQL,
+    "docs_winnow": DOCS_WINNOW_SQL,
     "events_quantiles": EVENTS_QUANTILES_SQL,
     "events_quantiles_sketch": EVENTS_QUANTILES_SKETCH_SQL,
     "events_config_pipeline": EVENTS_CONFIG_PIPELINE_SQL,
