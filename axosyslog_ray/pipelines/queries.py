@@ -2926,6 +2926,48 @@ ORDER BY doc_id, fingerprint
 """
 
 
+def docs_winnow_pairs(sf_dir: str):
+    """Near-dup candidate pairs from winnowing fingerprints
+    (textstats/winnow.winnow_pairs): docs sharing >= 2 selected minima
+    after dropping fingerprints in > 20 docs (stop-fingerprint cap).
+    Document text never shuffles — only the narrow (id, hash) table;
+    one bucketed cogroup + one pre-aggregated pair count."""
+    from ..textstats.winnow import winnow_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = winnow_pairs(ds, k=3, w=4, min_shared=2, max_df=20).to_pandas()
+    for c in ("doc_a", "doc_b", "n_shared"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+DOCS_WINNOW_PAIRS_SQL = """
+WITH tl AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, i,
+         md5(array_to_string(list_slice(t, i, i + 2), ' ')) AS h
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM tl WHERE len(t) >= 3)),
+wm AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mh
+  FROM g),
+fp AS (SELECT DISTINCT doc_id, mh AS fingerprint FROM wm WHERE i >= 4),
+ok AS (SELECT fingerprint FROM fp GROUP BY fingerprint
+       HAVING count(*) <= 20),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fp a JOIN ok USING (fingerprint) JOIN fp b USING (fingerprint)
+      WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM p GROUP BY doc_a, doc_b HAVING count(*) >= 2 ORDER BY doc_a, doc_b
+"""
+
+
 def events_quantiles(sf_dir: str):
     """Exact per-group quantiles (window.group_quantiles): p50/p90/p99
     of `value` per event_type via one narrow (key, value) shuffle +
@@ -4334,6 +4376,7 @@ RAY_QUERIES = {
     "docs_token_budget_bpe": docs_token_budget_bpe,
     "docs_chunk": docs_chunk,
     "docs_winnow": docs_winnow,
+    "docs_winnow_pairs": docs_winnow_pairs,
     "events_quantiles": events_quantiles,
     "events_quantiles_sketch": events_quantiles_sketch,
     "q1_pricing": q1_pricing,
@@ -4460,6 +4503,7 @@ ORACLE_SQLS = {
     "docs_token_budget_bpe": DOCS_TOKEN_BUDGET_BPE_SQL,
     "docs_chunk": DOCS_CHUNK_SQL,
     "docs_winnow": DOCS_WINNOW_SQL,
+    "docs_winnow_pairs": DOCS_WINNOW_PAIRS_SQL,
     "events_quantiles": EVENTS_QUANTILES_SQL,
     "events_quantiles_sketch": EVENTS_QUANTILES_SKETCH_SQL,
     "events_config_pipeline": EVENTS_CONFIG_PIPELINE_SQL,

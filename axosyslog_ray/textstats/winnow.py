@@ -83,7 +83,51 @@ def winnow_fingerprints(ds, k: int = 3, w: int = 4,
                         text_col: str = "text", id_col: str = "doc_id"):
     """Dataset-level winnowing: one map-only stage, no shuffle; join the
     output against itself (groupby fingerprint) for provenance/overlap
-    candidates downstream."""
+    candidates downstream (`winnow_pairs`)."""
     return ds.map_batches(
         lambda b: winnow_batch(b, k, w, text_col, id_col),
+        batch_format="pyarrow")
+
+
+def winnow_pairs(ds, k: int = 3, w: int = 4, min_shared: int = 2,
+                 max_df: int = 20, text_col: str = "text",
+                 id_col: str = "doc_id", num_buckets: int | None = None):
+    """Near-dup candidate pairs from winnowing fingerprints: documents
+    sharing >= `min_shared` selected fingerprints, with fingerprints in
+    more than `max_df` documents dropped first (boilerplate
+    stop-fingerprints — the same hot-bucket cap every LSH stage here
+    uses; disclosed: dropping them can only lose candidates that share
+    ONLY ubiquitous text).
+
+    Scale shape: fingerprint table is ~2/(w+1) of grams and NARROW
+    (id + 32-byte hash — document text never shuffles); one bucketed
+    exchange co-locates equal fingerprints, pairs form per group after
+    the df cap (group size <= max_df bounds the quadratic), then one
+    (doc_a, doc_b) pre-aggregated count. Returns
+    (doc_a, doc_b, n_shared) with doc_a < doc_b."""
+    from ..aggregate import pre_aggregated_count
+    from ..shuffle import bucketed_map_groups
+
+    fps = winnow_fingerprints(ds, k, w, text_col, id_col)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([id_col, "fingerprint"])
+        df = g.groupby("fingerprint")[id_col].transform("size")
+        g = g[df <= max_df]
+        j = g.merge(g, on="fingerprint", suffixes=("_a", "_b"))
+        j = j[j[f"{id_col}_a"] < j[f"{id_col}_b"]]
+        return pd.DataFrame({
+            "doc_a": j[f"{id_col}_a"].to_numpy(),
+            "doc_b": j[f"{id_col}_b"].to_numpy(),
+        })
+
+    p = bucketed_map_groups(fps, "fingerprint", pairs,
+                            num_buckets=num_buckets)
+    counted = pre_aggregated_count(p, ["doc_a", "doc_b"],
+                                   alias="n_shared")
+    import pyarrow.compute as pc
+
+    return counted.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_shared"),
+                                            min_shared)),
         batch_format="pyarrow")

@@ -74,3 +74,32 @@ class TestWinnowDataset:
             .to_pandas().sort_values(["doc_id", "fingerprint"]) \
             .reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestWinnowPairs:
+    def test_planted_near_dup_found(self, ray_session):
+        from axosyslog_ray.textstats.winnow import winnow_pairs
+        rng = np.random.default_rng(5)
+        base = " ".join(f"w{rng.integers(0, 10**9)}" for _ in range(40))
+        texts = [base, base + " tail extra", "completely different words only " +
+                 " ".join(f"z{i}" for i in range(30))]
+        df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                           "text": texts})
+        out = winnow_pairs(rd.from_pandas(df).repartition(2),
+                           min_shared=2).to_pandas()
+        pairs = set(zip(out["doc_a"], out["doc_b"]))
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs and (1, 2) not in pairs
+
+    def test_stop_fingerprint_cap(self, ray_session):
+        from axosyslog_ray.textstats.winnow import winnow_pairs
+        # 30 docs all sharing the same boilerplate run: with max_df=20
+        # the shared fingerprints drop and no pairs emerge
+        boiler = "one two three four five six seven eight nine"
+        df = pd.DataFrame({
+            "doc_id": np.arange(30, dtype=np.int64),
+            "text": [boiler + f" unique{i}" for i in range(30)],
+        })
+        out = winnow_pairs(rd.from_pandas(df), min_shared=1,
+                           max_df=20).to_pandas()
+        assert len(out) == 0
