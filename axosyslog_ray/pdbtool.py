@@ -162,10 +162,183 @@ def run_conformance(rules: list[PdbRule] | None = None, examples: list[PdbExampl
     return failures
 
 
+def dump_tree(rules: list[PdbRule]) -> list[str]:
+    """pdbtool dump: render the program-level radix of a ruleset
+    (pdbtool.c pdbtool_walk_tree format: `[level]\\t<indent>` then
+    `@TYPE:name@` for parser edges / `'key'` literals / rule ids).
+    Deterministic: literal children sort by first char, parser children
+    keep declaration order (the radix match order)."""
+    from .stages.radix import RadixTree
+
+    trees: dict = {}
+    for idx, r in enumerate(rules):
+        key = r.program if r.program_pattern is None else r.program_pattern
+        trees.setdefault(key, RadixTree()).insert(r.pattern, idx)
+    out: list[str] = []
+
+    def walk(node, level: int, spec=None) -> None:
+        line = f"[{level}]\t" + "  " * level
+        if spec is not None:
+            line += f"@{spec.ptype}:{spec.name}@ "
+        line += f"'{node.key or ''}' "
+        if node.rule is not None:
+            line += f"rule_id='{rules[node.rule].rule_id}'"
+        out.append(line.rstrip())
+        for _, child in sorted(node.children.items()):
+            walk(child, level + 1)
+        for sp, child in node.pchildren:
+            walk(child, level + 1, sp)
+
+    for prog in sorted(trees, key=lambda p: (p is None, str(p))):
+        out.append(f"program '{prog if prog is not None else ''}'")
+        walk(trees[prog].root, 0)
+    return out
+
+
+def dictionary_names(rules: list[PdbRule], program: str | None = None,
+                     dump_tags: bool = False) -> list[str]:
+    """pdbtool dictionary: the value names a ruleset can set — wildcard
+    capture names from every pattern plus each rule's static value
+    names; with dump_tags the tag names instead
+    (pdbtool.c pdbtool_dictionary_walk). Tree walk order approximated
+    by rule declaration order; duplicates kept like the reference."""
+    from .stages.radix import parse_segments
+
+    out: list[str] = []
+    for r in rules:
+        if program is not None and r.program != program:
+            continue
+        if dump_tags:
+            out.extend(r.tags)
+            continue
+        for kind, seg in parse_segments(r.pattern):
+            if kind == "p" and seg.name:
+                out.append(seg.name)
+        out.extend(r.values.keys())
+    return out
+
+
+def merge_rulesets(paths: list[str], out_path: str) -> int:
+    """pdbtool merge: combine .pdb/.json rulesets into ONE .pdb XML
+    (pdbtool.c pdbtool_merge over a directory). Rules group into one
+    <ruleset> per (source file, program); examples re-attach to their
+    rules. Returns the number of rules written; the merged file loads
+    back through load_ruleset with identical rule ids/patterns."""
+    import os
+    import xml.etree.ElementTree as ET
+
+    root = ET.Element("patterndb", version="4", pub_date="1970-01-01")
+    n = 0
+    for path in paths:
+        rules, examples = load_ruleset(path)
+        by_rule: dict[str, list] = {}
+        for ex in examples:
+            if ex.expected_rule:
+                by_rule.setdefault(ex.expected_rule, []).append(ex)
+        groups: dict = {}
+        for r in rules:
+            groups.setdefault(r.program, []).append(r)
+        base = os.path.splitext(os.path.basename(path))[0]
+        for gi, (prog, rs) in enumerate(sorted(
+                groups.items(), key=lambda kv: (kv[0] is None,
+                                                str(kv[0])))):
+            ruleset = ET.SubElement(root, "ruleset",
+                                    name=f"{base}-{gi}",
+                                    id=f"{base}-{gi}")
+            if prog is not None:
+                pats = ET.SubElement(ruleset, "patterns")
+                ET.SubElement(pats, "pattern").text = prog
+            rules_el = ET.SubElement(ruleset, "rules")
+            for r in rs:
+                rule_el = ET.SubElement(rules_el, "rule", id=r.rule_id)
+                rule_el.set("class", r.rule_class)
+                rule_el.set("provider", "pdbtool-merge")
+                rp = ET.SubElement(rule_el, "patterns")
+                ET.SubElement(rp, "pattern").text = r.pattern
+                if r.tags:
+                    te = ET.SubElement(rule_el, "tags")
+                    for t in r.tags:
+                        ET.SubElement(te, "tag").text = t
+                if r.values:
+                    ve = ET.SubElement(rule_el, "values")
+                    for k, v in r.values.items():
+                        ET.SubElement(ve, "value", name=k).text = v
+                exs = by_rule.get(r.rule_id, [])
+                if exs:
+                    ee = ET.SubElement(rule_el, "examples")
+                    for ex in exs:
+                        x = ET.SubElement(ee, "example")
+                        tm = ET.SubElement(x, "test_message")
+                        if ex.program is not None:
+                            tm.set("program", ex.program)
+                        tm.text = ex.message
+                        if ex.expected:
+                            tv = ET.SubElement(x, "test_values")
+                            for k, v in ex.expected.items():
+                                ET.SubElement(tv, "test_value",
+                                              name=k).text = v
+                n += 1
+    ET.indent(root)
+    ET.ElementTree(root).write(out_path, encoding="unicode",
+                               xml_declaration=True)
+    return n
+
+
 def main(argv: list[str]) -> int:
-    if not argv or argv[0] not in ("test", "match", "patternize"):
+    if not argv or argv[0] not in ("test", "match", "patternize", "dump",
+                                   "merge", "dictionary"):
         print(__doc__)
         return 2
+    if argv[0] == "dump":
+        path = argv[argv.index("--pdb") + 1] if "--pdb" in argv else argv[1]
+        rules, _ = load_ruleset(path)
+        for line in dump_tree(rules):
+            print(line)
+        return 0
+    if argv[0] == "dictionary":
+        args = argv[1:]
+        program, tags, path = None, False, None
+        while args:
+            if args[0] in ("-P", "--program") and len(args) > 1:
+                program, args = args[1], args[2:]
+            elif args[0] in ("-T", "--dump-tags"):
+                tags, args = True, args[1:]
+            elif args[0] in ("-p", "--pdb") and len(args) > 1:
+                path, args = args[1], args[2:]
+            else:
+                path, args = args[0], args[1:]
+        if path is None:
+            print("pdbtool dictionary: no ruleset file", file=sys.stderr)
+            return 2
+        rules, _ = load_ruleset(path)
+        for name in dictionary_names(rules, program, tags):
+            print(name)
+        return 0
+    if argv[0] == "merge":
+        import glob as _glob
+        import os
+
+        args = argv[1:]
+        out_path, directory, pat, paths = None, None, "*.pdb", []
+        while args:
+            if args[0] in ("-p", "--pdb") and len(args) > 1:
+                out_path, args = args[1], args[2:]
+            elif args[0] in ("-D", "--directory") and len(args) > 1:
+                directory, args = args[1], args[2:]
+            elif args[0] in ("-G", "--glob") and len(args) > 1:
+                pat, args = args[1], args[2:]
+            else:
+                paths.append(args[0])
+                args = args[1:]
+        if directory:
+            paths.extend(sorted(_glob.glob(os.path.join(directory, pat))))
+        if not out_path or not paths:
+            print("pdbtool merge: need --pdb OUT and input files",
+                  file=sys.stderr)
+            return 2
+        n = merge_rulesets(paths, out_path)
+        print(f"merged {n} rules from {len(paths)} files into {out_path}")
+        return 0
     if argv[0] == "patternize":
         # pdbtool patternize --support N FILE... : frequent-word
         # skeleton mining (pdbtool.c patternize mode; stages/patternize)

@@ -330,3 +330,70 @@ class TestReferencePatternEdgeCases:
         db = self._db(xml)
         r = self._one(db, "almafa kortefa", "sshd 5")
         assert r["values"] == {"num": "5", "str": "kortefa"}
+
+
+class TestDumpDictionaryMerge:
+    """pdbtool dump / dictionary / merge modes (pdbtool.c:1282-1287)."""
+
+    def _xml(self, tmp_path, name="a.pdb"):
+        p = tmp_path / name
+        p.write_text("""<?xml version='1.0'?>
+<patterndb version='4' pub_date='2024-01-01'>
+ <ruleset name='ssh' id='r1'>
+  <patterns><pattern>sshd</pattern></patterns>
+  <rules>
+   <rule id='sshd-acc' class='system'>
+    <patterns><pattern>Accepted @ESTRING:auth_method: @for @ESTRING:user: @</pattern></patterns>
+    <tags><tag>auth</tag></tags>
+    <values><value name='secure'>yes</value></values>
+    <examples><example>
+      <test_message program='sshd'>Accepted password for bob </test_message>
+      <test_values><test_value name='user'>bob</test_value></test_values>
+    </example></examples>
+   </rule>
+  </rules>
+ </ruleset>
+</patterndb>""")
+        return str(p)
+
+    def test_dump_shows_parsers_and_rule(self, tmp_path, capsys):
+        from axosyslog_ray.pdbtool import main
+        assert main(["dump", "--pdb", self._xml(tmp_path)]) == 0
+        out = capsys.readouterr().out
+        assert "program 'sshd'" in out
+        assert "@ESTRING:auth_method@" in out
+        assert "rule_id='sshd-acc'" in out
+
+    def test_dictionary_names_and_tags(self, tmp_path, capsys):
+        from axosyslog_ray.pdbtool import main
+        assert main(["dictionary", self._xml(tmp_path)]) == 0
+        out = capsys.readouterr().out.split()
+        assert out == ["auth_method", "user", "secure"]
+        assert main(["dictionary", "--dump-tags",
+                     self._xml(tmp_path)]) == 0
+        assert capsys.readouterr().out.split() == ["auth"]
+
+    def test_merge_roundtrip_and_test_mode(self, tmp_path, capsys):
+        from axosyslog_ray.pdbtool import load_ruleset, main
+        a = self._xml(tmp_path, "a.pdb")
+        b = tmp_path / "b.pdb"
+        b.write_text("""<patterndb version='4'>
+ <ruleset name='su' id='r2'>
+  <patterns><pattern>su</pattern></patterns>
+  <rules><rule id='su-f' class='violation'>
+    <patterns><pattern>failed for @ESTRING:user:@</pattern></patterns>
+  </rule></rules>
+ </ruleset>
+</patterndb>""")
+        out = tmp_path / "merged.pdb"
+        rc = main(["merge", "--pdb", str(out), a, str(b)])
+        assert rc == 0
+        rules, examples = load_ruleset(str(out))
+        assert {r.rule_id for r in rules} == {"sshd-acc", "su-f"}
+        assert {r.pattern for r in rules} == {
+            "Accepted @ESTRING:auth_method: @for @ESTRING:user: @",
+            "failed for @ESTRING:user:@"}
+        assert len(examples) == 1 and examples[0].expected == {"user": "bob"}
+        # the merged file passes its own embedded conformance corpus
+        capsys.readouterr()
+        assert main(["test", str(out)]) == 0
