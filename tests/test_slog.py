@@ -200,3 +200,57 @@ def test_encrypt_shards_ray(ray_session, tmp_path):
         want = [f"message {i}" for i in range(20)
                 if (["a", "b"] * 10)[i] == shard]
         assert [r.split(": ", 1)[1] for r in rec] == want
+
+
+class TestSlogtoolCli:
+    """slogkey/slogencrypt/slogverify CLI analogue
+    (modules/secure-logging tools; axosyslog_ray/slogtool.py)."""
+
+    def test_full_key_encrypt_verify_cycle(self, tmp_path, capsys):
+        import shutil
+
+        from axosyslog_ray.slogtool import main
+        mk = str(tmp_path / "master.key")
+        hk = str(tmp_path / "host.key")
+        hk0 = str(tmp_path / "host0.key")
+        mac = str(tmp_path / "host.mac")
+        assert main(["key-gen", mk]) == 0
+        assert main(["derive-key", mk, "aa:bb:cc:dd:ee:ff", "serial1",
+                     hk]) == 0
+        shutil.copy(hk, hk0)  # keep k0 for verification (reference flow)
+        inp = tmp_path / "plain.log"
+        inp.write_text("first entry\nsecond entry\nthird entry\n")
+        enc = str(tmp_path / "enc.slog")
+        assert main(["encrypt", hk, mac, str(inp), enc]) == 0
+        capsys.readouterr()
+        assert main(["counter-show", hk]) == 0
+        assert capsys.readouterr().out.strip() == "3"
+        out = str(tmp_path / "recovered.log")
+        assert main(["verify", hk0, mac, enc, out]) == 0
+        rec = open(out).read().splitlines()
+        assert len(rec) == 3
+        assert rec[0].endswith("first entry")
+        assert rec[2].endswith("third entry")
+
+    def test_verify_detects_tamper(self, tmp_path, capsys):
+        import shutil
+
+        from axosyslog_ray.slogtool import main
+        mk = str(tmp_path / "m.key")
+        hk = str(tmp_path / "h.key")
+        hk0 = str(tmp_path / "h0.key")
+        mac = str(tmp_path / "h.mac")
+        main(["key-gen", mk])
+        main(["derive-key", mk, "00:11:22:33:44:55", "s", hk])
+        shutil.copy(hk, hk0)
+        inp = tmp_path / "p.log"
+        inp.write_text("alpha\nbeta\n")
+        enc = tmp_path / "e.slog"
+        main(["encrypt", hk, mac, str(inp), str(enc)])
+        lines = enc.read_text().splitlines()
+        # flip a ciphertext character in the second entry
+        tampered = lines[1][:-2] + ("A" if lines[1][-2] != "A" else "B") \
+            + lines[1][-1]
+        enc.write_text(lines[0] + "\n" + tampered + "\n")
+        out = str(tmp_path / "r.log")
+        assert main(["verify", hk0, mac, str(enc), out]) == 1
