@@ -52,3 +52,37 @@ def test_worker_kill_mid_flagship_replays_to_identical_counts(tmp_path):
         pages_dataset(N_ROWS, blocks=BLOCKS), batch_size=2048))
     pd.testing.assert_series_equal(got, clean)
     assert int(got.sum()) == N_ROWS
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_worker_kill_during_shuffle_replays_to_identical_counts(tmp_path):
+    """Same chaos, harder phase: the kill fires inside the map feeding a
+    groupby (all-to-all) exchange — lineage must replay map outputs the
+    shuffle already consumed."""
+    from axosyslog_ray.aggregate import pre_aggregated_count
+
+    marker = str(tmp_path / "chaos_shuffle.marker")
+
+    def chaos(batch):
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            os.kill(os.getpid(), signal.SIGKILL)
+        except FileExistsError:
+            pass
+        return batch
+
+    def counts(with_chaos: bool) -> pd.Series:
+        routed = flagship_routed(pages_dataset(N_ROWS, blocks=BLOCKS),
+                                 batch_size=2048)
+        if with_chaos:
+            routed = routed.map_batches(chaos, batch_format="pyarrow")
+        out = pre_aggregated_count(routed, ["route"], alias="n") \
+            .to_pandas()
+        return out.set_index("route")["n"].sort_index()
+
+    got = counts(True)
+    assert os.path.exists(marker), "chaos stage never ran"
+    clean = counts(False)
+    pd.testing.assert_series_equal(got, clean)
+    assert int(got.sum()) == N_ROWS
