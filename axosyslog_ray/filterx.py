@@ -1653,7 +1653,11 @@ def _json_fn(ctx, a=None):
     return _parse_json(a)
 
 
-_CTX_FUNCS = {"uuid", "uuid4", "uuid7", "vars", "load_vars", "set_pri", "json"}
+_CTX_FUNCS = {"uuid", "uuid4", "uuid7", "vars", "load_vars", "set_pri",
+              "json",
+              # otel constructors need ctx.n for the zero-arg form
+              "otel_logrecord", "otel_resource", "otel_scope",
+              "otel_kvlist", "otel_array"}
 _FUNCS["uuid"] = _uuid4
 _FUNCS["uuid4"] = _uuid4
 _FUNCS["uuid7"] = _uuid7
@@ -2266,10 +2270,15 @@ def _align_types(a, b):
 def _cow_clone(c):
     """Type-preserving shallow clone of a container (the object model's
     copy-on-write: a write along a shared chain clones only the touched
-    levels — lib/filterx object COW, Light test_filterx_cow.py)."""
+    levels — lib/filterx object COW, Light test_filterx_cow.py).
+    dict/list SUBCLASSES (the otel objects) keep their class so typed
+    field validation/coercion survives member writes; the raw-copy dict
+    constructor bypasses __setitem__, leaf writes go through it."""
     if isinstance(c, dict):
-        return dict(c)
-    if isinstance(c, (list, tuple, np.ndarray)):
+        return dict(c) if type(c) is dict else type(c)(c)
+    if isinstance(c, list):
+        return list(c) if type(c) is list else type(c)(c)
+    if isinstance(c, (tuple, np.ndarray)):
         return list(c)
     return None
 

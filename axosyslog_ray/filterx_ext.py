@@ -933,3 +933,9 @@ def protobuf_message(a: pd.Series, schema_file=None) -> pd.Series:
 
 
 EXT_FUNCS["protobuf_message"] = protobuf_message
+
+# FilterX OTel object constructors (modules/grpc/otel/filterx) over the
+# from-spec OTLP schema + proto3 codec — functions/otel.py
+from .functions.otel import OTEL_FUNCS  # noqa: E402
+
+EXT_FUNCS.update(OTEL_FUNCS)

@@ -43,12 +43,16 @@ class ProtoSchemaError(ValueError):
 
 
 class Field:
-    __slots__ = ("name", "num", "type", "repeated", "map_kv")
+    __slots__ = ("name", "num", "type", "repeated", "map_kv", "explicit")
 
-    def __init__(self, name, num, type_, repeated=False, map_kv=None):
+    def __init__(self, name, num, type_, repeated=False, map_kv=None,
+                 explicit=False):
         self.name, self.num, self.type = name, num, type_
         self.repeated = repeated
         self.map_kv = map_kv  # (ktype, vtype) for map fields
+        # proto3 explicit presence (`optional` / oneof members): encode
+        # the field even when it holds the default value
+        self.explicit = explicit
 
 
 def parse_proto(text: str) -> dict[str, dict[str, Field]]:
@@ -88,8 +92,13 @@ def parse_proto(text: str) -> dict[str, dict[str, Field]]:
             if t in ("enum", "oneof", "extend", "extensions", "reserved"):
                 raise ProtoSchemaError(f"proto feature {t!r} not supported")
             repeated = False
+            explicit = False
             if t == "repeated":
                 repeated = True
+                i += 1
+                t = toks[i]
+            elif t == "optional":
+                explicit = True
                 i += 1
                 t = toks[i]
             if t == "map":
@@ -111,7 +120,8 @@ def parse_proto(text: str) -> dict[str, dict[str, Field]]:
             expect("=")
             num = int(toks[i]); i += 1
             expect(";")
-            fields[fname] = Field(fname, num, ftype, repeated=repeated)
+            fields[fname] = Field(fname, num, ftype, repeated=repeated,
+                                  explicit=explicit)
         i += 1  # consume '}'
 
     while i < len(toks):
@@ -225,7 +235,7 @@ def encode_message(msgs: dict, msg_fields: dict[str, Field],
                     for x in vals:
                         out += _tag(f.num, wire) + _enc_scalar(kind, x)
             else:
-                if _is_default(kind, v):
+                if _is_default(kind, v) and not f.explicit:
                     continue  # proto3 implicit presence
                 out += _tag(f.num, wire) + _enc_scalar(kind, v)
             continue
