@@ -51,6 +51,16 @@ RE_3164 = re.compile(
     re.S,
 )
 RE_TAG = re.compile(r"^(?P<prog>[^:\[\s]+)(?:\[(?P<pid>[^\]]*)\])?: ?(?P<msg>.*)$", re.S)
+# RFC3164 with an RFC5424-style ISO timestamp in the date position —
+# accepted by the reference's legacy parser (scan-timestamp.c:213
+# __parse_iso_stamp, reached from the 3164 date scan; 'T' separator,
+# optional fraction and zone). loggen's default 3164 shape uses this.
+RE_3164_ISO = re.compile(
+    r"^(?:<(?P<pri>\d{1,3})> ?)?"
+    r"(?P<ts>\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"
+    r"(?:Z|[+-]\d{2}:?\d{2})?) +(?P<host>[^ ]+)(?: +(?P<rest>.*))?$",
+    re.S,
+)
 # Reference-exact legacy program-name scan (syslog-format.c:348-407
 # _syslog_format_parse_legacy_program_name): program = chars up to the
 # FIRST ' ', '[' or ':' (may be empty; no colon required — "<189>65536"
@@ -279,6 +289,54 @@ def parse_syslog_table(
                 if badp.any():
                     # reference: invalid program -> PROGRAM/PID unset, the
                     # full tail stays the message, tagged
+                    tag_ok = tag_ok & okp
+                    for i in rows[badp]:
+                        tags_col[i] = ["syslog.rfc3164_invalid_program"]
+            program[rows[tag_ok]] = _obj(tag["prog"])[tag_ok]
+            pid[rows[tag_ok]] = _obj(tag["pid"])[tag_ok]
+            message[rows] = np.where(tag_ok, _obj(tag["msg"]), _obj(rest))
+            leg = _obj(tag["legacy"].where(tag["legacy"] != ""))
+            legacy[rows[tag_ok]] = leg[tag_ok]
+            parsed[rows] = True
+            fmt[rows] = "rfc3164"
+
+    # ---------- RFC3164 with ISO timestamp ----------
+    # the legacy date scan also accepts an RFC5424-style ISO stamp
+    # (scan-timestamp.c:213 __parse_iso_stamp); host/tag parse continues
+    # exactly like the BSD-stamp branch
+    cand_iso = ~is5424 & ~parsed
+    if cand_iso.any():
+        sub_i = pc.cast(arrow_text, pa.string()).filter(pa.array(cand_iso))
+        exi = pd.DataFrame(
+            {name: pc.struct_field(
+                pc.extract_regex(sub_i, pattern="(?s)" + RE_3164_ISO.pattern),
+                name).to_pandas().astype("string")
+             for name in RE_3164_ISO.groupindex})
+        exi.loc[exi["pri"] == "", "pri"] = pd.NA
+        ok = exi["ts"].notna().to_numpy()
+        rows = np.flatnonzero(cand_iso)[ok]
+        if len(rows):
+            exo = exi[ok]
+            pv = exo["pri"]
+            has_pri = pv.notna().to_numpy()
+            pri[rows[has_pri]] = pv[pv.notna()].astype(int).to_numpy()
+            with np.errstate(all="ignore"):
+                tparsed = pd.to_datetime(exo["ts"], errors="coerce",
+                                         utc=True, format="ISO8601")
+            ts[rows] = tparsed.dt.tz_localize(None).to_numpy(
+                dtype="datetime64[us]", na_value=np.datetime64("NaT"))
+            host[rows] = _obj(exo["host"])
+            rest = exo["rest"].fillna("").astype("string")
+            tag = _extract_legacy_tag(rest)
+            tag_ok = np.ones(len(rows), dtype=bool)
+            if check_program:
+                progs = tag["prog"]
+                okp = (progs.str.fullmatch(r"[A-Za-z0-9._\-()/]+")
+                       .fillna(False)
+                       & progs.str.contains("[A-Za-z]", regex=True)
+                       .fillna(False)).to_numpy(dtype=bool)
+                badp = tag_ok & ~okp
+                if badp.any():
                     tag_ok = tag_ok & okp
                     for i in rows[badp]:
                         tags_col[i] = ["syslog.rfc3164_invalid_program"]

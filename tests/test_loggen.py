@@ -31,6 +31,13 @@ class TestLines:
 
     def test_output_parses_through_engine_syslog(self, tmp_path):
         from axosyslog_ray.stages.syslog import parse_syslog_table
+        # RFC3164 shape (ISO stamp in the legacy date position)
+        p3 = tmp_path / "gen3164.log"
+        assert main(["--number", "5", "--size", "200", str(p3)]) == 0
+        t3 = pa.table({"__raw": pa.array(p3.read_text().splitlines())})
+        out3 = parse_syslog_table(t3, col="__raw")
+        assert set(out3.column("program").to_pylist()) == {"prg00000"}
+        assert set(out3.column("host").to_pylist()) == {"localhost"}
         p = tmp_path / "gen.log"
         assert main(["--number", "25", "--size", "300", "--syslog-proto",
                      str(p)]) == 0

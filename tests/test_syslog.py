@@ -303,3 +303,41 @@ class TestLegacyMsgHdr:
             for k in ("program", "pid", "message", "legacy_msghdr", "tags"):
                 got = list(v[k]) if isinstance(v[k], (list, np.ndarray)) else v[k]
                 assert got == sc[k], (line, k, got, sc[k])
+
+
+class TestRfc3164IsoTimestamp:
+    """Legacy 3164 header with an RFC5424-style ISO stamp in the date
+    position (scan-timestamp.c:213 __parse_iso_stamp) — loggen's default
+    RFC3164 shape."""
+
+    def _parse(self, msgs):
+        import pyarrow as pa
+
+        from axosyslog_ray.stages.syslog import parse_syslog_table
+        return parse_syslog_table(
+            pa.table({"__raw": pa.array(msgs)}), col="__raw").to_pylist()
+
+    def test_iso_stamp_with_pri(self):
+        r = self._parse(["<38>2024-01-05T10:41:30 localhost "
+                         "prg00000[1234]: seq: 0"])[0]
+        assert r["pri"] == 38 and r["host"] == "localhost"
+        assert r["program"] == "prg00000" and r["pid"] == "1234"
+        assert r["message"] == "seq: 0"
+        assert r["msgformat"] == "rfc3164"
+        assert str(r["ts_stamp"]).startswith("2024-01-05 10:41:30")
+
+    def test_iso_stamp_with_zone_and_fraction(self):
+        r = self._parse(["<38>2024-01-05T10:41:30.500+02:00 myhost "
+                         "app[1]: hello"])[0]
+        # zone-aware stamps normalize to UTC like the 5424 branch
+        assert str(r["ts_stamp"]).startswith("2024-01-05 08:41:30.500")
+        assert r["host"] == "myhost" and r["message"] == "hello"
+
+    def test_iso_stamp_no_pri(self):
+        r = self._parse(["2024-01-05T10:41:30Z h2 svc: x"])[0]
+        assert r["pri"] == 13  # default user.notice
+        assert r["host"] == "h2" and r["program"] == "svc"
+
+    def test_bsd_stamp_still_wins(self):
+        r = self._parse(["<38>Jan  5 10:41:30 myhost app[1]: hello"])[0]
+        assert r["host"] == "myhost" and r["program"] == "app"
