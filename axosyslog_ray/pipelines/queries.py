@@ -4045,6 +4045,138 @@ SELECT event_id, ip, country FROM j WHERE rn = 1 ORDER BY event_id
 """ % _geo_values_sql()
 
 
+def orders_q5_local_supplier(sf_dir: str):
+    """TPC-H Q5 shape (local supplier volume): ASIA-region revenue per
+    nation where the customer's and supplier's nations agree.
+
+    Scale plan (the canonical distributed Q5):
+    - region + nation are TINY -> one broadcast dict (nationkey ->
+      n_name for the ASIA nations); customers filter against it
+      map-side and ship only (custkey, nationkey).
+    - TWO big-big exchanges only: orders (date-filtered)
+      x customer on custkey, then lineitem x that on orderkey.
+    - supplier is the classic broadcast dimension (suppkey ->
+      nationkey array via ray.put; DISCLOSED: assumes the supplier
+      dimension fits worker memory — at a scale where it does not,
+      swap the final local-supplier filter for a third hash_join on
+      suppkey, same semantics).
+    - the c_nationkey == s_nationkey filter and the per-nation sum are
+      map-side; the final aggregate is bounded (25 nations) -> driver.
+    Revenue in integer cents like Q6/Q3."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..join import hash_join
+
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    asia_keys = set(region.loc[region.r_name == "ASIA", "r_regionkey"])
+    nmap = {int(r.n_nationkey): r.n_name
+            for r in nation.itertuples() if r.n_regionkey in asia_keys}
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey"]).to_pandas()
+    smax = int(sup.s_suppkey.max()) + 1
+    s_nat = np.full(smax, -1, dtype=np.int64)
+    s_nat[sup.s_suppkey.to_numpy()] = sup.s_nationkey.to_numpy()
+    nmap_ref = ray.put(nmap)
+    snat_ref = ray.put(s_nat)
+
+    def cust_filter(b: pa.Table) -> pa.Table:
+        nm = ray.get(nmap_ref)
+        nat = b.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = np.isin(nat, np.fromiter(nm, dtype=np.int64))
+        t = b.filter(pa.array(keep))
+        return pa.table({
+            "o_custkey": t.column("c_custkey"),
+            "c_nationkey": pa.array(
+                t.column("c_nationkey").to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+        })
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_filter, batch_format="pyarrow")
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), type=pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), type=pa.timestamp("us"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderdate"]) \
+        .map_batches(lambda b: b.filter(pa.compute.and_(
+            pa.compute.greater_equal(
+                pa.compute.cast(b.column("o_orderdate"),
+                                pa.timestamp("us")), lo),
+            pa.compute.less(
+                pa.compute.cast(b.column("o_orderdate"),
+                                pa.timestamp("us")), hi)))
+            .select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow")
+    co = hash_join(
+        orders, cust, key="o_custkey", how="inner",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]))
+    co = co.map_batches(lambda b: b.select(["o_orderkey", "c_nationkey"])
+                        .rename_columns(["l_orderkey", "c_nationkey"]),
+                        batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"])
+    j = hash_join(
+        li, co, key="l_orderkey", how="inner",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]))
+
+    def local_rev(b: pa.Table) -> pa.Table:
+        sn = ray.get(snat_ref)
+        nm = ray.get(nmap_ref)
+        supk = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cnat = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        snat = np.where(supk < len(sn), sn[np.minimum(supk, len(sn) - 1)],
+                        -1)
+        m = snat == cnat
+        price = b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m]
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)[m]
+        v = price * (1.0 - disc) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        df = pd.DataFrame({"nat": cnat[m], "cents": cents}) \
+            .groupby("nat", as_index=False)["cents"].sum()
+        return pa.table({
+            "n_name": pa.array([nm[int(x)] for x in df["nat"]],
+                               type=pa.string()),
+            "_c": pa.array(df["cents"].to_numpy(np.int64)),
+        })
+
+    out = j.map_batches(local_rev, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("_c", alias_name="revenue_cents")) \
+        .to_pandas()
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values(["revenue_cents", "n_name"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+ORDERS_Q5_SQL = """
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY n.n_name ORDER BY revenue_cents DESC, n_name
+"""
+
+
 def lineitem_q6_revenue(sf_dir: str):
     """TPC-H Q6 shape (forecast revenue change): filtered map-only scan
     + ONE tree-reduce sum, zero shuffle — the canonical predicate-
@@ -4345,6 +4477,7 @@ RAY_QUERIES = {
     "events_patternize": events_patternize,
     "lineitem_q6_revenue": lineitem_q6_revenue,
     "orders_q3_shipping": orders_q3_shipping,
+    "orders_q5_local_supplier": orders_q5_local_supplier,
     "events_geoip": events_geoip,
     "events_running_total": events_running_total,
     "docs_dedup_keep_best": docs_dedup_keep_best,
@@ -4465,6 +4598,7 @@ ORACLE_SQLS = {
     "events_patternize": EVENTS_PATTERNIZE_SQL,
     "lineitem_q6_revenue": LINEITEM_Q6_SQL,
     "orders_q3_shipping": ORDERS_Q3_SQL,
+    "orders_q5_local_supplier": ORDERS_Q5_SQL,
     "events_geoip": EVENTS_GEOIP_SQL,
     "events_running_total": EVENTS_RUNNING_TOTAL_SQL,
     "docs_dedup_keep_best": DOCS_DEDUP_KEEP_BEST_SQL,
