@@ -686,10 +686,14 @@ def _generate_load_balancer(d: "Driver") -> str:
         targets.extend(t.split())
     if not targets:
         raise ConfigError("network-load-balancer() needs targets()")
-    # full token list, not kw1() (multi-token options like
-    # failover(servers("a" "b") failback(...)) must carry through whole);
-    # the reference script greps case-insensitively for servers(
-    failover = " ".join(str(x) for x in d.kwargs.get("failover", []))
+    # RAW text when available (nested paren options like
+    # failover(servers("a" "b") failback(...)) parse into inner DRIVER
+    # objects whose kwargs-join collapses to 'True'); token-join only
+    # for flat option lists. The reference script greps the literal
+    # text case-insensitively.
+    raw_fo = d.raw_kwargs.get("failover")
+    failover = raw_fo.strip() if raw_fo is not None else \
+        " ".join(str(x) for x in d.kwargs.get("failover", []))
     n = len(targets)
     branches = []
     for i, tgt in enumerate(targets):
@@ -910,6 +914,7 @@ class Config:
                 out[k] = out.get(k, 0) + v
         return out
 
+    @_with_user_funcs
     def run(self, sources: dict | None = None) -> "RunResult":
         injected = sources or {}
         self.path_stats: dict[str, list[int]] = {}

@@ -31,21 +31,24 @@ PADDING = "PADD"
 def build_line(seq: int, run_id: int, now_str: str, size: int,
                syslog_proto: bool, sdata: str, framing: bool,
                thread_id: int = 0) -> str:
-    """One loggen line, PADD-filled to `size` bytes incl. newline
-    (logline_generator.c prepare_log_line_template)."""
+    """One loggen line, PADD-filled to `size` BYTES incl. newline
+    (logline_generator.c prepare_log_line_template). The RFC5424 BOM is
+    the real U+FEFF (3 UTF-8 bytes EF BB BF), so size accounting and
+    the --framing octet count are byte-exact."""
     if syslog_proto:
         body = (f"<38>1 {now_str}+02:00 localhost prg{0:05d} 1234 - "
-                f"{sdata} \xef\xbb\xbfseq: {seq:010d}, "
+                f"{sdata} \ufeffseq: {seq:010d}, "
                 f"thread: {thread_id:04d}, runid: {run_id:<10d}, "
                 f"stamp: {now_str:<19s} ")
     else:
         body = (f"<38>{now_str} localhost prg{0:05d}[1234]: "
                 f"seq: {seq:010d}, thread: {thread_id:04d}, "
                 f"runid: {run_id:<10d}, stamp: {now_str:<19s} ")
-    if len(body) > size - 1:
+    blen = len(body.encode("utf-8"))
+    if blen > size - 1:
         raise ValueError(
-            f"message length too small, the minimum is {len(body) + 1} bytes")
-    pad_n = size - 1 - len(body)
+            f"message length too small, the minimum is {blen + 1} bytes")
+    pad_n = size - 1 - blen
     pad = (PADDING * (pad_n // len(PADDING) + 1))[:pad_n]
     line = body + pad + "\n"
     if framing:

@@ -290,7 +290,11 @@ def main(argv: list[str]) -> int:
         print(__doc__)
         return 2
     if argv[0] == "dump":
-        path = argv[argv.index("--pdb") + 1] if "--pdb" in argv else argv[1]
+        rest = [a for a in argv[1:] if a != "--pdb"]
+        if not rest:
+            print("pdbtool dump: no ruleset file", file=sys.stderr)
+            return 2
+        path = rest[0]
         rules, _ = load_ruleset(path)
         for line in dump_tree(rules):
             print(line)

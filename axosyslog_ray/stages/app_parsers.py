@@ -401,7 +401,7 @@ class SnmptrapdParser:
             if ch in named:
                 out.append(named[ch])
             elif ord(ch) < 32:
-                out.append("\\x%x" % ord(ch))
+                out.append("\\x%02x" % ord(ch))
             elif ch == "'":
                 out.append("\\'")
             else:

@@ -124,20 +124,16 @@ class BPETokenizer:
         One pandas split to a flat word table, np.unique so each
         distinct word encodes once (cached across batches), bincount
         scatter back."""
-        s = pd.Series(texts, dtype=object).fillna("")
-        parts = s.str.split()
-        lens = parts.str.len().fillna(0).astype(np.int64).to_numpy()
-        flat = (np.concatenate(
-            [np.asarray(p, dtype=object) for p in parts])
-            if len(parts) else np.empty(0, dtype=object))
-        doc = np.repeat(np.arange(len(s), dtype=np.int64), lens)
+        from .tokens import flat_tokens
+
+        flat, _lens, doc = flat_tokens(texts)
         if not len(flat):
-            return np.zeros(len(s), dtype=np.int64)
+            return np.zeros(len(texts), dtype=np.int64)
         uniq, inv = np.unique(flat, return_inverse=True)
         per_word = np.fromiter((self.count_word(w) for w in uniq),
                                dtype=np.int64, count=len(uniq))
         return np.bincount(doc, weights=per_word[inv],
-                           minlength=len(s)).astype(np.int64)
+                           minlength=len(texts)).astype(np.int64)
 
 
 def bpe_token_counts(ds, merges: list[tuple[str, str]],

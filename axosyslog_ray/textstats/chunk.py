@@ -28,12 +28,10 @@ def chunk_batch(batch: pa.Table, window: int, overlap: int = 0,
     if overlap >= window:
         raise ValueError("overlap must be < window")
     stride = window - overlap
-    texts = batch.column(text_col).to_pandas().fillna("")
+    texts = batch.column(text_col).to_pandas()
     ids = batch.column(id_col)
-    parts = texts.str.split()
-    lens = parts.str.len().fillna(0).astype(np.int64).to_numpy()
-    flat = (np.concatenate([np.asarray(p, dtype=object) for p in parts])
-            if len(parts) else np.empty(0, dtype=object))
+    from .tokens import flat_tokens
+    flat, lens, _doc = flat_tokens(texts)
     doc_start = np.zeros(len(texts) + 1, dtype=np.int64)
     np.cumsum(lens, out=doc_start[1:])
 

@@ -30,13 +30,10 @@ import pyarrow as pa
 
 def winnow_batch(batch: pa.Table, k: int = 3, w: int = 4,
                  text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    texts = batch.column(text_col).to_pandas().fillna("")
+    texts = batch.column(text_col).to_pandas()
     ids_np = batch.column(id_col).to_numpy(zero_copy_only=False)
-    parts = texts.str.split()
-    lens = parts.str.len().fillna(0).astype(np.int64).to_numpy()
-    flat = (np.concatenate([np.asarray(p, dtype=object) for p in parts])
-            if len(parts) else np.empty(0, dtype=object))
-    doc = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    from .tokens import flat_tokens
+    flat, lens, doc = flat_tokens(texts)
     nt = len(flat)
     empty = pa.table({
         id_col: pa.array([], type=batch.column(id_col).type),

@@ -106,10 +106,16 @@ def global_topk(ds, order_cols: list[str] | str, k: int,
     def local_prune(b: pa.Table) -> pa.Table:
         if b.num_rows <= k:
             return b
-        g = b.to_pandas()
-        s = g.sort_values(order_cols, ascending=asc, kind="mergesort") \
-            .head(k)
-        return pa.Table.from_pandas(s, preserve_index=False)
+        # Arrow-native prune: sort_indices + take keeps the ORIGINAL
+        # block schema (a pandas round-trip would float64-ize nullable
+        # ints / drift timestamp units on large blocks only, leaving
+        # the dataset with divergent per-block schemas)
+        import pyarrow.compute as pc
+
+        keys = [(c, "descending" if d else "ascending")
+                for c, d in zip(order_cols, descending)]
+        idx = pc.sort_indices(b, sort_keys=keys)
+        return b.take(idx.slice(0, k))
 
     merged = ds.map_batches(local_prune, batch_format="pyarrow").to_pandas()
     return merged.sort_values(order_cols, ascending=asc, kind="mergesort") \

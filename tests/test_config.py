@@ -3264,3 +3264,30 @@ log {{ source(s); parser(p); destination(d); }};
 """)
         out2 = [x.rstrip("\n") for x in cfg2.run().rendered("d")]
         assert out2 == ["appuser|mydb|LOG"]
+
+
+class TestRound5ReviewFixes:
+    def test_user_template_function_in_rewrite_at_run(self):
+        # regression: the user-function overlay must be active during
+        # run() (rewrite/filter templates compile lazily there)
+        cfg = compile_config("""
+template-function "shout" "$(uppercase $MESSAGE)!";
+source s { example-msg-generator(num(1) template("hi")); };
+rewrite r { set("$(shout)", value("MESSAGE")); };
+destination d { file("o.log" template("$MESSAGE\n")); };
+log { source(s); rewrite(r); destination(d); };
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == ["HI!"]
+
+    def test_load_balancer_nested_failover_raw_splice(self):
+        # failover(servers(...) mode(...)) must splice VERBATIM — the
+        # kwargs view of nested parens collapses to True
+        from axosyslog_ray.config import _Stream, _parse_driver, tokenize
+        from axosyslog_ray.config import _generate_load_balancer
+        text = ('network-load-balancer(targets("n1 n2") '
+                'failover(servers("nA" "nB") mode(round-robin)))')
+        s = _Stream(tokenize(text), text)
+        d = _parse_driver(s)
+        gen = _generate_load_balancer(d)
+        assert 'failover(servers("nA" "nB") mode(round-robin))' in gen
+        assert "True" not in gen

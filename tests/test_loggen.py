@@ -17,8 +17,15 @@ class TestLines:
         ln = build_line(0, 1, "2007-12-24T12:28:51", 300, True,
                         '[test name="x"]', False)
         assert ln.startswith('<38>1 2007-12-24T12:28:51+02:00 localhost '
-                             'prg00000 1234 - [test name="x"] \xef\xbb\xbfseq:')
-        assert len(ln) == 300
+                             'prg00000 1234 - [test name="x"] \ufeffseq:')
+        # size accounting is in BYTES: the BOM is EF BB BF on the wire
+        assert len(ln.encode("utf-8")) == 300
+        assert b"\xef\xbb\xbf" in ln.encode("utf-8")
+
+    def test_framing_octet_count_is_byte_exact(self):
+        ln = build_line(0, 1, "2007-12-24T12:28:51", 256, True, "-", True)
+        pfx, rest = ln.split(" ", 1)
+        assert int(pfx) == len(rest.encode("utf-8"))
 
     def test_framing_prefix(self):
         ln = build_line(0, 1, "2007-12-24T12:28:51", 200, False, "-", True)
