@@ -738,6 +738,18 @@ def _fx_render(v, mode: str) -> str:
         if mode == "str":
             return v
         return _json.dumps(v, ensure_ascii=False)
+    if isinstance(v, dict) or isinstance(v, (list, tuple)):
+        # otel objects (object-otel-*.cpp): repr/string render as
+        # 'otel_x(<protobuf-JSON>)'; format_json yields the plain value
+        # (Light test_filterx_types otel pins)
+        from .functions.otel import OtelArray, OtelKVList, _OtelMessage
+        from .functions.otel import proto_json as _otel_pj
+
+        if isinstance(v, (_OtelMessage, OtelKVList, OtelArray)):
+            if mode == "json":
+                plain = dict(v) if isinstance(v, dict) else list(v)
+                return _fx_render(plain, "json")
+            return f"{v.FX_NAME}({_otel_pj(v)})"
     if isinstance(v, dict):
         # dict repr/string render members via repr, format_json via
         # the members' JSON marshal (Light test_type_dict: the same

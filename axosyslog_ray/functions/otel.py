@@ -243,6 +243,75 @@ class OtelArray(list):
 _CTORS = {"otel_logrecord": OtelLogRecord, "otel_resource": OtelResource,
           "otel_scope": OtelScope, "otel_kvlist": OtelKVList,
           "otel_array": OtelArray}
+for _name, _cls in _CTORS.items():
+    _cls.FX_NAME = _name
+
+
+# ---------------------------------------------------- protobuf-JSON repr
+
+def _camel(s: str) -> str:
+    import re as _re
+
+    return _re.sub(r"_(\w)", lambda m: m.group(1).upper(), s)
+
+
+def _any_json(av: dict):
+    """AnyValue proto dict -> protobuf-JSON mapping (camelCase keys,
+    int64 as decimal strings — the repr shape the reference's otel
+    objects marshal through MessageToJson; Light test_filterx_types
+    otel pins)."""
+    import base64 as _b64
+
+    if not av:
+        return {}
+    k, v = next(iter(av.items()))
+    ck = _camel(k)
+    if k == "int_value":
+        return {ck: str(int(v))}
+    if k == "bool_value":
+        return {ck: bool(v)}
+    if k == "double_value":
+        return {ck: float(v)}
+    if k == "string_value":
+        return {ck: v}
+    if k == "bytes_value":
+        return {ck: _b64.b64encode(bytes(v)).decode()}
+    if k == "array_value":
+        return {ck: {"values": [_any_json(x) for x in v["values"]]}}
+    return {ck: {"values": [{"key": kv["key"],
+                             "value": _any_json(kv["value"])}
+                            for kv in v["values"]]}}
+
+
+def proto_json(obj) -> str:
+    """One otel object -> its protobuf-JSON body (compact separators,
+    insertion order) for the `otel_x({...})` repr form."""
+    import base64 as _b64
+    import json as _json
+
+    if isinstance(obj, OtelArray):
+        d = {"values": [_any_json(any_to_proto(x)) for x in obj]}
+    elif isinstance(obj, OtelKVList):
+        d = {"values": [{"key": str(k), "value": _any_json(any_to_proto(v))}
+                        for k, v in obj.items()]}
+    else:
+        d = {}
+        for k, v in obj.items():
+            ck = _camel(k)
+            if k == "attributes":
+                d[ck] = [{"key": str(ak),
+                          "value": _any_json(any_to_proto(av))}
+                         for ak, av in v.items()]
+            elif k == "body":
+                d[ck] = _any_json(any_to_proto(v))
+            elif k in getattr(obj, "TIME_FIELDS", ()):
+                d[ck] = str(int(v))     # fixed64 -> decimal string
+            elif k in getattr(obj, "BYTES_FIELDS", ()):
+                d[ck] = _b64.b64encode(bytes(v)).decode()
+            else:
+                d[ck] = v
+        return _json.dumps(d, separators=(",", ":"), ensure_ascii=False)
+    return _json.dumps(d, separators=(",", ":"), ensure_ascii=False)
 
 
 def _make_ctor(cls):

@@ -232,3 +232,79 @@ class TestCacheJsonFileLight:
                      '$message = cached.foo.foo["foo/foo/foo"];')
         assert fx(_t(message=["x"])).column("message").to_pylist() == \
             ["foo/foo/foo_value"]
+
+
+class TestTypesLight:
+    """tests/light/functional_tests/filterx/test_filterx_types.py —
+    repr()/string()/format_json() per type, byte-exact."""
+
+    def _run3(self, expr):
+        fx = FilterX(f"variable={expr};"
+                     "$r = repr(variable); $s = string(variable);"
+                     "$j = format_json(variable);")
+        out = fx(_t(message=["test message"]))
+        return (out.column("r").to_pylist()[0],
+                out.column("s").to_pylist()[0],
+                out.column("j").to_pylist()[0])
+
+    def test_type_dict(self):
+        r, s, j = self._run3(
+            '{"foo":"foovalue", "bar": "barvalue", "int":5, "null":null,'
+            ' "double": 3.14,'
+            " \"datetime\":datetime('2006-02-11T10:34:56.123+01:00')}")
+        assert r == ('{"foo":"foovalue","bar":"barvalue","int":5,'
+                     '"null":null,"double":3.1400000000000001,'
+                     '"datetime":datetime(1139650496.123000)}')
+        assert s == r
+        assert j == ('{"foo":"foovalue","bar":"barvalue","int":5,'
+                     '"null":null,"double":3.1400000000000001,'
+                     '"datetime":"1139650496.123000"}')
+
+    def test_type_int(self):
+        assert self._run3("155") == ("155", "155", "155")
+
+    def test_type_double(self):
+        assert self._run3("3.14") == ("3.1400000000000001",) * 3
+
+    def test_type_bool(self):
+        assert self._run3("true") == ("true", "true", "true")
+
+    def test_type_datetime(self):
+        r, s, j = self._run3("datetime('2006-02-11T10:34:56.000+01:00')")
+        assert r == "datetime(1139650496.000000)"
+        assert s == "1139650496.000000"
+        assert j == '"1139650496.000000"'
+
+    def test_type_bytes(self):
+        r, s, j = self._run3('bytes("test message")')
+        assert r == 'bytes("test message")'
+        assert s == "test message"
+        assert j == '"dGVzdCBtZXNzYWdl"'
+
+    def test_type_protobuf(self):
+        r, s, j = self._run3('protobuf(bytes("test message"))')
+        assert r == 'protobuf("test message")'
+        assert s == "test message"
+        assert j == '"dGVzdCBtZXNzYWdl"'
+
+    def test_type_otel_array(self):
+        r, s, j = self._run3("otel_array([1, 2])")
+        assert r == ('otel_array({"values":[{"intValue":"1"},'
+                     '{"intValue":"2"}]})')
+        assert s == r
+        assert j == "[1,2]"
+
+    def test_type_otel_kvlist(self):
+        r, s, j = self._run3('otel_kvlist({"foo": 42})')
+        assert r == ('otel_kvlist({"values":[{"key":"foo",'
+                     '"value":{"intValue":"42"}}]})')
+        assert s == r
+        assert j == '{"foo":42}'
+
+    def test_type_otel_logrecord(self):
+        r, s, _ = self._run3('otel_logrecord({"body":"payload",'
+                             ' "attributes":{"foo":"bar"}})')
+        assert r == ('otel_logrecord({"body":{"stringValue":"payload"},'
+                     '"attributes":[{"key":"foo",'
+                     '"value":{"stringValue":"bar"}}]})')
+        assert s == r
