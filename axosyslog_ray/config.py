@@ -1679,6 +1679,77 @@ def _compile_rewrite(d: Driver, named: dict | None = None):
     raise ConfigError(f"unsupported rewrite driver {d.name}()")
 
 
+_MSG_GEN_VALUE_RE = re.compile(
+    r'"(?P<key>[^"]+)"\s*=>\s*'
+    r'(?:(?P<typ>\w+)\(\s*(?P<arg>"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\''
+    r'|[^)]*)\s*\)'
+    r'|(?P<plain>"(?:[^"\\]|\\.)*"))')
+
+
+def _msg_generator_values(raw: str, n: int):
+    """example-msg-generator values() with the typed constructors the
+    Light suite uses (test_filterx_types.py create_config): yields
+    (column_name, typed Arrow array) per pair."""
+    import json as _json
+
+    matches = list(_MSG_GEN_VALUE_RE.finditer(raw))
+    if not matches:
+        # legacy single-string form: values("k => v k2 => v2") — bare
+        # tokens inside one quoted argument, all string-typed
+        inner = _prep_unquote(raw.strip()) if raw.strip()[:1] in ('"', "'") \
+            else raw
+        for key, val in re.findall(r"(\S+)\s*=>\s*(\S+)", inner):
+            yield key, pa.array([_prep_unquote(val)] * n, type=pa.string())
+        return
+    for m in matches:
+        key = m.group("key")
+        if m.group("plain") is not None:
+            yield key, pa.array([_prep_unquote(m.group("plain"))] * n,
+                                type=pa.string())
+            continue
+        typ = m.group("typ").lower()
+        arg = (m.group("arg") or "").strip()
+        if arg[:1] in ('"', "'"):
+            arg = _prep_unquote(arg)
+        if typ == "string":
+            yield key, pa.array([arg] * n, type=pa.string())
+        elif typ in ("boolean", "bool"):
+            v = arg.lower() in ("true", "yes", "on", "1")
+            yield key, pa.array([v] * n, type=pa.bool_())
+        elif typ == "int":
+            yield key, pa.array([int(arg)] * n, type=pa.int64())
+        elif typ == "double":
+            yield key, pa.array([float(arg)] * n, type=pa.float64())
+        elif typ == "datetime":
+            # "1701350398.123000+01:00" epoch form or ISO text; the
+            # offset names the display zone, the instant is absolute
+            em = re.fullmatch(r"(\d+(?:\.\d+)?)(?:[+-]\d{2}:?\d{2})?", arg)
+            if em:
+                ts = pd.to_datetime(float(em.group(1)), unit="s")
+            else:
+                ts = pd.to_datetime(arg, utc=True).tz_localize(None)
+            yield key, pa.array(
+                np.full(n, np.datetime64(ts.to_datetime64(), "us")),
+                type=pa.timestamp("us"))
+        elif typ == "list":
+            items = arg.split(",") if arg else []
+            yield key, pa.array([items] * n,
+                                type=pa.list_(pa.string()))
+        elif typ == "null":
+            yield key, pa.nulls(n, type=pa.string())
+        elif typ in ("bytes", "protobuf"):
+            yield key, pa.array([arg.encode()] * n, type=pa.binary())
+        elif typ == "json":
+            try:
+                obj = _json.loads(arg)
+            except ValueError:
+                obj = None
+            yield key, pa.array([obj] * n)
+        else:
+            # unknown constructor: keep the literal text (forward-compat)
+            yield key, pa.array([arg] * n, type=pa.string())
+
+
 def _build_source(drivers: list[Driver], cfg: "Config | None" = None) -> pa.Table:
     parts = []
     for d in drivers:
@@ -1716,13 +1787,17 @@ def _build_source(drivers: list[Driver], cfg: "Config | None" = None) -> pa.Tabl
                 "host": pa.array(["localhost"] * n, type=pa.string()),
                 "program": pa.array(["example-msg-generator"] * n, type=pa.string()),
             }
-            # values("k" => "v" "k2" => "v2"): seeded name-value pairs
-            # (reference modules/examples/sources/msg-generator) — join
-            # the FULL token list, kw1() would truncate multi-token args
-            vals = " ".join(str(x) for x in d.kwargs.get("values", []))
-            if vals:
-                for key, val in re.findall(r"(\S+)\s*=>\s*(\S+)", vals):
-                    cols[key] = pa.array([val] * n, type=pa.string())
+            # values("k" => "v", "k2" => int(5), ...): seeded name-value
+            # pairs with the Light suite's TYPED constructors
+            # (modules/examples/sources/msg-generator + type hints:
+            # string/boolean/int/double/datetime/list/null/bytes/
+            # protobuf/json). Parsed from the RAW option text — the
+            # tokenized kwargs view collapses nested parens.
+            raw_vals = d.raw_kwargs.get("values") or \
+                " ".join(str(x) for x in d.kwargs.get("values", []))
+            if raw_vals:
+                for key, arr in _msg_generator_values(raw_vals, n):
+                    cols[key] = arr
             parts.append(pa.table(cols))
         elif d.name in ("file", "wildcard-file"):
             import glob as _glob

@@ -57,6 +57,18 @@ class ValueRef:
 
     def eval(self, table: pa.Table) -> pd.Series:
         if self.name in table.column_names:
+            field = table.schema.field(self.name)
+            if pa.types.is_list(field.type) or \
+                    pa.types.is_large_list(field.type):
+                # LM_VT_LIST values render through the str-repr list
+                # codec (lib/str-repr; "foo,bar,baz"), not a Python repr
+                from .strings import _ser_list
+
+                lst = table.column(self.name).to_pandas()
+                fill = self.default if self.default is not None else ""
+                return lst.map(
+                    lambda v: _ser_list([str(x) for x in v])
+                    if v is not None else fill).astype(object)
             col = table.column(self.name).to_pandas()
             if pd.api.types.is_bool_dtype(col):
                 # LM_VT_BOOLEAN marshals lowercase (lib/logmsg type

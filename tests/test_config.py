@@ -3291,3 +3291,50 @@ log { source(s); rewrite(r); destination(d); };
         gen = _generate_load_balancer(d)
         assert 'failover(servers("nA" "nB") mode(round-robin))' in gen
         assert "True" not in gen
+
+
+class TestTypedMsgGeneratorValues:
+    """example-msg-generator values() typed constructors (the Light
+    types suite's create_config shape)."""
+
+    def test_typed_values_columns_and_render(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1) template("m") values(
+  "values.str" => string("string"),
+  "values.bool" => boolean(true),
+  "values.int" => int(5),
+  "values.double" => double(32.5),
+  "values.datetime" => datetime("1701350398.123000+01:00"),
+  "values.list" => list("foo,bar,baz"),
+  "values.null" => null(""),
+  "values.bytes" => bytes("binary whatever"),
+  "values.json" => json('{"emb_key1": "v1"}'),
+  "plain" => "kpi"
+)); };
+destination d { file("o.log" template("${values.str}|${values.bool}|${values.int}|${values.double}|${values.list}|${plain}\n")); };
+log { source(s); destination(d); };
+""")
+        out = [x.rstrip("\n") for x in cfg.run().rendered("d")]
+        # LM_VT_LIST renders via the str-repr list codec
+        assert out == ["string|true|5|32.5|foo,bar,baz|kpi"]
+
+    def test_typed_values_reach_filterx_typed(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1) values(
+  "vint" => int(5), "vdouble" => double(32.5), "vbool" => boolean(true)
+)); };
+destination d { file("o.log" template("$MESSAGE\n")); };
+log { source(s);
+      filterx { $MESSAGE = repr($vint + 1) + "|" + repr($vdouble) + "|" + repr($vbool); };
+      destination(d); };
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == \
+               ["6|32.5|true"]
+
+    def test_legacy_single_string_form_still_works(self):
+        cfg = compile_config("""
+source s { example-msg-generator(num(1) values("a.k => v1 a.j => v2")); };
+destination d { file("o.log" template("${a.k}|${a.j}\n")); };
+log { source(s); destination(d); };
+""")
+        assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == ["v1|v2"]
