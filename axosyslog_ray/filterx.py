@@ -92,6 +92,32 @@ _TOKEN_RE = re.compile(
 _BUILTIN_FIELDS = {"MSG": "message", "MESSAGE": "message", "HOST": "host",
                    "PROGRAM": "program", "PID": "pid", "MSGID": "msgid"}
 
+_NOT_CONST = object()
+
+
+def _const_fold(node):
+    """Scalar value of a constant expression (literal / ternary / not /
+    and / or over constants) — the subset expr-switch.c's optimizer
+    folds before duplicate-case detection; _NOT_CONST otherwise."""
+    tag = node[0] if isinstance(node, tuple) else None
+    if tag == "lit":
+        return node[1]
+    if tag == "ternary":
+        c = _const_fold(node[1])
+        if c is _NOT_CONST:
+            return _NOT_CONST
+        return _const_fold(node[2] if c else node[3])
+    if tag == "not":
+        v = _const_fold(node[1])
+        return _NOT_CONST if v is _NOT_CONST else not v
+    if tag in ("and", "or"):
+        a, b = _const_fold(node[1]), _const_fold(node[2])
+        if a is _NOT_CONST or b is _NOT_CONST:
+            return _NOT_CONST
+        return (a and b) if tag == "and" else (a or b)
+    return _NOT_CONST
+
+
 _KEYWORDS = {"if", "elif", "else", "switch", "case", "default", "drop", "done",
              "and", "or", "not", "true", "false", "null", "in", "unset",
              "eq", "ne", "lt", "le", "gt", "ge", "declare", "break"}
@@ -381,6 +407,27 @@ class _Parser:
                 cases.append((None, self._case_body()))
             else:
                 raise SyntaxError("filterx: expected case/default in switch")
+        # duplicate LITERAL cases and duplicate defaults are config-init
+        # errors (expr-switch.c _optimize: literal targets dedupe into a
+        # hash and a collision aborts; Light
+        # test_switch_duplicate_literal_case / _duplicate_default_case).
+        # Constant expressions fold first, like the reference optimizer.
+        seen_lits: set = set()
+        n_default = 0
+        for lit, _body in cases:
+            if lit is None:
+                n_default += 1
+                if n_default > 1:
+                    raise SyntaxError(
+                        "filterx: duplicate default case in switch")
+                continue
+            cv = _const_fold(lit)
+            if cv is not _NOT_CONST:
+                key = (type(cv).__name__, cv)
+                if key in seen_lits:
+                    raise SyntaxError(
+                        f"filterx: duplicate case {cv!r} in switch")
+                seen_lits.add(key)
         return ("switch", subject, cases)
 
     # -- expressions --

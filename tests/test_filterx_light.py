@@ -308,3 +308,62 @@ class TestTypesLight:
                      '"attributes":[{"key":"foo",'
                      '"value":{"stringValue":"bar"}}]})')
         assert s == r
+
+
+class TestControlLight:
+    """tests/light/functional_tests/filterx/test_filterx_control.py —
+    the switch edge cases not already pinned by test_filterx.py."""
+
+    def _run(self, expr, msg="string"):
+        fx = FilterX(expr)
+        t = _t(**{"message": [msg], "values.str": ["string"],
+                  "values.int": [5], "values.double": [32.5]})
+        return fx(t)
+
+    def test_switch_variable_in_case(self):
+        out = self._run('switch ($values.str) { case $message:'
+                        ' result = "right"; break; default:'
+                        ' result = "default-case"; break; };'
+                        ' $message = result;')
+        assert out.column("message").to_pylist() == ["right"]
+
+    def test_switch_range_case_double(self):
+        out = self._run('switch ($values.double) { case 30.0..35.0:'
+                        ' result = "in-range"; break; default:'
+                        ' result = "out"; break; }; $message = result;')
+        assert out.column("message").to_pylist() == ["in-range"]
+
+    def test_switch_range_overlapping_first_wins(self):
+        out = self._run('switch ($values.int) { case 1..6:'
+                        ' result = "first"; break; case 5..10:'
+                        ' result = "second"; break; default:'
+                        ' result = "d"; break; }; $message = result;')
+        assert out.column("message").to_pylist() == ["first"]
+
+    def test_switch_range_no_match_takes_default(self):
+        out = self._run('switch ($values.int) { case 10..20:'
+                        ' result = "in-range"; break; default:'
+                        ' result = "out-of-range"; break; };'
+                        ' $message = result;')
+        assert out.column("message").to_pylist() == ["out-of-range"]
+
+    def test_switch_duplicate_literal_case_is_compile_error(self):
+        # incl. the constant-folded ternary duplicate the reference's
+        # optimizer catches (test_switch_duplicate_literal_case)
+        with pytest.raises(SyntaxError, match="duplicate case"):
+            FilterX('switch ($values.str) { case "string":'
+                    ' result = "a"; break;'
+                    ' case true ? "string" : "x":'
+                    ' result = "b"; break; }; $message = result;')
+
+    def test_switch_duplicate_default_is_compile_error(self):
+        with pytest.raises(SyntaxError, match="duplicate default"):
+            FilterX('switch ($values.str) { default: result = "a";'
+                    ' break; default: result = "b"; break; };'
+                    ' $message = result;')
+
+    def test_switch_distinct_literals_still_compile(self):
+        out = self._run('switch ($values.str) { case "other":'
+                        ' result = "a"; break; case "string":'
+                        ' result = "b"; break; }; $message = result;')
+        assert out.column("message").to_pylist() == ["b"]
