@@ -1740,11 +1740,17 @@ def _msg_generator_values(raw: str, n: int):
         elif typ in ("bytes", "protobuf"):
             yield key, pa.array([arg.encode()] * n, type=pa.binary())
         elif typ == "json":
+            # message semantics: container values travel as compact
+            # JSON text (the LogMessage marshal form — preserves key
+            # order where Arrow struct inference would sort fields);
+            # filterx unmarshals on access
             try:
-                obj = _json.loads(arg)
+                txt = _json.dumps(_json.loads(arg),
+                                  separators=(",", ":"),
+                                  ensure_ascii=False)
             except ValueError:
-                obj = None
-            yield key, pa.array([obj] * n)
+                txt = arg
+            yield key, pa.array([txt] * n, type=pa.string())
         else:
             # unknown constructor: keep the literal text (forward-compat)
             yield key, pa.array([arg] * n, type=pa.string())

@@ -367,3 +367,80 @@ class TestControlLight:
                         ' result = "a"; break; case "string":'
                         ' result = "b"; break; }; $message = result;')
         assert out.column("message").to_pylist() == ["b"]
+
+
+class TestScopeLight:
+    """tests/light/functional_tests/filterx/test_filterx_scope.py —
+    variable scoping across filterx blocks, junction branches, and
+    declared-variable retention, through the config front end."""
+
+    def _cfg(self, init_fx=(), true_fx=(), false_fx=(),
+             template="$MESSAGE", msg="foobar"):
+        init = "\n".join(f"filterx {{ {e} }};" for e in init_fx)
+        tb = "\n".join(f"filterx {{ {e} }};" for e in true_fx)
+        fb = "\n".join(f"filterx {{ {e} }};" for e in false_fx)
+        return compile_config(f"""
+source s {{ example-msg-generator(num(1) template("{msg}") values(
+  "values.json2" => json('{{"foo":{{"foo1":"foo1value","foo2":"foo2value"}},"bar":{{"bar1":"bar1value","bar2":"bar2value"}}}}')
+)); }};
+destination dt {{ file("t.log" template("{template}\\n")); }};
+destination df {{ file("f.log" template("{template}\\n")); }};
+log {{ source(s);
+  {init}
+  if {{ {tb} destination(dt); }}
+  else {{ {fb} destination(df); }};
+}};
+""")
+
+    def test_message_tied_variables_propagate(self):
+        r = self._cfg(init_fx=['$foo = "kecske"; isset($foo);',
+                               'isset($foo); $MESSAGE = $foo;'],
+                      true_fx=["true;"]).run()
+        assert [x.strip() for x in r.rendered("dt")] == ["kecske"]
+        assert r.rendered("df") == []
+
+    def test_message_tied_variables_in_braces_propagate(self):
+        r = self._cfg(
+            init_fx=['${.foo.bar.baz} = "kecske"; isset(${.foo.bar.baz});',
+                     'isset(${.foo.bar.baz});'
+                     ' $MESSAGE = ${.foo.bar.baz};'],
+            true_fx=["true;"]).run()
+        assert [x.strip() for x in r.rendered("dt")] == ["kecske"]
+
+    def test_message_tied_variables_propagate_into_junctions(self):
+        r = self._cfg(init_fx=['$foo = "kecske"; isset($foo);'],
+                      true_fx=['isset($foo); $MESSAGE = $foo;']).run()
+        assert [x.strip() for x in r.rendered("dt")] == ["kecske"]
+
+    def test_no_propagation_to_parallel_branches(self):
+        # the true branch sets $bar / rewrites $foo then FAILS — the
+        # false branch must see the pre-branch state
+        r = self._cfg(
+            init_fx=['$foo = "kecske"; isset($foo);'],
+            true_fx=['isset($foo); $bar = $foo; isset($bar);'
+                     ' $foo = "not kecske"; false;'],
+            false_fx=['isset($foo); not isset($bar);'
+                      ' $MESSAGE = $foo;']).run()
+        assert r.rendered("dt") == []
+        assert [x.strip() for x in r.rendered("df")] == ["kecske"]
+
+    def test_floating_variables_drop_at_scope_end_and_can_recreate(self):
+        r = self._cfg(init_fx=['baz = "kecske"; isset(baz);',
+                               'not isset(baz); baz = "again";'
+                               ' $MESSAGE = baz;'],
+                      true_fx=["true;"]).run()
+        assert [x.strip() for x in r.rendered("dt")] == ["again"]
+
+    def test_declared_variables_retained_across_scopes_and_junctions(self):
+        r = self._cfg(init_fx=['declare baz = "kecske"; isset(baz);'],
+                      true_fx=['isset(baz); $MESSAGE = baz;']).run()
+        assert [x.strip() for x in r.rendered("dt")] == ["kecske"]
+
+    def test_message_tied_mutable_child_change_syncs(self):
+        # byte-exact with the Light expectation, key order preserved
+        r = self._cfg(
+            init_fx=["${values.json2}.foo.foo1 = 'child-changed';"],
+            true_fx=["true;"], template="${values.json2}").run()
+        assert [x.strip() for x in r.rendered("dt")] == [
+            '{"foo":{"foo1":"child-changed","foo2":"foo2value"},'
+            '"bar":{"bar1":"bar1value","bar2":"bar2value"}}']
