@@ -444,3 +444,66 @@ log {{ source(s);
         assert [x.strip() for x in r.rendered("dt")] == [
             '{"foo":{"foo1":"child-changed","foo2":"foo2value"},'
             '"bar":{"bar1":"bar1value","bar2":"bar2value"}}']
+
+
+class TestCowLight:
+    """tests/light/functional_tests/filterx/test_filterx_cow.py —
+    copy-on-write object semantics (expr assignment shares, the first
+    write along a chain clones only the touched levels)."""
+
+    def _run(self, src):
+        return FilterX(src)(_t(message=["x"])) \
+            .column("message").to_pylist()[0]
+
+    def test_dict_writes_cause_clone(self):
+        assert self._run(
+            "d = {'foo':'foovalue','bar':'barvalue'}; d2 = d;"
+            " d2.bar = 'bar-changed';"
+            " $message = string(d) + '--' + string(d2);") == \
+            ('{"foo":"foovalue","bar":"barvalue"}--'
+             '{"foo":"foovalue","bar":"bar-changed"}')
+
+    def test_dict_unset_causes_clone(self):
+        assert self._run(
+            "d = {'foo':'foovalue','bar':'barvalue'}; d2 = d;"
+            " unset(d2.bar);"
+            " $message = string(d) + '--' + string(d2);") == \
+            '{"foo":"foovalue","bar":"barvalue"}--{"foo":"foovalue"}'
+
+    def test_dict_child_of_child_writes_cause_clone(self):
+        assert self._run(
+            "d = {'a':{'b':{'c':'deep'}}}; d2 = d; d2.a.b.c = 'changed';"
+            " $message = string(d) + '--' + string(d2);") == \
+            '{"a":{"b":{"c":"deep"}}}--{"a":{"b":{"c":"changed"}}}'
+
+    def test_shared_child_unshared_at_first_setattr_on_original(self):
+        assert self._run(
+            "d = {'c': {'c2': {'x':'1'}}}; d2 = d; d.c.c2.y = '2';"
+            " $message = string(d) + '--' + string(d2);") == \
+            '{"c":{"c2":{"x":"1","y":"2"}}}--{"c":{"c2":{"x":"1"}}}'
+
+    def test_shared_child_unshared_at_first_setattr_on_clone(self):
+        assert self._run(
+            "d = {'c': {'c2': {'x':'1'}}}; d2 = d; d2.c.c2.y = '2';"
+            " $message = string(d) + '--' + string(d2);") == \
+            '{"c":{"c2":{"x":"1"}}}--{"c":{"c2":{"x":"1","y":"2"}}}'
+
+    def test_recursive_setattr_stores_old_version(self):
+        assert self._run("d = {'a':'1'}; d.self = d;"
+                         " $message = string(d);") == \
+            '{"a":"1","self":{"a":"1"}}'
+
+    def test_list_writes_and_child_writes_cause_clone(self):
+        assert self._run(
+            "l = ['a','b']; l2 = l; l2[0] = 'c';"
+            " $message = string(l) + '--' + string(l2);") == \
+            '["a","b"]--["c","b"]'
+        assert self._run(
+            "l = [['a']]; l2 = l; l2[0][0] = 'c';"
+            " $message = string(l) + '--' + string(l2);") == \
+            '[["a"]]--[["c"]]'
+
+    def test_plus_assign_merges(self):
+        assert self._run("d = {'a':'1'}; d += {'b':'2'};"
+                         " $message = string(d);") == \
+            '{"a":"1","b":"2"}'
