@@ -507,3 +507,44 @@ class TestCowLight:
         assert self._run("d = {'a':'1'}; d += {'b':'2'};"
                          " $message = string(d);") == \
             '{"a":"1","b":"2"}'
+
+
+class TestDictLight:
+    """tests/light/functional_tests/filterx/test_filterx_dict.py."""
+
+    def _run(self, src, msg="x"):
+        return FilterX(src)(_t(message=[msg])) \
+            .column("message").to_pylist()[0]
+
+    def test_unset_key(self):
+        assert self._run('log = {"id": "a", "m": "b"}; unset(log.id);'
+                         ' $message = log.m;') == "b"
+
+    def test_message_value_key(self):
+        assert self._run('d = {}; d["test_key"] = "test_value";'
+                         ' $message = d[$message];',
+                         msg="test_key") == "test_value"
+
+    def test_nullv_elements(self):
+        # ":??" keys drop null/erroring values; plain "null" stays
+        out = self._run('$message = format_json({"null": null,'
+                        ' "nullidontwant":?? null,'
+                        ' "erroridontwant":?? nonexistingvar,'
+                        ' "value":?? 3});')
+        assert out == '{"null":null,"value":3}'
+
+    def test_dpath(self):
+        out = self._run(
+            'exist = {"orig": 1};'
+            ' dpath(exist.path.to.create) = {"value": {"a": 1}};'
+            ' newdict = {};'
+            ' dpath(newdict.path.to.create) = {"value": 3};'
+            ' dpath(newdict.path.to.create) += {"another": 4};'
+            ' dpath(newdict.path.to.create.another) += 1;'
+            ' d = {};'
+            ' dpath(d.exist) = exist;'
+            ' d.newdict = newdict;'
+            ' $message = format_json(d);')
+        assert out == ('{"exist":{"orig":1,"path":{"to":{"create":'
+                       '{"value":{"a":1}}}}},"newdict":{"path":{"to":'
+                       '{"create":{"value":3,"another":5}}}}}')
