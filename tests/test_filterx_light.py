@@ -548,3 +548,44 @@ class TestDictLight:
         assert out == ('{"exist":{"orig":1,"path":{"to":{"create":'
                        '{"value":{"a":1}}}}},"newdict":{"path":{"to":'
                        '{"create":{"value":3,"another":5}}}}}')
+
+
+class TestFuncsLight:
+    """tests/light/functional_tests/filterx/test_filterx_funcs.py —
+    the cases not already covered by the dedicated conformance files
+    (unset_empties has its own 22-case suite; set_fields,
+    protobuf_message and metrics_labels are pinned elsewhere)."""
+
+    def _run(self, src, msg):
+        return FilterX(src)(_t(message=[msg])) \
+            .column("message").to_pylist()[0]
+
+    def test_upper_lower(self):
+        assert self._run('$message = upper($message);', "almafa") == \
+            "ALMAFA"
+        assert self._run('$message = lower($message);', "ALMAFA") == \
+            "almafa"
+
+    def test_startswith_with_various_arguments(self):
+        out = self._run(
+            'result = json(); foo = "foo"; bar = "bar";'
+            'if (startswith($message, "foo")) { result.f1 = true; };'
+            'if (startswith($message, ["foo"])) { result.f2 = true; };'
+            'if (startswith($message, ["bar", "foo"]))'
+            ' { result.f3 = true; };'
+            'if (startswith($message, foo)) { result.f4 = true; };'
+            'if (startswith($message, [bar, foo])) { result.f5 = true; };'
+            '$message = format_json(result);', "fooBARbAz")
+        assert out == ('{"f1":true,"f2":true,"f3":true,"f4":true,'
+                       '"f5":true}')
+
+    def test_endswith_includes_with_various_arguments(self):
+        out = self._run(
+            'result = json(); foo = "foo";'
+            'if (endswith($message, ["bar", "foo"]))'
+            ' { result.e1 = true; };'
+            'if (includes($message, "BAR")) { result.i1 = true; };'
+            'if (includes($message, ["x", "BAR"])) { result.i2 = true; };'
+            'if (not includes($message, "nope")) { result.i3 = true; };'
+            '$message = format_json(result);', "bAzBARfoo")
+        assert out == '{"e1":true,"i1":true,"i2":true,"i3":true}'
