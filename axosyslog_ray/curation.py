@@ -130,6 +130,66 @@ def build_eval_gram_index(eval_ds, n: int = 5, text_col: str = "text",
     return h_all[order], id_all[order]
 
 
+def containment_scores(ds, ref_ds, n: int = 5, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Per-document n-gram CONTAINMENT vs a reference gram set:
+    |distinct grams(doc) ∩ ref| / |distinct grams(doc)| — the
+    memorization / overlap metric decontamination papers report (Lee et
+    al. 2022 "Deduplicating Training Data..."), complementing
+    jaccard_decontaminate's per-eval-doc max-similarity view with one
+    whole-reference score per corpus doc.
+
+    Scale shape: the reference gram set broadcasts once (sorted hash
+    array, build_eval_gram_set — bounded by contract); per batch the
+    per-doc distinct grams come from one lexsort + first-occurrence
+    mask (no per-doc loop) and membership is one searchsorted.
+    Map-only, no shuffle. Output: (id, n_grams, n_matched,
+    containment_micro) with containment in exact integer micro-units
+    (matched * 1e6 // distinct) so the SQL oracle replays bit-exact."""
+    import ray
+
+    ref = ray.put(build_eval_gram_set(ref_ds, n, text_col))
+
+    def score(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ref_h = _ray.get(ref)
+        texts = b.column(text_col).to_pandas().fillna("") \
+            .to_numpy(dtype=object)
+        h, seg = _gram_hashes(texts, n)
+        nd = len(texts)
+        doc = np.repeat(np.arange(nd, dtype=np.int64), np.diff(seg))
+        # per-doc distinct grams: lexsort + first-occurrence mask
+        if len(h):
+            order = np.lexsort((h, doc))
+            sh, sd = h[order], doc[order]
+            first = np.ones(len(sh), dtype=bool)
+            first[1:] = (sh[1:] != sh[:-1]) | (sd[1:] != sd[:-1])
+            uh, ud = sh[first], sd[first]
+        else:
+            uh = np.empty(0, np.uint64)
+            ud = np.empty(0, np.int64)
+        n_grams = np.bincount(ud, minlength=nd).astype(np.int64)
+        if len(uh) and len(ref_h):
+            pos = np.searchsorted(ref_h, uh)
+            hit = (pos < len(ref_h)) & (ref_h[np.minimum(
+                pos, len(ref_h) - 1)] == uh)
+        else:
+            hit = np.zeros(len(uh), dtype=bool)
+        n_matched = np.bincount(ud[hit], minlength=nd).astype(np.int64)
+        micro = np.where(n_grams > 0,
+                         n_matched * 1_000_000 // np.maximum(n_grams, 1),
+                         0).astype(np.int64)
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_grams": pa.array(n_grams),
+            "n_matched": pa.array(n_matched),
+            "containment_micro": pa.array(micro),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def contamination_report(corpus, eval_ds, n: int = 5, text_col: str = "text",
                          id_col: str = "doc_id"):
     """Per-eval-item leak report — the REVERSE view of decontaminate:

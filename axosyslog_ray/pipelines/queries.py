@@ -2968,6 +2968,50 @@ FROM p GROUP BY doc_a, doc_b HAVING count(*) >= 2 ORDER BY doc_a, doc_b
 """
 
 
+def docs_containment(sf_dir: str):
+    """Per-doc n-gram containment vs a reference corpus
+    (curation.containment_scores — the Lee-2022 memorization metric):
+    reference = the src0 source's documents; score in exact integer
+    micro-units. Broadcast gram set + one map-only pass; DuckDB replays
+    with distinct gram strings (hash equality == string equality modulo
+    the disclosed 64-bit collision caveat shared with decontaminate)."""
+    from ..curation import containment_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ref = _read(sf_dir, "documents", ["source", "doc_id", "text"]) \
+        .filter(expr="source == 'src0'")
+    out = containment_scores(ds, ref, n=5).to_pandas()
+    for c in ("doc_id", "n_grams", "n_matched", "containment_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_CONTAINMENT_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        FROM toks WHERE len(t) >= 5)),
+dg AS (SELECT DISTINCT doc_id, gram FROM g),
+ref AS (SELECT DISTINCT g.gram
+        FROM g JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+agg AS (
+  SELECT dg.doc_id, count(*) AS n_grams,
+         count(ref.gram) AS n_matched
+  FROM dg LEFT JOIN ref ON dg.gram = ref.gram GROUP BY dg.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(agg.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(agg.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(CASE WHEN coalesce(agg.n_grams, 0) = 0 THEN 0
+            ELSE agg.n_matched * 1000000 // agg.n_grams END AS BIGINT)
+           AS containment_micro
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def events_quantiles(sf_dir: str):
     """Exact per-group quantiles (window.group_quantiles): p50/p90/p99
     of `value` per event_type via one narrow (key, value) shuffle +
@@ -4510,6 +4554,7 @@ RAY_QUERIES = {
     "docs_chunk": docs_chunk,
     "docs_winnow": docs_winnow,
     "docs_winnow_pairs": docs_winnow_pairs,
+    "docs_containment": docs_containment,
     "events_quantiles": events_quantiles,
     "events_quantiles_sketch": events_quantiles_sketch,
     "q1_pricing": q1_pricing,
@@ -4638,6 +4683,7 @@ ORACLE_SQLS = {
     "docs_chunk": DOCS_CHUNK_SQL,
     "docs_winnow": DOCS_WINNOW_SQL,
     "docs_winnow_pairs": DOCS_WINNOW_PAIRS_SQL,
+    "docs_containment": DOCS_CONTAINMENT_SQL,
     "events_quantiles": EVENTS_QUANTILES_SQL,
     "events_quantiles_sketch": EVENTS_QUANTILES_SKETCH_SQL,
     "events_config_pipeline": EVENTS_CONFIG_PIPELINE_SQL,

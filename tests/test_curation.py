@@ -366,3 +366,36 @@ def test_corpus_report_metrics(ray_session):
     assert m["distinct_texts"] == 5          # dup pair collapses
     assert m["lang:en"] == 4 and m["lang:de"] == 2
     assert m["total_tokens"] == 3 + 3 + 2 + 5 + 1 + 0
+
+
+class TestContainmentScores:
+    def test_self_reference_full_containment(self, ray_session):
+        import ray.data as rd
+
+        from axosyslog_ray.curation import containment_scores
+        docs = pd.DataFrame({
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["alpha beta gamma delta epsilon zeta",
+                     "one two three four five six",
+                     "ab"],  # < n tokens -> 0 grams
+        })
+        ds = rd.from_pandas(docs).repartition(2)
+        out = containment_scores(ds, ds, n=5).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # every doc fully contained in itself; short doc scores 0
+        assert list(out["containment_micro"]) == [1000000, 1000000, 0]
+        assert list(out["n_grams"]) == [2, 2, 0]
+
+    def test_partial_containment_exact_micro(self, ray_session):
+        import ray.data as rd
+
+        from axosyslog_ray.curation import containment_scores
+        ref = pd.DataFrame({"doc_id": [0], "text": ["a b c d e f"]})
+        # doc has 3 distinct 5-grams; exactly one ("b c d e f") in ref
+        doc = pd.DataFrame({"doc_id": [7],
+                            "text": ["x b c d e f g"]})
+        out = containment_scores(rd.from_pandas(doc),
+                                 rd.from_pandas(ref), n=5).to_pandas()
+        assert list(out["n_grams"]) == [3]
+        assert list(out["n_matched"]) == [1]
+        assert list(out["containment_micro"]) == [1000000 // 3]
