@@ -148,6 +148,13 @@ class ConfigError(ValueError):
 
 # ------------------------------------------------------------------ parser
 
+def _stmt_name(tok: str) -> str:
+    """Statement names may be quoted (`log "name" { ... }` — real
+    AxoRouter configs quote every name); definitions and references
+    must agree, so unquote here."""
+    return _prep_unquote(tok) if tok[:1] in ('"', "'") else tok
+
+
 def _nid(name: str) -> str:
     """Identifier normalization: '-' and '_' are interchangeable in the
     reference lexer (lib/cfg-lexer.c keyword normalization) — e.g.
@@ -355,6 +362,19 @@ def _parse_log_elements(s: _Stream, cfg: "Config") -> list:
     s.expect("{")
     while s.peek() != "}":
         t = s.peek()
+        if t == ";":
+            # stray empty statement — the reference grammar tolerates
+            # them (real AxoRouter configs carry bare ';' lines)
+            s.next()
+            continue
+        if t == "channel" and s.peek(1) == "{":
+            # bare channel compound inside a log body: sequential
+            # composition (cfg-grammar log_expr channel) — splice the
+            # inner elements inline
+            s.next()
+            out.extend(_parse_log_elements(s, cfg))
+            s.expect(";")
+            continue
         if t == "if":
             out.append(_parse_conditional(s, cfg))
         elif t == "junction":
@@ -376,7 +396,7 @@ def _parse_log_elements(s: _Stream, cfg: "Config") -> list:
             # sibling consumes its matches from later siblings
             # (Light suite test_flags_final.py)
             s.next()
-            pname = s.next() if s.peek() != "{" else None
+            pname = _stmt_name(s.next()) if s.peek() != "{" else None
             inner = _parse_log_elements(s, cfg)
             s.expect(";")
             ch = _to_channel(inner)
@@ -418,6 +438,12 @@ def _parse_log_elements(s: _Stream, cfg: "Config") -> list:
             elif d.name in ("source", "filter", "parser", "rewrite",
                             "destination", "filterx"):
                 out.append((d.name, d.args[0]))
+            elif d.name == "parallelize":
+                # rebalance hint (lib/logscheduler.c): batch execution
+                # parallelizes per block already — the keyed form is
+                # parallelize.add_partition_key on the Dataset path;
+                # inside a compiled in-memory path it is a no-op
+                pass
             else:
                 raise ConfigError(f"unsupported log element {d.name}()")
     s.expect("}")
@@ -662,8 +688,12 @@ def _parse_driver_block(s: _Stream, cfg: "Config | None" = None,
     out = []
     s.expect("{")
     while s.peek() != "}":
+        if s.peek() == ";":   # stray empty statement (reference lexer)
+            s.next()
+            continue
         out.extend(_parse_driver_or_ref(s, cfg, kind, _depth))
-        s.expect(";")
+        if s.peek() != "}":   # trailing ';' optional before '}'
+            s.expect(";")
     s.expect("}")
     return out
 
@@ -897,6 +927,27 @@ class Config:
         if name in injected:
             t = injected[name]
             t = pa.Table.from_pandas(t) if isinstance(t, pd.DataFrame) else t
+            # an injected table REPLACES the transport read, not the
+            # source's channel: block-source channels (source {...};
+            # parser {...}; filterx {...}) still run their non-source
+            # stages over the injected rows — the Light harness shape
+            # (loggen feeds the socket, the channel still parses)
+            if name in self.sources:
+                for d in self.sources[name]:
+                    if d.name != "__src_channel__":
+                        continue
+                    rest = [e for e in d.args[0].elements
+                            if e[0] != "source"]
+                    if rest:
+                        own_id = _ROW_ID not in t.column_names
+                        if own_id:
+                            t = t.append_column(
+                                _ROW_ID, pa.array(
+                                    np.arange(t.num_rows),
+                                    type=pa.int64()))
+                        t = self._run_sequence(t, rest)
+                        if own_id:
+                            t = t.drop_columns([_ROW_ID])
         else:
             t = _build_source(self.sources[name], self)
         if _ROW_ID not in t.column_names:
@@ -2655,19 +2706,19 @@ def _compile_config_inner(cfg: Config, text: str,
                 cfg.blocks[(kind, _nid(name))] = (params, body)
         elif t == "source":
             s.next()
-            name = s.next()
+            name = _stmt_name(s.next())
             cfg.sources[name] = _parse_driver_block(s, cfg, "source")
             s.expect(";")
         elif t == "destination":
             s.next()
-            name = s.next()
+            name = _stmt_name(s.next())
             drivers, chan = _parse_destination_body(s, cfg)
             cfg.destinations[name] = _Destination(
                 name, drivers, chan, user_funcs=cfg.user_template_funcs)
             s.expect(";")
         elif t == "filter":
             s.next()
-            name = s.next()
+            name = _stmt_name(s.next())
             s.expect("{")
             cfg.filters[name] = _FilterParser(s, cfg.filters).parse_block()
             s.expect("}")
@@ -2789,24 +2840,24 @@ def _compile_config_inner(cfg: Config, text: str,
             cfg.templates[name] = body
         elif t == "filterx":
             s.next()
-            name = s.next()
+            name = _stmt_name(s.next())
             cfg.filterx[name] = cfg._compile_filterx(s.raw_block())
             s.expect(";")
         elif t == "parser":
             s.next()
-            name = s.next()
+            name = _stmt_name(s.next())
             cfg.parsers[name] = [cfg._compile_stage("parser", d)
                                  for d in _parse_driver_block(s, cfg, "parser")]
             s.expect(";")
         elif t == "rewrite":
             s.next()
-            name = s.next()
+            name = _stmt_name(s.next())
             cfg.rewrites[name] = [_compile_rewrite(d, cfg.filters)
                                   for d in _parse_driver_block(s, cfg, "rewrite")]
             s.expect(";")
         elif t == "log":
             s.next()
-            pname = s.next() if s.peek() != "{" else None
+            pname = _stmt_name(s.next()) if s.peek() != "{" else None
             elems = _parse_log_elements(s, cfg)
             s.expect(";")
             ch = _to_channel(elems)

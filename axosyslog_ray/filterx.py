@@ -80,7 +80,8 @@ import pyarrow as pa
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-      (?P<num>0x[0-9a-fA-F]+|\d+\.\d+|\d+[kKmMgG][iI]?[bB]?|\d+)
+      (?P<comment>\#[^\n]*|//[^\n]*|/\*(?s:.*?)\*/)
+    | (?P<num>0x[0-9a-fA-F]+|\d+\.\d+|\d+[kKmMgG][iI]?[bB]?|\d+)
     | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
     | (?P<field>\$\{[^}]+\}|\$[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)*)
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
@@ -253,9 +254,18 @@ class _Parser:
             path = self._lval_path()
             self.expect(")")
             if path:
+                # `unset(x.y) ?? true` guards the reference's unset
+                # error path (missing parent -> error -> ?? true keeps
+                # the row); this engine's unset on a missing path is
+                # already a per-row no-op, so the guard expression is
+                # consumed and discarded
+                if self.accept("??"):
+                    self.expr()
                 return ("unsetpath", (fk, fv), path)
             if fk != "field":
                 raise SyntaxError("filterx: unset() on a bare variable needs a path")
+            if self.accept("??"):
+                self.expr()
             return ("unset", fv[1:])
         if v == "dpath" and self.toks[self.i + 1][1] == "(":
             # dpath(x.a.b) = e; / dpath(x.a.b) += e; — an lvalue that
@@ -279,6 +289,9 @@ class _Parser:
                     read = ("subscript", read, p)
                 return ("setpath", (bk, bv), path,
                         ("arith", "+", read, self.expr()))
+            if self.accept("=??"):
+                # nullv dpath assign (expr-assign.c _do_nullv_assign)
+                return ("setpath", (bk, bv), path, self.expr(), True)
             self.expect("=")
             return ("setpath", (bk, bv), path, self.expr())
         if (k == "name" and v not in _KEYWORDS and v != "dpath"
@@ -434,6 +447,10 @@ class _Parser:
     def expr(self):
         e = self.or_()
         if self.accept("?"):
+            if self.accept(":"):
+                # GNU elvis `a ? : b` — a if truthy else b
+                # (filterx-grammar.y ternary with omitted middle)
+                return ("ternary", e, e, self.expr())
             a = self.expr()
             self.expect(":")
             b = self.expr()

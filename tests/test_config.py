@@ -3338,3 +3338,27 @@ destination d { file("o.log" template("${a.k}|${a.j}\n")); };
 log { source(s); destination(d); };
 """)
         assert [x.rstrip("\n") for x in cfg.run().rendered("d")] == ["v1|v2"]
+
+
+class TestAxoRouterConfigCompiles:
+    """The reference Light suite's pipeline-smoke artifact
+    (tests/light/shared_files/callgrind-syslog-ng.conf — a real 775-line
+    AxoRouter config: nested channels, stray empty statements,
+    parallelize(), quoted statement names, # comments inside filterx,
+    elvis `? :`, dpath =??, `unset(...) ?? true` guards) must COMPILE
+    through the front end. A full-run parity check remains future work
+    (the big classification filterx chains execute but declared-variable
+    plumbing through the deep junction tree is not yet pinned)."""
+
+    CONF = ("/root/reference/tests/light/shared_files/"
+            "callgrind-syslog-ng.conf")
+
+    def test_compiles(self):
+        import os
+        if not os.path.exists(self.CONF):
+            import pytest as _p
+            _p.skip("reference Light shared files not present")
+        cfg = compile_config(open(self.CONF).read())
+        assert "axorouter-syslog-tcp-514" in cfg.sources
+        assert "filedest-dd4560bf" in cfg.destinations
+        assert [c.name for c in cfg.paths] == ["axorouter-minio-axorouter"]
