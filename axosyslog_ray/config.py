@@ -931,27 +931,39 @@ class Config:
             # source's channel: block-source channels (source {...};
             # parser {...}; filterx {...}) still run their non-source
             # stages over the injected rows — the Light harness shape
-            # (loggen feeds the socket, the channel still parses)
-            if name in self.sources:
-                for d in self.sources[name]:
-                    if d.name != "__src_channel__":
-                        continue
-                    rest = [e for e in d.args[0].elements
-                            if e[0] != "source"]
-                    if rest:
-                        own_id = _ROW_ID not in t.column_names
-                        if own_id:
-                            t = t.append_column(
-                                _ROW_ID, pa.array(
-                                    np.arange(t.num_rows),
-                                    type=pa.int64()))
-                        t = self._run_sequence(t, rest)
-                        if own_id:
-                            t = t.drop_columns([_ROW_ID])
+            # (loggen feeds the socket, the channel still parses).
+            # Recursive: nested source-in-channel wrappers (real
+            # AxoRouter configs) run innermost stages first.
+            t = self._inject_through_channels(name, t)
         else:
             t = _build_source(self.sources[name], self)
         if _ROW_ID not in t.column_names:
             t = t.append_column(_ROW_ID, pa.array(np.arange(t.num_rows), type=pa.int64()))
+        return t
+
+    def _inject_through_channels(self, name: str, t: pa.Table,
+                                 _depth: int = 0) -> pa.Table:
+        """Run a named source's channel stages (minus the transport
+        reads) over an injected table, innermost channel first."""
+        if _depth > 8 or name not in self.sources:
+            return t
+        for d in self.sources[name]:
+            if d.name != "__src_channel__":
+                continue
+            ch = d.args[0]
+            for kind, arg in ch.elements:
+                if kind == "source":
+                    t = self._inject_through_channels(arg, t, _depth + 1)
+            rest = [e for e in ch.elements if e[0] != "source"]
+            if rest:
+                own_id = _ROW_ID not in t.column_names
+                if own_id:
+                    t = t.append_column(
+                        _ROW_ID, pa.array(np.arange(t.num_rows),
+                                          type=pa.int64()))
+                t = self._run_sequence(t, rest)
+                if own_id:
+                    t = t.drop_columns([_ROW_ID])
         return t
 
     @_with_user_funcs

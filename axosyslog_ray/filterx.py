@@ -1342,6 +1342,13 @@ _TYPE_CHECKS = {
     "bytes": lambda v: isinstance(v, (bytes, bytearray)) and not isinstance(v, Protobuf),
     "protobuf": lambda v: isinstance(v, Protobuf),
     "null": lambda v: v is None,
+    "json_object": lambda v: isinstance(v, dict),
+    "json_array": lambda v: isinstance(v, (list, tuple)),
+    "datetime": lambda v: isinstance(v, (pd.Timestamp, np.datetime64)),
+    # message_value is the reference's lazily-typed nv reference; this
+    # engine types message reads eagerly, so nothing retains that type
+    # (configs guard it with `or istype(x, "string")` — func-istype.c)
+    "message_value": lambda v: False,
 }
 
 
